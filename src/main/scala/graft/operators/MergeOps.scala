@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryFn
+import graft.model.Catalog
+import graft.sources.Tables
+
+/** Flatfile assembly: the reference's main product
+  * (`nzgmdb/data_processing/merge_flatfiles.py`).
+  *
+  * - `merge_flatfile` (`merge_flatfiles.py:14,154`): record x event x
+  *   station x provenance-dimension join. Fact-to-fact on evid; every
+  *   dimension side is broadcast (station/customer/nation at 100 TB
+  *   remain dimension-sized), so the only shuffle is the fact join.
+  * - `ground_level_argmin` (`merge_flatfiles.py:384 custom_idxmin`):
+  *   per-(evid, sta) pick the record whose elevation is closest to
+  *   ground level, nulls last — a window argmin, not a groupby+rejoin.
+  * - `im_pivot` (`merge_flatfiles.py:58 groupby.unstack`): channel
+  *   components to columns via groupBy().pivot() with explicit values
+  *   (explicit pivot values keep the plan a single pass — no extra
+  *   distinct-scan to discover them).
+  * - `db_upsert` (`merge_flatfiles.py:696 merge_dbs`): keep-last merge
+  *   of two DB versions by record_id — union + window, no driver loop.
+  * - `flatfile_semi_filter` (`quality_db.py:15`): catalogue-membership
+  *   filtering as a left-semi join (EXISTS), which Spark executes
+  *   broadcast-side when the filtered catalogue is small.
+  * - `site_table_dedup` (`data_retrieval/sites.py:18,122`): unique
+  *   site row per station, keep lowest location code.
+  */
+object MergeOps {
+
+  val SemiMagMin = 5.0
+
+  def mergeFlatfile(s: SparkSession, dir: String): DataFrame = {
+    val r  = Catalog.records(s, dir)
+    val ev = Catalog.events(s, dir)
+    val st = Catalog.stations(s, dir)
+    val o  = Tables.orders(s, dir).select(col("o_orderkey").cast("long").as("evid"), col("o_custkey"))
+    val c  = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n  = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name").as("network"))
+    r.join(ev, Seq("evid"))
+      .join(broadcast(st), Seq("sta"), "left")
+      .join(o, Seq("evid"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("record_id"), col("evid"), col("sta"), col("chan"),
+        col("mag"), col("ev_lat"), col("ev_lon"), col("ev_depth"),
+        col("sta_lat"), col("sta_lon"), col("sta_vs30"),
+        col("score_x"), col("fmin"), col("network"))
+  }
+
+  private val argminWin =
+    Window.partitionBy(col("evid"), col("sta"))
+      .orderBy(col("loc_elev").isNull.cast("int"), abs(col("loc_elev")), col("lnum"))
+
+  def groundLevelArgmin(s: SparkSession, dir: String): DataFrame =
+    Catalog.records(s, dir)
+      .withColumn("rn", row_number().over(argminWin))
+      .filter(col("rn") === 1)
+      .select("evid", "sta", "record_id", "loc_elev")
+
+  def imPivot(s: SparkSession, dir: String): DataFrame =
+    Catalog.records(s, dir)
+      .groupBy(col("evid"), col("sta"))
+      .pivot("chan", Seq("HN", "BN"))
+      .agg(max(col("im_val")))
+      .select(col("evid"), col("sta"), col("HN").as("im_hn"), col("BN").as("im_bn"))
+
+  /** Two synthetic DB versions with overlapping keys; later version
+    * wins per record_id. */
+  def dbUpsert(s: SparkSession, dir: String): DataFrame = {
+    val r = Catalog.records(s, dir)
+    val v1 = r.filter(col("lnum") <= 4)
+      .select(col("record_id"), lit(1L).as("version"), col("im_val").as("im"))
+    val v2 = r.filter(col("lnum") >= 3)
+      .select(col("record_id"), lit(2L).as("version"), (col("im_val") * 2).as("im"))
+    val w = Window.partitionBy(col("record_id")).orderBy(col("version").desc)
+    v1.unionByName(v2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("record_id", "version", "im")
+  }
+
+  def flatfileSemiFilter(s: SparkSession, dir: String): DataFrame = {
+    val bigEvents = Catalog.events(s, dir).filter(col("mag") >= SemiMagMin).select("evid")
+    Catalog.records(s, dir)
+      .join(bigEvents, Seq("evid"), "left_semi")
+      .select("record_id", "evid", "sta", "chan")
+  }
+
+  def siteTableDedup(s: SparkSession, dir: String): DataFrame = {
+    val sites = Catalog.records(s, dir)
+      .groupBy(col("sta"), col("loc"))
+      .agg(min(col("loc_elev")).as("elev"))
+    val w = Window.partitionBy(col("sta")).orderBy(col("loc"))
+    sites.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("sta", "loc", "elev")
+  }
+
+  def phaseArrivalSemi(s: SparkSession, dir: String): DataFrame = {
+    // Phase-arrival table (`phase_arrival/gen_phase_arrival_table.py:71`):
+    // records with an R-flagged trace carry a pick; membership check is
+    // a semi-join on the constructed record_id (`quality_db.py:55`).
+    val r = Catalog.records(s, dir)
+    val phases = r.filter(col("rflag") === "R").select("record_id")
+    r.join(phases, Seq("record_id"), "left_semi")
+      .filter(col("chan") === "HN")
+      .select("record_id", "evid", "sta", "lnum")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "merge_flatfile"      -> (mergeFlatfile _),
+    "ground_level_argmin" -> (groundLevelArgmin _),
+    "im_pivot"            -> (imPivot _),
+    "db_upsert"           -> (dbUpsert _),
+    "flatfile_semi_filter"-> (flatfileSemiFilter _),
+    "site_table_dedup"    -> (siteTableDedup _),
+    "phase_arrival_semi"  -> (phaseArrivalSemi _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "merge_flatfile" -> Catalog.oracle(
+      """SELECT r.record_id, r.evid, r.sta, r.chan,
+        |       e.mag, e.ev_lat, e.ev_lon, e.ev_depth,
+        |       s.sta_lat, s.sta_lon, s.sta_vs30,
+        |       r.score_x, r.fmin, n.n_name AS network
+        |FROM gm_records r
+        |JOIN gm_events e ON r.evid = e.evid
+        |LEFT JOIN gm_stations s ON r.sta = s.sta
+        |JOIN orders o ON r.evid = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin),
+    "ground_level_argmin" -> Catalog.oracle(
+      """SELECT evid, sta, record_id, loc_elev FROM (
+        |  SELECT evid, sta, record_id, loc_elev,
+        |         row_number() OVER (PARTITION BY evid, sta
+        |           ORDER BY CAST(loc_elev IS NULL AS INT), abs(loc_elev), lnum) AS rn
+        |  FROM gm_records
+        |) WHERE rn = 1""".stripMargin),
+    "im_pivot" -> Catalog.oracle(
+      """SELECT evid, sta,
+        |       max(CASE WHEN chan = 'HN' THEN im_val END) AS im_hn,
+        |       max(CASE WHEN chan = 'BN' THEN im_val END) AS im_bn
+        |FROM gm_records GROUP BY evid, sta""".stripMargin),
+    "db_upsert" -> Catalog.oracle(
+      """SELECT record_id, version, im FROM (
+        |  SELECT record_id, version, im,
+        |         row_number() OVER (PARTITION BY record_id ORDER BY version DESC) AS rn
+        |  FROM (
+        |    SELECT record_id, CAST(1 AS BIGINT) AS version, im_val AS im
+        |    FROM gm_records WHERE lnum <= 4
+        |    UNION ALL
+        |    SELECT record_id, CAST(2 AS BIGINT) AS version, im_val * 2 AS im
+        |    FROM gm_records WHERE lnum >= 3
+        |  )
+        |) WHERE rn = 1""".stripMargin),
+    "flatfile_semi_filter" -> Catalog.oracle(
+      s"""SELECT record_id, evid, sta, chan FROM gm_records
+         |WHERE evid IN (SELECT evid FROM gm_events WHERE mag >= ${SemiMagMin}e0)""".stripMargin),
+    "site_table_dedup" -> Catalog.oracle(
+      """SELECT sta, loc, elev FROM (
+        |  SELECT sta, loc, min(loc_elev) AS elev,
+        |         row_number() OVER (PARTITION BY sta ORDER BY loc) AS rn
+        |  FROM gm_records GROUP BY sta, loc
+        |) WHERE rn = 1""".stripMargin),
+    "phase_arrival_semi" -> Catalog.oracle(
+      """SELECT record_id, evid, sta, lnum FROM gm_records
+        |WHERE chan = 'HN'
+        |  AND record_id IN (SELECT record_id FROM gm_records WHERE rflag = 'R')""".stripMargin)
+  )
+}
