@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session defaults shared by Verify / Bench / tests (SURVEY §4).
+  *
+  * These are the knobs that decide whether the declarative plans here
+  * survive a 100× scale-up: AQE re-plans shuffles at runtime (coalesce,
+  * skew-split, broadcast demotion/promotion), the broadcast threshold
+  * bounds what the planner may replicate, and shuffle partitions are
+  * sized to the local core count (on a real cluster this would be
+  * 2–3× total executor cores, or left to AQE's coalescing).
+  */
+object Sessions {
+
+  def builder(master: String, cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Standard local session: `local[cpus]` from SPARK_GRAFT_CPUS. */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -35,15 +35,25 @@ object MergeOps {
 
   def mergeFlatfile(s: SparkSession, dir: String): DataFrame = {
     val r  = Catalog.records(s, dir)
-    val ev = Catalog.events(s, dir)
     val st = Catalog.stations(s, dir)
-    val o  = Tables.orders(s, dir).select(col("o_orderkey").cast("long").as("evid"), col("o_custkey"))
+    // Single orders scan: carry the provenance key (o_custkey) alongside
+    // the event-catalogue derivation instead of re-scanning orders.
+    val ev = Tables.orders(s, dir).select(
+      col("o_orderkey").cast("long").as("evid"),
+      (lit(3.0) + (col("o_orderkey") % 30) / lit(10.0)).as("mag"),
+      (lit(-47.0) + (col("o_orderkey") % 1200) / lit(100.0)).as("ev_lat"),
+      (lit(166.0) + (col("o_orderkey") % 1300) / lit(100.0)).as("ev_lon"),
+      (col("o_orderkey") % 100).cast("double").as("ev_depth"),
+      col("o_custkey"))
+    // customer grows with the dataset (unlike nation/stations), so no
+    // explicit broadcast hint — AQE picks broadcast only while it fits.
     val c  = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
     val n  = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name").as("network"))
     r.join(ev, Seq("evid"))
+      // station count is physically bounded (a few thousand instruments
+      // nationwide, cf. sites.py), so the broadcast hint is safe at scale.
       .join(broadcast(st), Seq("sta"), "left")
-      .join(o, Seq("evid"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("record_id"), col("evid"), col("sta"), col("chan"),
         col("mag"), col("ev_lat"), col("ev_lon"), col("ev_depth"),
@@ -53,7 +63,7 @@ object MergeOps {
 
   private val argminWin =
     Window.partitionBy(col("evid"), col("sta"))
-      .orderBy(col("loc_elev").isNull.cast("int"), abs(col("loc_elev")), col("lnum"))
+      .orderBy(col("loc_elev").isNull.cast("int"), abs(col("loc_elev")), col("lnum"), col("pk"))
 
   def groundLevelArgmin(s: SparkSession, dir: String): DataFrame =
     Catalog.records(s, dir)
@@ -101,11 +111,14 @@ object MergeOps {
   def phaseArrivalSemi(s: SparkSession, dir: String): DataFrame = {
     // Phase-arrival table (`phase_arrival/gen_phase_arrival_table.py:71`):
     // records with an R-flagged trace carry a pick; membership check is
-    // a semi-join on the constructed record_id (`quality_db.py:55`).
+    // a semi-join (`quality_db.py:55`). The join runs on the fixed-width
+    // numeric composite key (evid, sta, lnum, pk) — which determines
+    // record_id — so the shuffle never moves high-cardinality strings;
+    // record_id stays an output column only.
     val r = Catalog.records(s, dir)
-    val phases = r.filter(col("rflag") === "R").select("record_id")
-    r.join(phases, Seq("record_id"), "left_semi")
-      .filter(col("chan") === "HN")
+    val phases = r.filter(col("rflag") === "R").select("evid", "sta", "lnum", "pk")
+    r.filter(col("chan") === "HN")
+      .join(phases, Seq("evid", "sta", "lnum", "pk"), "left_semi")
       .select("record_id", "evid", "sta", "lnum")
   }
 
@@ -135,7 +148,7 @@ object MergeOps {
       """SELECT evid, sta, record_id, loc_elev FROM (
         |  SELECT evid, sta, record_id, loc_elev,
         |         row_number() OVER (PARTITION BY evid, sta
-        |           ORDER BY CAST(loc_elev IS NULL AS INT), abs(loc_elev), lnum) AS rn
+        |           ORDER BY CAST(loc_elev IS NULL AS INT), abs(loc_elev), lnum, pk) AS rn
         |  FROM gm_records
         |) WHERE rn = 1""".stripMargin),
     "im_pivot" -> Catalog.oracle(

@@ -120,7 +120,7 @@ object Quality {
 
   val oracles: Map[String, String] = Map(
     "q_catalog" -> Catalog.oracle(
-      """SELECT record_id, evid, sta, lnum, chan, loc, score_x, score_y, multi_x,
+      """SELECT record_id, evid, sta, lnum, pk, chan, loc, score_x, score_y, multi_x,
         | multi_y, fmin, fmax_x, fmax_y, fmax_z, loc_elev, rflag FROM gm_records""".stripMargin),
     "quality_has_score" -> Catalog.oracle(
       s"SELECT record_id, evid, sta, chan, score_x, score_y FROM gm_records WHERE $byp OR $hasScoreSql"),
