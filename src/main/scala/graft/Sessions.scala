@@ -22,6 +22,9 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata carries TIMESTAMP(NANOS) parquet, which Spark
+      // only reads as raw nanos-since-epoch longs (ts -> bigint).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session: `local[cpus]` from SPARK_GRAFT_CPUS. */

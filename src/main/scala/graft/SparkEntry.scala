@@ -19,10 +19,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Quality.queries ++ MergeOps.queries
+    Quality.queries ++ MergeOps.queries ++ TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Quality.oracles ++ MergeOps.oracles
+    Quality.oracles ++ MergeOps.oracles ++ TextOps.oracles
 }

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryFn
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** LLM-training-data text operators over the `documents` table.
+  *
+  * The dedup family follows the standard web-scale pipeline shapes
+  * (exact hash, MinHash-LSH, SimHash) — every candidate-pair step is a
+  * banded equi-join, never an all-pairs product, so the plans scale to
+  * billions of documents: pair count is bounded by band-bucket
+  * collisions, and a skewed bucket can be salt-split without changing
+  * semantics. All hashes go through [[Portable]] so the DuckDB oracle
+  * recomputes identical values (xxhash64 is the documented production
+  * swap-in).
+  */
+object TextOps {
+
+  val ShingleN = 3   // word n-gram size for shingling
+  val MinhashK = 8   // permutations in the MinHash signature
+  val MinhashR = 2   // rows per LSH band => K/R = 4 bands
+  val JaccT    = 0.5 // near-dup verification threshold
+  val SimBits  = 32  // SimHash fingerprint width
+  val SimBandBits = 8 // 4 bands of 8 bits for the hamming-band join
+  val HamT     = 3   // max hamming distance for simhash near-dup
+  val WinnowW  = 4   // winnowing window (doc_fingerprint)
+  val Stopwords = Seq("a", "the")
+  val P        = Portable.P
+
+  private def nBands = MinhashK / MinhashR
+
+  // ---- shared derivations ----------------------------------------
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("tk", Portable.tokens(col("text")))
+
+  /** doc_id, hs (shingle hash list, order-preserving), shset (distinct
+    * shingles) — the single scan every dedup operator builds on. */
+  private def hashed(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("sh", Portable.shingles(col("tk"), ShingleN))
+      .select(col("doc_id"),
+        transform(col("sh"), x => Portable.hmod(x)).as("hs"),
+        array_distinct(col("sh")).as("shset"))
+
+  private def sigCol: Column = array((0 until MinhashK).map { j =>
+    coalesce(
+      array_min(transform(col("hs"), h => (h * Portable.permA(j) + Portable.permB(j)) % P)),
+      lit(P))
+  }: _*)
+
+  /** (doc_id, band, bkey): one row per LSH band; the join key that
+    * replaces the all-pairs product. */
+  private def bands(s: SparkSession, d: String): DataFrame =
+    hashed(s, d).withColumn("sig", sigCol)
+      .select(col("doc_id"), explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          (col("sig").getItem(MinhashR * b) * P + col("sig").getItem(MinhashR * b + 1)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** Distinct candidate pairs (ida < idb) from band-bucket collisions. */
+  private def candidates(s: SparkSession, d: String): DataFrame = {
+    val b1 = bands(s, d).select(col("band"), col("bkey"), col("doc_id").as("ida"))
+    val b2 = bands(s, d).select(col("band"), col("bkey"), col("doc_id").as("idb"))
+    b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** Candidate pairs with exact n-gram Jaccard (the in-bucket verify
+    * kernel — int/int division is bit-exact cross-engine). */
+  private def pairJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = hashed(s, d).select(col("doc_id"), col("shset"))
+    candidates(s, d)
+      .join(sh.withColumnRenamed("doc_id", "ida").withColumnRenamed("shset", "sha"), Seq("ida"))
+      .join(sh.withColumnRenamed("doc_id", "idb").withColumnRenamed("shset", "shb"), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+         size(array_union(col("sha"), col("shb"))).cast("double")).as("jacc"))
+  }
+
+  // ---- SimHash ---------------------------------------------------
+
+  /** 32-bit SimHash over shingle hashes: per bit, majority vote of
+    * +-1 contributions. One explode + one groupBy (32 conditional
+    * sums) — a single shuffle keyed by doc_id. */
+  private def simFingerprints(s: SparkSession, d: String): DataFrame = {
+    val tokenHashes = hashed(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
+    val bitSums = (0 until SimBits).map { i =>
+      sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    tokenHashes.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map { i =>
+          when(col(s"s$i") > 0, lit(1L) * (1L << i)).otherwise(0L)
+        }.reduce(_ + _).as("fp"))
+  }
+
+  private def simBands(s: SparkSession, d: String): DataFrame =
+    simFingerprints(s, d)
+      .select(col("doc_id"), col("fp"), explode(array((0 until SimBits / SimBandBits).map { b =>
+        struct(lit(b).as("band"), (shiftright(col("fp"), b * SimBandBits) % (1 << SimBandBits)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  // ---- operators -------------------------------------------------
+
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("chash")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("chash"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "chash")
+  }
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val dupIds = pairJaccard(s, d).filter(col("jacc") >= JaccT).select(col("idb").as("doc_id"))
+    Tables.documents(s, d).select("doc_id")
+      .join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    pairJaccard(s, d)
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val b1 = simBands(s, d).select(col("band"), col("bkey"), col("doc_id").as("ida"), col("fp").as("fpa"))
+    val b2 = simBands(s, d).select(col("band"), col("bkey"), col("doc_id").as("idb"), col("fp").as("fpb"))
+    val dup = b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
+      .filter(bit_count(expr("fpa ^ fpb")) <= HamT)
+      .select(col("idb").as("doc_id")).distinct()
+    simFingerprints(s, d).join(dup, Seq("doc_id"), "left_anti")
+      .select("doc_id", "fp")
+  }
+
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      size(col("tk")).as("n_words"),
+      ((length(col("text")) - (size(col("tk")) - 1)).cast("double") /
+        size(col("tk")).cast("double")).as("mean_word_len"),
+      (size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double") /
+        size(col("tk")).cast("double")).as("stop_ratio"),
+      (size(array_distinct(col("tk"))).cast("double") /
+        size(col("tk")).cast("double")).as("distinct_ratio"))
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs(s, d).select(col("doc_id"), col("lang"),
+      (size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double") /
+        size(col("tk")).cast("double")).as("stop_ratio"))
+      .withColumn("guess", when(col("stop_ratio") >= 0.02, lit("en")).otherwise(lit("unk")))
+      .select(col("doc_id"), col("lang"), col("guess"),
+        (col("guess") === col("lang")).as("correct"))
+  }
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      size(col("tk")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    hashed(s, d)
+      .select(col("doc_id"),
+        when(size(col("hs")) >= WinnowW,
+          array_distinct(transform(sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
+            i => array_min(slice(col("hs"), i, lit(WinnowW)))))
+        ).otherwise(array_distinct(col("hs"))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_exact"     -> (dedupExact _),
+    "dedup_minhash"   -> (dedupMinhash _),
+    "dedup_simhash"   -> (dedupSimhash _),
+    "ngram_jaccard"   -> (ngramJaccard _),
+    "text_quality"    -> (textQuality _),
+    "lang_id"         -> (langId _),
+    "token_count"     -> (tokenCount _),
+    "doc_fingerprint" -> (docFingerprint _)
+  )
+
+  // ---- SQL twins (DuckDB) ----------------------------------------
+
+  private val tkSql = Portable.tokensSql("text")
+  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** CTE chain shared by the minhash-family oracles. */
+  private def minhashCtes: String = {
+    val sigElems = (0 until MinhashK).map { j =>
+      s"coalesce(list_min(list_transform(hs, h -> (h * ${Portable.permA(j)} + ${Portable.permB(j)}) % $P)), $P)"
+    }.mkString("[", ",\n      ", "]")
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, $b AS band, sig[${MinhashR * b + 1}] * $P + sig[${MinhashR * b + 2}] AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+       |hsh AS (SELECT doc_id,
+       |    list_transform(shl, x -> ${Portable.hmodSql("x")}) AS hs,
+       |    list_distinct(shl) AS shset FROM sh),
+       |sig AS (SELECT doc_id, shset, $sigElems AS sig FROM hsh),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pj AS (SELECT c.ida, c.idb,
+       |    CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(x.shset, y.shset))) AS DOUBLE) AS jacc
+       |  FROM cand c JOIN sig x ON c.ida = x.doc_id JOIN sig y ON c.idb = y.doc_id)""".stripMargin
+  }
+
+  /** CTE chain for the simhash oracles. */
+  private def simhashCtes: String = {
+    val bitSums = (0 until SimBits).map { i =>
+      s"sum(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n      ")
+    val fpExpr = (0 until SimBits).map { i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val bandSelects = (0 until SimBits / SimBandBits).map { b =>
+      s"SELECT doc_id, fp, $b AS band, (fp >> ${b * SimBandBits}) % ${1 << SimBandBits} AS bkey FROM fps"
+    }.mkString("\n  UNION ALL ")
+    s"""toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+       |th AS (SELECT doc_id, unnest(list_transform(shl, x -> ${Portable.hmodSql("x")})) AS h FROM sh),
+       |bsums AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |fps AS (SELECT doc_id, $fpExpr AS fp FROM bsums),
+       |sbands AS (
+       |  $bandSelects),
+       |sdup AS (SELECT DISTINCT b.doc_id
+       |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= $HamT)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, chash FROM (
+        |  SELECT doc_id, sha256(text) AS chash,
+        |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT idb FROM pj WHERE jacc >= ${JaccT}e0)""".stripMargin,
+    "ngram_jaccard" ->
+      s"WITH $minhashCtes SELECT ida, idb, jacc FROM pj",
+    "dedup_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, fp FROM fps
+         |WHERE doc_id NOT IN (SELECT doc_id FROM sdup)""".stripMargin,
+    "text_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $tkSql AS tk FROM documents)
+         |SELECT doc_id, length(text) AS len, len(tk) AS n_words,
+         |  CAST(length(text) - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+         |  CAST(len(list_filter(tk, t -> list_contains($stopListSql, t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS distinct_ratio
+         |FROM toks""".stripMargin,
+    "lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $tkSql AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(tk, t -> list_contains($stopListSql, t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stop_ratio
+         |  FROM toks),
+         |g AS (SELECT doc_id, lang, CASE WHEN stop_ratio >= 2e-2 THEN 'en' ELSE 'unk' END AS guess FROM sc)
+         |SELECT doc_id, lang, guess, guess = lang AS correct FROM g""".stripMargin,
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tkSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+         |hsh AS (SELECT doc_id, list_transform(shl, x -> ${Portable.hmodSql("x")}) AS hs FROM sh),
+         |w AS (SELECT doc_id, CASE WHEN len(hs) >= $WinnowW
+         |    THEN list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 2}),
+         |         i -> list_min(list_slice(hs, i, i + ${WinnowW - 1}))))
+         |    ELSE list_distinct(hs) END AS fps FROM hsh)
+         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin
+  )
+}
