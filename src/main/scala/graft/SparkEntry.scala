@@ -19,10 +19,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Quality.queries ++ MergeOps.queries ++ TextOps.queries
+    Quality.queries ++ MergeOps.queries ++ TextOps.queries ++
+      EventOps.queries ++ AnnOps.queries ++ MultiModalOps.queries ++
+      Map("streaming_sessionize" -> ((s, d) => graft.streaming.StreamingSessionize.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Quality.oracles ++ MergeOps.oracles ++ TextOps.oracles
+    Quality.oracles ++ MergeOps.oracles ++ TextOps.oracles ++
+      EventOps.oracles ++ AnnOps.oracles ++ MultiModalOps.oracles ++
+      // the streaming variant is deterministic under AvailableNow (one
+      // batch), so it shares the batch sessionize oracle semantics
+      Map("streaming_sessionize" -> EventOps.oracles("sessionize"))
 }

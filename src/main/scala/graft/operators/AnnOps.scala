@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryFn
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim).
+  *
+  * - `ann_cosine_topk` — brute-force correctness baseline: broadcast
+  *   the (small, fixed) query set against the full vector table, exact
+  *   cosine, per-query top-k window. One scan of the big side; the
+  *   only shuffle is the final per-query window (query count is tiny,
+  *   so it's a near-free shuffle).
+  * - `ann_lsh_topk` — the 100 TB path: random-hyperplane LSH. Each
+  *   vector gets a bucket id from the sign bits of 8 deterministic
+  *   hyperplane projections; candidates are an equi-join on the bucket
+  *   id (never all-pairs), then exact cosine top-k inside the bucket.
+  *   Recall tunes with plane count / multi-probe; a skewed bucket
+  *   salt-splits without changing results.
+  *
+  * Cosines are checked as raw doubles: dot products and norms are
+  * sequential folds, bit-exact cross-engine (dev/PORTABILITY.md).
+  */
+object AnnOps {
+
+  val TopK    = 10
+  val QMod    = 50 // queries = vectors with vec_id % QMod == 0
+  val NPlanes = 8
+  val Dim     = 64
+
+  /** Deterministic pseudo-random hyperplane coefficient, computable in
+    * plain arithmetic on both engines (all intermediates < 2^41).
+    * Roughly zero-mean over [-501001, 501001]. */
+  def planeCoef(j: Int, i: Int): Long =
+    ((j * Dim + i + 1) * 2654435761L) % 1000003L - 501001L
+
+  private def planeCol(j: Int): Column =
+    array((0 until Dim).map(i => lit(planeCoef(j, i).toDouble)): _*)
+
+  private def planeSqlList(j: Int): String =
+    (0 until Dim).map(i => s"${planeCoef(j, i)}.0").mkString("[", ",", "]")
+
+  /** Vectors with precomputed norm (one fold per vector, not per pair). */
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"), Portable.norm(col("embedding")).as("nrm"))
+
+  private def queriesSide(s: SparkSession, d: String): DataFrame =
+    vectors(s, d).filter(col("vec_id") % QMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+
+  private def cosine: Column =
+    Portable.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))
+
+  private val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+
+  def annCosineTopk(s: SparkSession, d: String): DataFrame =
+    vectors(s, d)
+      .crossJoin(broadcast(queriesSide(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "cosine")
+
+  /** Sign-bit bucket id of the NPlanes hyperplane projections. */
+  private def bucketCol(e: Column): Column =
+    (0 until NPlanes).map { j =>
+      when(Portable.dot(e, planeCol(j)) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  def annLshTopk(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d).withColumn("bucket", bucketCol(col("embedding")))
+    val q = queriesSide(s, d).withColumn("bucket", bucketCol(col("qe")))
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "cosine")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_lsh_topk"    -> (annLshTopk _)
+  )
+
+  // ---- SQL twins -------------------------------------------------
+
+  private val vecCte =
+    s"""vecs AS (SELECT vec_id, embedding, ${Portable.normSql("embedding")} AS nrm FROM embeddings),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM vecs WHERE vec_id % $QMod = 0)""".stripMargin
+
+  private val cosSql = s"${Portable.dotSql("qe", "embedding")} / (qn * nrm)"
+
+  private def bucketSql(e: String): String =
+    (0 until NPlanes).map { j =>
+      s"CASE WHEN ${Portable.dotSql(e, s"pl$j")} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val planesCte =
+    s"""pl AS (SELECT ${(0 until NPlanes).map(j => s"${planeSqlList(j)}::DOUBLE[] AS pl$j").mkString(", ")})""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH $vecCte,
+         |scored AS (
+         |  SELECT q.q_id, v.vec_id, $cosSql AS cosine
+         |  FROM vecs v CROSS JOIN qs q
+         |  WHERE v.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $vecCte, $planesCte,
+         |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),
+         |qb AS (SELECT q_id, qe, qn, ${bucketSql("qe")} AS bucket FROM qs, pl),
+         |scored AS (
+         |  SELECT q.q_id, v.vec_id, ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
+         |  FROM vb v JOIN qb q ON v.bucket = q.bucket
+         |  WHERE v.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryFn
+import graft.sources.Tables
+
+/** Clickstream-style operators over the `events` table: gap-rule
+  * sessionization and per-user running aggregates — the batch halves
+  * of a training-data pipeline's behavioral features.
+  *
+  * Scale notes: both operators are a single scan + a single window
+  * shuffle keyed by `user_id` (the natural partition key; skewed power
+  * users are handled by AQE skew-split since the window partition is
+  * hash-distributed). Monetary running sums run over scaled-integer
+  * cents: windowed sums over raw doubles are NOT reproducible across
+  * engines (segment-tree accumulation order — see dev/PORTABILITY.md)
+  * and at cluster scale not even across retries.
+  */
+object EventOps {
+
+  val GapUs: Long = 30L * 60 * 1000000 // 30-minute session gap
+
+  /** events with portable microsecond timestamps and integer cents.
+    * `ts` arrives as nanos-since-epoch (TIMESTAMP(NANOS) parquet read
+    * with nanosAsLong). */
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000").cast("long").as("ts_us"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+
+  private val userW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+  private val userRunW = userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Session assignment: a new session starts when the gap from the
+    * previous event of the same user exceeds GapUs. lag + cumulative
+    * boundary-sum — one window shuffle, no self-join. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(userW))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("boundary")).over(userRunW))
+      .select("event_id", "user_id", "ts_us", "session_idx")
+
+  /** Per-user running aggregates: event count, cumulative spend
+    * (integer cents → exact), running max, plus the final value as
+    * dollars (single exact division). */
+  def userRunningAggs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("r_count", count(lit(1)).over(userRunW))
+      .withColumn("r_cents", sum(col("cents")).over(userRunW))
+      .withColumn("r_max_cents", max(col("cents")).over(userRunW))
+      .select(col("event_id"), col("user_id"), col("r_count"), col("r_cents"),
+        col("r_max_cents"), (col("r_cents").cast("double") / 100.0).as("r_dollars"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "sessionize"        -> (sessionize _),
+    "user_running_aggs" -> (userRunningAggs _)
+  )
+
+  private val evCte =
+    """ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_ns(ts) // 1000 AS ts_us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sessionize" ->
+      s"""WITH $evCte,
+         |lagd AS (
+         |  SELECT event_id, user_id, ts_us,
+         |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+         |  FROM ev),
+         |b AS (
+         |  SELECT event_id, user_id, ts_us,
+         |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > $GapUs THEN 1 ELSE 0 END AS boundary
+         |  FROM lagd)
+         |SELECT event_id, user_id, ts_us,
+         |       CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |FROM b""".stripMargin,
+    "user_running_aggs" ->
+      s"""WITH $evCte
+         |SELECT event_id, user_id,
+         |  count(*) OVER w AS r_count,
+         |  sum(cents) OVER w AS r_cents,
+         |  max(cents) OVER w AS r_max_cents,
+         |  CAST(sum(cents) OVER w AS DOUBLE) / 100e0 AS r_dollars
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  )
+}

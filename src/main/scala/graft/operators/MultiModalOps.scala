@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryFn
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed, per-partition batch decoding.
+  *
+  * The driver testdata has no real image/audio bytes, so the payload is
+  * the UTF-8 encoding of `documents.text` and the decoder is a
+  * clearly-marked deterministic STUB — but the Spark-side plumbing is
+  * the real thing a media pipeline needs: a `binary` column flowing
+  * through a typed `Dataset`, decoded batch-wise inside
+  * `mapPartitions` (one decoder instantiation per partition, the same
+  * shape a JNI codec or ONNX session wants), with a fixed output
+  * schema. Swapping `decodeStub` for a real codec changes no plan.
+  */
+object MultiModalOps {
+
+  /** Typed rows entering the decode kernel. */
+  final case class MediaIn(doc_id: Long, blob: Array[Byte])
+
+  /** Typed decode output: byte stats + (stubbed) media dimensions. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, header0: Int, header1: Int,
+                             width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — a real implementation would hand `blob` to an
+    * image/audio codec; the container has none, so dimensions are a
+    * deterministic function of the payload so the oracle can verify
+    * the plumbing end-to-end. */
+  def decodeStub(blob: Array[Byte]): (Int, Int, Int) = {
+    val n = blob.length
+    (16 + (n % 64) * 4, 16 + ((n / 64) % 64) * 4, 1 + n % 7)
+  }
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val in = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaIn]
+    in.mapPartitions { it =>
+      // Per-partition decoder lifecycle: init once, decode batch-wise.
+      it.map { m =>
+        val (w, h, f) = decodeStub(m.blob)
+        MediaMeta(m.doc_id, m.blob.length.toLong,
+          m.blob(0) & 0xff, m.blob(1) & 0xff, w, h, f)
+      }
+    }.toDF()
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "multimodal_meta" -> (multimodalMeta _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS header0,
+        |  ascii(substring(text, 2, 1)) AS header1,
+        |  CAST(16 + (octet_length(encode(text)) % 64) * 4 AS INT) AS width,
+        |  CAST(16 + ((octet_length(encode(text)) // 64) % 64) * 4 AS INT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.EventOps
+
+/** Streaming gap-rule sessionization: the Structured-Streaming twin of
+  * [[graft.operators.EventOps.sessionize]].
+  *
+  * `readStream` over the events parquet → `flatMapGroupsWithState`
+  * keyed by user — per-user state is (last event time, session
+  * counter), so an open session survives across micro-batches, which
+  * is exactly what the batch window cannot do on an unbounded stream.
+  * Run here with `Trigger.AvailableNow` into a memory sink so the
+  * driver's oracle can check it like any batch query (one batch →
+  * deterministic); a production deployment would add an event-time
+  * watermark + state TTL and write a durable sink instead.
+  */
+object StreamingSessionize {
+
+  final case class Ev(event_id: Long, user_id: Long, ts_us: Long)
+  final case class SessState(lastTs: Long, sessionIdx: Long)
+  final case class SessOut(event_id: Long, user_id: Long, ts_us: Long, session_idx: Long)
+
+  /** Incremental per-user session assignment. Events inside a batch are
+    * sorted by (ts_us, event_id); state carries the open session across
+    * batches, so late (out-of-order across batches) data would need a
+    * watermark — documented, not needed for AvailableNow. */
+  def assign(user: Long, rows: Iterator[Ev], state: GroupState[SessState]): Iterator[SessOut] = {
+    val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+    val out = evs.map { e =>
+      val fresh = st.lastTs == Long.MinValue || e.ts_us - st.lastTs > EventOps.GapUs
+      val idx = if (fresh) st.sessionIdx + 1 else st.sessionIdx
+      st = SessState(e.ts_us, idx)
+      SessOut(e.event_id, e.user_id, e.ts_us, idx)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) → nanos long under
+    * the session's nanosAsLong setting). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val runSeq = new AtomicInteger(0)
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // glob form: the file-stream source requires a directory or glob
+    // basePath, and the driver ships events as a single parquet file
+    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/[e]vents.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").cast("long").as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
+    val name = s"stream_sessionize_${runSeq.incrementAndGet()}"
+    val q = stream.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}
