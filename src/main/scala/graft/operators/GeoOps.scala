@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryFn
+import graft.model.Catalog
+
+/** Geospatial + temporal GM operators.
+  *
+  * - `event_station_distances` — source-to-site distances
+  *   (`nzgmdb/calculation/distances.py:582-598`: r_epi from geodesics,
+  *   r_hyp = sqrt(r_epi² + depth²), bearings; driver at
+  *   `distances.py:398`). Spark shape: a coarse-latitude-band equi-join
+  *   prefilter turns event×station into a banded join (the station side
+  *   is dimension-sized and broadcast), then exact filtering.
+  *   Distance math is equirectangular with fixed NZ-latitude metric
+  *   coefficients: multiply/add/sqrt are IEEE-exact cross-engine,
+  *   whereas trig differs in the last ulp (dev/PORTABILITY.md), so the
+  *   checked output stays bit-exact; the bearing is reported as an
+  *   octant class (pure sign/magnitude comparisons) for the same
+  *   reason.
+  * - `tect_domain` — tectonic-domain tagging
+  *   (`data_retrieval/tect_domain.py:306,357`): point-in-convex-polygon
+  *   via half-plane cross-product tests against a broadcast domain
+  *   table, lowest-priority match wins, "Oceanic" default.
+  * - `aftershock_flags` — Gardner-Knopoff-style time/space windowing
+  *   (`calculation/aftershocks.py:19,222`): an event is flagged when a
+  *   larger event exists within a magnitude-dependent window. The
+  *   self-join is bounded by a 60-day time-bucket band key (explode
+  *   {-1,0,1} neighbor buckets) — never all-pairs.
+  * - `decimal_year` — `aftershocks.py:117`: integer epoch arithmetic,
+  *   one exact division.
+  */
+object GeoOps {
+
+  // Equirectangular metric at NZ latitudes (~-42°): km per degree.
+  val KmPerDegLat = 111.2
+  val KmPerDegLon = 82.7
+  val MaxKm       = 300.0
+  val BandDeg     = 3.0 // >= MaxKm / KmPerDegLat, so ±1 band covers MaxKm
+
+  private def dxKm: Column = (col("sta_lon") - col("ev_lon")) * KmPerDegLon
+  private def dyKm: Column = (col("sta_lat") - col("ev_lat")) * KmPerDegLat
+
+  /** Bearing octant 0..7 (N, NE, E, SE, S, SW, W, NW) from pure
+    * comparisons — the portable stand-in for atan2 azimuth. */
+  private def azOctant(dx: Column, dy: Column): Column = {
+    val east  = dx >= 0
+    val north = dy >= 0
+    val steep = abs(dy) >= abs(dx) // closer to the N-S axis
+    when(north && east && steep, 0).when(north && east, 1)
+      .when(!north && east && !steep, 2).when(!north && east, 3)
+      .when(!north && !east && steep, 4).when(!north && !east, 5)
+      .when(north && !east && !steep, 6).otherwise(7)
+  }
+
+  def eventStationDistances(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog.events(s, d)
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
+    val st = Catalog.stations(s, d)
+      .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
+    val dx = dxKm
+    val dy = dyKm
+    ev.join(broadcast(st), Seq("band"))
+      .withColumn("r_epi", sqrt(dx * dx + dy * dy))
+      .filter(col("r_epi") <= MaxKm)
+      .select(col("evid"), col("sta"),
+        col("r_epi"),
+        sqrt(col("r_epi") * col("r_epi") + col("ev_depth") * col("ev_depth")).as("r_hyp"),
+        azOctant(dx, dy).as("az_oct"))
+  }
+
+  // ---- tectonic domains ------------------------------------------
+
+  /** Convex quads (CCW vertex order) with priority; lowest priority
+    * wins, events outside every quad default to "Oceanic". Synthetic
+    * stand-ins for the reference's domain shapefile. */
+  val domains: Seq[(Int, String, Seq[(Double, Double)])] = Seq(
+    (1, "Hikurangi", Seq((173.0, -42.5), (179.0, -41.5), (179.0, -36.0), (174.5, -37.5))),
+    (2, "Alpine",    Seq((166.5, -46.5), (171.5, -44.5), (174.5, -41.0), (168.0, -45.5))),
+    (3, "TVZ",       Seq((172.0, -40.0), (177.5, -39.5), (177.0, -35.5), (171.0, -36.5))))
+
+  /** p inside the convex CCW polygon iff every edge cross product is
+    * >= 0 — multiply/subtract only, bit-exact cross-engine. */
+  private def insideQuad(verts: Seq[(Double, Double)], px: Column, py: Column): Column =
+    verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      (lit(x2 - x1) * (py - lit(y1)) - lit(y2 - y1) * (px - lit(x1))) >= 0
+    }.reduce(_ && _)
+
+  /** Single pass: the domain table is tiny and static, so the
+    * containment tests inline as a priority-ordered CASE (the
+    * degenerate form of broadcasting the polygon table — with a
+    * non-literal polygon source this becomes a broadcast join with the
+    * same half-plane predicate). */
+  def tectDomain(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog.events(s, d)
+    val domainCase = domains.sortBy(_._1).foldRight(lit("Oceanic"): Column) {
+      case ((_, name, verts), elseCol) =>
+        when(insideQuad(verts, col("ev_lon"), col("ev_lat")), lit(name)).otherwise(elseCol)
+    }
+    ev.select(col("evid"), col("ev_lat"), col("ev_lon"), domainCase.as("domain"))
+  }
+
+  // ---- aftershock flagging ---------------------------------------
+
+  val MagGapMin  = 0.5              // mainshock must exceed by this
+  val BucketUs   = 60L * 86400L * 1000000L // 60-day time band
+
+  /** Magnitude-dependent windows, piecewise on floor(mag) so both
+    * engines evaluate identical arithmetic (no pow). */
+  private def tWinUs(mag: Column): Column = (floor(mag) * 10L).cast("long") * 86400L * 1000000L
+  private def dWinKm(mag: Column): Column = floor(mag) * lit(30.0)
+
+  def aftershockFlags(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog.events(s, d)
+    val main = ev
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      .select((expr(s"ev_us div $BucketUs") + col("boff")).as("bucket"),
+        col("evid").as("m_evid"), col("mag").as("m_mag"),
+        col("ev_us").as("m_us"), col("ev_lat").as("m_lat"), col("ev_lon").as("m_lon"))
+    val sub = ev.withColumn("bucket", expr(s"ev_us div $BucketUs"))
+    val dx = (col("m_lon") - col("ev_lon")) * KmPerDegLon
+    val dy = (col("m_lat") - col("ev_lat")) * KmPerDegLat
+    val aft = sub.join(main, Seq("bucket"))
+      .filter(col("m_evid") =!= col("evid"))
+      .filter(col("m_mag") >= col("mag") + MagGapMin)
+      .filter(abs(col("ev_us") - col("m_us")) <= tWinUs(col("m_mag")))
+      .filter(sqrt(dx * dx + dy * dy) <= dWinKm(col("m_mag")))
+      .select(col("evid")).distinct()
+    ev.select("evid", "mag", "ev_us")
+      .join(aft.withColumn("is_aftershock", lit(true)), Seq("evid"), "left")
+      .select(col("evid"), col("mag"),
+        coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
+  }
+
+  def decimalYear(s: SparkSession, d: String): DataFrame = {
+    val ts = timestamp_micros(col("ev_us"))
+    val y = year(ts)
+    val yStart = unix_micros(make_timestamp(y, lit(1), lit(1), lit(0), lit(0), lit(0)))
+    val yNext  = unix_micros(make_timestamp(y + 1, lit(1), lit(1), lit(0), lit(0), lit(0)))
+    Catalog.events(s, d).select(col("evid"), col("ev_us"),
+      (y.cast("double") +
+        (col("ev_us") - yStart).cast("double") / (yNext - yStart).cast("double")).as("dec_year"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "event_station_distances" -> (eventStationDistances _),
+    "tect_domain"             -> (tectDomain _),
+    "aftershock_flags"        -> (aftershockFlags _),
+    "decimal_year"            -> (decimalYear _)
+  )
+
+  // ---- SQL twins -------------------------------------------------
+
+  private def insideQuadSql(verts: Seq[(Double, Double)], px: String, py: String): String =
+    verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      s"(${x2 - x1}e0 * ($py - ${y1}e0) - ${y2 - y1}e0 * ($px - ${x1}e0)) >= 0"
+    }.mkString("(", " AND ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "event_station_distances" -> Catalog.oracle(
+      s"""SELECT e.evid, s.sta,
+         |  sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+         |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0)) AS r_epi,
+         |  sqrt(sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+         |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))
+         |     * sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+         |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))
+         |     + e.ev_depth * e.ev_depth) AS r_hyp,
+         |  CASE
+         |    WHEN (s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0 >= 0 AND (s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0 >= 0
+         |         AND abs((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) >= abs((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) THEN 0
+         |    WHEN (s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0 >= 0 AND (s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0 >= 0 THEN 1
+         |    WHEN (s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0 < 0 AND (s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0 >= 0
+         |         AND abs((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) < abs((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) THEN 2
+         |    WHEN (s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0 < 0 AND (s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0 >= 0 THEN 3
+         |    WHEN (s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0 < 0 AND (s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0 < 0
+         |         AND abs((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) >= abs((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) THEN 4
+         |    WHEN (s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0 < 0 AND (s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0 < 0 THEN 5
+         |    WHEN (s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0 >= 0 AND (s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0 < 0
+         |         AND abs((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) < abs((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) THEN 6
+         |    ELSE 7 END AS az_oct
+         |FROM gm_events e JOIN gm_stations s
+         |  ON sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+         |        + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0)) <= ${MaxKm}e0""".stripMargin),
+    "tect_domain" -> Catalog.oracle(
+      s"""SELECT evid, ev_lat, ev_lon,
+         |  CASE ${domains.sortBy(_._1).map { case (_, name, verts) =>
+               s"WHEN ${insideQuadSql(verts, "ev_lon", "ev_lat")} THEN '$name'"
+             }.mkString("\n       ")}
+         |       ELSE 'Oceanic' END AS domain
+         |FROM gm_events""".stripMargin),
+    "aftershock_flags" -> Catalog.oracle(
+      s"""SELECT e.evid, e.mag, coalesce(a.f, FALSE) AS is_aftershock
+         |FROM gm_events e LEFT JOIN (
+         |  SELECT DISTINCT s.evid, TRUE AS f
+         |  FROM gm_events s JOIN gm_events m
+         |    ON m.evid <> s.evid
+         |   AND m.mag >= s.mag + ${MagGapMin}e0
+         |   AND abs(s.ev_us - m.ev_us) <= CAST(floor(m.mag) * 10 AS BIGINT) * 86400000000
+         |   AND sqrt(((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0) * ((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0)
+         |          + ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0) * ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0))
+         |       <= floor(m.mag) * 30e0
+         |) a ON e.evid = a.evid""".stripMargin),
+    "decimal_year" -> Catalog.oracle(
+      """SELECT evid, ev_us,
+        |  CAST(year(make_timestamp(ev_us)) AS DOUBLE) +
+        |  CAST(ev_us - epoch_us(make_timestamp(year(make_timestamp(ev_us)), 1, 1, 0, 0, 0)) AS DOUBLE) /
+        |  CAST(epoch_us(make_timestamp(year(make_timestamp(ev_us)) + 1, 1, 1, 0, 0, 0))
+        |     - epoch_us(make_timestamp(year(make_timestamp(ev_us)), 1, 1, 0, 0, 0)) AS DOUBLE) AS dec_year
+        |FROM gm_events""".stripMargin)
+  )
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryFn
+import graft.model.Catalog
+
+/** Signal-quality operators: the per-record frequency-domain stages of
+  * the reference pipeline, re-expressed over a deterministic synthetic
+  * SNR spectrum (the driver testdata carries no waveforms, so the
+  * spectrum derives arithmetically from the record key — the operator
+  * shapes are the real thing).
+  *
+  * - `snr_stats` — per-record signal/noise aggregation
+  *   (`nzgmdb/calculation/snr.py:20,128`: mean SNR over the signal
+  *   band vs the noise floor). Shape: explode a 16-point frequency
+  *   grid, ONE conditional-aggregation pass. Means are ratios of
+  *   integer sums (scaled centi-units) so the check is bit-exact.
+  * - `fmax_screening` — rolling-mean SNR screening
+  *   (`calculation/fmax.py:102,163`: fmax = first frequency whose
+  *   3-point rolling mean drops below threshold). Shape: grid explode,
+  *   3-row window sum per record, conditional min.
+  * - `station_mag_agg` — per-event consolidation of per-station
+  *   magnitude estimates (`data_retrieval/geonet.py:43
+  *   get_max_magnitude`, `:248 fetch_sta_mag_line`): one groupBy pass;
+  *   the mean is an exact ratio of a scaled-integer sum.
+  */
+object SignalOps {
+
+  val NFreq      = 16   // frequency grid points per record
+  val SnrThreshC = 200L // screening threshold in centi-units (2.00)
+  val SigLo      = 4    // signal band grid indices [SigLo, SigHi]
+  val SigHi      = 11
+
+  /** One row per (record, grid index j): freq = (j+1)/2 Hz, SNR in
+    * integer centi-units derived from the record key. */
+  private def grid(s: SparkSession, d: String): DataFrame =
+    Catalog.records(s, d)
+      .select(col("record_id"), col("evid"), col("sta"), col("pk"),
+        explode(sequence(lit(0), lit(NFreq - 1))).as("j"))
+      .withColumn("freq", (col("j") + 1).cast("double") / 2.0)
+      .withColumn("snr_c", lit(100L) + (col("pk") + col("j") * 7) % 200)
+
+  def snrStats(s: SparkSession, d: String): DataFrame = {
+    val inBand = col("j") >= SigLo && col("j") <= SigHi
+    grid(s, d).groupBy(col("record_id"))
+      .agg(
+        sum(when(inBand, col("snr_c"))).as("sig_sum"),
+        count(when(inBand, lit(1))).as("sig_n"),
+        sum(when(!inBand, col("snr_c"))).as("noise_sum"),
+        count(when(!inBand, lit(1))).as("noise_n"))
+      .select(col("record_id"),
+        (col("sig_sum").cast("double") / col("sig_n").cast("double") / 100.0).as("sig_mean"),
+        (col("noise_sum").cast("double") / col("noise_n").cast("double") / 100.0).as("noise_mean"),
+        ((col("sig_sum") * col("noise_n")).cast("double") /
+         (col("sig_n") * col("noise_sum")).cast("double")).as("snr_ratio"))
+  }
+
+  def fmaxScreening(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("record_id")).orderBy(col("j")).rowsBetween(-2, 0)
+    grid(s, d)
+      .withColumn("rsum", sum(col("snr_c")).over(w))
+      .withColumn("fail", col("j") >= 2 && col("rsum") < 3 * SnrThreshC)
+      .groupBy(col("record_id"), col("evid"), col("sta"))
+      .agg(coalesce(min(when(col("fail"), col("freq"))), max(col("freq"))).as("fmax_screen"))
+  }
+
+  def stationMagAgg(s: SparkSession, d: String): DataFrame = {
+    // per-record station-magnitude estimate in integer centi-units
+    val magC = lit(300L) + (col("pk") % 30) * 10 + col("sta") % 10
+    Catalog.records(s, d)
+      .select(col("evid"), col("chan"), magC.as("mag_c"))
+      .groupBy(col("evid"))
+      .agg(
+        count(lit(1)).as("n_mags"),
+        (max(col("mag_c")).cast("double") / 100.0).as("max_mag"),
+        (sum(col("mag_c")).cast("double") / count(lit(1)).cast("double") / 100.0).as("mean_mag"),
+        (coalesce(max(when(col("chan") === "HN", col("mag_c"))), max(col("mag_c")))
+          .cast("double") / 100.0).as("pref_mag"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "snr_stats"       -> (snrStats _),
+    "fmax_screening"  -> (fmaxScreening _),
+    "station_mag_agg" -> (stationMagAgg _)
+  )
+
+  private val gridCte =
+    s"""grid AS (
+       |  SELECT record_id, evid, sta, pk, t.j,
+       |         CAST(t.j + 1 AS DOUBLE) / 2e0 AS freq,
+       |         100 + (pk + t.j * 7) % 200 AS snr_c
+       |  FROM gm_records, range(0, $NFreq) t(j)
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "snr_stats" -> Catalog.oracle(
+      s"""SELECT record_id,
+         |  CAST(sig_sum AS DOUBLE) / CAST(sig_n AS DOUBLE) / 100e0 AS sig_mean,
+         |  CAST(noise_sum AS DOUBLE) / CAST(noise_n AS DOUBLE) / 100e0 AS noise_mean,
+         |  CAST(sig_sum * noise_n AS DOUBLE) / CAST(sig_n * noise_sum AS DOUBLE) AS snr_ratio
+         |FROM (
+         |  SELECT record_id,
+         |    sum(CASE WHEN j BETWEEN $SigLo AND $SigHi THEN snr_c END) AS sig_sum,
+         |    count(CASE WHEN j BETWEEN $SigLo AND $SigHi THEN 1 END) AS sig_n,
+         |    sum(CASE WHEN j NOT BETWEEN $SigLo AND $SigHi THEN snr_c END) AS noise_sum,
+         |    count(CASE WHEN j NOT BETWEEN $SigLo AND $SigHi THEN 1 END) AS noise_n
+         |  FROM grid GROUP BY record_id
+         |)""".stripMargin, gridCte),
+    "fmax_screening" -> Catalog.oracle(
+      s"""SELECT record_id, evid, sta,
+         |  coalesce(min(CASE WHEN fail THEN freq END), max(freq)) AS fmax_screen
+         |FROM (
+         |  SELECT record_id, evid, sta, freq, j,
+         |    j >= 2 AND sum(snr_c) OVER (PARTITION BY record_id ORDER BY j
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) < ${3 * SnrThreshC} AS fail
+         |  FROM grid
+         |) GROUP BY record_id, evid, sta""".stripMargin, gridCte),
+    "station_mag_agg" -> Catalog.oracle(
+      """SELECT evid,
+        |  count(*) AS n_mags,
+        |  CAST(max(mag_c) AS DOUBLE) / 100e0 AS max_mag,
+        |  CAST(sum(mag_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100e0 AS mean_mag,
+        |  CAST(coalesce(max(CASE WHEN chan = 'HN' THEN mag_c END), max(mag_c)) AS DOUBLE) / 100e0 AS pref_mag
+        |FROM (SELECT evid, chan, 300 + (pk % 30) * 10 + sta % 10 AS mag_c FROM gm_records)
+        |GROUP BY evid""".stripMargin)
+  )
+}
