@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators._
+import graft.streaming.StreamingSessionize
+
+/** Operator-level tests on the sf0.001 testdata.
+  *
+  * The DuckDB oracle (dev/verify.sh) is the cross-engine correctness
+  * gate; these tests pin the properties the oracle can't see:
+  * determinism under re-partitioning (every window must order on a
+  * unique key), semantic invariants recomputed in plain Scala, and
+  * batch/streaming equivalence.
+  */
+class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val Sf = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = Sessions.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(df.col): _*).collect()
+      .map(r => (0 until r.length).map(r.get))
+      .sortBy(_.mkString("|")).toSeq
+  }
+
+  /** Window-bearing operators must give identical results regardless of
+    * partitioning — catches any window orderBy missing its unique-key
+    * (pk) tiebreaker, the exact defect class fixed this round. */
+  test("window operators are deterministic under re-partitioning") {
+    val windowed = Seq("ground_level_argmin", "dedup_channels", "quality_all",
+      "db_upsert", "site_table_dedup", "sessionize", "user_running_aggs",
+      "dedup_exact", "ann_cosine_topk", "ann_lsh_topk")
+    for (name <- windowed) {
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = sortedRows(fn(spark, Sf))
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = sortedRows(fn(spark, Sf))
+      assert(a == b, s"$name changed results when shuffle partitioning changed")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
+  test("ground_level_argmin picks |loc_elev| minimum with pk tiebreak") {
+    val recs = graft.model.Catalog.records(spark, Sf)
+      .select("evid", "sta", "record_id", "loc_elev", "lnum", "pk").collect()
+    val expected = recs.groupBy(r => (r.getLong(0), r.getLong(1))).map { case (k, rows) =>
+      val best = rows.minBy { r =>
+        val elev = if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))
+        (if (elev == null) 1 else 0,
+          if (elev == null) 0.0 else math.abs(elev.doubleValue),
+          r.getLong(4), r.getLong(5))
+      }
+      k -> best.getString(2)
+    }
+    val got = MergeOps.groundLevelArgmin(spark, Sf)
+      .select("evid", "sta", "record_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got.size == expected.size)
+    for ((k, rid) <- expected) assert(got(k) == rid, s"group $k picked ${got(k)}, expected $rid")
+  }
+
+  test("sessionize matches a plain-Scala gap-rule recomputation") {
+    val out = EventOps.sessionize(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = out.groupBy(_._2)
+    for ((_, evs) <- byUser) {
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      var sess = 0L; var last = Long.MinValue
+      for ((_, _, ts, gotSess) <- ordered) {
+        if (last == Long.MinValue || ts - last > EventOps.GapUs) sess += 1
+        assert(gotSess == sess, s"session index mismatch at ts=$ts")
+        last = ts
+      }
+    }
+  }
+
+  test("streaming sessionize equals the batch window result") {
+    val batch = sortedRows(EventOps.sessionize(spark, Sf))
+    val stream = sortedRows(StreamingSessionize.run(spark, Sf))
+    assert(stream == batch)
+  }
+
+  test("minhash candidate pairs are ordered, distinct, with exact jaccard in [0,1]") {
+    val rows = TextOps.ngramJaccard(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "expected at least one candidate pair at sf0.001")
+    assert(rows.forall { case (a, b, _) => a < b }, "pairs must be (ida < idb)")
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length, "pairs must be distinct")
+    assert(rows.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
+  }
+
+  test("dedup keeps a canonical doc per duplicate class and never drops uniques") {
+    val n = spark.read.parquet(s"$Sf/documents.parquet").count()
+    val exact = TextOps.dedupExact(spark, Sf).count()
+    val mh = TextOps.dedupMinhash(spark, Sf).count()
+    assert(exact <= n && mh <= n)
+    assert(mh > 0 && exact > 0)
+    // near-dup dedup can only remove docs that exact dedup keeps
+    assert(mh <= exact)
+  }
+
+  test("ann top-k ranks are dense from 1 and cosines are valid and descending") {
+    val rows = AnnOps.annCosineTopk(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((q, group) <- rows.groupBy(_._1)) {
+      val byRank = group.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to byRank.length).toSeq, s"ranks not dense for query $q")
+      assert(byRank.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+        s"cosine not descending for query $q")
+      assert(group.forall(r => r._4 >= -1.0000001 && r._4 <= 1.0000001))
+    }
+  }
+
+  test("lsh ann results are a subset of same-bucket candidates, never self-matches") {
+    val rows = AnnOps.annLshTopk(spark, Sf).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+  }
+
+  test("multimodal decode kernel is deterministic and plumbing preserves ids") {
+    val bytes = "some payload".getBytes("UTF-8")
+    assert(MultiModalOps.decodeStub(bytes) == MultiModalOps.decodeStub(bytes))
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val out = MultiModalOps.multimodalMeta(spark, Sf)
+    assert(out.count() == docs.count())
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "header0", "header1", "width", "height", "n_frames"))
+  }
+
+  test("portable h60 hash is stable (golden value, matches DuckDB scheme)") {
+    import org.apache.spark.sql.functions._
+    val got = spark.range(1)
+      .select(graft.functions.Portable.h60(lit("hello")).as("h"))
+      .head().getLong(0)
+    // first 15 hex chars of md5("hello") = 5d41402abc4b2a7 -> base-16
+    assert(got == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
+  test("event_station_distances: r_hyp >= r_epi, all within the cutoff") {
+    val rows = GeoOps.eventStationDistances(spark, Sf)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (epi, hyp, oct) => hyp >= epi && epi <= GeoOps.MaxKm && oct >= 0 && oct <= 7 })
+  }
+
+  test("aftershock flags: flagged events always have a qualifying larger neighbor") {
+    val ev = graft.model.Catalog.events(spark, Sf)
+      .select("evid", "mag", "ev_us", "ev_lat", "ev_lon").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val flagged = GeoOps.aftershockFlags(spark, Sf)
+      .filter("is_aftershock").select("evid").collect().map(_.getLong(0)).toSet
+    def qualifies(s: (Long, Double, Long, Double, Double)) = ev.exists { m =>
+      m._1 != s._1 && m._2 >= s._2 + GeoOps.MagGapMin &&
+        math.abs(s._3 - m._3) <= math.floor(m._2).toLong * 10L * 86400L * 1000000L &&
+        math.sqrt(math.pow((m._5 - s._5) * GeoOps.KmPerDegLon, 2) +
+          math.pow((m._4 - s._4) * GeoOps.KmPerDegLat, 2)) <= math.floor(m._2) * 30.0
+    }
+    for (s <- ev) {
+      assert(flagged.contains(s._1) == qualifies(s),
+        s"evid ${s._1}: flag=${flagged.contains(s._1)} but brute-force says ${qualifies(s)}")
+    }
+  }
+}
