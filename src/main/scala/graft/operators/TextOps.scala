@@ -167,14 +167,26 @@ object TextOps {
       size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("re_tokens"),
       length(col("text")).cast("long").as("n_chars_actual"))
 
-  def docFingerprint(s: SparkSession, d: String): DataFrame =
-    hashed(s, d)
-      .select(col("doc_id"),
-        when(size(col("hs")) >= WinnowW,
-          array_distinct(transform(sequence(lit(1), size(col("hs")) - (WinnowW - 1)),
-            i => array_min(slice(col("hs"), i, lit(WinnowW)))))
-        ).otherwise(array_distinct(col("hs"))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  /** Winnowing via posexplode + sliding-window min, NOT a nested
+    * array lambda: a lambda that references the hash array would
+    * re-evaluate the md5 transform once per window position (no
+    * subexpression elimination inside higher-order functions — this
+    * was a measured 100x blowup), and the window form is also the
+    * scalable shape (hashes materialize once, one window shuffle). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val ex = hashed(s, d).select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val slide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val big = ex
+      .withColumn("n", count(lit(1)).over(perDoc))
+      .withColumn("wmin", min(col("h")).over(slide))
+      .filter(col("n") >= WinnowW && col("pos") <= col("n") - WinnowW)
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+    val small = hashed(s, d).filter(size(col("hs")) < WinnowW)
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("fp"))
+    big.unionByName(small)
+  }
 
   val queries: Map[String, QueryFn] = Map(
     "dedup_exact"     -> (dedupExact _),
