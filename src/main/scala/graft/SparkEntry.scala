@@ -22,7 +22,9 @@ object SparkEntry {
     Quality.queries ++ MergeOps.queries ++ TextOps.queries ++
       GeoOps.queries ++ SignalOps.queries ++
       EventOps.queries ++ AnnOps.queries ++ MultiModalOps.queries ++
-      Map("streaming_sessionize" -> ((s, d) => graft.streaming.StreamingSessionize.run(s, d)))
+      Map(
+        "streaming_sessionize" -> ((s, d) => graft.streaming.StreamingSessionize.run(s, d)),
+        "streaming_window_counts" -> ((s, d) => graft.streaming.StreamingWindowCounts.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +32,9 @@ object SparkEntry {
     Quality.oracles ++ MergeOps.oracles ++ TextOps.oracles ++
       GeoOps.oracles ++ SignalOps.oracles ++
       EventOps.oracles ++ AnnOps.oracles ++ MultiModalOps.oracles ++
-      // the streaming variant is deterministic under AvailableNow (one
-      // batch), so it shares the batch sessionize oracle semantics
-      Map("streaming_sessionize" -> EventOps.oracles("sessionize"))
+      // the streaming variants are deterministic under AvailableNow
+      // (bounded input), so batch SQL oracles can check them
+      Map(
+        "streaming_sessionize" -> EventOps.oracles("sessionize"),
+        "streaming_window_counts" -> graft.streaming.StreamingWindowCounts.oracle)
 }

@@ -33,14 +33,16 @@ object SignalOps {
   val SigLo      = 4    // signal band grid indices [SigLo, SigHi]
   val SigHi      = 11
 
-  /** One row per (record, grid index j): freq = (j+1)/2 Hz, SNR in
-    * integer centi-units derived from the record key. */
+  /** One row per (record, grid index j): freq = (j+1)/2 Hz, SNR and a
+    * signed acceleration sample in integer centi-units derived from
+    * the record key. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Catalog.records(s, d)
-      .select(col("record_id"), col("evid"), col("sta"), col("pk"),
+      .select(col("record_id"), col("evid"), col("sta"), col("chan"), col("pk"),
         explode(sequence(lit(0), lit(NFreq - 1))).as("j"))
       .withColumn("freq", (col("j") + 1).cast("double") / 2.0)
       .withColumn("snr_c", lit(100L) + (col("pk") + col("j") * 7) % 200)
+      .withColumn("acc_c", (col("pk") * 13 + col("j") * 29) % 400 - 200)
 
   def snrStats(s: SparkSession, d: String): DataFrame = {
     val inBand = col("j") >= SigLo && col("j") <= SigHi
@@ -80,17 +82,34 @@ object SignalOps {
           .cast("double") / 100.0).as("pref_mag"))
   }
 
+  /** Per-record intensity measures over the synthetic acceleration
+    * series — the relational reduction at the core of the reference's
+    * IM stage (`nzgmdb/calculation/` IM drivers; the obspy waveform
+    * kernels reduce to exactly this per-group vector math): peak
+    * |acc| (PGA-like), RMS, and cumulative absolute sum (CAV-like).
+    * One explode + one partial-aggregating groupBy; sums stay integer
+    * until a final exact division, sqrt is IEEE-exact. */
+  def imCalc(s: SparkSession, d: String): DataFrame =
+    grid(s, d).groupBy(col("record_id"), col("chan"))
+      .agg(
+        (max(abs(col("acc_c"))).cast("double") / 100.0).as("pga"),
+        (sqrt(sum(col("acc_c") * col("acc_c")).cast("double") /
+          count(lit(1)).cast("double")) / 100.0).as("rms"),
+        (sum(abs(col("acc_c"))).cast("double") / 100.0).as("cav"))
+
   val queries: Map[String, QueryFn] = Map(
     "snr_stats"       -> (snrStats _),
     "fmax_screening"  -> (fmaxScreening _),
-    "station_mag_agg" -> (stationMagAgg _)
+    "station_mag_agg" -> (stationMagAgg _),
+    "im_calc"         -> (imCalc _)
   )
 
   private val gridCte =
     s"""grid AS (
-       |  SELECT record_id, evid, sta, pk, t.j,
+       |  SELECT record_id, evid, sta, chan, pk, t.j,
        |         CAST(t.j + 1 AS DOUBLE) / 2e0 AS freq,
-       |         100 + (pk + t.j * 7) % 200 AS snr_c
+       |         100 + (pk + t.j * 7) % 200 AS snr_c,
+       |         (pk * 13 + t.j * 29) % 400 - 200 AS acc_c
        |  FROM gm_records, range(0, $NFreq) t(j)
        |)""".stripMargin
 
@@ -117,6 +136,12 @@ object SignalOps {
          |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) < ${3 * SnrThreshC} AS fail
          |  FROM grid
          |) GROUP BY record_id, evid, sta""".stripMargin, gridCte),
+    "im_calc" -> Catalog.oracle(
+      """SELECT record_id, chan,
+        |  CAST(max(abs(acc_c)) AS DOUBLE) / 100e0 AS pga,
+        |  sqrt(CAST(sum(acc_c * acc_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100e0 AS rms,
+        |  CAST(sum(abs(acc_c)) AS DOUBLE) / 100e0 AS cav
+        |FROM grid GROUP BY record_id, chan""".stripMargin, gridCte),
     "station_mag_agg" -> Catalog.oracle(
       """SELECT evid,
         |  count(*) AS n_mags,

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming event-time windowed aggregation: tumbling 1-hour counts
+  * and exact cent-sums per event type.
+  *
+  * `readStream` → event-time watermark → `groupBy(window(...))` — the
+  * canonical Structured-Streaming aggregation. The watermark bounds
+  * state (windows older than 2 hours of event time drop from the
+  * store); `Complete` output into the memory sink makes the bounded
+  * AvailableNow run deterministic so the DuckDB oracle can check it
+  * (Append mode would hold back the final, still-open window — right
+  * for production, wrong for an exact-compare harness).
+  */
+object StreamingWindowCounts {
+
+  private val runSeq = new AtomicInteger(0)
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    val stream = s.readStream.schema(StreamingSessionize.eventsSchema)
+      .parquet(s"$dir/[e]vents.parquet")
+      .select(
+        timestamp_micros(expr("ts div 1000").cast("long")).as("ev_time"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withWatermark("ev_time", "2 hours")
+      .groupBy(window(col("ev_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_cents"))
+    val name = s"stream_window_counts_${runSeq.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val oracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+      |       event_type, count(*) AS n,
+      |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+}
