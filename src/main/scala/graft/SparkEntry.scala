@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Quality.queries ++ MergeOps.queries ++ TextOps.queries ++
-      GeoOps.queries ++ SignalOps.queries ++
+      GeoOps.queries ++ SignalOps.queries ++ CcldOps.queries ++
       EventOps.queries ++ AnnOps.queries ++ MultiModalOps.queries ++
       Map(
         "streaming_sessionize" -> ((s, d) => graft.streaming.StreamingSessionize.run(s, d)),
@@ -30,7 +30,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Quality.oracles ++ MergeOps.oracles ++ TextOps.oracles ++
-      GeoOps.oracles ++ SignalOps.oracles ++
+      GeoOps.oracles ++ SignalOps.oracles ++ CcldOps.oracles ++
       EventOps.oracles ++ AnnOps.oracles ++ MultiModalOps.oracles ++
       // the streaming variants are deterministic under AvailableNow
       // (bounded input), so batch SQL oracles can check them

@@ -84,9 +84,30 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "cosine")
   }
 
+  /** Multi-probe variant: each query additionally probes the NPlanes
+    * buckets at hamming distance 1 (flip one sign bit), trading a 9x
+    * fan-out on the tiny query side for recall — candidates stay an
+    * equi-join on the bucket id, the vector side is still scanned
+    * once. A candidate reached via several probes is deduplicated
+    * before ranking. */
+  def annLshMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d).withColumn("bucket", bucketCol(col("embedding")))
+    val probes = explode(array((Seq(0L) ++ (0 until NPlanes).map(j => 1L << j)).map(lit): _*)).as("probe")
+    val q = queriesSide(s, d).withColumn("bucket0", bucketCol(col("qe")))
+      .select(col("q_id"), col("qe"), col("qn"), col("bucket0"), probes)
+      .select(col("q_id"), col("qe"), col("qn"), expr("bucket0 ^ probe").as("bucket"))
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine.as("cosine")).distinct()
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "cosine")
+  }
+
   val queries: Map[String, QueryFn] = Map(
-    "ann_cosine_topk" -> (annCosineTopk _),
-    "ann_lsh_topk"    -> (annLshTopk _)
+    "ann_cosine_topk"    -> (annCosineTopk _),
+    "ann_lsh_topk"       -> (annLshTopk _),
+    "ann_lsh_multiprobe" -> (annLshMultiprobe _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -111,6 +132,21 @@ object AnnOps {
          |scored AS (
          |  SELECT q.q_id, v.vec_id, $cosSql AS cosine
          |  FROM vecs v CROSS JOIN qs q
+         |  WHERE v.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      s"""WITH $vecCte, $planesCte,
+         |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),
+         |qb0 AS (SELECT q_id, qe, qn, ${bucketSql("qe")} AS bucket0 FROM qs, pl),
+         |qb AS (SELECT q_id, qe, qn, xor(bucket0, p.p) AS bucket
+         |  FROM qb0, (SELECT unnest([${(Seq(0L) ++ (0 until NPlanes).map(j => 1L << j)).mkString(",")}]) AS p) p),
+         |scored AS (
+         |  SELECT DISTINCT q.q_id, v.vec_id, ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
+         |  FROM vb v JOIN qb q ON v.bucket = q.bucket
          |  WHERE v.vec_id <> q.q_id),
          |ranked AS (
          |  SELECT q_id, vec_id, cosine,

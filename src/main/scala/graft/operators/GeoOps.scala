@@ -137,6 +137,32 @@ object GeoOps {
         coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
   }
 
+  /** Cluster assignment: each aftershock is attributed to its largest
+    * qualifying mainshock (magnitude argmax, evid tiebreak) — the
+    * relational core of the reference's greedy ABWD cluster labeling
+    * (`aftershocks.py:222`), minus the sequential greedy pass
+    * (documented gap, SURVEY §6). Same banded self-join as
+    * [[aftershockFlags]] + one window argmax. */
+  def aftershockMainshock(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog.events(s, d)
+    val main = ev
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      .select((expr(s"ev_us div $BucketUs") + col("boff")).as("bucket"),
+        col("evid").as("m_evid"), col("mag").as("m_mag"),
+        col("ev_us").as("m_us"), col("ev_lat").as("m_lat"), col("ev_lon").as("m_lon"))
+    val sub = ev.withColumn("bucket", expr(s"ev_us div $BucketUs"))
+    val dx = (col("m_lon") - col("ev_lon")) * KmPerDegLon
+    val dy = (col("m_lat") - col("ev_lat")) * KmPerDegLat
+    val w = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
+    sub.join(main, Seq("bucket"))
+      .filter(col("m_evid") =!= col("evid"))
+      .filter(col("m_mag") >= col("mag") + MagGapMin)
+      .filter(abs(col("ev_us") - col("m_us")) <= tWinUs(col("m_mag")))
+      .filter(sqrt(dx * dx + dy * dy) <= dWinKm(col("m_mag")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("evid"), col("mag"), col("m_evid").as("main_evid"), col("m_mag").as("main_mag"))
+  }
+
   def decimalYear(s: SparkSession, d: String): DataFrame = {
     val ts = timestamp_micros(col("ev_us"))
     val y = year(ts)
@@ -151,6 +177,7 @@ object GeoOps {
     "event_station_distances" -> (eventStationDistances _),
     "tect_domain"             -> (tectDomain _),
     "aftershock_flags"        -> (aftershockFlags _),
+    "aftershock_mainshock"    -> (aftershockMainshock _),
     "decimal_year"            -> (decimalYear _)
   )
 
@@ -208,6 +235,18 @@ object GeoOps {
          |          + ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0) * ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0))
          |       <= floor(m.mag) * 30e0
          |) a ON e.evid = a.evid""".stripMargin),
+    "aftershock_mainshock" -> Catalog.oracle(
+      s"""SELECT evid, mag, main_evid, main_mag FROM (
+         |  SELECT s.evid, s.mag, m.evid AS main_evid, m.mag AS main_mag,
+         |         row_number() OVER (PARTITION BY s.evid ORDER BY m.mag DESC, m.evid) AS rn
+         |  FROM gm_events s JOIN gm_events m
+         |    ON m.evid <> s.evid
+         |   AND m.mag >= s.mag + ${MagGapMin}e0
+         |   AND abs(s.ev_us - m.ev_us) <= CAST(floor(m.mag) * 10 AS BIGINT) * 86400000000
+         |   AND sqrt(((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0) * ((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0)
+         |          + ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0) * ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0))
+         |       <= floor(m.mag) * 30e0
+         |) WHERE rn = 1""".stripMargin),
     "decimal_year" -> Catalog.oracle(
       """SELECT evid, ev_us,
         |  CAST(year(make_timestamp(ev_us)) AS DOUBLE) +
