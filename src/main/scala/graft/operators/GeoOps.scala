@@ -107,31 +107,66 @@ object GeoOps {
 
   // ---- aftershock flagging ---------------------------------------
 
-  val MagGapMin  = 0.5              // mainshock must exceed by this
-  val BucketUs   = 60L * 86400L * 1000000L // 60-day time band
+  val MagGapMin = 0.5 // mainshock must exceed by this
+  val DayUs     = 86400L * 1000000L
 
-  /** Magnitude-dependent windows, piecewise on floor(mag) so both
-    * engines evaluate identical arithmetic (no pow). */
-  private def tWinUs(mag: Column): Column = (floor(mag) * 10L).cast("long") * 86400L * 1000000L
-  private def dWinKm(mag: Column): Column = floor(mag) * lit(30.0)
+  /** Gardner-Knopoff-style windows, piecewise per magnitude class
+    * (floor(mag) ∈ {3,4,5}) so both engines evaluate identical
+    * arithmetic (no pow): (class, time window, distance window,
+    * lat band width in degrees — the smallest round band covering the
+    * distance window so a ±1-band join is exhaustive). */
+  val magClasses: Seq[(Int, Long, Double, Double)] = Seq(
+    (3, 10L * 86400L * 1000000L, 10.0, 0.1),
+    (4, 25L * 86400L * 1000000L, 30.0, 0.3),
+    (5, 50L * 86400L * 1000000L, 50.0, 0.5))
+
+  /** Longitude band width per class: smallest round width covering the
+    * class distance window at the NZ lon metric. */
+  private def lonBandDeg(dKm: Double): Double = dKm match {
+    case 10.0 => 0.15
+    case 30.0 => 0.4
+    case _    => 0.7
+  }
+
+  /** Candidate (sub, main) pairs satisfying the magnitude-dependent
+    * time/space windows. One banded equi-join per magnitude class,
+    * each keyed on (time bucket, lat band) sized to that class's
+    * window — a flat 60-day band was measured to blow up ~1000x on
+    * the dense synthetic catalogue; per-class 2-D banding keeps the
+    * joined row count within a small slack factor of the true
+    * qualifying pairs. */
+  private def aftershockPairs(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog.events(s, d)
+    val offsets = explode(array((for (t <- -1 to 1; la <- -1 to 1; lo <- -1 to 1)
+      yield struct(lit(t.toLong).as("t"), lit(la.toLong).as("la"), lit(lo.toLong).as("lo"))): _*)).as("off")
+    magClasses.map { case (cls, tUs, dKm, bandDeg) =>
+      val lonDeg = lonBandDeg(dKm)
+      val mains = ev.filter(floor(col("mag")) === cls)
+        .select(col("evid").as("m_evid"), col("mag").as("m_mag"), col("ev_us").as("m_us"),
+          col("ev_lat").as("m_lat"), col("ev_lon").as("m_lon"), offsets)
+        .select(col("m_evid"), col("m_mag"), col("m_us"), col("m_lat"), col("m_lon"),
+          (expr(s"m_us div $tUs") + col("off.t")).as("tb"),
+          (floor(col("m_lat") / bandDeg).cast("long") + col("off.la")).as("lb"),
+          (floor(col("m_lon") / lonDeg).cast("long") + col("off.lo")).as("lob"))
+      val subs = ev.select(col("evid"), col("mag"), col("ev_us"),
+        col("ev_lat"), col("ev_lon"),
+        expr(s"ev_us div $tUs").as("tb"),
+        floor(col("ev_lat") / bandDeg).cast("long").as("lb"),
+        floor(col("ev_lon") / lonDeg).cast("long").as("lob"))
+      val dx = (col("m_lon") - col("ev_lon")) * KmPerDegLon
+      val dy = (col("m_lat") - col("ev_lat")) * KmPerDegLat
+      subs.join(mains, Seq("tb", "lb", "lob"))
+        .filter(col("m_evid") =!= col("evid"))
+        .filter(col("m_mag") >= col("mag") + MagGapMin)
+        .filter(abs(col("ev_us") - col("m_us")) <= tUs)
+        .filter(sqrt(dx * dx + dy * dy) <= dKm)
+        .select("evid", "mag", "m_evid", "m_mag")
+    }.reduce(_ unionByName _)
+  }
 
   def aftershockFlags(s: SparkSession, d: String): DataFrame = {
-    val ev = Catalog.events(s, d)
-    val main = ev
-      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
-      .select((expr(s"ev_us div $BucketUs") + col("boff")).as("bucket"),
-        col("evid").as("m_evid"), col("mag").as("m_mag"),
-        col("ev_us").as("m_us"), col("ev_lat").as("m_lat"), col("ev_lon").as("m_lon"))
-    val sub = ev.withColumn("bucket", expr(s"ev_us div $BucketUs"))
-    val dx = (col("m_lon") - col("ev_lon")) * KmPerDegLon
-    val dy = (col("m_lat") - col("ev_lat")) * KmPerDegLat
-    val aft = sub.join(main, Seq("bucket"))
-      .filter(col("m_evid") =!= col("evid"))
-      .filter(col("m_mag") >= col("mag") + MagGapMin)
-      .filter(abs(col("ev_us") - col("m_us")) <= tWinUs(col("m_mag")))
-      .filter(sqrt(dx * dx + dy * dy) <= dWinKm(col("m_mag")))
-      .select(col("evid")).distinct()
-    ev.select("evid", "mag", "ev_us")
+    val aft = aftershockPairs(s, d).select(col("evid")).distinct()
+    Catalog.events(s, d).select("evid", "mag", "ev_us")
       .join(aft.withColumn("is_aftershock", lit(true)), Seq("evid"), "left")
       .select(col("evid"), col("mag"),
         coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
@@ -141,24 +176,10 @@ object GeoOps {
     * qualifying mainshock (magnitude argmax, evid tiebreak) — the
     * relational core of the reference's greedy ABWD cluster labeling
     * (`aftershocks.py:222`), minus the sequential greedy pass
-    * (documented gap, SURVEY §6). Same banded self-join as
-    * [[aftershockFlags]] + one window argmax. */
+    * (documented gap, SURVEY §6). */
   def aftershockMainshock(s: SparkSession, d: String): DataFrame = {
-    val ev = Catalog.events(s, d)
-    val main = ev
-      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
-      .select((expr(s"ev_us div $BucketUs") + col("boff")).as("bucket"),
-        col("evid").as("m_evid"), col("mag").as("m_mag"),
-        col("ev_us").as("m_us"), col("ev_lat").as("m_lat"), col("ev_lon").as("m_lon"))
-    val sub = ev.withColumn("bucket", expr(s"ev_us div $BucketUs"))
-    val dx = (col("m_lon") - col("ev_lon")) * KmPerDegLon
-    val dy = (col("m_lat") - col("ev_lat")) * KmPerDegLat
     val w = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
-    sub.join(main, Seq("bucket"))
-      .filter(col("m_evid") =!= col("evid"))
-      .filter(col("m_mag") >= col("mag") + MagGapMin)
-      .filter(abs(col("ev_us") - col("m_us")) <= tWinUs(col("m_mag")))
-      .filter(sqrt(dx * dx + dy * dy) <= dWinKm(col("m_mag")))
+    aftershockPairs(s, d)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("evid"), col("mag"), col("m_evid").as("main_evid"), col("m_mag").as("main_mag"))
   }
@@ -182,6 +203,14 @@ object GeoOps {
   )
 
   // ---- SQL twins -------------------------------------------------
+
+  /** Piecewise window lookups keyed on the mainshock magnitude class. */
+  private val tWinSql: String =
+    magClasses.map { case (cls, tUs, _, _) => s"WHEN floor(m.mag) = $cls THEN $tUs" }
+      .mkString("(CASE ", " ", " END)")
+  private val dWinSql: String =
+    magClasses.map { case (cls, _, dKm, _) => s"WHEN floor(m.mag) = $cls THEN ${dKm}e0" }
+      .mkString("(CASE ", " ", " END)")
 
   private def insideQuadSql(verts: Seq[(Double, Double)], px: String, py: String): String =
     verts.indices.map { i =>
@@ -230,10 +259,10 @@ object GeoOps {
          |  FROM gm_events s JOIN gm_events m
          |    ON m.evid <> s.evid
          |   AND m.mag >= s.mag + ${MagGapMin}e0
-         |   AND abs(s.ev_us - m.ev_us) <= CAST(floor(m.mag) * 10 AS BIGINT) * 86400000000
+         |   AND abs(s.ev_us - m.ev_us) <= $tWinSql
          |   AND sqrt(((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0) * ((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0)
          |          + ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0) * ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0))
-         |       <= floor(m.mag) * 30e0
+         |       <= $dWinSql
          |) a ON e.evid = a.evid""".stripMargin),
     "aftershock_mainshock" -> Catalog.oracle(
       s"""SELECT evid, mag, main_evid, main_mag FROM (
@@ -242,10 +271,10 @@ object GeoOps {
          |  FROM gm_events s JOIN gm_events m
          |    ON m.evid <> s.evid
          |   AND m.mag >= s.mag + ${MagGapMin}e0
-         |   AND abs(s.ev_us - m.ev_us) <= CAST(floor(m.mag) * 10 AS BIGINT) * 86400000000
+         |   AND abs(s.ev_us - m.ev_us) <= $tWinSql
          |   AND sqrt(((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0) * ((m.ev_lon - s.ev_lon) * ${KmPerDegLon}e0)
          |          + ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0) * ((m.ev_lat - s.ev_lat) * ${KmPerDegLat}e0))
-         |       <= floor(m.mag) * 30e0
+         |       <= $dWinSql
          |) WHERE rn = 1""".stripMargin),
     "decimal_year" -> Catalog.oracle(
       """SELECT evid, ev_us,

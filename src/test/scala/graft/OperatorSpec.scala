@@ -159,11 +159,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     val flagged = GeoOps.aftershockFlags(spark, Sf)
       .filter("is_aftershock").select("evid").collect().map(_.getLong(0)).toSet
+    val winByClass = GeoOps.magClasses.map(c => c._1 -> (c._2, c._3)).toMap
     def qualifies(s: (Long, Double, Long, Double, Double)) = ev.exists { m =>
+      val (tUs, dKm) = winByClass(math.floor(m._2).toInt)
       m._1 != s._1 && m._2 >= s._2 + GeoOps.MagGapMin &&
-        math.abs(s._3 - m._3) <= math.floor(m._2).toLong * 10L * 86400L * 1000000L &&
+        math.abs(s._3 - m._3) <= tUs &&
         math.sqrt(math.pow((m._5 - s._5) * GeoOps.KmPerDegLon, 2) +
-          math.pow((m._4 - s._4) * GeoOps.KmPerDegLat, 2)) <= math.floor(m._2) * 30.0
+          math.pow((m._4 - s._4) * GeoOps.KmPerDegLat, 2)) <= dKm
     }
     for (s <- ev) {
       assert(flagged.contains(s._1) == qualifies(s),
