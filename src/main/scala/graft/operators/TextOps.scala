@@ -28,6 +28,7 @@ object TextOps {
   val SimBandBits = 8 // 4 bands of 8 bits for the hamming-band join
   val HamT     = 3   // max hamming distance for simhash near-dup
   val WinnowW  = 4   // winnowing window (doc_fingerprint)
+  val MaxBucket = 64 // LSH buckets above this size carry no dedup signal
   val Stopwords = Seq("a", "the")
   val P        = Portable.P
 
@@ -63,10 +64,19 @@ object TextOps {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
-  /** Distinct candidate pairs (ida < idb) from band-bucket collisions. */
+  /** Distinct candidate pairs (ida < idb) from band-bucket collisions.
+    * Buckets larger than MaxBucket are dropped before pairing: a band
+    * value shared by hundreds of documents is boilerplate, not a
+    * near-dup signal, and it is what turns LSH quadratic — the cap
+    * bounds per-bucket work at any scale (the skew guard promised in
+    * SURVEY §5). */
   private def candidates(s: SparkSession, d: String): DataFrame = {
-    val b1 = bands(s, d).select(col("band"), col("bkey"), col("doc_id").as("ida"))
-    val b2 = bands(s, d).select(col("band"), col("bkey"), col("doc_id").as("idb"))
+    val small = bands(s, d).groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+      .select("band", "bkey")
+    val capped = bands(s, d).join(small, Seq("band", "bkey"))
+    val b1 = capped.select(col("band"), col("bkey"), col("doc_id").as("ida"))
+    val b2 = capped.select(col("band"), col("bkey"), col("doc_id").as("idb"))
     b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
   }
@@ -127,8 +137,12 @@ object TextOps {
     pairJaccard(s, d)
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val b1 = simBands(s, d).select(col("band"), col("bkey"), col("doc_id").as("ida"), col("fp").as("fpa"))
-    val b2 = simBands(s, d).select(col("band"), col("bkey"), col("doc_id").as("idb"), col("fp").as("fpb"))
+    val small = simBands(s, d).groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+      .select("band", "bkey")
+    val capped = simBands(s, d).join(small, Seq("band", "bkey"))
+    val b1 = capped.select(col("band"), col("bkey"), col("doc_id").as("ida"), col("fp").as("fpa"))
+    val b2 = capped.select(col("band"), col("bkey"), col("doc_id").as("idb"), col("fp").as("fpb"))
     val dup = b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
       .filter(bit_count(expr("fpa ^ fpb")) <= HamT)
       .select(col("idb").as("doc_id")).distinct()
@@ -218,8 +232,11 @@ object TextOps {
        |    list_transform(shl, x -> ${Portable.hmodSql("x")}) AS hs,
        |    list_distinct(shl) AS shset FROM sh),
        |sig AS (SELECT doc_id, shset, $sigElems AS sig FROM hsh),
-       |bands AS (
+       |bands0 AS (
        |  $bandSelects),
+       |bands AS (
+       |  SELECT * FROM bands0 WHERE (band, bkey) IN (
+       |    SELECT (band, bkey) FROM bands0 GROUP BY band, bkey HAVING count(*) <= $MaxBucket)),
        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |pj AS (SELECT c.ida, c.idb,
@@ -244,8 +261,11 @@ object TextOps {
        |th AS (SELECT doc_id, unnest(list_transform(shl, x -> ${Portable.hmodSql("x")})) AS h FROM sh),
        |bsums AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
        |fps AS (SELECT doc_id, $fpExpr AS fp FROM bsums),
-       |sbands AS (
+       |sbands0 AS (
        |  $bandSelects),
+       |sbands AS (
+       |  SELECT * FROM sbands0 WHERE (band, bkey) IN (
+       |    SELECT (band, bkey) FROM sbands0 GROUP BY band, bkey HAVING count(*) <= $MaxBucket)),
        |sdup AS (SELECT DISTINCT b.doc_id
        |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.fp, b.fp)) <= $HamT)""".stripMargin
