@@ -70,11 +70,12 @@ object TextOps {
     * near-dup signal, and it is what turns LSH quadratic — the cap
     * bounds per-bucket work at any scale (the skew guard promised in
     * SURVEY §5). */
+  private def cappedBands(df: DataFrame): DataFrame =
+    df.withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bn") <= MaxBucket).drop("bn")
+
   private def candidates(s: SparkSession, d: String): DataFrame = {
-    val small = bands(s, d).groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
-      .select("band", "bkey")
-    val capped = bands(s, d).join(small, Seq("band", "bkey"))
+    val capped = cappedBands(bands(s, d))
     val b1 = capped.select(col("band"), col("bkey"), col("doc_id").as("ida"))
     val b2 = capped.select(col("band"), col("bkey"), col("doc_id").as("idb"))
     b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
@@ -137,10 +138,7 @@ object TextOps {
     pairJaccard(s, d)
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val small = simBands(s, d).groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
-      .select("band", "bkey")
-    val capped = simBands(s, d).join(small, Seq("band", "bkey"))
+    val capped = cappedBands(simBands(s, d))
     val b1 = capped.select(col("band"), col("bkey"), col("doc_id").as("ida"), col("fp").as("fpa"))
     val b2 = capped.select(col("band"), col("bkey"), col("doc_id").as("idb"), col("fp").as("fpb"))
     val dup = b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
@@ -235,8 +233,9 @@ object TextOps {
        |bands0 AS (
        |  $bandSelects),
        |bands AS (
-       |  SELECT * FROM bands0 WHERE (band, bkey) IN (
-       |    SELECT (band, bkey) FROM bands0 GROUP BY band, bkey HAVING count(*) <= $MaxBucket)),
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM bands0)
+       |  WHERE bn <= $MaxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |pj AS (SELECT c.ida, c.idb,
@@ -264,8 +263,9 @@ object TextOps {
        |sbands0 AS (
        |  $bandSelects),
        |sbands AS (
-       |  SELECT * FROM sbands0 WHERE (band, bkey) IN (
-       |    SELECT (band, bkey) FROM sbands0 GROUP BY band, bkey HAVING count(*) <= $MaxBucket)),
+       |  SELECT doc_id, fp, band, bkey FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM sbands0)
+       |  WHERE bn <= $MaxBucket),
        |sdup AS (SELECT DISTINCT b.doc_id
        |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.fp, b.fp)) <= $HamT)""".stripMargin
