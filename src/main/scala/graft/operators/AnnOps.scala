@@ -38,23 +38,28 @@ object AnnOps {
   def planeCoef(j: Int, i: Int): Long =
     ((j * Dim + i + 1) * 2654435761L) % 1000003L - 501001L
 
-  private def planeCol(j: Int): Column =
-    array((0 until Dim).map(i => lit(planeCoef(j, i).toDouble)): _*)
-
   private def planeSqlList(j: Int): String =
     (0 until Dim).map(i => s"${planeCoef(j, i)}.0").mkString("[", ",", "]")
+
+  /** Codegen'd dot product (graft `vec_dot`, see
+    * [[graft.functions.VecDot]]): identical ascending-index fold as
+    * [[Portable.dot]] — bit-equal results — but compiled into
+    * whole-stage codegen instead of an interpreted higher-order
+    * lambda. */
+  private def vecDot(a: String, b: String): Column =
+    expr(s"vec_dot(cast($a as array<double>), cast($b as array<double>))")
 
   /** Vectors with precomputed norm (one fold per vector, not per pair). */
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
-      col("vec_id"), col("embedding"), Portable.norm(col("embedding")).as("nrm"))
+      col("vec_id"), col("embedding"), sqrt(vecDot("embedding", "embedding")).as("nrm"))
 
   private def queriesSide(s: SparkSession, d: String): DataFrame =
     vectors(s, d).filter(col("vec_id") % QMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
 
   private def cosine: Column =
-    Portable.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))
+    vecDot("qe", "embedding") / (col("qn") * col("nrm"))
 
   private val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
 
@@ -67,15 +72,17 @@ object AnnOps {
       .filter(col("rnk") <= TopK)
       .select("q_id", "vec_id", "rnk", "cosine")
 
-  /** Sign-bit bucket id of the NPlanes hyperplane projections. */
-  private def bucketCol(e: Column): Column =
+  /** Sign-bit bucket id of the NPlanes hyperplane projections; the
+    * plane is a foldable literal array, so codegen sees a constant. */
+  private def bucketCol(e: String): Column =
     (0 until NPlanes).map { j =>
-      when(Portable.dot(e, planeCol(j)) > 0, lit(1L << j)).otherwise(0L)
+      val plane = (0 until Dim).map(i => s"${planeCoef(j, i).toDouble}D").mkString("array(", ",", ")")
+      when(expr(s"vec_dot(cast($e as array<double>), $plane)") > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
-    val v = vectors(s, d).withColumn("bucket", bucketCol(col("embedding")))
-    val q = queriesSide(s, d).withColumn("bucket", bucketCol(col("qe")))
+    val v = vectors(s, d).withColumn("bucket", bucketCol("embedding"))
+    val q = queriesSide(s, d).withColumn("bucket", bucketCol("qe"))
     v.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine)
@@ -91,9 +98,9 @@ object AnnOps {
     * once. A candidate reached via several probes is deduplicated
     * before ranking. */
   def annLshMultiprobe(s: SparkSession, d: String): DataFrame = {
-    val v = vectors(s, d).withColumn("bucket", bucketCol(col("embedding")))
+    val v = vectors(s, d).withColumn("bucket", bucketCol("embedding"))
     val probes = explode(array((Seq(0L) ++ (0 until NPlanes).map(j => 1L << j)).map(lit): _*)).as("probe")
-    val q = queriesSide(s, d).withColumn("bucket0", bucketCol(col("qe")))
+    val q = queriesSide(s, d).withColumn("bucket0", bucketCol("qe"))
       .select(col("q_id"), col("qe"), col("qn"), col("bucket0"), probes)
       .select(col("q_id"), col("qe"), col("qn"), expr("bucket0 ^ probe").as("bucket"))
     v.join(broadcast(q), Seq("bucket"))

@@ -137,6 +137,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("doc_id", "n_bytes", "header0", "header1", "width", "height", "n_frames"))
   }
 
+  test("codegen'd vec_dot is bit-equal to the portable fold") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val mismatch = emb.select(
+      graft.functions.Portable.dot(col("embedding"), col("embedding")).as("a"),
+      expr("vec_dot(cast(embedding as array<double>), cast(embedding as array<double>))").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch == 0)
+  }
+
   test("portable h60 hash is stable (golden value, matches DuckDB scheme)") {
     import org.apache.spark.sql.functions._
     val got = spark.range(1)
