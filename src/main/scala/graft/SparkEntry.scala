@@ -24,7 +24,8 @@ object SparkEntry {
       EventOps.queries ++ AnnOps.queries ++ MultiModalOps.queries ++
       Map(
         "streaming_sessionize" -> ((s, d) => graft.streaming.StreamingSessionize.run(s, d)),
-        "streaming_window_counts" -> ((s, d) => graft.streaming.StreamingWindowCounts.run(s, d)))
+        "streaming_window_counts" -> ((s, d) => graft.streaming.StreamingWindowCounts.run(s, d)),
+        "streaming_dedup_exact" -> ((s, d) => graft.streaming.StreamingDedup.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       // (bounded input), so batch SQL oracles can check them
       Map(
         "streaming_sessionize" -> EventOps.oracles("sessionize"),
-        "streaming_window_counts" -> graft.streaming.StreamingWindowCounts.oracle)
+        "streaming_window_counts" -> graft.streaming.StreamingWindowCounts.oracle,
+        "streaming_dedup_exact" -> graft.streaming.StreamingDedup.oracle)
 }

@@ -35,24 +35,33 @@ object SignalOps {
 
   /** One row per (record, grid index j): freq = (j+1)/2 Hz, SNR and a
     * signed acceleration sample in integer centi-units derived from
-    * the record key. */
+    * the record key. Shuffles downstream group on the fixed-width
+    * numeric record key (evid, sta, lnum, pk); the string record_id is
+    * reconstructed after aggregation, never shuffled. */
   private def grid(s: SparkSession, d: String): DataFrame =
     Catalog.records(s, d)
-      .select(col("record_id"), col("evid"), col("sta"), col("chan"), col("pk"),
+      .select(col("evid"), col("sta"), col("lnum"), col("pk"), col("chan"),
         explode(sequence(lit(0), lit(NFreq - 1))).as("j"))
       .withColumn("freq", (col("j") + 1).cast("double") / 2.0)
       .withColumn("snr_c", lit(100L) + (col("pk") + col("j") * 7) % 200)
       .withColumn("acc_c", (col("pk") * 13 + col("j") * 29) % 400 - 200)
 
+  private val recKey = Seq(col("evid"), col("sta"), col("lnum"), col("pk"))
+
+  /** record_id = evid_sta_lnum_pk (Catalog.records' construction). */
+  private def recordId: org.apache.spark.sql.Column =
+    concat(col("evid").cast("string"), lit("_"), col("sta").cast("string"), lit("_"),
+      col("lnum").cast("string"), lit("_"), col("pk").cast("string"))
+
   def snrStats(s: SparkSession, d: String): DataFrame = {
     val inBand = col("j") >= SigLo && col("j") <= SigHi
-    grid(s, d).groupBy(col("record_id"))
+    grid(s, d).groupBy(recKey: _*)
       .agg(
         sum(when(inBand, col("snr_c"))).as("sig_sum"),
         count(when(inBand, lit(1))).as("sig_n"),
         sum(when(!inBand, col("snr_c"))).as("noise_sum"),
         count(when(!inBand, lit(1))).as("noise_n"))
-      .select(col("record_id"),
+      .select(recordId.as("record_id"),
         (col("sig_sum").cast("double") / col("sig_n").cast("double") / 100.0).as("sig_mean"),
         (col("noise_sum").cast("double") / col("noise_n").cast("double") / 100.0).as("noise_mean"),
         ((col("sig_sum") * col("noise_n")).cast("double") /
@@ -60,12 +69,13 @@ object SignalOps {
   }
 
   def fmaxScreening(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("record_id")).orderBy(col("j")).rowsBetween(-2, 0)
+    val w = Window.partitionBy(recKey: _*).orderBy(col("j")).rowsBetween(-2, 0)
     grid(s, d)
       .withColumn("rsum", sum(col("snr_c")).over(w))
       .withColumn("fail", col("j") >= 2 && col("rsum") < 3 * SnrThreshC)
-      .groupBy(col("record_id"), col("evid"), col("sta"))
+      .groupBy(recKey: _*)
       .agg(coalesce(min(when(col("fail"), col("freq"))), max(col("freq"))).as("fmax_screen"))
+      .select(recordId.as("record_id"), col("evid"), col("sta"), col("fmax_screen"))
   }
 
   def stationMagAgg(s: SparkSession, d: String): DataFrame = {
@@ -90,12 +100,13 @@ object SignalOps {
     * One explode + one partial-aggregating groupBy; sums stay integer
     * until a final exact division, sqrt is IEEE-exact. */
   def imCalc(s: SparkSession, d: String): DataFrame =
-    grid(s, d).groupBy(col("record_id"), col("chan"))
+    grid(s, d).groupBy(recKey :+ col("chan"): _*)
       .agg(
         (max(abs(col("acc_c"))).cast("double") / 100.0).as("pga"),
         (sqrt(sum(col("acc_c") * col("acc_c")).cast("double") /
           count(lit(1)).cast("double")) / 100.0).as("rms"),
         (sum(abs(col("acc_c"))).cast("double") / 100.0).as("cav"))
+      .select(recordId.as("record_id"), col("chan"), col("pga"), col("rms"), col("cav"))
 
   val queries: Map[String, QueryFn] = Map(
     "snr_stats"       -> (snrStats _),
