@@ -137,6 +137,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("doc_id", "n_bytes", "header0", "header1", "width", "height", "n_frames"))
   }
 
+  test("no plan contains an all-pairs join (except the brute-force ANN baseline)") {
+    val allowedNestedLoop = Set("ann_cosine_topk") // documented broadcast NL baseline
+    val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
+    for (name <- batchQueries) {
+      val plan = SparkEntry.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plan has a CartesianProduct")
+      if (!allowedNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plan has a nested-loop join")
+    }
+  }
+
   test("codegen'd vec_dot is bit-equal to the portable fold") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
