@@ -72,6 +72,39 @@ object GeoOps {
         azOctant(dx, dy).as("az_oct"))
   }
 
+  /** Rupture-plane distances (`distances.py` r_rup / r_jb): for large
+    * events a finite rupture surface replaces the point source. The
+    * synthetic plane is an axis-aligned box around the epicentre sized
+    * by magnitude class; r_jb is the horizontal distance to the
+    * clamped nearest point of the box (greatest/least + sqrt — exact
+    * cross-engine), r_rup adds the top-of-rupture depth. The plane
+    * side is dimension-sized (large events only) and broadcast; the
+    * station product is cut by the same lat-band prefilter as
+    * [[eventStationDistances]]. */
+  val RupMagMin = 5.5
+  def rrupDistances(s: SparkSession, d: String): DataFrame = {
+    val halfW = floor(col("mag")) * lit(0.05) // half-width in degrees
+    val planes = Catalog.events(s, d).filter(col("mag") >= RupMagMin)
+      .select(col("evid"), col("mag"),
+        (col("ev_lat") - halfW).as("lat1"), (col("ev_lat") + halfW).as("lat2"),
+        (col("ev_lon") - halfW).as("lon1"), (col("ev_lon") + halfW).as("lon2"),
+        (col("ev_depth") * 0.5).as("ztop"))
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      .withColumn("band", floor((col("lat1") + col("lat2")) / 2 / BandDeg).cast("long") + col("boff"))
+    val st = Catalog.stations(s, d)
+      .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
+    // nearest point of the box to the station, then planar km distance
+    val cLat = greatest(col("lat1"), least(col("lat2"), col("sta_lat")))
+    val cLon = greatest(col("lon1"), least(col("lon2"), col("sta_lon")))
+    val dxKm = (col("sta_lon") - cLon) * KmPerDegLon
+    val dyKm = (col("sta_lat") - cLat) * KmPerDegLat
+    st.join(broadcast(planes), Seq("band"))
+      .withColumn("r_jb", sqrt(dxKm * dxKm + dyKm * dyKm))
+      .filter(col("r_jb") <= MaxKm)
+      .select(col("evid"), col("sta"), col("r_jb"),
+        sqrt(col("r_jb") * col("r_jb") + col("ztop") * col("ztop")).as("r_rup"))
+  }
+
   // ---- tectonic domains ------------------------------------------
 
   /** Convex quads (CCW vertex order) with priority; lowest priority
@@ -196,6 +229,7 @@ object GeoOps {
 
   val queries: Map[String, QueryFn] = Map(
     "event_station_distances" -> (eventStationDistances _),
+    "rrup_distances"          -> (rrupDistances _),
     "tect_domain"             -> (tectDomain _),
     "aftershock_flags"        -> (aftershockFlags _),
     "aftershock_mainshock"    -> (aftershockMainshock _),
@@ -245,6 +279,19 @@ object GeoOps {
          |FROM gm_events e JOIN gm_stations s
          |  ON sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
          |        + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0)) <= ${MaxKm}e0""".stripMargin),
+    "rrup_distances" -> Catalog.oracle(
+      s"""SELECT evid, sta, r_jb, sqrt(r_jb * r_jb + ztop * ztop) AS r_rup FROM (
+         |  SELECT p.evid, s.sta, p.ztop,
+         |    sqrt(((s.sta_lon - greatest(p.lon1, least(p.lon2, s.sta_lon))) * ${KmPerDegLon}e0)
+         |       * ((s.sta_lon - greatest(p.lon1, least(p.lon2, s.sta_lon))) * ${KmPerDegLon}e0)
+         |       + ((s.sta_lat - greatest(p.lat1, least(p.lat2, s.sta_lat))) * ${KmPerDegLat}e0)
+         |       * ((s.sta_lat - greatest(p.lat1, least(p.lat2, s.sta_lat))) * ${KmPerDegLat}e0)) AS r_jb
+         |  FROM gm_stations s, (
+         |    SELECT evid, ev_lat - floor(mag) * 5e-2 AS lat1, ev_lat + floor(mag) * 5e-2 AS lat2,
+         |           ev_lon - floor(mag) * 5e-2 AS lon1, ev_lon + floor(mag) * 5e-2 AS lon2,
+         |           ev_depth * 5e-1 AS ztop
+         |    FROM gm_events WHERE mag >= ${RupMagMin}e0) p
+         |) WHERE r_jb <= ${MaxKm}e0""".stripMargin),
     "tect_domain" -> Catalog.oracle(
       s"""SELECT evid, ev_lat, ev_lon,
          |  CASE ${domains.sortBy(_._1).map { case (_, name, verts) =>
