@@ -32,14 +32,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_.mkString("|")).toSeq
   }
 
-  /** Window-bearing operators must give identical results regardless of
+  /** Every batch operator must give identical results regardless of
     * partitioning — catches any window orderBy missing its unique-key
     * (pk) tiebreaker, the exact defect class fixed this round. */
-  test("window operators are deterministic under re-partitioning") {
-    val windowed = Seq("ground_level_argmin", "dedup_channels", "quality_all",
-      "db_upsert", "site_table_dedup", "sessionize", "user_running_aggs",
-      "dedup_exact", "ann_cosine_topk", "ann_lsh_topk")
-    for (name <- windowed) {
+  test("all batch operators are deterministic under re-partitioning") {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !name.startsWith("streaming_")) {
       val fn = SparkEntry.queries(name)
       spark.conf.set("spark.sql.shuffle.partitions", "3")
       val a = sortedRows(fn(spark, Sf))
@@ -48,6 +45,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a == b, s"$name changed results when shuffle partitioning changed")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
     }
+  }
+
+  test("driver contract: every query has an oracle and distinct output columns") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"queries/oracles key mismatch: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} " +
+        s"/ ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !name.startsWith("streaming_")) {
+      val cols = SparkEntry.queries(name)(spark, Sf).columns.toSeq
+      assert(cols.distinct.length == cols.length, s"$name has duplicate output columns: $cols")
+    }
+  }
+
+  test("quality_all equals the composition of the individual quality filters") {
+    import org.apache.spark.sql.functions._
+    // intersect the per-filter survivor sets, then channel-dedup them —
+    // must equal the one-pass quality_all output record set
+    val ids = Seq("quality_has_score", "quality_score_min", "quality_multi_max",
+      "quality_fmax_min", "quality_fmin_max", "quality_missing_sta", "quality_ground_level")
+      .map(n => SparkEntry.queries(n)(spark, Sf).select("record_id"))
+      .reduce(_ intersect _)
+    val deduped = operators.Quality.queries("dedup_channels")(spark, Sf)
+      .select("record_id")
+    val expected = ids.intersect(deduped).collect().map(_.getString(0)).toSet
+    val got = operators.Quality.qualityAll(spark, Sf)
+      .select("record_id").collect().map(_.getString(0)).toSet
+    // quality_all dedups within survivors, not globally, so compare on
+    // the survivor side only: every quality_all record passes each filter
+    assert(got.subsetOf(ids.collect().map(_.getString(0)).toSet))
+    assert(expected.subsetOf(got),
+      "records surviving all filters and global dedup must appear in quality_all")
   }
 
   test("ground_level_argmin picks |loc_elev| minimum with pk tiebreak") {
