@@ -74,13 +74,19 @@ object TextOps {
     df.withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
       .filter(col("bn") <= MaxBucket).drop("bn")
 
-  private def candidates(s: SparkSession, d: String): DataFrame = {
-    val capped = cappedBands(bands(s, d))
-    val b1 = capped.select(col("band"), col("bkey"), col("doc_id").as("ida"))
-    val b2 = capped.select(col("band"), col("bkey"), col("doc_id").as("idb"))
-    b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-  }
+  /** Pair generation happens inside the bucket (collect the ≤MaxBucket
+    * members, emit ordered pairs) rather than as a bucket self-join:
+    * the signature pipeline is evaluated once, one shuffle, and the
+    * per-bucket work is bounded by the cap — the shape web-scale dedup
+    * uses. */
+  private def candidates(s: SparkSession, d: String): DataFrame =
+    cappedBands(bands(s, d))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS ida, b AS idb))))"
+      )).as("p"))
+      .select(col("p.ida"), col("p.idb")).distinct()
 
   /** Candidate pairs with exact n-gram Jaccard (the in-bucket verify
     * kernel — int/int division is bit-exact cross-engine). */
@@ -138,12 +144,16 @@ object TextOps {
     pairJaccard(s, d)
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val capped = cappedBands(simBands(s, d))
-    val b1 = capped.select(col("band"), col("bkey"), col("doc_id").as("ida"), col("fp").as("fpa"))
-    val b2 = capped.select(col("band"), col("bkey"), col("doc_id").as("idb"), col("fp").as("fpb"))
-    val dup = b1.join(b2, Seq("band", "bkey")).filter(col("ida") < col("idb"))
-      .filter(bit_count(expr("fpa ^ fpb")) <= HamT)
-      .select(col("idb").as("doc_id")).distinct()
+    // in-bucket pair generation (see candidates()): one evaluation of
+    // the fingerprint pipeline for banding instead of a self-join
+    val dup = cappedBands(simBands(s, d))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("xs"))
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), b -> struct(a.fp AS fpa, b.fp AS fpb, b.doc_id AS idb))))"
+      )).as("p"))
+      .filter(bit_count(expr("p.fpa ^ p.fpb")) <= HamT)
+      .select(col("p.idb").as("doc_id")).distinct()
     simFingerprints(s, d).join(dup, Seq("doc_id"), "left_anti")
       .select("doc_id", "fp")
   }
