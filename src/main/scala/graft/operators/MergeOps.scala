@@ -78,6 +78,16 @@ object MergeOps {
       .agg(max(col("im_val")))
       .select(col("evid"), col("sta"), col("HN").as("im_hn"), col("BN").as("im_bn"))
 
+  /** Horizontal-component combination on top of the pivot (the
+    * reference publishes rotd/geom combinations of the two horizontal
+    * components, `merge_flatfiles.py` component columns): SRSS-mean
+    * and geometric mean, null when either component is missing.
+    * sqrt/multiply only — bit-exact cross-engine. */
+  def imComponentCombo(s: SparkSession, dir: String): DataFrame =
+    imPivot(s, dir).select(col("evid"), col("sta"), col("im_hn"), col("im_bn"),
+      sqrt((col("im_hn") * col("im_hn") + col("im_bn") * col("im_bn")) / 2).as("im_srss"),
+      sqrt(col("im_hn") * col("im_bn")).as("im_geom"))
+
   /** Two synthetic DB versions with overlapping keys; later version
     * wins per record_id. */
   def dbUpsert(s: SparkSession, dir: String): DataFrame = {
@@ -126,6 +136,7 @@ object MergeOps {
     "merge_flatfile"      -> (mergeFlatfile _),
     "ground_level_argmin" -> (groundLevelArgmin _),
     "im_pivot"            -> (imPivot _),
+    "im_component_combo"  -> (imComponentCombo _),
     "db_upsert"           -> (dbUpsert _),
     "flatfile_semi_filter"-> (flatfileSemiFilter _),
     "site_table_dedup"    -> (siteTableDedup _),
@@ -156,6 +167,16 @@ object MergeOps {
         |       max(CASE WHEN chan = 'HN' THEN im_val END) AS im_hn,
         |       max(CASE WHEN chan = 'BN' THEN im_val END) AS im_bn
         |FROM gm_records GROUP BY evid, sta""".stripMargin),
+    "im_component_combo" -> Catalog.oracle(
+      """SELECT evid, sta, im_hn, im_bn,
+        |       sqrt((im_hn * im_hn + im_bn * im_bn) / 2) AS im_srss,
+        |       sqrt(im_hn * im_bn) AS im_geom
+        |FROM (
+        |  SELECT evid, sta,
+        |         max(CASE WHEN chan = 'HN' THEN im_val END) AS im_hn,
+        |         max(CASE WHEN chan = 'BN' THEN im_val END) AS im_bn
+        |  FROM gm_records GROUP BY evid, sta
+        |)""".stripMargin),
     "db_upsert" -> Catalog.oracle(
       """SELECT record_id, version, im FROM (
         |  SELECT record_id, version, im,
