@@ -17,8 +17,8 @@ import graft.sources.Tables
   * real reference semantics on them.
   *
   * Every derivation below exists twice, once as Spark `Column`
-  * expressions and once as a DuckDB SQL CTE (`recordsCte` etc. —
-  * assembled into each oracle by [[graft.oracle.Oracles]]). The pairs
+  * expressions and once as a DuckDB SQL CTE (`recordsCte` etc.,
+  * assembled into each oracle by [[Catalog.oracle]]). The pairs
   * are kept line-for-line parallel and use only arithmetic that is
   * bit-identical across engines: integer modulo, IEEE double
   * division by exact constants, and epoch-microsecond integers.
