@@ -20,7 +20,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
-    spark = Sessions.builder("local[4]", 4).getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark = Sessions.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -184,6 +187,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       expr("vec_dot(cast(embedding as array<double>), cast(embedding as array<double>))").as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(mismatch == 0)
+  }
+
+  test("bucketed tables co-locate the fact-fact evid join: zero shuffles") {
+    // The 100 TB answer to repeated evid joins: bucket both fact tables
+    // on the join key at write time; the join then needs no Exchange.
+    graft.model.Catalog.records(spark, Sf).select("evid", "sta", "pk", "chan")
+      .write.bucketBy(8, "evid").sortBy("evid")
+      .mode("overwrite").saveAsTable("b_records")
+    graft.model.Catalog.events(spark, Sf).select("evid", "mag", "ev_us")
+      .write.bucketBy(8, "evid")
+      .mode("overwrite").saveAsTable("b_events")
+    // at test scale the planner would broadcast (bucket info unused);
+    // disable broadcast to surface the sort-merge path a fact-fact
+    // join takes at 100 TB, where bucketing removes the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_records").join(spark.table("b_events"), "evid")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() ==
+        graft.model.Catalog.records(spark, Sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
   }
 
   test("csv and partitioned-parquet IO round-trips preserve data") {
