@@ -210,7 +210,28 @@ object TextOps {
     big.unionByName(small)
   }
 
+  // thresholds for the composite corpus filter (C4-style heuristics)
+  val MinWords    = 20
+  val MaxMeanWord = 12.0
+  val MinStopRatio = 0.01
+
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline actually ships: quality-filter the documents (length,
+    * word-shape, stopword heuristics), then drop MinHash near-dups.
+    * One pass for the filters + the banded dedup; the quality
+    * predicates prune the corpus before any hashing happens. */
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
+    val q = textQuality(s, d)
+      .filter(col("n_words") >= MinWords &&
+        col("mean_word_len") <= MaxMeanWord &&
+        col("stop_ratio") >= MinStopRatio)
+      .select("doc_id")
+    val dupIds = pairJaccard(s, d).filter(col("jacc") >= JaccT).select(col("idb").as("doc_id"))
+    q.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "corpus_clean"    -> (corpusClean _),
     "dedup_exact"     -> (dedupExact _),
     "dedup_minhash"   -> (dedupMinhash _),
     "dedup_simhash"   -> (dedupSimhash _),
@@ -282,6 +303,17 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "corpus_clean" ->
+      s"""WITH $minhashCtes,
+         |q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, len(tk) AS n_words,
+         |      CAST(length(text) - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+         |      CAST(len(list_filter(tk, t -> list_contains($stopListSql, t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stop_ratio
+         |    FROM (SELECT doc_id, text, $tkSql AS tk FROM documents))
+         |  WHERE n_words >= $MinWords AND mean_word_len <= ${MaxMeanWord}e0 AND stop_ratio >= ${MinStopRatio}e0)
+         |SELECT doc_id FROM q
+         |WHERE doc_id NOT IN (SELECT idb FROM pj WHERE jacc >= ${JaccT}e0)""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, chash FROM (
         |  SELECT doc_id, sha256(text) AS chash,
