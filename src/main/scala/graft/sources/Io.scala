@@ -26,6 +26,14 @@ object Io {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** JSON-lines source with explicit schema (same rule as CSV: never
+    * pay the inference pass, never let types drift). */
+  def readJsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Partitioned (and optionally sorted-within-partition) parquet sink:
     * the layout that makes 100 TB outputs re-readable with partition
     * pruning + row-group skipping rather than full scans. */

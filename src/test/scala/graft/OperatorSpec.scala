@@ -219,6 +219,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.sources.Io.writeCsv(src, s"$tmp/csv")
     val back = graft.sources.Io.readCsv(spark, s"$tmp/csv", src.schema)
     assert(sortedRows(back) == sortedRows(src))
+    graft.sources.Io.writeJsonLines(src, s"$tmp/json")
+    val backJ = graft.sources.Io.readJsonLines(spark, s"$tmp/json", src.schema)
+    assert(sortedRows(backJ) == sortedRows(src))
     val ev = graft.model.Catalog.events(spark, Sf)
       .withColumn("yr", year(timestamp_micros(col("ev_us"))))
     graft.sources.Io.writePartitionedParquet(ev, s"$tmp/part", Seq("yr"), Seq("evid"))
