@@ -64,8 +64,26 @@ object EventOps {
       col("event_id"), col("user_id"), col("event_type"),
       get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
 
+  /** Session-level rollup — the product sessionization exists for:
+    * per (user, session) event count, duration, exact cent spend.
+    * Window pass to assign sessions, then one partial-aggregable
+    * groupBy on the same key prefix (no extra repartitioning: the
+    * session assignment already clustered rows by user). */
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(userW))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("boundary")).over(userRunW))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        sum(col("cents")).as("sum_cents"))
+
   val queries: Map[String, QueryFn] = Map(
     "sessionize"          -> (sessionize _),
+    "session_stats"       -> (sessionStats _),
     "user_running_aggs"   -> (userRunningAggs _),
     "event_props_extract" -> (eventPropsExtract _)
   )
@@ -97,6 +115,26 @@ object EventOps {
          |       CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          |FROM b""".stripMargin,
+    "session_stats" ->
+      s"""WITH $evCte,
+         |lagd AS (
+         |  SELECT event_id, user_id, ts_us, cents,
+         |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+         |  FROM ev),
+         |b AS (
+         |  SELECT user_id, ts_us, cents,
+         |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > $GapUs THEN 1 ELSE 0 END AS boundary,
+         |         event_id
+         |  FROM lagd),
+         |sess AS (
+         |  SELECT user_id, ts_us, cents,
+         |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM b)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |       max(ts_us) - min(ts_us) AS duration_us,
+         |       sum(cents) AS sum_cents
+         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
     "user_running_aggs" ->
       s"""WITH $evCte
          |SELECT event_id, user_id,
