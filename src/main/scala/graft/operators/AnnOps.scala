@@ -111,10 +111,32 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate removal: vectors whose cosine
+    * similarity exceeds DupCosT are duplicates; candidates come from
+    * the hyperplane-LSH buckets (in-bucket pair generation, bounded
+    * per bucket), lowest vec_id in a duplicate pair is kept. The
+    * embedding-space twin of the MinHash text dedup. */
+  val DupCosT = 0.95
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d).withColumn("bucket", bucketCol("embedding"))
+    val dup = v
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
+          "b -> struct(a.embedding AS ea, a.nrm AS na, b.embedding AS eb, b.nrm AS nb, b.vec_id AS idb))))"
+      )).as("p"))
+      .filter(expr("vec_dot(cast(p.ea as array<double>), cast(p.eb as array<double>))") /
+        (col("p.na") * col("p.nb")) >= DupCosT)
+      .select(col("p.idb").as("vec_id")).distinct()
+    vectors(s, d).join(dup, Seq("vec_id"), "left_anti").select("vec_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "ann_cosine_topk"    -> (annCosineTopk _),
     "ann_lsh_topk"       -> (annLshTopk _),
-    "ann_lsh_multiprobe" -> (annLshMultiprobe _)
+    "ann_lsh_multiprobe" -> (annLshMultiprobe _),
+    "dedup_embedding"    -> (dedupEmbedding _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -134,6 +156,14 @@ object AnnOps {
     s"""pl AS (SELECT ${(0 until NPlanes).map(j => s"${planeSqlList(j)}::DOUBLE[] AS pl$j").mkString(", ")})""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_embedding" ->
+      s"""WITH $vecCte, $planesCte,
+         |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= ${DupCosT}e0)
+         |SELECT vec_id FROM vecs WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH $vecCte,
          |scored AS (
