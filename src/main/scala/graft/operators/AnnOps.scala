@@ -132,10 +132,58 @@ object AnnOps {
     vectors(s, d).join(dup, Seq("vec_id"), "left_anti").select("vec_id")
   }
 
+  // ---- IVF (coarse-quantizer) variant ----------------------------
+
+  val NCells  = 8 // inverted-file cells (deterministic pseudo-centroids)
+  val NProbe  = 2 // cells probed per query
+
+  /** Deterministic pseudo-centroid c,i — in production these come from
+    * a k-means fit; the assignment/probe plumbing is identical. */
+  def centroidCoef(c: Int, i: Int): Long =
+    ((c * Dim + i + 7) * 1103515245L) % 2000003L - 1000001L
+
+  private def centroidSql(c: Int): String =
+    (0 until Dim).map(i => s"${centroidCoef(c, i).toDouble}D").mkString("array(", ",", ")")
+
+  /** Index of the centroid with the highest dot product (cosine-style
+    * assignment; ties broken by lowest cell index). */
+  private def cellCol(e: String): Column = {
+    val dots = (0 until NCells).map(c =>
+      expr(s"vec_dot(cast($e as array<double>), ${centroidSql(c)})"))
+    val best = dots.reduce((a, b) => greatest(a, b))
+    (0 until NCells).foldRight(lit(-1)) { case (c, elseCol) =>
+      when(dots(c) === best, lit(c)).otherwise(elseCol)
+    }
+  }
+
+  /** Rank of each cell for a query (for multi-cell probing). */
+  private def probeCells(e: String): Column = {
+    val dots = (0 until NCells).map(c =>
+      struct(expr(s"vec_dot(cast($e as array<double>), ${centroidSql(c)})").as("d"), lit(c).as("c")))
+    slice(reverse(array_sort(array(dots: _*))), 1, NProbe)
+  }
+
+  /** IVF ANN: vectors partition into centroid cells; each query scans
+    * only its NProbe closest cells — the coarse-quantizer analogue of
+    * the LSH path (candidates are an equi-join on the cell id). */
+  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d).withColumn("cell", cellCol("embedding"))
+    val q = queriesSide(s, d)
+      .select(col("q_id"), col("qe"), col("qn"), explode(probeCells("qe")).as("p"))
+      .select(col("q_id"), col("qe"), col("qn"), col("p.c").as("cell"))
+    v.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "cosine")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "ann_cosine_topk"    -> (annCosineTopk _),
     "ann_lsh_topk"       -> (annLshTopk _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
+    "ann_ivf_topk"       -> (annIvfTopk _),
     "dedup_embedding"    -> (dedupEmbedding _)
   )
 
@@ -155,7 +203,36 @@ object AnnOps {
   private val planesCte =
     s"""pl AS (SELECT ${(0 until NPlanes).map(j => s"${planeSqlList(j)}::DOUBLE[] AS pl$j").mkString(", ")})""".stripMargin
 
+  private val centroidsCte: String =
+    "cells AS (SELECT * FROM (VALUES " +
+      (0 until NCells).map { c =>
+        "(" + c + ", " + (0 until Dim).map(i => s"${centroidCoef(c, i)}").mkString("[", ",", "]") + "::DOUBLE[])"
+      }.mkString(", ") + ") t(c, cent))"
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      s"""WITH $vecCte, $centroidsCte,
+         |vdots AS (SELECT vec_id, embedding, nrm, c,
+         |    ${Portable.dotSql("embedding", "cent")} AS dd FROM vecs, cells),
+         |vcell AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT vec_id, embedding, nrm, c AS cell,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, c ASC) AS rn
+         |    FROM vdots) WHERE rn = 1),
+         |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
+         |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
+         |qcell AS (SELECT q_id, qe, qn, cell FROM (
+         |    SELECT q_id, qe, qn, c AS cell,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
+         |    FROM qdots) WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT q.q_id, v.vec_id, ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
+         |  FROM vcell v JOIN qcell q ON v.cell = q.cell
+         |  WHERE v.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vecCte, $planesCte,
          |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),

@@ -50,8 +50,23 @@ object MultiModalOps {
     }.toDF()
   }
 
+  /** Frame sampling: every decoded payload fans out to one row per
+    * sampled frame with a per-frame feature vector slot — the
+    * explode-shaped plumbing a video/audio pipeline needs between
+    * decode and per-frame featurization. Frame count and the (stub)
+    * frame feature are deterministic functions of the payload so the
+    * oracle verifies the fan-out exactly. */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame =
+    multimodalMeta(s, d)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        // stub per-frame feature: offset of the frame's first byte
+        expr("(n_bytes * frame_idx) div n_frames").as("frame_offset"))
+
   val queries: Map[String, QueryFn] = Map(
-    "multimodal_meta" -> (multimodalMeta _)
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,6 +78,16 @@ object MultiModalOps {
         |  CAST(16 + (octet_length(encode(text)) % 64) * 4 AS INT) AS width,
         |  CAST(16 + ((octet_length(encode(text)) // 64) % 64) * 4 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       (n_bytes * f) // n_frames AS frame_offset
+        |FROM (
+        |  SELECT doc_id, n_bytes, n_frames, unnest(range(0, n_frames)) AS f
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |      CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+        |    FROM documents))""".stripMargin
   )
 }
