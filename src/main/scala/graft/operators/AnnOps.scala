@@ -72,13 +72,16 @@ object AnnOps {
       .filter(col("rnk") <= TopK)
       .select("q_id", "vec_id", "rnk", "cosine")
 
-  /** Sign-bit bucket id of the NPlanes hyperplane projections; the
-    * plane is a foldable literal array, so codegen sees a constant. */
-  private def bucketCol(e: String): Column =
-    (0 until NPlanes).map { j =>
-      val plane = (0 until Dim).map(i => s"${planeCoef(j, i).toDouble}D").mkString("array(", ",", ")")
+  /** Sign-bit bucket id from `n` hyperplane projections starting at
+    * global plane index `off`; the plane is a foldable literal array,
+    * so codegen sees a constant. */
+  private def bucketColFor(e: String, off: Int, n: Int): Column =
+    (0 until n).map { j =>
+      val plane = (0 until Dim).map(i => s"${planeCoef(off + j, i).toDouble}D").mkString("array(", ",", ")")
       when(expr(s"vec_dot(cast($e as array<double>), $plane)") > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+
+  private def bucketCol(e: String): Column = bucketColFor(e, 0, NPlanes)
 
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d).withColumn("bucket", bucketCol("embedding"))
@@ -112,15 +115,35 @@ object AnnOps {
   }
 
   /** Embedding-cosine near-duplicate removal: vectors whose cosine
-    * similarity exceeds DupCosT are duplicates; candidates come from
-    * the hyperplane-LSH buckets (in-bucket pair generation, bounded
-    * per bucket), lowest vec_id in a duplicate pair is kept. The
-    * embedding-space twin of the MinHash text dedup. */
-  val DupCosT = 0.95
+    * similarity exceeds DupCosT are duplicates; lowest vec_id in a
+    * duplicate pair is kept. The embedding-space twin of the MinHash
+    * text dedup, with the same two skew guards that make that path
+    * scale: (1) multi-table banded LSH — DedupTables independent
+    * DedupPlanes-bit hash tables, so recall compounds across tables
+    * ((1-p^k)^L miss rate) instead of relying on one table, and the
+    * table count / plane count tune with corpus size; (2) a MaxBucket
+    * window-count cap BEFORE collect_list — a bucket shared by
+    * hundreds of vectors is a degenerate direction, not a near-dup
+    * signal, and dropping it bounds per-bucket memory and pair count
+    * at any scale. */
+  val DupCosT     = 0.95
+  val DedupTables = 4  // L independent hash tables (bands)
+  val DedupPlanes = 8  // k sign bits per table
+  val MaxBucket   = 64 // buckets above this size carry no dedup signal
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val v = vectors(s, d).withColumn("bucket", bucketCol("embedding"))
-    val dup = v
-      .groupBy(col("bucket"))
+    val v = vectors(s, d)
+    val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until DedupTables).map { t =>
+        struct(lit(t).as("band"), bucketColFor("embedding", t * DedupPlanes, DedupPlanes).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val capped = banded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bn") <= MaxBucket).drop("bn")
+    val dup = capped
+      .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))
       .select(explode(expr(
         "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
@@ -129,7 +152,7 @@ object AnnOps {
       .filter(expr("vec_dot(cast(p.ea as array<double>), cast(p.eb as array<double>))") /
         (col("p.na") * col("p.nb")) >= DupCosT)
       .select(col("p.idb").as("vec_id")).distinct()
-    vectors(s, d).join(dup, Seq("vec_id"), "left_anti").select("vec_id")
+    v.join(dup, Seq("vec_id"), "left_anti").select("vec_id")
   }
 
   // ---- IVF (coarse-quantizer) variant ----------------------------
@@ -195,13 +218,17 @@ object AnnOps {
 
   private val cosSql = s"${Portable.dotSql("qe", "embedding")} / (qn * nrm)"
 
-  private def bucketSql(e: String): String =
-    (0 until NPlanes).map { j =>
-      s"CASE WHEN ${Portable.dotSql(e, s"pl$j")} > 0 THEN ${1L << j} ELSE 0 END"
+  private def bucketSqlFor(e: String, off: Int, n: Int): String =
+    (0 until n).map { j =>
+      s"CASE WHEN ${Portable.dotSql(e, s"pl${off + j}")} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  private val planesCte =
-    s"""pl AS (SELECT ${(0 until NPlanes).map(j => s"${planeSqlList(j)}::DOUBLE[] AS pl$j").mkString(", ")})""".stripMargin
+  private def bucketSql(e: String): String = bucketSqlFor(e, 0, NPlanes)
+
+  private def planesCteFor(n: Int): String =
+    s"""pl AS (SELECT ${(0 until n).map(j => s"${planeSqlList(j)}::DOUBLE[] AS pl$j").mkString(", ")})""".stripMargin
+
+  private val planesCte = planesCteFor(NPlanes)
 
   private val centroidsCte: String =
     "cells AS (SELECT * FROM (VALUES " +
@@ -234,11 +261,18 @@ object AnnOps {
          |  FROM scored)
          |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH $vecCte, $planesCte,
-         |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),
+      s"""WITH $vecCte, ${planesCteFor(DedupTables * DedupPlanes)},
+         |vb0 AS (
+         |  ${(0 until DedupTables).map(t =>
+              s"SELECT vec_id, embedding, nrm, $t AS band, ${bucketSqlFor("embedding", t * DedupPlanes, DedupPlanes)} AS bkey FROM vecs, pl"
+            ).mkString("\n  UNION ALL ")}),
+         |vb AS (
+         |  SELECT vec_id, embedding, nrm, band, bkey FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM vb0)
+         |  WHERE bn <= $MaxBucket),
          |dup AS (
          |  SELECT DISTINCT b.vec_id
-         |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
          |  WHERE ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= ${DupCosT}e0)
          |SELECT vec_id FROM vecs WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
     "ann_cosine_topk" ->

@@ -133,13 +133,13 @@ object EventOps {
          |  FROM b)
          |SELECT user_id, session_idx, count(*) AS n_events,
          |       max(ts_us) - min(ts_us) AS duration_us,
-         |       sum(cents) AS sum_cents
+         |       CAST(sum(cents) AS BIGINT) AS sum_cents
          |FROM sess GROUP BY user_id, session_idx""".stripMargin,
     "user_running_aggs" ->
       s"""WITH $evCte
          |SELECT event_id, user_id,
          |  count(*) OVER w AS r_count,
-         |  sum(cents) OVER w AS r_cents,
+         |  CAST(sum(cents) OVER w AS BIGINT) AS r_cents,
          |  max(cents) OVER w AS r_max_cents,
          |  CAST(sum(cents) OVER w AS DOUBLE) / 100e0 AS r_dollars
          |FROM ev

@@ -40,13 +40,25 @@ object TextOps {
     Tables.documents(s, d).withColumn("tk", Portable.tokens(col("text")))
 
   /** doc_id, hs (shingle hash list, order-preserving), shset (distinct
-    * shingles) — the single scan every dedup operator builds on. */
+    * shingles) — the single scan every dedup operator builds on.
+    *
+    * Persisted: the tokenize→shingle→md5 pipeline is the dominant CPU
+    * kernel of the whole dedup family, and the uncached plan evaluates
+    * it up to 4× per query (band generation + both sides of the
+    * Jaccard verification join each re-derive it). Spark's cache
+    * manager matches the fragment across separately built DataFrames,
+    * so one materialization feeds minhash bands, Jaccard verify, and
+    * the simhash fingerprints — the distributed equivalent of a
+    * web-dedup pipeline's "write the signature table once" step. The
+    * cached projection is 3 narrow columns, orders of magnitude
+    * smaller than the raw corpus. */
   private def hashed(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("sh", Portable.shingles(col("tk"), ShingleN))
       .select(col("doc_id"),
         transform(col("sh"), x => Portable.hmod(x)).as("hs"),
         array_distinct(col("sh")).as("shset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def sigCol: Column = array((0 until MinhashK).map { j =>
     coalesce(

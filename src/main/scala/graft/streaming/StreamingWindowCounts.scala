@@ -44,6 +44,6 @@ object StreamingWindowCounts {
   val oracle: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
       |       event_type, count(*) AS n,
-      |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 }
