@@ -34,7 +34,15 @@ object MergeOps {
   val SemiMagMin = 5.0
 
   def mergeFlatfile(s: SparkSession, dir: String): DataFrame = {
-    val r  = Catalog.records(s, dir)
+    import graft.functions.Sdof
+    // pSA columns (the reference flatfile's dominant payload) computed
+    // on the fact side BEFORE the joins: 4 doubles cross the shuffle
+    // instead of the 16-element series they reduce.
+    val r = Catalog.records(s, dir)
+      .withColumn("ps", expr(Sdof.psSpark))
+      .withColumns(Sdof.Periods.map(t =>
+        Sdof.colName(t) -> expr(Sdof.psaSpark(t, "ps"))).toMap)
+      .drop("ps")
     val st = Catalog.stations(s, dir)
     // Single orders scan: carry the provenance key (o_custkey) alongside
     // the event-catalogue derivation instead of re-scanning orders.
@@ -55,10 +63,11 @@ object MergeOps {
       .join(broadcast(st), Seq("sta"), "left")
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .select(col("record_id"), col("evid"), col("sta"), col("chan"),
+      .select(Seq(col("record_id"), col("evid"), col("sta"), col("chan"),
         col("mag"), col("ev_lat"), col("ev_lon"), col("ev_depth"),
         col("sta_lat"), col("sta_lon"), col("sta_vs30"),
-        col("score_x"), col("fmin"), col("network"))
+        col("score_x"), col("fmin"), col("network")) ++
+        graft.functions.Sdof.Periods.map(t => col(graft.functions.Sdof.colName(t))): _*)
   }
 
   private val argminWin =
@@ -144,17 +153,21 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
-    "merge_flatfile" -> Catalog.oracle(
-      """SELECT r.record_id, r.evid, r.sta, r.chan,
-        |       e.mag, e.ev_lat, e.ev_lon, e.ev_depth,
-        |       s.sta_lat, s.sta_lon, s.sta_vs30,
-        |       r.score_x, r.fmin, n.n_name AS network
-        |FROM gm_records r
-        |JOIN gm_events e ON r.evid = e.evid
-        |LEFT JOIN gm_stations s ON r.sta = s.sta
-        |JOIN orders o ON r.evid = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin),
+    "merge_flatfile" -> Catalog.oracle {
+      import graft.functions.Sdof
+      s"""SELECT r.record_id, r.evid, r.sta, r.chan,
+         |       e.mag, e.ev_lat, e.ev_lon, e.ev_depth,
+         |       s.sta_lat, s.sta_lon, s.sta_vs30,
+         |       r.score_x, r.fmin, n.n_name AS network,
+         |       ${Sdof.Periods.map(t => s"r.${Sdof.colName(t)}").mkString(", ")}
+         |FROM (SELECT *, ${Sdof.Periods.map(t => s"${Sdof.psaSql(t, "ps")} AS ${Sdof.colName(t)}").mkString(", ")}
+         |      FROM (SELECT *, ${Sdof.psSql} AS ps FROM gm_records)) r
+         |JOIN gm_events e ON r.evid = e.evid
+         |LEFT JOIN gm_stations s ON r.sta = s.sta
+         |JOIN orders o ON r.evid = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
+    },
     "ground_level_argmin" -> Catalog.oracle(
       """SELECT evid, sta, record_id, loc_elev FROM (
         |  SELECT evid, sta, record_id, loc_elev,

@@ -108,11 +108,28 @@ object SignalOps {
         (sum(abs(col("acc_c"))).cast("double") / 100.0).as("cav"))
       .select(recordId.as("record_id"), col("chan"), col("pga"), col("rms"), col("cav"))
 
+  /** pSA at the published periods (`calculation/ims.py:18-97`,
+    * `psa_periods` at :142): per record, a 5%-damped SDOF oscillator
+    * response over the synthetic acceleration series, reduced to its
+    * peak — the [[graft.functions.Sdof]] Newmark fold. Pure projection
+    * (no shuffle, no UDF): the recurrence runs as a codegen'd
+    * higher-order `aggregate` over a materialized 16-element array, so
+    * at 100 TB this is an embarrassingly parallel map over records
+    * with per-row cost `periods x steps`. */
+  def imPsa(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Sdof
+    Catalog.records(s, d)
+      .select(col("record_id"), col("chan"), expr(Sdof.psSpark).as("ps"))
+      .select(Seq(col("record_id"), col("chan")) ++
+        Sdof.Periods.map(t => expr(Sdof.psaSpark(t, "ps")).as(Sdof.colName(t))): _*)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "snr_stats"       -> (snrStats _),
     "fmax_screening"  -> (fmaxScreening _),
     "station_mag_agg" -> (stationMagAgg _),
-    "im_calc"         -> (imCalc _)
+    "im_calc"         -> (imCalc _),
+    "im_psa"          -> (imPsa _)
   )
 
   private val gridCte =
@@ -153,6 +170,12 @@ object SignalOps {
         |  sqrt(CAST(sum(acc_c * acc_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100e0 AS rms,
         |  CAST(sum(abs(acc_c)) AS DOUBLE) / 100e0 AS cav
         |FROM grid GROUP BY record_id, chan""".stripMargin, gridCte),
+    "im_psa" -> Catalog.oracle {
+      import graft.functions.Sdof
+      s"""SELECT record_id, chan,
+         |  ${Sdof.Periods.map(t => s"${Sdof.psaSql(t, "ps")} AS ${Sdof.colName(t)}").mkString(",\n  ")}
+         |FROM (SELECT record_id, chan, ${Sdof.psSql} AS ps FROM gm_records)""".stripMargin
+    },
     "station_mag_agg" -> Catalog.oracle(
       """SELECT evid,
         |  count(*) AS n_mags,
