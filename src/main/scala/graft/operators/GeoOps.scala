@@ -138,6 +138,60 @@ object GeoOps {
     ev.select(col("evid"), col("ev_lat"), col("ev_lon"), domainCase.as("domain"))
   }
 
+  // ---- TVZ path terms --------------------------------------------
+
+  /** Taupo-volcanic-zone path terms (`calculation/distances.py:674
+    * distance_in_taupo`): for each event→station path, the fraction of
+    * the path crossing the TVZ polygon (the reference's `tvz_length`,
+    * its km length normalized by r_epi and capped at 1) and the
+    * station-to-boundary distance (`boundary_dist`, 0 when the station
+    * sits inside the zone, NULL when the path never crosses).
+    *
+    * Shape: the same broadcast-station banded join as
+    * [[eventStationDistances]], then a Liang-Barsky parametric clip of
+    * the segment against the convex quad's four half-planes — each
+    * edge contributes a linear function a_i + t·b_i whose sign gates
+    * entry/exit, so the whole geometry is +,-,*,/ and comparisons:
+    * bit-exact cross-engine, no trig, no shapely-style geometry lib.
+    * Deviations from the reference's shapely quirks (first-geom pick
+    * on MultiPoint) are resolved deterministically: boundary_dist is
+    * measured to the path's exit crossing, which coincides with the
+    * reference for the simple entry/exit case and is well-defined for
+    * all others. */
+  def tvzPath(s: SparkSession, d: String): DataFrame = {
+    val verts = domains.find(_._2 == "TVZ").get._3
+    def edgeF(i: Int, px: Column, py: Column): Column = {
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      lit(x2 - x1) * (py - lit(y1)) - lit(y2 - y1) * (px - lit(x1))
+    }
+    val ev = Catalog.events(s, d)
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
+    val st = Catalog.stations(s, d)
+      .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
+    val dx = dxKm
+    val dy = dyKm
+    val base = ev.join(broadcast(st), Seq("band"))
+      .withColumn("r_epi", sqrt(dx * dx + dy * dy))
+      .filter(col("r_epi") <= MaxKm)
+    val withF = verts.indices.foldLeft(base) { (df, i) =>
+      df.withColumn(s"fa$i", edgeF(i, col("ev_lon"), col("ev_lat")))
+        .withColumn(s"fb$i", edgeF(i, col("sta_lon"), col("sta_lat")) - col(s"fa$i"))
+    }
+    val lows  = verts.indices.map(i => when(col(s"fb$i") > 0, -col(s"fa$i") / col(s"fb$i")).otherwise(lit(0.0)))
+    val highs = verts.indices.map(i => when(col(s"fb$i") < 0, -col(s"fa$i") / col(s"fb$i")).otherwise(lit(1.0)))
+    val degenerate = verts.indices.map(i => col(s"fb$i") === 0 && col(s"fa$i") < 0).reduce(_ || _)
+    withF
+      .withColumn("t_lo", greatest(lit(0.0) +: lows: _*))
+      .withColumn("t_hi", least(lit(1.0) +: highs: _*))
+      .withColumn("crossed", !degenerate && col("t_lo") < col("t_hi"))
+      .select(col("evid"), col("sta"),
+        when(col("crossed"), col("t_hi") - col("t_lo")).otherwise(lit(0.0)).as("tvz_length"),
+        when(col("crossed"), (lit(1.0) - col("t_hi")) * col("r_epi"))
+          .otherwise(lit(null).cast("double")).as("boundary_dist"))
+  }
+
   // ---- aftershock flagging ---------------------------------------
 
   val MagGapMin = 0.5 // mainshock must exceed by this
@@ -231,6 +285,7 @@ object GeoOps {
     "event_station_distances" -> (eventStationDistances _),
     "rrup_distances"          -> (rrupDistances _),
     "tect_domain"             -> (tectDomain _),
+    "tvz_path"                -> (tvzPath _),
     "aftershock_flags"        -> (aftershockFlags _),
     "aftershock_mainshock"    -> (aftershockMainshock _),
     "decimal_year"            -> (decimalYear _)
@@ -292,6 +347,37 @@ object GeoOps {
          |           ev_depth * 5e-1 AS ztop
          |    FROM gm_events WHERE mag >= ${RupMagMin}e0) p
          |) WHERE r_jb <= ${MaxKm}e0""".stripMargin),
+    "tvz_path" -> Catalog.oracle {
+      val verts = domains.find(_._2 == "TVZ").get._3
+      def edgeFSql(i: Int, px: String, py: String): String = {
+        val (x1, y1) = verts(i)
+        val (x2, y2) = verts((i + 1) % verts.size)
+        s"(${x2 - x1}e0 * ($py - ${y1}e0) - ${y2 - y1}e0 * ($px - ${x1}e0))"
+      }
+      val n = verts.indices
+      val repi =
+        s"""sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+           |   + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))""".stripMargin
+      s"""SELECT evid, sta,
+         |  CASE WHEN crossed THEN t_hi - t_lo ELSE 0e0 END AS tvz_length,
+         |  CASE WHEN crossed THEN (1e0 - t_hi) * r_epi ELSE NULL END AS boundary_dist
+         |FROM (
+         |  SELECT *, (NOT degenerate) AND t_lo < t_hi AS crossed FROM (
+         |    SELECT *,
+         |      greatest(0e0, ${n.map(i => s"CASE WHEN fb$i > 0 THEN -fa$i / fb$i ELSE 0e0 END").mkString(", ")}) AS t_lo,
+         |      least(1e0, ${n.map(i => s"CASE WHEN fb$i < 0 THEN -fa$i / fb$i ELSE 1e0 END").mkString(", ")}) AS t_hi,
+         |      (${n.map(i => s"(fb$i = 0 AND fa$i < 0)").mkString(" OR ")}) AS degenerate
+         |    FROM (
+         |      SELECT *, ${n.map(i => s"fs$i - fa$i AS fb$i").mkString(", ")} FROM (
+         |        SELECT e.evid, s.sta, $repi AS r_epi,
+         |          ${n.map(i => s"${edgeFSql(i, "e.ev_lon", "e.ev_lat")} AS fa$i").mkString(",\n          ")},
+         |          ${n.map(i => s"${edgeFSql(i, "s.sta_lon", "s.sta_lat")} AS fs$i").mkString(",\n          ")}
+         |        FROM gm_events e JOIN gm_stations s ON $repi <= ${MaxKm}e0
+         |      )
+         |    )
+         |  )
+         |)""".stripMargin
+    },
     "tect_domain" -> Catalog.oracle(
       s"""SELECT evid, ev_lat, ev_lon,
          |  CASE ${domains.sortBy(_._1).map { case (_, name, verts) =>
