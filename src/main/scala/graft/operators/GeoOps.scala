@@ -271,6 +271,132 @@ object GeoOps {
       .select(col("evid"), col("mag"), col("m_evid").as("main_evid"), col("m_mag").as("main_mag"))
   }
 
+  // ---- greedy ABWD cluster labels --------------------------------
+
+  /** Qualifying (event, container) pairs for the ABWD greedy
+    * (`aftershocks.py:222 abwd_crjb`): container m is order-earlier
+    * (mag DESC, evid ASC — the deterministic stand-in for numpy's
+    * reversed stable argsort) and the event falls inside m's FORWARD
+    * time window and spatial window. Unlike the Gardner-Knopoff
+    * flags, ABWD has no magnitude-gap condition and only looks
+    * forward in time. Same per-magnitude-class banded join shape as
+    * [[aftershockPairs]]. */
+  private[graft] def abwdPairs(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog.events(s, d)
+    val offsets = explode(array((for (t <- -1 to 1; la <- -1 to 1; lo <- -1 to 1)
+      yield struct(lit(t.toLong).as("t"), lit(la.toLong).as("la"), lit(lo.toLong).as("lo"))): _*)).as("off")
+    magClasses.map { case (cls, tUs, dKm, bandDeg) =>
+      val lonDeg = lonBandDeg(dKm)
+      val mains = ev.filter(floor(col("mag")) === cls)
+        .select(col("evid").as("m_evid"), col("mag").as("m_mag"), col("ev_us").as("m_us"),
+          col("ev_lat").as("m_lat"), col("ev_lon").as("m_lon"), offsets)
+        .select(col("m_evid"), col("m_mag"), col("m_us"), col("m_lat"), col("m_lon"),
+          (expr(s"m_us div $tUs") + col("off.t")).as("tb"),
+          (floor(col("m_lat") / bandDeg).cast("long") + col("off.la")).as("lb"),
+          (floor(col("m_lon") / lonDeg).cast("long") + col("off.lo")).as("lob"))
+      val subs = ev.select(col("evid"), col("mag"), col("ev_us"),
+        col("ev_lat"), col("ev_lon"),
+        expr(s"ev_us div $tUs").as("tb"),
+        floor(col("ev_lat") / bandDeg).cast("long").as("lb"),
+        floor(col("ev_lon") / lonDeg).cast("long").as("lob"))
+      val dx = (col("m_lon") - col("ev_lon")) * KmPerDegLon
+      val dy = (col("m_lat") - col("ev_lat")) * KmPerDegLat
+      subs.join(mains, Seq("tb", "lb", "lob"))
+        .filter(col("m_evid") =!= col("evid"))
+        .filter(col("m_mag") > col("mag") ||
+          (col("m_mag") === col("mag") && col("m_evid") < col("evid")))
+        .filter(col("ev_us") >= col("m_us") && col("ev_us") - col("m_us") <= tUs)
+        .filter(sqrt(dx * dx + dy * dy) <= dKm)
+        .select("evid", "m_evid", "m_mag")
+    }.reduce(_ unionByName _)
+  }
+
+  val MaxAbwdRounds = 500
+
+  /** Greedy ABWD cluster labels (`aftershocks.py:222`; reference test
+    * `tests/test_aftershocks.py:52`): walk the catalogue in magnitude
+    * order; each still-unlabeled event becomes a mainshock and claims
+    * every still-unlabeled event in its window.
+    *
+    * Sequential on paper, but batchable without changing the result:
+    * an event whose order-first potential container is itself
+    * undecided cannot be resolved yet, while an event with NO
+    * undecided order-earlier container is guaranteed to be reached
+    * unlabeled — so each round promotes exactly those to mainshocks
+    * and hands each remaining event to its order-first container iff
+    * that container was just promoted (claims in the sequential greedy
+    * always go to the order-first eventual mainshock). Rounds needed =
+    * depth of the container-dependency chain — a function of local
+    * catalogue density, not catalogue size, and the event table is the
+    * SMALL table of the schema (≪ records), so a driver loop of
+    * anti-joins over a persisted pair table is the right scale shape.
+    * Lineage is cut every round with an eager localCheckpoint.
+    *
+    * Output: cluster_evid = the claiming mainshock's evid (its own for
+    * clustered mainshocks, NULL for events in no cluster — the
+    * reference's label-0), is_aftershock flag. */
+  def aftershockClusters(s: SparkSession, d: String): DataFrame =
+    abwdLabel(Catalog.events(s, d).select(col("evid")), abwdPairs(s, d))
+
+  /** The batched greedy itself, factored over explicit (events, pairs)
+    * inputs so tests can drive it with hand-computed fixtures.
+    * `events`: one `evid` per catalogue event; `pairs`: qualifying
+    * (evid, m_evid, m_mag) container pairs, m order-earlier.
+    *
+    * Round invariants (the equivalence proof with the sequential
+    * greedy): containers decided as aftershocks never claim, so they
+    * drop out of the live pair table; promoted mainshocks REMAIN
+    * claim-eligible forever (their claimables can free up when an
+    * order-earlier blocker is claimed in a later round). An undecided
+    * event with no remaining container is promoted; an undecided
+    * event whose order-first remaining container is a known mainshock
+    * is claimed by it — exactly the order-first eventual-mainshock
+    * container, which is the sequential claimer. The order-first
+    * undecided event always resolves, so every round progresses. */
+  private[graft] def abwdLabel(events: DataFrame, pairsIn: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = pairsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    var undecided = events.select(col("evid")).localCheckpoint(true)
+    var mainsAll = undecided.limit(0).localCheckpoint(true)
+    var aftershocksAll = undecided.limit(0).localCheckpoint(true)
+    val w = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
+    var decided = List.empty[DataFrame]
+    var rounds = 0
+    while (!undecided.isEmpty && rounds < MaxAbwdRounds) {
+      rounds += 1
+      val live = pairs
+        .join(undecided, Seq("evid"), "left_semi")
+        .join(aftershocksAll.select(col("evid").as("m_evid")), Seq("m_evid"), "left_anti")
+      val c1 = live.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("evid"), col("m_evid").as("c1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val mains = undecided.join(c1, Seq("evid"), "left_anti")
+      mainsAll = mainsAll.unionByName(mains).localCheckpoint(true)
+      val claims = c1.join(mainsAll.select(col("evid").as("c1")), Seq("c1"), "left_semi")
+      val decidedR = mains
+        .select(col("evid"), col("evid").as("cluster_evid"), lit(false).as("is_aftershock"))
+        .unionByName(claims.select(col("evid"), col("c1").as("cluster_evid"),
+          lit(true).as("is_aftershock")))
+        .localCheckpoint(true)
+      decided ::= decidedR
+      aftershocksAll = aftershocksAll
+        .unionByName(claims.select(col("evid"))).localCheckpoint(true)
+      undecided = undecided.join(decidedR.select("evid"), Seq("evid"), "left_anti")
+        .localCheckpoint(true)
+      c1.unpersist()
+    }
+    require(undecided.isEmpty, s"ABWD greedy did not converge in $MaxAbwdRounds rounds")
+    pairs.unpersist()
+    val lab = decided.reduce(_ unionByName _)
+    val clustered = lab.filter(col("is_aftershock"))
+      .select(col("cluster_evid").as("ce")).distinct()
+    lab.join(clustered, lab("cluster_evid") === clustered("ce"), "left")
+      .select(col("evid"),
+        when(col("is_aftershock") || col("ce").isNotNull, col("cluster_evid"))
+          .otherwise(lit(null).cast("long")).as("cluster_evid"),
+        col("is_aftershock"))
+  }
+
   def decimalYear(s: SparkSession, d: String): DataFrame = {
     val ts = timestamp_micros(col("ev_us"))
     val y = year(ts)
@@ -288,6 +414,10 @@ object GeoOps {
     "tvz_path"                -> (tvzPath _),
     "aftershock_flags"        -> (aftershockFlags _),
     "aftershock_mainshock"    -> (aftershockMainshock _),
+    // no SQL oracle: the greedy is a driver loop, not a single query —
+    // the driver records a rows-only check; semantics are unit-tested
+    // against hand-computed sequential-greedy fixtures.
+    "aftershock_clusters"     -> (aftershockClusters _),
     "decimal_year"            -> (decimalYear _)
   )
 

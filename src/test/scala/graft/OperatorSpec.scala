@@ -51,9 +51,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("driver contract: every query has an oracle and distinct output columns") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+    // Iterative driver-loop operators are not single-query SQL; the
+    // driver records a rows-only check for them (no oracle entry).
+    val rowsOnly = Set("aftershock_clusters")
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly,
       s"queries/oracles key mismatch: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} " +
-        s"/ ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}")
+        s"/ ${(SparkEntry.queries.keySet -- rowsOnly).diff(SparkEntry.oracleSql.keySet)}")
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !name.startsWith("streaming_")) {
       val cols = SparkEntry.queries(name)(spark, Sf).columns.toSeq
       assert(cols.distinct.length == cols.length, s"$name has duplicate output columns: $cols")
@@ -247,6 +250,55 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getInt(4)))
     assert(rows.nonEmpty)
     assert(rows.forall { case (epi, hyp, oct) => hyp >= epi && epi <= GeoOps.MaxKm && oct >= 0 && oct <= 7 })
+  }
+
+  test("abwd greedy matches the sequential reference on a hand-computed fixture") {
+    val sp = spark; import sp.implicits._
+    // The interleaved case where naive parallel batching diverges from
+    // the sequential greedy (A > B > C > E > D by order; A∋B, B∋C,
+    // C∋D, E∋D): sequentially A claims B, then C — never claimed,
+    // because B was — becomes a mainshock and claims D before E runs.
+    val events = Seq(1L, 2L, 3L, 4L, 5L).toDF("evid")
+    val pairs = Seq(
+      (2L, 1L, 5.0), // B in A's window
+      (3L, 2L, 4.0), // C in B's window
+      (5L, 3L, 3.0), // D in C's window
+      (5L, 4L, 2.5)  // D in E's window
+    ).toDF("evid", "m_evid", "m_mag")
+    val out = GeoOps.abwdLabel(events, pairs).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2))).toMap
+    assert(out(1L) == ((Some(1L), false)))
+    assert(out(2L) == ((Some(1L), true)))
+    assert(out(3L) == ((Some(3L), false)))
+    assert(out(5L) == ((Some(3L), true)))
+    assert(out(4L) == ((None, false))) // E: mainshock with no aftershocks
+  }
+
+  test("abwd clusters match a sequential greedy replay on the sf0.001 catalogue") {
+    val pairs = GeoOps.abwdPairs(spark, Sf)
+      .select("evid", "m_evid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val claimable = pairs.groupBy(_._2).map { case (m, ps) => m -> ps.map(_._1).toSet }
+    val order = graft.model.Catalog.events(spark, Sf).select("evid", "mag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy { case (evid, mag) => (-mag, evid) }
+      .map(_._1)
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    val flagged = scala.collection.mutable.Set.empty[Long]
+    for (i <- order if !label.contains(i)) {
+      val claims = claimable.getOrElse(i, Set.empty).filterNot(label.contains)
+      if (claims.nonEmpty) {
+        label(i) = i
+        claims.foreach { e => label(e) = i; flagged += e }
+      }
+    }
+    val out = GeoOps.aftershockClusters(spark, Sf).collect()
+    assert(out.length == order.length)
+    for (r <- out) {
+      val evid = r.getLong(0)
+      val clus = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(clus == label.get(evid), s"evid $evid: cluster $clus vs sequential ${label.get(evid)}")
+      assert(r.getBoolean(2) == flagged.contains(evid), s"evid $evid: flag mismatch")
+    }
   }
 
   test("aftershock flags: flagged events always have a qualifying larger neighbor") {
