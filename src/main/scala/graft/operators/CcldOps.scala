@@ -43,12 +43,110 @@ object CcldOps {
         (col("mx1").cast("double") * 360.0 / UScale.toDouble).as("strike_max"))
   }
 
-  val queries: Map[String, QueryFn] = Map("ccld_sample" -> (ccldSample _))
+  // ---- category weighting + preferred mechanism ------------------
+
+  /** Per-category simulation allocation (`ccldpy.py` nsims: the seven
+    * M-scaling relationships get 334/333/333/111/111/111/333 draws).
+    * Draw k of NSamples is assigned the category holding position
+    * k*WTot/NSamples in the cumulative weight line — the exact
+    * proportional-allocation integer arithmetic, precomputed per k. */
+  val CatWeights: Seq[Int] = Seq(334, 333, 333, 111, 111, 111, 333)
+  val WTot: Int = CatWeights.sum
+  private val cumW = CatWeights.scanLeft(0)(_ + _)
+  private[graft] def catOf(k: Int): Int =
+    cumW.indices.dropRight(1).find(c =>
+      cumW(c) * NSamples <= k * WTot && k * WTot < cumW(c + 1) * NSamples).get
+
+  /** Style-of-faulting from the rake angle (`ccldpy.py:443
+    * get_mechanism_based_on_rake`, Ancheta et al. 2013 bands). */
+  private def mechSqlCase(rake: String): String =
+    s"""CASE WHEN $rake < -150e0 OR ($rake >= -30e0 AND $rake < 30e0) OR $rake >= 150e0 THEN 'SS'
+       |     WHEN $rake >= -150e0 AND $rake < -30e0 THEN 'NM'
+       |     ELSE 'RV' END""".stripMargin
+
+  /** Category-weighted preferred-mechanism selection (`ccldpy.py`
+    * method-"E" path: simulations randomize the mechanism, the
+    * product keeps the weighted consensus and a representative median
+    * draw). Per event: draws carry their category weight; the
+    * mechanism with the largest weighted vote wins (name tiebreak);
+    * the selected rupture is the median-by-strike draw of the winning
+    * mechanism — two window passes over one draw table, no
+    * driver-side loop, every value integer-derived or an exact
+    * double scaling so the DuckDB twin is bit-exact. */
+  def ccldPreferred(s: SparkSession, d: String): DataFrame = {
+    val wArr = array((0 until NSamples).map(k => lit(CatWeights(catOf(k)))): _*)
+    val catArr = array((0 until NSamples).map(k => lit(catOf(k))): _*)
+    val draws = Catalog.events(s, d)
+      .select(col("evid"), explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
+      .select(col("evid"), col("k"),
+        element_at(catArr, col("k") + 1).as("cat"),
+        element_at(wArr, col("k") + 1).cast("long").as("w"),
+        (Portable.h60(concat(col("evid").cast("string"), lit("_s"), col("k").cast("string"))) % UScale).as("u1"),
+        (Portable.h60(concat(col("evid").cast("string"), lit("_d"), col("k").cast("string"))) % UScale).as("u2"),
+        (Portable.h60(concat(col("evid").cast("string"), lit("_r"), col("k").cast("string"))) % UScale).as("u3"))
+      .select(col("evid"), col("k"), col("cat"), col("w"),
+        (col("u1").cast("double") * 360.0 / UScale.toDouble).as("strike"),
+        (col("u2").cast("double") * 90.0 / UScale.toDouble).as("dip"),
+        (col("u3").cast("double") * 360.0 / UScale.toDouble - 180.0).as("rake"))
+      .withColumn("mech", expr(mechSqlCase("rake")))
+    val byMech = draws.groupBy(col("evid"), col("mech"))
+      .agg(sum(col("w")).as("w_votes"), count(lit(1)).as("n_mech"))
+    val prefW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("evid")).orderBy(col("w_votes").desc, col("mech"))
+    val pref = byMech.withColumn("rn", row_number().over(prefW)).filter(col("rn") === 1)
+      .select(col("evid"), col("mech"), col("w_votes"), col("n_mech"))
+    val selW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("evid")).orderBy(col("strike"), col("k"))
+    draws.join(pref, Seq("evid", "mech"))
+      .withColumn("rn", row_number().over(selW))
+      .filter(col("rn") === expr("(n_mech + 1) div 2"))
+      .select(col("evid"), col("mech").as("pref_mech"), col("w_votes"),
+        col("n_mech"), col("k").cast("long").as("sel_k"), col("cat").cast("long").as("sel_cat"),
+        col("strike").as("sel_strike"), col("dip").as("sel_dip"), col("rake").as("sel_rake"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "ccld_sample"    -> (ccldSample _),
+    "ccld_preferred" -> (ccldPreferred _))
 
   private def uSql(tag: String): String =
     s"(${Portable.h60Sql(s"CAST(evid AS VARCHAR) || '_$tag' || CAST(t.k AS VARCHAR)")} % $UScale)"
 
   val oracles: Map[String, String] = Map(
+    "ccld_preferred" -> Catalog.oracle(
+      s"""SELECT evid, mech AS pref_mech, w_votes, n_mech,
+         |  CAST(k AS BIGINT) AS sel_k, CAST(cat AS BIGINT) AS sel_cat,
+         |  strike AS sel_strike, dip AS sel_dip, rake AS sel_rake
+         |FROM (
+         |  SELECT m.evid, m.mech, p.w_votes, p.n_mech, m.k, m.cat, m.strike, m.dip, m.rake,
+         |         row_number() OVER (PARTITION BY m.evid ORDER BY m.strike, m.k) AS rn
+         |  FROM (
+         |    SELECT *, ${mechSqlCase("rake")} AS mech FROM (
+         |      SELECT evid, t.k, a.cat, a.w,
+         |        (CAST(${uSql("s")} AS DOUBLE) * 360e0 / ${UScale}e0) AS strike,
+         |        (CAST(${uSql("d")} AS DOUBLE) * 90e0 / ${UScale}e0) AS dip,
+         |        (CAST(${uSql("r")} AS DOUBLE) * 360e0 / ${UScale}e0 - 180e0) AS rake
+         |      FROM gm_events, range(0, $NSamples) t(k)
+         |      JOIN (VALUES ${(0 until NSamples).map(k => s"($k, ${catOf(k)}, ${CatWeights(catOf(k))})").mkString(", ")})
+         |           a(k, cat, w) ON a.k = t.k
+         |    )
+         |  ) m
+         |  JOIN (
+         |    SELECT evid, mech, w_votes, n_mech FROM (
+         |      SELECT evid, mech, CAST(sum(w) AS BIGINT) AS w_votes, count(*) AS n_mech,
+         |             row_number() OVER (PARTITION BY evid ORDER BY CAST(sum(w) AS BIGINT) DESC, mech) AS rn
+         |      FROM (
+         |        SELECT *, ${mechSqlCase("rake")} AS mech FROM (
+         |          SELECT evid, t.k, a.w,
+         |            (CAST(${uSql("r")} AS DOUBLE) * 360e0 / ${UScale}e0 - 180e0) AS rake
+         |          FROM gm_events, range(0, $NSamples) t(k)
+         |          JOIN (VALUES ${(0 until NSamples).map(k => s"($k, ${catOf(k)}, ${CatWeights(catOf(k))})").mkString(", ")})
+         |               a(k, cat, w) ON a.k = t.k
+         |        )
+         |      ) GROUP BY evid, mech
+         |    ) WHERE rn = 1
+         |  ) p ON m.evid = p.evid AND m.mech = p.mech
+         |) WHERE rn = (n_mech + 1) // 2""".stripMargin),
     "ccld_sample" -> Catalog.oracle(
       s"""SELECT evid, count(*) AS n_samples,
          |  CAST(sum(u1) AS DOUBLE) * 360e0 / ${UScale * NSamples}e0 AS strike_mean,

@@ -72,6 +72,45 @@ object GeoOps {
         azOctant(dx, dy).as("az_oct"))
   }
 
+  // Mean Earth radius (IUGG), km — the spherical production metric.
+  val EarthRadiusKm = 6371.0088
+
+  /** Production-grade source-to-site distances: great-circle r_epi
+    * (haversine) and initial bearing in degrees — the user-facing twin
+    * of [[eventStationDistances]], matching the reference's geodesic
+    * outputs (`calculation/distances.py:581 geo.get_distances`, pyproj
+    * `Geod`; spherical haversine here, WGS-84 flattening is a <0.6%
+    * refinement). Trig is NOT bit-portable cross-engine
+    * (dev/PORTABILITY.md), so this variant is rows-only at the gate
+    * and value-checked by a driver-side recompute test; the candidate
+    * pair set (banded join + equirectangular cutoff) is IDENTICAL to
+    * the bit-exact gate operator, so the two variants publish the same
+    * rows with refined values. */
+  def eventStationDistancesGeo(s: SparkSession, d: String): DataFrame = {
+    val ev = Catalog.events(s, d)
+      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
+    val st = Catalog.stations(s, d)
+      .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
+    val dx = dxKm
+    val dy = dyKm
+    val phi1 = radians(col("ev_lat"))
+    val phi2 = radians(col("sta_lat"))
+    val dphi = radians(col("sta_lat") - col("ev_lat"))
+    val dlam = radians(col("sta_lon") - col("ev_lon"))
+    val sp = sin(dphi / 2)
+    val sl = sin(dlam / 2)
+    val h = sp * sp + cos(phi1) * cos(phi2) * sl * sl
+    val rEpi = lit(2 * EarthRadiusKm) * asin(sqrt(h))
+    val az = (degrees(atan2(sin(dlam) * cos(phi2),
+      cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dlam))) + 360) % 360
+    ev.join(broadcast(st), Seq("band"))
+      .filter(sqrt(dx * dx + dy * dy) <= MaxKm)
+      .select(col("evid"), col("sta"), rEpi.as("r_epi"),
+        sqrt(rEpi * rEpi + col("ev_depth") * col("ev_depth")).as("r_hyp"),
+        az.as("azimuth_deg"))
+  }
+
   /** Rupture-plane distances (`distances.py` r_rup / r_jb): for large
     * events a finite rupture surface replaces the point source. The
     * synthetic plane is an axis-aligned box around the epicentre sized
@@ -409,6 +448,9 @@ object GeoOps {
 
   val queries: Map[String, QueryFn] = Map(
     "event_station_distances" -> (eventStationDistances _),
+    // rows-only at the gate: trig is not bit-portable cross-engine;
+    // values are checked by the driver-side recompute test.
+    "event_station_distances_geo" -> (eventStationDistancesGeo _),
     "rrup_distances"          -> (rrupDistances _),
     "tect_domain"             -> (tectDomain _),
     "tvz_path"                -> (tvzPath _),

@@ -53,7 +53,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("driver contract: every query has an oracle and distinct output columns") {
     // Iterative driver-loop operators are not single-query SQL; the
     // driver records a rows-only check for them (no oracle entry).
-    val rowsOnly = Set("aftershock_clusters")
+    val rowsOnly = Set("aftershock_clusters", "event_station_distances_geo")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly,
       s"queries/oracles key mismatch: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} " +
         s"/ ${(SparkEntry.queries.keySet -- rowsOnly).diff(SparkEntry.oracleSql.keySet)}")
@@ -298,6 +298,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       val clus = if (r.isNullAt(1)) None else Some(r.getLong(1))
       assert(clus == label.get(evid), s"evid $evid: cluster $clus vs sequential ${label.get(evid)}")
       assert(r.getBoolean(2) == flagged.contains(evid), s"evid $evid: flag mismatch")
+    }
+  }
+
+  test("geo distances: haversine/bearing match a driver-side recompute, same pairs as gate op") {
+    val gate = GeoOps.eventStationDistances(spark, Sf)
+      .select("evid", "sta").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.model.Catalog.events(spark, Sf).select("evid", "ev_lat", "ev_lon", "ev_depth")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val st = graft.model.Catalog.stations(spark, Sf).select("sta", "sta_lat", "sta_lon")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val out = GeoOps.eventStationDistancesGeo(spark, Sf).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == gate,
+      "geo variant must publish exactly the gate operator's pair set")
+    for (r <- out.take(2000)) {
+      val (elat, elon, edep) = ev(r.getLong(0))
+      val (slat, slon) = st(r.getLong(1))
+      val (p1, p2) = (math.toRadians(elat), math.toRadians(slat))
+      val (dp, dl) = (math.toRadians(slat - elat), math.toRadians(slon - elon))
+      val h = math.pow(math.sin(dp / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+      val rEpi = 2 * GeoOps.EarthRadiusKm * math.asin(math.sqrt(h))
+      val az = (math.toDegrees(math.atan2(math.sin(dl) * math.cos(p2),
+        math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl))) + 360) % 360
+      assert(math.abs(r.getDouble(2) - rEpi) < 1e-9, s"r_epi mismatch for ${r.getLong(0)}/${r.getLong(1)}")
+      assert(math.abs(r.getDouble(3) - math.sqrt(rEpi * rEpi + edep * edep)) < 1e-9)
+      assert(math.abs(r.getDouble(4) - az) < 1e-9, s"azimuth mismatch for ${r.getLong(0)}/${r.getLong(1)}")
     }
   }
 
