@@ -1,8 +1,10 @@
 package graft
-/** Benchmark main: runs every SparkEntry query twice — the first pass
-  * absorbs codegen/executor warmup, the second is reported — so the
-  * per-query numbers reflect the plan, not JVM spin-up. Prints ONE
-  * JSON line for the driver. */
+/** Benchmark main: a warmup pass absorbs codegen/executor spin-up,
+  * then each query is timed three times and the MEDIAN reported —
+  * per-query jitter on a shared box is 2-4x (adjudicated in round 3:
+  * a 43 s outlier was machine contention), and the median of three
+  * makes a single contended run unable to corrupt the headline.
+  * Prints ONE JSON line for the driver. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,7 +16,9 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => time(SparkEntry.queries(n))) // warmup pass
-    val results = names.map(n => n -> time(SparkEntry.queries(n)))
+    val results = names.map { n =>
+      n -> (1 to 3).map(_ => time(SparkEntry.queries(n))).sorted.apply(1)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -83,9 +83,22 @@ object AnnOps {
 
   private def bucketCol(e: String): Column = bucketColFor(e, 0, NPlanes)
 
-  def annLshTopk(s: SparkSession, d: String): DataFrame = {
-    val v = vectors(s, d).withColumn("bucket", bucketCol("embedding"))
-    val q = queriesSide(s, d).withColumn("bucket", bucketCol("qe"))
+  /** Sizing rule for the LSH/IVF constants: hyperplane count should
+    * grow with the corpus so expected bucket occupancy stays bounded —
+    * k = ceil(log2(N / targetOccupancy)) sign bits gives ~target
+    * vectors per bucket; cells likewise N/targetCell. The gate queries
+    * pin the small sf-sized constants (the oracle SQL is static text);
+    * production callers derive them from a cheap count. Recall loss
+    * from larger k is bought back with multi-probe or more tables —
+    * measured curve in SURVEY §5. */
+  def planesFor(corpusSize: Long, targetOccupancy: Int = 32): Int =
+    math.max(4, math.ceil(math.log(corpusSize.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+  def cellsFor(corpusSize: Long, targetCell: Int = 1024): Int =
+    math.max(4, math.ceil(corpusSize.toDouble / targetCell).toInt)
+
+  def annLshTopkWith(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    val v = vectors(s, d).withColumn("bucket", bucketColFor("embedding", 0, nPlanes))
+    val q = queriesSide(s, d).withColumn("bucket", bucketColFor("qe", 0, nPlanes))
     v.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine)
@@ -94,16 +107,22 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "cosine")
   }
 
+  def annLshTopk(s: SparkSession, d: String): DataFrame =
+    annLshTopkWith(s, d, NPlanes)
+
   /** Multi-probe variant: each query additionally probes the NPlanes
     * buckets at hamming distance 1 (flip one sign bit), trading a 9x
     * fan-out on the tiny query side for recall — candidates stay an
     * equi-join on the bucket id, the vector side is still scanned
     * once. A candidate reached via several probes is deduplicated
     * before ranking. */
-  def annLshMultiprobe(s: SparkSession, d: String): DataFrame = {
-    val v = vectors(s, d).withColumn("bucket", bucketCol("embedding"))
-    val probes = explode(array((Seq(0L) ++ (0 until NPlanes).map(j => 1L << j)).map(lit): _*)).as("probe")
-    val q = queriesSide(s, d).withColumn("bucket0", bucketCol("qe"))
+  def annLshMultiprobe(s: SparkSession, d: String): DataFrame =
+    annLshMultiprobeWith(s, d, NPlanes)
+
+  def annLshMultiprobeWith(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    val v = vectors(s, d).withColumn("bucket", bucketColFor("embedding", 0, nPlanes))
+    val probes = explode(array((Seq(0L) ++ (0 until nPlanes).map(j => 1L << j)).map(lit): _*)).as("probe")
+    val q = queriesSide(s, d).withColumn("bucket0", bucketColFor("qe", 0, nPlanes))
       .select(col("q_id"), col("qe"), col("qn"), col("bucket0"), probes)
       .select(col("q_id"), col("qe"), col("qn"), expr("bucket0 ^ probe").as("bucket"))
     v.join(broadcast(q), Seq("bucket"))
@@ -131,11 +150,14 @@ object AnnOps {
   val DedupPlanes = 8  // k sign bits per table
   val MaxBucket   = 64 // buckets above this size carry no dedup signal
 
-  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingWith(s, d, DedupTables, DedupPlanes)
+
+  def dedupEmbeddingWith(s: SparkSession, d: String, tables: Int, planes: Int): DataFrame = {
     val v = vectors(s, d)
     val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until DedupTables).map { t =>
-        struct(lit(t).as("band"), bucketColFor("embedding", t * DedupPlanes, DedupPlanes).as("bkey"))
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("band"), bucketColFor("embedding", t * planes, planes).as("bkey"))
       }: _*)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
@@ -170,29 +192,32 @@ object AnnOps {
 
   /** Index of the centroid with the highest dot product (cosine-style
     * assignment; ties broken by lowest cell index). */
-  private def cellCol(e: String): Column = {
-    val dots = (0 until NCells).map(c =>
+  private def cellCol(e: String, nCells: Int = NCells): Column = {
+    val dots = (0 until nCells).map(c =>
       expr(s"vec_dot(cast($e as array<double>), ${centroidSql(c)})"))
     val best = dots.reduce((a, b) => greatest(a, b))
-    (0 until NCells).foldRight(lit(-1)) { case (c, elseCol) =>
+    (0 until nCells).foldRight(lit(-1)) { case (c, elseCol) =>
       when(dots(c) === best, lit(c)).otherwise(elseCol)
     }
   }
 
   /** Rank of each cell for a query (for multi-cell probing). */
-  private def probeCells(e: String): Column = {
-    val dots = (0 until NCells).map(c =>
+  private def probeCells(e: String, nCells: Int = NCells, nProbe: Int = NProbe): Column = {
+    val dots = (0 until nCells).map(c =>
       struct(expr(s"vec_dot(cast($e as array<double>), ${centroidSql(c)})").as("d"), lit(c).as("c")))
-    slice(reverse(array_sort(array(dots: _*))), 1, NProbe)
+    slice(reverse(array_sort(array(dots: _*))), 1, nProbe)
   }
 
   /** IVF ANN: vectors partition into centroid cells; each query scans
-    * only its NProbe closest cells — the coarse-quantizer analogue of
+    * only its nProbe closest cells — the coarse-quantizer analogue of
     * the LSH path (candidates are an equi-join on the cell id). */
-  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
-    val v = vectors(s, d).withColumn("cell", cellCol("embedding"))
+  def annIvfTopk(s: SparkSession, d: String): DataFrame =
+    annIvfTopkWith(s, d, NCells, NProbe)
+
+  def annIvfTopkWith(s: SparkSession, d: String, nCells: Int, nProbe: Int): DataFrame = {
+    val v = vectors(s, d).withColumn("cell", cellCol("embedding", nCells))
     val q = queriesSide(s, d)
-      .select(col("q_id"), col("qe"), col("qn"), explode(probeCells("qe")).as("p"))
+      .select(col("q_id"), col("qe"), col("qn"), explode(probeCells("qe", nCells, nProbe)).as("p"))
       .select(col("q_id"), col("qe"), col("qn"), col("p.c").as("cell"))
     v.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

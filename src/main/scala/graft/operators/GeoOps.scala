@@ -128,7 +128,11 @@ object GeoOps {
         (col("ev_lat") - halfW).as("lat1"), (col("ev_lat") + halfW).as("lat2"),
         (col("ev_lon") - halfW).as("lon1"), (col("ev_lon") + halfW).as("lon2"),
         (col("ev_depth") * 0.5).as("ztop"))
-      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
+      // ±2 bands: MaxKm/KmPerDegLat (2.70°) + the rupture half-width
+      // (0.35° at mag 7, 0.45° at mag 9) can exceed one 3° band, so a
+      // ±1 explode would silently drop qualifying pairs for mag ≥ 7;
+      // ±2 keeps the prefilter exhaustive for any magnitude ≤ 9.
+      .select(col("*"), explode(array((-2L to 2L).map(lit): _*)).as("boff"))
       .withColumn("band", floor((col("lat1") + col("lat2")) / 2 / BandDeg).cast("long") + col("boff"))
     val st = Catalog.stations(s, d)
       .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))

@@ -44,8 +44,10 @@ object MultiModalOps {
       // Per-partition decoder lifecycle: init once, decode batch-wise.
       it.map { m =>
         val (w, h, f) = decodeStub(m.blob)
-        MediaMeta(m.doc_id, m.blob.length.toLong,
-          m.blob(0) & 0xff, m.blob(1) & 0xff, w, h, f)
+        // short payloads yield 0-valued header bytes, not an exception
+        val h0 = if (m.blob.length >= 1) m.blob(0) & 0xff else 0
+        val h1 = if (m.blob.length >= 2) m.blob(1) & 0xff else 0
+        MediaMeta(m.doc_id, m.blob.length.toLong, h0, h1, w, h, f)
       }
     }.toDF()
   }
@@ -73,8 +75,10 @@ object MultiModalOps {
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  ascii(substring(text, 1, 1)) AS header0,
-        |  ascii(substring(text, 2, 1)) AS header1,
+        |  CASE WHEN octet_length(encode(text)) >= 1
+        |       THEN CAST('0x' || substring(hex(encode(text)), 1, 2) AS INT) ELSE 0 END AS header0,
+        |  CASE WHEN octet_length(encode(text)) >= 2
+        |       THEN CAST('0x' || substring(hex(encode(text)), 3, 2) AS INT) ELSE 0 END AS header1,
         |  CAST(16 + (octet_length(encode(text)) % 64) * 4 AS INT) AS width,
         |  CAST(16 + ((octet_length(encode(text)) // 64) % 64) * 4 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
