@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable spectral kernels for the frequency-domain stages of the
+  * reference pipeline (`nzgmdb/calculation/snr.py:20-139` FFT + SNR,
+  * `data_processing/waveform_manipulation.py:15,123` detrend / taper /
+  * Butterworth).
+  *
+  * Everything reduces to the two primitives proven bit-exact across
+  * engines (dev/PORTABILITY.md): sequential folds over double arrays
+  * and +,-,*,/ with literal constants. Trig/log appear ONLY in
+  * driver-side Scala when precomputing constant tables (DFT twiddle
+  * rows, Konno-Ohmachi weight rows, biquad coefficients) — both
+  * engines then consume identical double literals.
+  *
+  * Scale notes: with the synthetic 16-sample series the DFT-as-dot-rows
+  * is exact and O(N·K) per record; at production waveform lengths
+  * (2^15+ samples) the same relational shape holds — per-record
+  * spectra via a codegen'd FFT `Expression` (or a `mapPartitions`
+  * kernel, the MultiModalOps slot), then the banded KO smoothing and
+  * band-ratio SNR stay exactly these literal-weighted reductions.
+  */
+object Spectra {
+
+  val N  = 16     // samples per synthetic record (= SignalOps.NFreq)
+  val Dt = 0.05   // sampling interval, s  (fs = 20 Hz)
+  val Bins: Seq[Int] = 1 to 8 // one-sided DFT bins (DC excluded)
+  val KoB = 20.0  // Konno-Ohmachi bandwidth coefficient
+
+  def freqHz(k: Int): Double = k / (N * Dt)
+
+  private def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
+
+  /** Literal row as a Spark array column / DuckDB list expression. */
+  def rowCol(xs: Seq[Double]): Column = array(xs.map(lit): _*)
+  def rowSql(xs: Seq[Double]): String =
+    xs.map(dl).mkString("[", ", ", "]")
+
+  // ---- series ----------------------------------------------------
+
+  /** Synthetic signal window (the post-p-wave slice): acc_c grid
+    * derivation as doubles. `pk` in scope. */
+  val xsSpark: String =
+    s"transform(sequence(0, ${N - 1}), n -> CAST((pk * 13 + n * 29) % 400 - 200 AS DOUBLE))"
+  val xsSql: String =
+    s"list_transform(range(0, $N), n -> CAST((pk * 13 + n * 29) % 400 - 200 AS DOUBLE))"
+
+  /** Synthetic noise window (the pre-p-wave slice): smaller-amplitude
+    * independent derivation from the record key. */
+  val ysSpark: String =
+    s"transform(sequence(0, ${N - 1}), n -> CAST((pk * 7 + n * 31) % 100 - 50 AS DOUBLE))"
+  val ysSql: String =
+    s"list_transform(range(0, $N), n -> CAST((pk * 7 + n * 31) % 100 - 50 AS DOUBLE))"
+
+  // ---- DFT as literal twiddle rows -------------------------------
+
+  def cosRow(k: Int): Seq[Double] =
+    (0 until N).map(n => math.cos(-2.0 * math.Pi * k * n / N))
+  def sinRow(k: Int): Seq[Double] =
+    (0 until N).map(n => math.sin(-2.0 * math.Pi * k * n / N))
+
+  /** Power at bin k of the series held in column `xs`: Re²+Im², each a
+    * [[Portable.dot]] fold against a literal twiddle row. */
+  def powerCol(xs: String, k: Int): Column = {
+    val re = Portable.dot(col(xs), rowCol(cosRow(k)))
+    val im = Portable.dot(col(xs), rowCol(sinRow(k)))
+    re * re + im * im
+  }
+  def powerSql(xs: String, k: Int): String = {
+    val re = Portable.dotSql(xs, rowSql(cosRow(k)))
+    val im = Portable.dotSql(xs, rowSql(sinRow(k)))
+    s"($re * $re + $im * $im)"
+  }
+
+  // ---- Konno-Ohmachi smoothing as literal weight rows ------------
+
+  /** KO window w(f_j, f_k) = (sin(b·log10(f_j/f_k)) / (b·log10(f_j/f_k)))^4
+    * over the fixed one-sided grid; 1 at j=k. */
+  def koRow(k: Int): Seq[Double] = Bins.map { j =>
+    if (j == k) 1.0
+    else {
+      val x = KoB * math.log10(freqHz(j) / freqHz(k))
+      math.pow(math.sin(x) / x, 4)
+    }
+  }
+
+  /** Smoothed power at bin k: the KO-weighted mean of the per-bin
+    * power columns p1..p8 (explicit left-associated linear
+    * combination — identical structure both engines). */
+  def koSmoothCol(p: Int => Column, k: Int): Column = {
+    val w = koRow(k)
+    val num = Bins.zip(w).map { case (j, wj) => lit(wj) * p(j) }.reduce(_ + _)
+    num / lit(w.sum)
+  }
+  def koSmoothSql(p: Int => String, k: Int): String = {
+    val w = koRow(k)
+    val num = Bins.zip(w).map { case (j, wj) => s"${dl(wj)} * ${p(j)}" }.mkString(" + ")
+    s"(($num) / ${dl(w.sum)})"
+  }
+
+  // ---- detrend / taper -------------------------------------------
+
+  // closed-form least-squares over the fixed index grid 0..N-1
+  val SumN: Double  = (0 until N).sum.toDouble          // 120
+  val SumN2: Double = (0 until N).map(n => n * n).sum.toDouble // 1240
+  val LsqDen: Double = N * SumN2 - SumN * SumN          // 5440
+
+  /** Welch (parabolic) taper — polynomial, no trig. */
+  def welchRow: Seq[Double] = (0 until N).map { n =>
+    val q = (n - (N - 1) / 2.0) / ((N - 1) / 2.0)
+    1.0 - q * q
+  }
+
+  /** Detrended + tapered series from materialized columns `xs`
+    * (array), `a_i` (intercept), `b_s` (slope). Per-element arithmetic
+    * is identical on both engines; only the indexing idiom differs. */
+  def dtSeriesSpark(xs: String): String =
+    s"transform(sequence(1, $N), i -> ($xs[i-1] - (a_i + b_s * CAST(i - 1 AS DOUBLE))) * ${sparkRow(welchRow)}[i-1])"
+  def dtSeriesSql(xs: String): String =
+    s"list_transform(range(1, ${N + 1}), i -> ($xs[i] - (a_i + b_s * CAST(i - 1 AS DOUBLE))) * ${rowSql(welchRow)}[i])"
+  private def sparkRow(xs: Seq[Double]): String =
+    xs.map(dl).mkString("array(", ", ", ")")
+
+  // ---- Butterworth order-2 low-pass (bilinear transform) ---------
+
+  val CutoffHz = 4.0
+  /** Biquad coefficients computed once in Scala (tan only here). */
+  val (b0, b1, b2, a1, a2): (Double, Double, Double, Double, Double) = {
+    val k = math.tan(math.Pi * CutoffHz * Dt) // fc / fs = fc * dt
+    val norm = 1.0 / (1.0 + math.sqrt(2.0) * k + k * k)
+    val c0 = k * k * norm
+    (c0, 2.0 * c0, c0, 2.0 * (k * k - 1.0) * norm,
+      (1.0 - math.sqrt(2.0) * k + k * k) * norm)
+  }
+
+  /** IIR biquad fold over the series column `tw`: state
+    * [x1, x2, y1, y2, Σy²]; returns the final state array. Same
+    * +,-,*,/ recurrence, same association order, both engines. */
+  def biquadSpark(tw: String): String = {
+    def y(x: String, st: String) =
+      s"(${dl(b0)} * $x + ${dl(b1)} * $st[0] + ${dl(b2)} * $st[1] - ${dl(a1)} * $st[2] - ${dl(a2)} * $st[3])"
+    val yn = y("x", "st")
+    s"aggregate($tw, array(${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}), " +
+      s"(st, x) -> array(x, st[0], $yn, st[2], st[4] + $yn * $yn))"
+  }
+  def biquadSql(tw: String): String = {
+    def y(x: String, st: String) =
+      s"(${dl(b0)} * $x + ${dl(b1)} * $st[1] + ${dl(b2)} * $st[2] - ${dl(a1)} * $st[3] - ${dl(a2)} * $st[4])"
+    val yn = y("el[1]", "st")
+    s"list_reduce(list_prepend([${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}], " +
+      s"list_transform($tw, x -> [x])), " +
+      s"(st, el) -> [el[1], st[1], $yn, st[3], st[5] + $yn * $yn])"
+  }
+}

@@ -124,12 +124,98 @@ object SignalOps {
         Sdof.Periods.map(t => expr(Sdof.psaSpark(t, "ps")).as(Sdof.colName(t))): _*)
   }
 
+  /** FFT-based SNR with Konno-Ohmachi smoothing
+    * (`calculation/snr.py:20-139`: split at the p-wave, FAS of signal
+    * and noise windows, KO-smoothed, ratioed). Per record: one-sided
+    * DFT power via [[graft.functions.Spectra]] literal twiddle rows
+    * (the proven-portable dot fold), KO smoothing as a literal-weight
+    * linear combination over the fixed grid, amplitude SNR per band.
+    * Pure projection — no shuffle, codegen end-to-end. */
+  def snrFft(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Spectra
+    val base = Catalog.records(s, d)
+      .select(col("record_id"), col("chan"), col("pk"))
+      .select(col("record_id"), col("chan"),
+        expr(Spectra.xsSpark).as("xs"), expr(Spectra.ysSpark).as("ys"))
+    val withP = Spectra.Bins.foldLeft(base) { (df, k) =>
+      df.withColumn(s"p$k", Spectra.powerCol("xs", k))
+        .withColumn(s"q$k", Spectra.powerCol("ys", k))
+    }
+    val withS = Seq(1, 2, 4, 8).foldLeft(withP) { (df, k) =>
+      df.withColumn(s"s$k", Spectra.koSmoothCol(j => col(s"p$j"), k))
+        .withColumn(s"t$k", Spectra.koSmoothCol(j => col(s"q$j"), k))
+    }
+    withS.select(col("record_id"), col("chan"),
+      Spectra.Bins.map(j => col(s"p$j")).reduce(_ + _).as("pow_total"),
+      sqrt(col("s1") / col("t1")).as("snr_k1"),
+      sqrt(col("s2") / col("t2")).as("snr_k2"),
+      sqrt(col("s4") / col("t4")).as("snr_k4"),
+      sqrt(col("s8") / col("t8")).as("snr_k8"),
+      sqrt(col("s2")).as("fas_sig_k2"),
+      sqrt(col("t2")).as("fas_noise_k2"))
+  }
+
+  /** Waveform preprocessing (`data_processing/waveform_manipulation
+    * .py:15,123`): linear detrend (closed-form least squares over the
+    * fixed index grid), Welch taper (polynomial — no trig in checked
+    * output), then an order-2 Butterworth low-pass as an IIR biquad
+    * state fold — the same portable array-fold shape as the pSA
+    * kernel. Publishes the fitted trend and the filtered series'
+    * final sample and energy. */
+  def waveformPreproc(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Portable, Spectra}
+    val ones = Seq.fill(Spectra.N)(1.0)
+    val narr = (0 until Spectra.N).map(_.toDouble)
+    Catalog.records(s, d)
+      .select(col("record_id"), col("chan"), col("pk"))
+      .select(col("record_id"), col("chan"), expr(Spectra.xsSpark).as("xs"))
+      .withColumn("sx", Portable.dot(col("xs"), array(ones.map(lit): _*)))
+      .withColumn("snx", Portable.dot(col("xs"), array(narr.map(lit): _*)))
+      .withColumn("b_s", (lit(16.0) * col("snx") - lit(120.0) * col("sx")) / lit(5440.0))
+      .withColumn("a_i", (col("sx") - col("b_s") * lit(120.0)) / lit(16.0))
+      .withColumn("tw", expr(Spectra.dtSeriesSpark("xs")))
+      .withColumn("st", expr(Spectra.biquadSpark("tw")))
+      .select(col("record_id"), col("chan"),
+        col("b_s").as("trend_slope"), col("a_i").as("trend_icept"),
+        col("st").getItem(2).as("y_last"), col("st").getItem(4).as("y_energy"))
+  }
+
+  /** Arias intensity and significant durations Ds575/Ds595 — the
+    * remaining scalar members of the reference IM set (`calculation/
+    * ims.py` IM list; wiki IM-Calculation.md). Cumulative energy stays
+    * an INTEGER sum (acc in centi-units), so the 5/75/95% crossings
+    * are exact integer comparisons — cross-engine portable where
+    * cumulative double sums are not. One explode + two windows + one
+    * groupBy per record. */
+  def imDuration(s: SparkSession, d: String): DataFrame = {
+    val perRec = Window.partitionBy(recKey: _*)
+    val cumW = perRec.orderBy(col("j")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ariasC = math.Pi / (2.0 * 9.81) * 0.05 / 1e4 // centi-units², dt=0.05 → m/s
+    grid(s, d)
+      .withColumn("e", col("acc_c") * col("acc_c"))
+      .withColumn("total", sum(col("e")).over(perRec))
+      .withColumn("cum", sum(col("e")).over(cumW))
+      .groupBy(recKey: _*)
+      .agg(
+        max(col("total")).as("total"),
+        min(when(col("cum") * 20 >= col("total"), col("j"))).as("n5"),
+        min(when(col("cum") * 4 >= col("total") * 3, col("j"))).as("n75"),
+        min(when(col("cum") * 20 >= col("total") * 19, col("j"))).as("n95"))
+      .select(recordId.as("record_id"),
+        (col("total").cast("double") * lit(ariasC)).as("arias"),
+        ((col("n75") - col("n5")).cast("double") * lit(0.05)).as("ds575"),
+        ((col("n95") - col("n5")).cast("double") * lit(0.05)).as("ds595"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
-    "snr_stats"       -> (snrStats _),
-    "fmax_screening"  -> (fmaxScreening _),
-    "station_mag_agg" -> (stationMagAgg _),
-    "im_calc"         -> (imCalc _),
-    "im_psa"          -> (imPsa _)
+    "snr_stats"        -> (snrStats _),
+    "fmax_screening"   -> (fmaxScreening _),
+    "station_mag_agg"  -> (stationMagAgg _),
+    "im_calc"          -> (imCalc _),
+    "im_psa"           -> (imPsa _),
+    "snr_fft"          -> (snrFft _),
+    "waveform_preproc" -> (waveformPreproc _),
+    "im_duration"      -> (imDuration _)
   )
 
   private val gridCte =
@@ -170,6 +256,63 @@ object SignalOps {
         |  sqrt(CAST(sum(acc_c * acc_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100e0 AS rms,
         |  CAST(sum(abs(acc_c)) AS DOUBLE) / 100e0 AS cav
         |FROM grid GROUP BY record_id, chan""".stripMargin, gridCte),
+    "snr_fft" -> Catalog.oracle {
+      import graft.functions.Spectra
+      val pcols = Spectra.Bins.map(k => s"${Spectra.powerSql("xs", k)} AS p$k").mkString(",\n      ")
+      val qcols = Spectra.Bins.map(k => s"${Spectra.powerSql("ys", k)} AS q$k").mkString(",\n      ")
+      val scols = Seq(1, 2, 4, 8).map(k =>
+        s"${Spectra.koSmoothSql(j => s"p$j", k)} AS s$k,\n      ${Spectra.koSmoothSql(j => s"q$j", k)} AS t$k")
+        .mkString(",\n      ")
+      s"""SELECT record_id, chan,
+         |  ${Spectra.Bins.map(j => s"p$j").mkString(" + ")} AS pow_total,
+         |  sqrt(s1 / t1) AS snr_k1, sqrt(s2 / t2) AS snr_k2,
+         |  sqrt(s4 / t4) AS snr_k4, sqrt(s8 / t8) AS snr_k8,
+         |  sqrt(s2) AS fas_sig_k2, sqrt(t2) AS fas_noise_k2
+         |FROM (
+         |  SELECT *,
+         |      $scols
+         |  FROM (
+         |    SELECT record_id, chan,
+         |      $pcols,
+         |      $qcols
+         |    FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs, ${Spectra.ysSql} AS ys
+         |          FROM gm_records)))""".stripMargin
+    },
+    "waveform_preproc" -> Catalog.oracle {
+      import graft.functions.{Portable, Spectra}
+      val onesSql = Spectra.rowSql(Seq.fill(Spectra.N)(1.0))
+      val narrSql = Spectra.rowSql((0 until Spectra.N).map(_.toDouble))
+      s"""SELECT record_id, chan, b_s AS trend_slope, a_i AS trend_icept,
+         |       st[3] AS y_last, st[5] AS y_energy
+         |FROM (
+         |  SELECT record_id, chan, b_s, a_i, ${Spectra.biquadSql("tw")} AS st FROM (
+         |    SELECT record_id, chan, b_s, a_i, ${Spectra.dtSeriesSql("xs")} AS tw FROM (
+         |      SELECT record_id, chan, xs, b_s, (sx - b_s * 120.0e0) / 16.0e0 AS a_i FROM (
+         |        SELECT record_id, chan, xs, sx, (16.0e0 * snx - 120.0e0 * sx) / 5440.0e0 AS b_s FROM (
+         |          SELECT record_id, chan, xs,
+         |                 ${Portable.dotSql("xs", onesSql)} AS sx,
+         |                 ${Portable.dotSql("xs", narrSql)} AS snx
+         |          FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))))))""".stripMargin
+    },
+    "im_duration" -> Catalog.oracle(
+      s"""SELECT record_id,
+         |  CAST(total AS DOUBLE) * CAST('${math.Pi / (2.0 * 9.81) * 0.05 / 1e4}' AS DOUBLE) AS arias,
+         |  CAST(n75 - n5 AS DOUBLE) * 5e-2 AS ds575,
+         |  CAST(n95 - n5 AS DOUBLE) * 5e-2 AS ds595
+         |FROM (
+         |  SELECT record_id, max(total) AS total,
+         |    min(CASE WHEN cum * 20 >= total THEN j END) AS n5,
+         |    min(CASE WHEN cum * 4 >= total * 3 THEN j END) AS n75,
+         |    min(CASE WHEN cum * 20 >= total * 19 THEN j END) AS n95
+         |  FROM (
+         |    SELECT record_id, j, total, cum FROM (
+         |      SELECT record_id, j,
+         |        sum(e) OVER (PARTITION BY record_id) AS total,
+         |        sum(e) OVER (PARTITION BY record_id ORDER BY j
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM (SELECT record_id, j, acc_c * acc_c AS e FROM grid)))
+         |  GROUP BY record_id
+         |)""".stripMargin, gridCte),
     "im_psa" -> Catalog.oracle {
       import graft.functions.Sdof
       s"""SELECT record_id, chan,
