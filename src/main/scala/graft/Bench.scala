@@ -11,7 +11,11 @@ object Bench {
     val spark = Sessions.local()
     def time(fn: QueryFn): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // toRdd materializes every output column: a bare count() would
+      // let the optimizer prune expensive projections (hash RNG, pSA
+      // folds) and under-report queries whose cost lives in the
+      // SELECT list rather than the joins.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd per-record recurrence kernels.
+  *
+  * The composable forms — `aggregate(...)` folds with array-typed
+  * lambda state — are higher-order functions, which Spark evaluates
+  * INTERPRETED: every step allocates a boxed state array and walks an
+  * expression tree (measured 5-10x the whole-query cost on the sf0.1
+  * IM pipeline). These expressions compile the same recurrences into
+  * tight primitive loops inside whole-stage codegen. The arithmetic
+  * is written with the identical association order as the fold form
+  * and the DuckDB `list_reduce` twin, so swapping changes no checked
+  * output bit. Coefficients are constructor constants (they are
+  * Scala-computed literals at every call site), so the generated code
+  * inlines them.
+  */
+
+/** Peak |u| of the Newmark-beta SDOF recurrence over the negated
+  * ground-acceleration series `ps` (see [[Sdof]] for the derivation):
+  * state (u, v, p_prev) starting at (0, 0, ps[0]); per element x:
+  * u' = (x + p_prev + cu*u + cv*v) / keff; v' = tdt*(u' - u) - v. */
+case class SdofPeak(child: Expression, cu: Double, cv: Double, keff: Double, tdt: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sdof_peak"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sdof_peak requires array<double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val ps = a.asInstanceOf[ArrayData]
+    val n = ps.numElements()
+    if (n == 0) 0.0
+    else {
+      var u = 0.0; var v = 0.0; var pn = ps.getDouble(0); var peak = 0.0
+      var i = 1
+      while (i < n) {
+        val x = ps.getDouble(i)
+        val u1 = (x + pn + cu * u + cv * v) / keff
+        v = tdt * (u1 - u) - v
+        u = u1
+        pn = x
+        val au = math.abs(u1)
+        if (au > peak) peak = au
+        i += 1
+      }
+      peak
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(n, u, v, pn, peak, i, x, u1, au) =
+        Seq("n", "u", "v", "pn", "peak", "i", "x", "u1", "au").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |double $peak = 0.0;
+         |if ($n > 0) {
+         |  double $u = 0.0; double $v = 0.0; double $pn = $a.getDouble(0);
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i);
+         |    double $u1 = ($x + $pn + ($cu) * $u + ($cv) * $v) / ($keff);
+         |    $v = ($tdt) * ($u1 - $u) - $v;
+         |    $u = $u1;
+         |    $pn = $x;
+         |    double $au = java.lang.Math.abs($u1);
+         |    if ($au > $peak) $peak = $au;
+         |  }
+         |}
+         |${ev.value} = $peak;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SdofPeak =
+    copy(child = newChild)
+}
+
+/** Order-2 IIR (biquad) filter fold over a series: returns
+  * array(y_last, sum(y^2)). Same recurrence and association order as
+  * [[Spectra.biquadSql]]'s `list_reduce` twin. */
+case class Iir2State(child: Expression, b0: Double, b1: Double, b2: Double,
+                     a1: Double, a2: Double) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "iir2_state"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"iir2_state requires array<double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var x1 = 0.0; var x2 = 0.0; var y1 = 0.0; var y2 = 0.0; var en = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getDouble(i)
+      val y = b0 * x + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+      x2 = x1; x1 = x
+      y2 = y1; y1 = y
+      en = en + y * y
+      i += 1
+    }
+    new GenericArrayData(Array(y1, en))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(n, x1, x2, y1, y2, en, i, x, y, out) =
+        Seq("n", "x1", "x2", "y1", "y2", "en", "i", "x", "y", "out").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |double $x1 = 0.0; double $x2 = 0.0; double $y1 = 0.0; double $y2 = 0.0;
+         |double $en = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = ($b0) * $x + ($b1) * $x1 + ($b2) * $x2 - ($a1) * $y1 - ($a2) * $y2;
+         |  $x2 = $x1; $x1 = $x;
+         |  $y2 = $y1; $y1 = $y;
+         |  $en = $en + $y * $y;
+         |}
+         |double[] $out = new double[] { $y1, $en };
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Iir2State =
+    copy(child = newChild)
+}

@@ -59,17 +59,17 @@ object Sdof {
   def psSql: String =
     s"list_transform(range(0, $NFreq), j -> -CAST((pk * 13 + j * 29) % 400 - 200 AS DOUBLE))"
 
-  /** Spark SQL pSA fold over a materialized p-series column `ps`.
-    * State array: [u, v, p_prev, peak|u|]; elements 2..N drive steps. */
-  def psaSpark(t: Double, ps: String): String = {
-    val C  = coef(t)
-    def u1(u: String, v: String, pn: String, x: String) =
-      s"($x + $pn + ${dl(C.cu)} * $u + ${dl(C.cv)} * $v) / ${dl(C.keff)}"
-    val (u, v, pn, pk) = ("st[0]", "st[1]", "st[2]", "st[3]")
-    val un = u1(u, v, pn, "x")
-    s"${dl(C.k)} * aggregate(slice($ps, 2, ${NFreq - 1}), " +
-      s"array(${dl(0.0)}, ${dl(0.0)}, $ps[0], ${dl(0.0)}), " +
-      s"(st, x) -> array($un, ${dl(C.tdt)} * ($un - $u) - $v, x, greatest($pk, abs($un))))[3] / ${dl(100.0)}"
+  /** pSA over a materialized p-series column: the Newmark recurrence
+    * runs inside whole-stage codegen via the [[SdofPeak]] expression
+    * (the equivalent `aggregate` fold is interpreted — measured 5-10x
+    * slower); arithmetic order is identical to the DuckDB
+    * `list_reduce` twin, so checked outputs are bit-equal. */
+  def psaCol(t: Double, ps: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    import org.apache.spark.sql.functions.lit
+    val C = coef(t)
+    lit(C.k) * ExpressionUtils.column(
+      SdofPeak(ExpressionUtils.expression(ps), C.cu, C.cv, C.keff, C.tdt)) / lit(100.0)
   }
 
   /** DuckDB twin of [[psaSpark]] — `list_reduce` needs accumulator and

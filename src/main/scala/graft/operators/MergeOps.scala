@@ -41,7 +41,7 @@ object MergeOps {
     val r = Catalog.records(s, dir)
       .withColumn("ps", expr(Sdof.psSpark))
       .withColumns(Sdof.Periods.map(t =>
-        Sdof.colName(t) -> expr(Sdof.psaSpark(t, "ps"))).toMap)
+        Sdof.colName(t) -> Sdof.psaCol(t, col("ps"))).toMap)
       .drop("ps")
     val st = Catalog.stations(s, dir)
     // Single orders scan: carry the provenance key (o_custkey) alongside

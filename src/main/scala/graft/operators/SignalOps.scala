@@ -121,7 +121,7 @@ object SignalOps {
     Catalog.records(s, d)
       .select(col("record_id"), col("chan"), expr(Sdof.psSpark).as("ps"))
       .select(Seq(col("record_id"), col("chan")) ++
-        Sdof.Periods.map(t => expr(Sdof.psaSpark(t, "ps")).as(Sdof.colName(t))): _*)
+        Sdof.Periods.map(t => Sdof.psaCol(t, col("ps")).as(Sdof.colName(t))): _*)
   }
 
   /** FFT-based SNR with Konno-Ohmachi smoothing
@@ -169,15 +169,15 @@ object SignalOps {
     Catalog.records(s, d)
       .select(col("record_id"), col("chan"), col("pk"))
       .select(col("record_id"), col("chan"), expr(Spectra.xsSpark).as("xs"))
-      .withColumn("sx", Portable.dot(col("xs"), array(ones.map(lit): _*)))
-      .withColumn("snx", Portable.dot(col("xs"), array(narr.map(lit): _*)))
+      .withColumn("sx", Spectra.vecDot(col("xs"), array(ones.map(lit): _*)))
+      .withColumn("snx", Spectra.vecDot(col("xs"), array(narr.map(lit): _*)))
       .withColumn("b_s", (lit(16.0) * col("snx") - lit(120.0) * col("sx")) / lit(5440.0))
       .withColumn("a_i", (col("sx") - col("b_s") * lit(120.0)) / lit(16.0))
       .withColumn("tw", expr(Spectra.dtSeriesSpark("xs")))
-      .withColumn("st", expr(Spectra.biquadSpark("tw")))
+      .withColumn("st", Spectra.biquadCol(col("tw")))
       .select(col("record_id"), col("chan"),
         col("b_s").as("trend_slope"), col("a_i").as("trend_icept"),
-        col("st").getItem(2).as("y_last"), col("st").getItem(4).as("y_energy"))
+        col("st").getItem(0).as("y_last"), col("st").getItem(1).as("y_energy"))
   }
 
   /** Arias intensity and significant durations Ds575/Ds595 — the
