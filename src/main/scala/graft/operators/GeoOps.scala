@@ -148,6 +148,57 @@ object GeoOps {
         sqrt(col("r_jb") * col("r_jb") + col("ztop") * col("ztop")).as("r_rup"))
   }
 
+  /** Production-grade rupture distances with OBLIQUE plane geometry —
+    * the user-facing twin of [[rrupDistances]] matching the
+    * reference's strike/dip rupture traversal
+    * (`data_retrieval/rupture_models.py:1-133`,
+    * `calculation/distances.py:519-524`). Each large event gets a
+    * dipping rectangular plane (strike/dip/length/width derived
+    * deterministically from the catalogue row — the slot a real
+    * rupture-model table plugs into), r_rup is the true 3D
+    * point-to-rectangle distance via clamped projections onto the
+    * strike/down-dip frame, r_jb the horizontal distance to the
+    * surface-projected rectangle. Trig rotations are not bit-portable
+    * cross-engine, so like the geodesic distances this is rows-only at
+    * the gate and value-checked by a driver-side recompute test; the
+    * plane side stays broadcast + lat-banded. */
+  def rrupDistancesGeo(s: SparkSession, d: String): DataFrame = {
+    val halfL = (floor(col("mag")) - 3) * 5.0 + 2.5 // along-strike half-length, km
+    val width = halfL                                // down-dip width, km
+    val planes = Catalog.events(s, d).filter(col("mag") >= RupMagMin)
+      .select(col("evid"), col("ev_lat"), col("ev_lon"),
+        radians((col("evid") % 360).cast("double")).as("strike"),
+        radians(lit(30.0) + (col("evid") % 6) * 10.0).as("dip"),
+        halfL.as("half_l"), width.as("wid"),
+        (col("ev_depth") * 0.5).as("ztop"))
+      .select(col("*"), explode(array((-2L to 2L).map(lit): _*)).as("boff"))
+      .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
+    val st = Catalog.stations(s, d)
+      .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
+    val dx = (col("sta_lon") - col("ev_lon")) * KmPerDegLon // East, km
+    val dy = (col("sta_lat") - col("ev_lat")) * KmPerDegLat // North, km
+    val (sx, sy) = (sin(col("strike")), cos(col("strike")))      // strike unit (E,N)
+    val (hx, hy) = (cos(col("strike")), -sin(col("strike")))     // dip-direction horizontal unit
+    st.join(broadcast(planes), Seq("band"))
+      // 3D frame: r = station - top-edge anchor (anchor at depth ztop, up = +z)
+      .withColumn("rz", col("ztop"))
+      .withColumn("sp", greatest(-col("half_l"), least(col("half_l"), dx * sx + dy * sy)))
+      .withColumn("wp", greatest(lit(0.0), least(col("wid"),
+        dx * hx * cos(col("dip")) + dy * hy * cos(col("dip")) - col("rz") * sin(col("dip")))))
+      .withColumn("nx", col("sp") * sx + col("wp") * cos(col("dip")) * hx)
+      .withColumn("ny", col("sp") * sy + col("wp") * cos(col("dip")) * hy)
+      .withColumn("nz", col("wp") * -sin(col("dip")))
+      .withColumn("r_rup", sqrt((dx - col("nx")) * (dx - col("nx")) +
+        (dy - col("ny")) * (dy - col("ny")) + (col("rz") - col("nz")) * (col("rz") - col("nz"))))
+      // surface projection: rectangle half_l x wid*cos(dip) in the horizontal frame
+      .withColumn("s2", greatest(-col("half_l"), least(col("half_l"), dx * sx + dy * sy)))
+      .withColumn("w2", greatest(lit(0.0), least(col("wid") * cos(col("dip")), dx * hx + dy * hy)))
+      .withColumn("r_jb", sqrt((dx - (col("s2") * sx + col("w2") * hx)) * (dx - (col("s2") * sx + col("w2") * hx)) +
+        (dy - (col("s2") * sy + col("w2") * hy)) * (dy - (col("s2") * sy + col("w2") * hy))))
+      .filter(col("r_jb") <= MaxKm)
+      .select(col("evid"), col("sta"), col("r_rup"), col("r_jb"))
+  }
+
   // ---- tectonic domains ------------------------------------------
 
   /** Convex quads (CCW vertex order) with priority; lowest priority
@@ -461,6 +512,8 @@ object GeoOps {
     // values are checked by the driver-side recompute test.
     "event_station_distances_geo" -> (eventStationDistancesGeo _),
     "rrup_distances"          -> (rrupDistances _),
+    // rows-only at the gate (trig rotations), recompute-tested.
+    "rrup_distances_geo"      -> (rrupDistancesGeo _),
     "tect_domain"             -> (tectDomain _),
     "tvz_path"                -> (tvzPath _),
     "aftershock_flags"        -> (aftershockFlags _),

@@ -53,7 +53,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("driver contract: every query has an oracle and distinct output columns") {
     // Iterative driver-loop operators are not single-query SQL; the
     // driver records a rows-only check for them (no oracle entry).
-    val rowsOnly = Set("aftershock_clusters", "event_station_distances_geo")
+    val rowsOnly = Set("aftershock_clusters", "event_station_distances_geo", "rrup_distances_geo")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly,
       s"queries/oracles key mismatch: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} " +
         s"/ ${(SparkEntry.queries.keySet -- rowsOnly).diff(SparkEntry.oracleSql.keySet)}")
@@ -324,6 +324,42 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(r.getDouble(2) - rEpi) < 1e-9, s"r_epi mismatch for ${r.getLong(0)}/${r.getLong(1)}")
       assert(math.abs(r.getDouble(3) - math.sqrt(rEpi * rEpi + edep * edep)) < 1e-9)
       assert(math.abs(r.getDouble(4) - az) < 1e-9, s"azimuth mismatch for ${r.getLong(0)}/${r.getLong(1)}")
+    }
+  }
+
+  test("oblique rupture distances match a driver-side 3D recompute") {
+    val ev = graft.model.Catalog.events(spark, Sf)
+      .filter(s"mag >= ${GeoOps.RupMagMin}")
+      .select("evid", "ev_lat", "ev_lon", "ev_depth", "mag").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val st = graft.model.Catalog.stations(spark, Sf).select("sta", "sta_lat", "sta_lon")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val out = GeoOps.rrupDistancesGeo(spark, Sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out.take(2000)) {
+      val (elat, elon, edep, mag) = ev(r.getLong(0))
+      val (slat, slon) = st(r.getLong(1))
+      val evid = r.getLong(0)
+      val strike = math.toRadians((evid % 360).toDouble)
+      val dip = math.toRadians(30.0 + (evid % 6) * 10.0)
+      val halfL = (math.floor(mag) - 3) * 5.0 + 2.5
+      val wid = halfL
+      val ztop = edep * 0.5
+      val dx = (slon - elon) * GeoOps.KmPerDegLon
+      val dy = (slat - elat) * GeoOps.KmPerDegLat
+      val (sx, sy) = (math.sin(strike), math.cos(strike))
+      val (hx, hy) = (math.cos(strike), -math.sin(strike))
+      def clamp(x: Double, lo: Double, hi: Double) = math.max(lo, math.min(hi, x))
+      val sp = clamp(dx * sx + dy * sy, -halfL, halfL)
+      val wp = clamp(dx * hx * math.cos(dip) + dy * hy * math.cos(dip) - ztop * math.sin(dip), 0.0, wid)
+      val (nx, ny, nz) = (sp * sx + wp * math.cos(dip) * hx, sp * sy + wp * math.cos(dip) * hy, wp * -math.sin(dip))
+      val rrup = math.sqrt(math.pow(dx - nx, 2) + math.pow(dy - ny, 2) + math.pow(ztop - nz, 2))
+      val s2 = clamp(dx * sx + dy * sy, -halfL, halfL)
+      val w2 = clamp(dx * hx + dy * hy, 0.0, wid * math.cos(dip))
+      val rjb = math.sqrt(math.pow(dx - (s2 * sx + w2 * hx), 2) + math.pow(dy - (s2 * sy + w2 * hy), 2))
+      assert(math.abs(r.getDouble(2) - rrup) < 1e-9, s"r_rup mismatch for $evid/${r.getLong(1)}")
+      assert(math.abs(r.getDouble(3) - rjb) < 1e-9, s"r_jb mismatch for $evid/${r.getLong(1)}")
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-9, "r_rup must dominate r_jb")
     }
   }
 
