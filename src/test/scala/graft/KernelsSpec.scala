@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Iir2State, SdofPeak, VecDot}
+
+/** Property-style tests for the codegen'd recurrence kernels: on
+  * ARBITRARY double series (seeded random, not just the driver
+  * testdata), the interpreted eval path must bit-match an
+  * independently written Scala fold with the DuckDB twin's semantics.
+  * The generated-Java path is exercised by the oracle gate
+  * (whole-stage codegen at sf0.01); these pin the arithmetic itself.
+  */
+class KernelsSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812L)
+  private def randSeries(): Seq[Double] =
+    Seq.fill(rnd.nextInt(41))(rnd.nextDouble() * 2e6 - 1e6)
+
+  private def lit(xs: Seq[Double]) =
+    Literal(new GenericArrayData(xs.toArray), ArrayType(DoubleType))
+
+  test("SdofPeak matches the reference Newmark fold on arbitrary series") {
+    val (cu, cv, keff, tdt) = (1586.09, 86.28, 5799.2, 40.0)
+    for (_ <- 1 to 300) {
+      val ps = randSeries()
+      val got = SdofPeak(lit(ps), cu, cv, keff, tdt).eval(null).asInstanceOf[Double]
+      // reference fold, DuckDB list_reduce semantics: state [u,v,pn,peak]
+      val want =
+        if (ps.isEmpty) 0.0
+        else ps.tail.foldLeft((0.0, 0.0, ps.head, 0.0)) { case ((u, v, pn, peak), x) =>
+          val u1 = (x + pn + cu * u + cv * v) / keff
+          (u1, tdt * (u1 - u) - v, x, math.max(peak, math.abs(u1)))
+        }._4
+      assert(got == want, s"series $ps")
+    }
+  }
+
+  test("Iir2State matches the reference biquad fold on arbitrary series") {
+    val (b0, b1, b2, a1, a2) = (0.2, 0.4, 0.2, -0.18, 0.05)
+    for (_ <- 1 to 300) {
+      val xs = randSeries()
+      val got = Iir2State(lit(xs), b0, b1, b2, a1, a2)
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+      val (y1, _, _, _, en) = xs.foldLeft((0.0, 0.0, 0.0, 0.0, 0.0)) {
+        case ((py1, py2, px1, px2, pen), x) =>
+          val y = b0 * x + b1 * px1 + b2 * px2 - a1 * py1 - a2 * py2
+          (y, py1, x, px1, pen + y * y)
+      }
+      assert(got(0) == y1 && got(1) == en, s"series $xs")
+    }
+  }
+
+  test("VecDot matches the sequential fold on arbitrary pairs") {
+    for (_ <- 1 to 300) {
+      val (a, b) = (randSeries(), randSeries())
+      val n = math.min(a.length, b.length)
+      val got = VecDot(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+      val want = (0 until n).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      assert(got == want)
+    }
+  }
+}
