@@ -199,6 +199,35 @@ object GeoOps {
       .select(col("evid"), col("sta"), col("r_rup"), col("r_jb"))
   }
 
+  /** Rupture-plane corner vertices — the reference's
+    * corner_{0..3}_{lat,lon,depth} columns
+    * (`data_retrieval/rupture_models.py`, propagation-data assembly
+    * around `distances.py:650`): ULC/URC/LLC/LRC of the dipping
+    * rectangle, from the same strike/dip frame as
+    * [[rrupDistancesGeo]]. One explode over a 4-element literal
+    * corner table per large event; rows-only at the gate (trig),
+    * recompute-tested. */
+  def ccldVertices(s: SparkSession, d: String): DataFrame = {
+    val halfL = (floor(col("mag")) - 3) * 5.0 + 2.5
+    val corners = explode(array(
+      struct(lit(0L).as("corner"), lit(-1.0).as("su"), lit(0.0).as("wu")),  // ULC
+      struct(lit(1L).as("corner"), lit(1.0).as("su"), lit(0.0).as("wu")),   // URC
+      struct(lit(2L).as("corner"), lit(-1.0).as("su"), lit(1.0).as("wu")),  // LLC
+      struct(lit(3L).as("corner"), lit(1.0).as("su"), lit(1.0).as("wu")))).as("c")
+    Catalog.events(s, d).filter(col("mag") >= RupMagMin)
+      .select(col("evid"), col("ev_lat"), col("ev_lon"),
+        radians((col("evid") % 360).cast("double")).as("strike"),
+        radians(lit(30.0) + (col("evid") % 6) * 10.0).as("dip"),
+        halfL.as("half_l"), halfL.as("wid"),
+        (col("ev_depth") * 0.5).as("ztop"), corners)
+      .select(col("evid"), col("c.corner").as("corner"),
+        (col("ev_lat") + (col("c.su") * col("half_l") * cos(col("strike")) +
+          col("c.wu") * col("wid") * cos(col("dip")) * -sin(col("strike"))) / KmPerDegLat).as("c_lat"),
+        (col("ev_lon") + (col("c.su") * col("half_l") * sin(col("strike")) +
+          col("c.wu") * col("wid") * cos(col("dip")) * cos(col("strike"))) / KmPerDegLon).as("c_lon"),
+        (col("ztop") + col("c.wu") * col("wid") * sin(col("dip"))).as("c_depth"))
+  }
+
   // ---- tectonic domains ------------------------------------------
 
   /** Convex quads (CCW vertex order) with priority; lowest priority
@@ -514,6 +543,7 @@ object GeoOps {
     "rrup_distances"          -> (rrupDistances _),
     // rows-only at the gate (trig rotations), recompute-tested.
     "rrup_distances_geo"      -> (rrupDistancesGeo _),
+    "ccld_vertices"           -> (ccldVertices _),
     "tect_domain"             -> (tectDomain _),
     "tvz_path"                -> (tvzPath _),
     "aftershock_flags"        -> (aftershockFlags _),

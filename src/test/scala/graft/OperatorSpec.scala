@@ -53,7 +53,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("driver contract: every query has an oracle and distinct output columns") {
     // Iterative driver-loop operators are not single-query SQL; the
     // driver records a rows-only check for them (no oracle entry).
-    val rowsOnly = Set("aftershock_clusters", "event_station_distances_geo", "rrup_distances_geo")
+    val rowsOnly = Set("aftershock_clusters", "event_station_distances_geo",
+      "rrup_distances_geo", "ccld_vertices")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly,
       s"queries/oracles key mismatch: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} " +
         s"/ ${(SparkEntry.queries.keySet -- rowsOnly).diff(SparkEntry.oracleSql.keySet)}")
@@ -360,6 +361,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(r.getDouble(2) - rrup) < 1e-9, s"r_rup mismatch for $evid/${r.getLong(1)}")
       assert(math.abs(r.getDouble(3) - rjb) < 1e-9, s"r_jb mismatch for $evid/${r.getLong(1)}")
       assert(r.getDouble(2) >= r.getDouble(3) - 1e-9, "r_rup must dominate r_jb")
+    }
+  }
+
+  test("rupture corner vertices form the expected dipping rectangle") {
+    val out = GeoOps.ccldVertices(spark, Sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val ev = graft.model.Catalog.events(spark, Sf)
+      .filter(s"mag >= ${GeoOps.RupMagMin}").select("evid", "ev_lat", "ev_lon", "ev_depth", "mag")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == ev.keySet)
+    for ((evid, cs) <- out.take(200)) {
+      assert(cs.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+      val (_, _, edep, mag) = ev(evid)
+      val halfL = (math.floor(mag) - 3) * 5.0 + 2.5
+      val dip = math.toRadians(30.0 + (evid % 6) * 10.0)
+      def km(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Double = {
+        val dx = (a.getDouble(3) - b.getDouble(3)) * GeoOps.KmPerDegLon
+        val dy = (a.getDouble(2) - b.getDouble(2)) * GeoOps.KmPerDegLat
+        math.sqrt(dx * dx + dy * dy)
+      }
+      // top edge length = 2*halfL; down-dip horizontal extent = W*cos(dip)
+      assert(math.abs(km(cs(0), cs(1)) - 2 * halfL) < 1e-6)
+      assert(math.abs(km(cs(0), cs(2)) - halfL * math.cos(dip)) < 1e-6)
+      // top corners at ztop, bottom corners deeper by W*sin(dip)
+      assert(math.abs(cs(0).getDouble(4) - edep * 0.5) < 1e-9)
+      assert(math.abs(cs(2).getDouble(4) - (edep * 0.5 + halfL * math.sin(dip))) < 1e-9)
     }
   }
 
