@@ -531,15 +531,19 @@ object GeoOps {
         col("is_aftershock"))
   }
 
-  def decimalYear(s: SparkSession, d: String): DataFrame = {
-    val ts = timestamp_micros(col("ev_us"))
+  /** Decimal year of an epoch-microseconds column (`aftershocks.py:117
+    * decimal_year`; golden values in `tests/test_aftershocks.py:129`). */
+  def decimalYearCol(us: Column): Column = {
+    val ts = timestamp_micros(us)
     val y = year(ts)
     val yStart = unix_micros(make_timestamp(y, lit(1), lit(1), lit(0), lit(0), lit(0)))
     val yNext  = unix_micros(make_timestamp(y + 1, lit(1), lit(1), lit(0), lit(0), lit(0)))
-    Catalog.events(s, d).select(col("evid"), col("ev_us"),
-      (y.cast("double") +
-        (col("ev_us") - yStart).cast("double") / (yNext - yStart).cast("double")).as("dec_year"))
+    y.cast("double") + (us - yStart).cast("double") / (yNext - yStart).cast("double")
   }
+
+  def decimalYear(s: SparkSession, d: String): DataFrame =
+    Catalog.events(s, d).select(col("evid"), col("ev_us"),
+      decimalYearCol(col("ev_us")).as("dec_year"))
 
   val queries: Map[String, QueryFn] = Map(
     "event_station_distances" -> (eventStationDistances _),

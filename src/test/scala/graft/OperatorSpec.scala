@@ -364,6 +364,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decimal_year matches the reference's golden values") {
+    // `tests/test_aftershocks.py:120-128` (atol 1e-3)
+    val golden = Seq(
+      "2020-01-01 00:00:00" -> 2020.0,
+      "2020-07-02 12:00:00" -> 2020.5,
+      "2020-12-31 23:59:59" -> 2020.999999,
+      "2021-03-01 00:00:00" -> 2021.163)
+    val sp = spark; import sp.implicits._
+    val us = golden.map { case (d, _) =>
+      java.time.LocalDateTime.parse(d.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    }
+    val got = us.toDF("ev_us")
+      .select(GeoOps.decimalYearCol(org.apache.spark.sql.functions.col("ev_us")))
+      .collect().map(_.getDouble(0))
+    // np.isclose semantics: atol=1e-3 plus the default rtol=1e-5*|b|
+    // (the reference's 2020-07-02 case needs the rtol headroom: the
+    // exact elapsed/duration value in leap-year 2020 is 2020.50137)
+    for (((_, want), g) <- golden.zip(got))
+      assert(math.abs(g - want) < 1e-3 + 1e-5 * math.abs(want), s"expected $want got $g")
+  }
+
   test("rupture corner vertices form the expected dipping rectangle") {
     val out = GeoOps.ccldVertices(spark, Sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
