@@ -118,14 +118,130 @@ object CcldOps {
         col("strike").as("sel_strike"), col("dip").as("sel_dip"), col("rake").as("sel_rake"))
   }
 
+  // ---- rupture selection (site-grid distance objective) ----------
+
+  /** The CCLD selection objective itself (`ccldpy.py:940`: "simulate
+    * earthquake rupture surface that minimizes the difference between
+    * the median distance of a pseudo-grid of sites and a stochastic
+    * set of possible ruptures"): per large event, each draw proposes a
+    * dipping rupture plane; the median 3D rupture distance over a
+    * fixed pseudo-grid of sites is compared to the event's target
+    * distance and the arg-min draw wins.
+    *
+    * Strike and dip are DISCRETIZED (24x15 deg strikes, 6 dips) so the
+    * rotation trig becomes literal lookup tables — the whole objective
+    * is +,-,*,/,clamp over doubles and stays bit-exact against the
+    * DuckDB twin (no rows-only fallback needed, unlike the continuous
+    * `rrup_distances_geo`). The grid offsets are Scala-precomputed
+    * literal constants. Plan shape: one draws explode (x NSamples), the
+    * 8 grid distances as pure column expressions (no second explode),
+    * one per-event window argmin. */
+  val SelGridKm = 20.0
+  val NStrike   = 24
+  val NDip      = 6
+  val GridOffsets: Seq[(Double, Double)] = (0 until 8).map { g =>
+    val a = g * math.Pi / 4
+    (SelGridKm * math.cos(a), SelGridKm * math.sin(a))
+  }
+  val StrikeSin: Seq[Double] = (0 until NStrike).map(i => math.sin(math.toRadians(i * 15.0)))
+  val StrikeCos: Seq[Double] = (0 until NStrike).map(i => math.cos(math.toRadians(i * 15.0)))
+  val DipCos: Seq[Double] = (0 until NDip).map(i => math.cos(math.toRadians(30.0 + i * 10.0)))
+  val DipSin: Seq[Double] = (0 until NDip).map(i => math.sin(math.toRadians(30.0 + i * 10.0)))
+
+  def ccldRuptureSelect(s: SparkSession, d: String): DataFrame = {
+    def lut(vals: Seq[Double], idx: org.apache.spark.sql.Column) =
+      element_at(array(vals.map(lit): _*), (idx + 1).cast("int"))
+    val base = Catalog.events(s, d).filter(col("mag") >= GeoOps.RupMagMin)
+      .select(col("evid"), col("mag"), col("ev_depth"),
+        explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
+      .select(col("evid"), col("mag"), col("k"),
+        (uCol(0) % NStrike).as("si"), (uCol(1) % NDip).as("di"),
+        (col("ev_depth") * 0.5).as("ztop"),
+        ((floor(col("mag")) - 3) * 5.0 + 2.5).as("half_l"))
+      .withColumn("wid", col("half_l"))
+      .withColumn("sn", lut(StrikeSin, col("si")))
+      .withColumn("cs", lut(StrikeCos, col("si")))
+      .withColumn("cd", lut(DipCos, col("di")))
+      .withColumn("sd", lut(DipSin, col("di")))
+    def rr(gx: Double, gy: Double): org.apache.spark.sql.Column = {
+      val sp = greatest(-col("half_l"), least(col("half_l"), lit(gx) * col("sn") + lit(gy) * col("cs")))
+      val wp = greatest(lit(0.0), least(col("wid"),
+        lit(gx) * col("cs") * col("cd") - lit(gy) * col("sn") * col("cd") - col("ztop") * col("sd")))
+      val nx = sp * col("sn") + wp * col("cd") * col("cs")
+      val ny = sp * col("cs") - wp * col("cd") * col("sn")
+      val nz = -(wp * col("sd"))
+      sqrt((lit(gx) - nx) * (lit(gx) - nx) + (lit(gy) - ny) * (lit(gy) - ny) +
+        (col("ztop") - nz) * (col("ztop") - nz))
+    }
+    val withMed = base
+      .withColumn("rrs", sort_array(array(GridOffsets.map { case (gx, gy) => rr(gx, gy) }: _*)))
+      .withColumn("med", (element_at(col("rrs"), 4) + element_at(col("rrs"), 5)) / 2.0)
+      .withColumn("objective", abs(col("med") - ((col("evid") % 40) + 10).cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("evid")).orderBy(col("objective"), col("k"))
+    withMed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("evid"), col("k").cast("long").as("sel_k"),
+        (col("si").cast("double") * 15.0).as("strike_deg"),
+        (lit(30.0) + col("di").cast("double") * 10.0).as("dip_deg"),
+        col("med").as("median_rrup"), col("objective"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
-    "ccld_sample"    -> (ccldSample _),
-    "ccld_preferred" -> (ccldPreferred _))
+    "ccld_sample"         -> (ccldSample _),
+    "ccld_preferred"      -> (ccldPreferred _),
+    "ccld_rupture_select" -> (ccldRuptureSelect _))
 
   private def uSql(slice: Int): String =
     s"(CAST('0x' || substring(md5(CAST(evid AS VARCHAR) || '_' || CAST(t.k AS VARCHAR)), ${1 + 10 * slice}, 10) AS BIGINT) % $UScale)"
 
+  private def dls(x: Double): String = s"CAST('${x}' AS DOUBLE)"
+
   val oracles: Map[String, String] = Map(
+    "ccld_rupture_select" -> Catalog.oracle {
+      val snL = StrikeSin.map(dls).mkString("[", ", ", "]")
+      val csL = StrikeCos.map(dls).mkString("[", ", ", "]")
+      val cdL = DipCos.map(dls).mkString("[", ", ", "]")
+      val sdL = DipSin.map(dls).mkString("[", ", ", "]")
+      val spwp = GridOffsets.zipWithIndex.map { case ((gx, gy), g) =>
+        s"greatest(-half_l, least(half_l, ${dls(gx)} * sn + ${dls(gy)} * cs)) AS sp$g,\n      " +
+          s"greatest(${dls(0.0)}, least(wid, ${dls(gx)} * cs * cd - ${dls(gy)} * sn * cd - ztop * sd)) AS wp$g"
+      }.mkString(",\n      ")
+      val rrs = GridOffsets.zipWithIndex.map { case ((gx, gy), g) =>
+        val nx = s"(sp$g * sn + wp$g * cd * cs)"
+        val ny = s"(sp$g * cs - wp$g * cd * sn)"
+        val nz = s"(-(wp$g * sd))"
+        s"sqrt((${dls(gx)} - $nx) * (${dls(gx)} - $nx) + (${dls(gy)} - $ny) * (${dls(gy)} - $ny) + (ztop - $nz) * (ztop - $nz))"
+      }.mkString(",\n        ")
+      s"""SELECT evid, CAST(k AS BIGINT) AS sel_k,
+         |  CAST(si AS DOUBLE) * 15e0 AS strike_deg,
+         |  30e0 + CAST(di AS DOUBLE) * 10e0 AS dip_deg,
+         |  med AS median_rrup, objective
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY evid ORDER BY objective, k) AS rn FROM (
+         |    SELECT *, abs(med - CAST((evid % 40) + 10 AS DOUBLE)) AS objective FROM (
+         |      SELECT *, (rrs[4] + rrs[5]) / ${dls(2.0)} AS med FROM (
+         |        SELECT *, list_sort([
+         |        $rrs]) AS rrs FROM (
+         |          SELECT *,
+         |      $spwp
+         |          FROM (
+         |            SELECT evid, t.k, si, di, ztop, half_l, half_l AS wid,
+         |                   $snL[si + 1] AS sn, $csL[si + 1] AS cs,
+         |                   $cdL[di + 1] AS cd, $sdL[di + 1] AS sd
+         |            FROM (
+         |              SELECT evid, t.k,
+         |                     ${uSql(0)} % $NStrike AS si, ${uSql(1)} % $NDip AS di,
+         |                     ev_depth * 5e-1 AS ztop,
+         |                     (floor(mag) - 3) * 5e0 + 2.5e0 AS half_l
+         |              FROM gm_events, range(0, $NSamples) t(k)
+         |              WHERE mag >= ${graft.operators.GeoOps.RupMagMin}e0) t
+         |          )
+         |        )
+         |      )
+         |    )
+         |  )
+         |) WHERE rn = 1""".stripMargin
+    },
     "ccld_preferred" -> Catalog.oracle(
       s"""SELECT evid, mech AS pref_mech, w_votes, n_mech,
          |  CAST(k AS BIGINT) AS sel_k, CAST(cat AS BIGINT) AS sel_cat,
