@@ -15,8 +15,15 @@ object Bench {
       // let the optimizer prune expensive projections (hash RNG, pSA
       // folds) and under-report queries whose cost lives in the
       // SELECT list rather than the joins.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // a broken query must NOT shrink the headline as a ~0s entry
+          System.err.println(s"BENCH FAILURE: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => time(SparkEntry.queries(n))) // warmup pass

@@ -30,6 +30,23 @@ object Portable {
     * Spark 4 ANSI arithmetic (no silent wrap on either engine). */
   val P: Long = 1048573L // largest prime < 2^20
 
+  /** Double literal that parses to the identical bits on both engines:
+    * Scala's shortest-roundtrip repr through a string cast (probed —
+    * dev/PORTABILITY.md "literal double embedding"). The ONE spelling
+    * of this idiom; every constant-table generator routes through it. */
+  def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
+
+  /** The synthetic per-record series the whole signal family reads —
+    * ONE source of truth for length and derivation: SignalOps.grid's
+    * exploded acc_c, its gridCte SQL twin, and the array forms the
+    * pSA / DFT / preproc kernels fold over are all generated from
+    * these (the expression text is valid in both Spark SQL and
+    * DuckDB). Changing the formula or length here changes every
+    * consumer together. */
+  val SeriesN = 16
+  def accTerm(pk: String, j: String): String = s"($pk * 13 + $j * 29) % 400 - 200"
+  def noiseTerm(pk: String, j: String): String = s"($pk * 7 + $j * 31) % 100 - 50"
+
   /** Portable 60-bit hash of a string expression. */
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")

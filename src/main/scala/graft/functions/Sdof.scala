@@ -30,14 +30,14 @@ object Sdof {
   val Dt      = 0.05                      // sampling interval of the synthetic series (s)
   val Zeta    = 0.05                      // 5% damping, the published pSA convention
   val Periods = Seq(0.1, 0.5, 1.0, 3.0)   // psa_periods subset (ims.py:142)
-  val NFreq   = 16                        // grid length, = SignalOps.NFreq
+  val NFreq: Int = Portable.SeriesN       // grid length (shared source of truth)
 
   /** psa_p01 / psa_p05 / psa_p10 / psa_p30 (period in deci-seconds). */
   def colName(t: Double): String = f"psa_p${(t * 10).round}%02d"
 
   /** Double literal that parses to the identical bits on both engines:
     * Scala's shortest-roundtrip repr through a string cast. */
-  private def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
+  private def dl(d: Double): String = Portable.dl(d)
 
   private case class Coef(cu: Double, cv: Double, keff: Double, tdt: Double, k: Double)
   private def coef(t: Double): Coef = {
@@ -53,11 +53,11 @@ object Sdof {
     * double per grid step, derived from the record key `pk` — same
     * derivation as SignalOps.grid's acc_c. Spark SQL expression. */
   def psSpark: String =
-    s"transform(sequence(0, ${NFreq - 1}), j -> -CAST((pk * 13 + j * 29) % 400 - 200 AS DOUBLE))"
+    s"transform(sequence(0, ${NFreq - 1}), j -> -CAST(${Portable.accTerm("pk", "j")} AS DOUBLE))"
 
   /** DuckDB twin of [[psSpark]]. */
   def psSql: String =
-    s"list_transform(range(0, $NFreq), j -> -CAST((pk * 13 + j * 29) % 400 - 200 AS DOUBLE))"
+    s"list_transform(range(0, $NFreq), j -> -CAST(${Portable.accTerm("pk", "j")} AS DOUBLE))"
 
   /** pSA over a materialized p-series column: the Newmark recurrence
     * runs inside whole-stage codegen via the [[SdofPeak]] expression

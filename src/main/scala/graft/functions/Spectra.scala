@@ -24,14 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Spectra {
 
-  val N  = 16     // samples per synthetic record (= SignalOps.NFreq)
+  val N: Int = Portable.SeriesN // samples per synthetic record (shared source of truth)
   val Dt = 0.05   // sampling interval, s  (fs = 20 Hz)
   val Bins: Seq[Int] = 1 to 8 // one-sided DFT bins (DC excluded)
   val KoB = 20.0  // Konno-Ohmachi bandwidth coefficient
 
   def freqHz(k: Int): Double = k / (N * Dt)
 
-  private def dl(d: Double): String = s"CAST('${d}' AS DOUBLE)"
+  private def dl(d: Double): String = Portable.dl(d)
 
   /** Literal row as a Spark array column / DuckDB list expression. */
   def rowCol(xs: Seq[Double]): Column = array(xs.map(lit): _*)
@@ -43,16 +43,16 @@ object Spectra {
   /** Synthetic signal window (the post-p-wave slice): acc_c grid
     * derivation as doubles. `pk` in scope. */
   val xsSpark: String =
-    s"transform(sequence(0, ${N - 1}), n -> CAST((pk * 13 + n * 29) % 400 - 200 AS DOUBLE))"
+    s"transform(sequence(0, ${N - 1}), n -> CAST(${Portable.accTerm("pk", "n")} AS DOUBLE))"
   val xsSql: String =
-    s"list_transform(range(0, $N), n -> CAST((pk * 13 + n * 29) % 400 - 200 AS DOUBLE))"
+    s"list_transform(range(0, $N), n -> CAST(${Portable.accTerm("pk", "n")} AS DOUBLE))"
 
   /** Synthetic noise window (the pre-p-wave slice): smaller-amplitude
     * independent derivation from the record key. */
   val ysSpark: String =
-    s"transform(sequence(0, ${N - 1}), n -> CAST((pk * 7 + n * 31) % 100 - 50 AS DOUBLE))"
+    s"transform(sequence(0, ${N - 1}), n -> CAST(${Portable.noiseTerm("pk", "n")} AS DOUBLE))"
   val ysSql: String =
-    s"list_transform(range(0, $N), n -> CAST((pk * 7 + n * 31) % 100 - 50 AS DOUBLE))"
+    s"list_transform(range(0, $N), n -> CAST(${Portable.noiseTerm("pk", "n")} AS DOUBLE))"
 
   // ---- DFT as literal twiddle rows -------------------------------
 

@@ -93,8 +93,15 @@ object AnnOps {
     * measured curve in SURVEY §5. */
   def planesFor(corpusSize: Long, targetOccupancy: Int = 32): Int =
     math.max(4, math.ceil(math.log(corpusSize.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+
+  /** Capped at 256: the literal-expression centroid assignment
+    * (`cellCol` builds one vec_dot per cell) is only plannable for
+    * test-scale cell counts. Beyond the cap, production IVF switches
+    * representation — a k-means centroid TABLE broadcast-joined with a
+    * per-row argmin — which keeps the same equi-join candidate shape
+    * while the cell count scales freely with N. */
   def cellsFor(corpusSize: Long, targetCell: Int = 1024): Int =
-    math.max(4, math.ceil(corpusSize.toDouble / targetCell).toInt)
+    math.min(256, math.max(4, math.ceil(corpusSize.toDouble / targetCell).toInt))
 
   def annLshTopkWith(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val v = vectors(s, d).withColumn("bucket", bucketColFor("embedding", 0, nPlanes))

@@ -194,7 +194,7 @@ object CcldOps {
   private def uSql(slice: Int): String =
     s"(CAST('0x' || substring(md5(CAST(evid AS VARCHAR) || '_' || CAST(t.k AS VARCHAR)), ${1 + 10 * slice}, 10) AS BIGINT) % $UScale)"
 
-  private def dls(x: Double): String = s"CAST('${x}' AS DOUBLE)"
+  private def dls(x: Double): String = graft.functions.Portable.dl(x)
 
   val oracles: Map[String, String] = Map(
     "ccld_rupture_select" -> Catalog.oracle {

@@ -521,7 +521,10 @@ object GeoOps {
         .localCheckpoint(true)
     }
     require(undecided.isEmpty, s"ABWD greedy did not converge in $MaxAbwdRounds rounds")
-    val lab = decided.reduce(_ unionByName _)
+    val emptyLab = events
+      .select(col("evid"), col("evid").as("cluster_evid"), lit(false).as("is_aftershock"))
+      .limit(0)
+    val lab = decided.foldLeft(emptyLab)(_ unionByName _)
     val clustered = lab.filter(col("is_aftershock"))
       .select(col("cluster_evid").as("ce")).distinct()
     lab.join(clustered, lab("cluster_evid") === clustered("ce"), "left")

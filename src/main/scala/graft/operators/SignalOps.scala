@@ -28,7 +28,7 @@ import graft.model.Catalog
   */
 object SignalOps {
 
-  val NFreq      = 16   // frequency grid points per record
+  val NFreq: Int = graft.functions.Portable.SeriesN // grid points per record (shared source of truth)
   val SnrThreshC = 200L // screening threshold in centi-units (2.00)
   val SigLo      = 4    // signal band grid indices [SigLo, SigHi]
   val SigHi      = 11
@@ -44,7 +44,7 @@ object SignalOps {
         explode(sequence(lit(0), lit(NFreq - 1))).as("j"))
       .withColumn("freq", (col("j") + 1).cast("double") / 2.0)
       .withColumn("snr_c", lit(100L) + (col("pk") + col("j") * 7) % 200)
-      .withColumn("acc_c", (col("pk") * 13 + col("j") * 29) % 400 - 200)
+      .withColumn("acc_c", expr(graft.functions.Portable.accTerm("pk", "j")))
 
   private val recKey = Seq(col("evid"), col("sta"), col("lnum"), col("pk"))
 
@@ -171,8 +171,8 @@ object SignalOps {
       .select(col("record_id"), col("chan"), expr(Spectra.xsSpark).as("xs"))
       .withColumn("sx", Spectra.vecDot(col("xs"), array(ones.map(lit): _*)))
       .withColumn("snx", Spectra.vecDot(col("xs"), array(narr.map(lit): _*)))
-      .withColumn("b_s", (lit(16.0) * col("snx") - lit(120.0) * col("sx")) / lit(5440.0))
-      .withColumn("a_i", (col("sx") - col("b_s") * lit(120.0)) / lit(16.0))
+      .withColumn("b_s", (lit(Spectra.N.toDouble) * col("snx") - lit(Spectra.SumN) * col("sx")) / lit(Spectra.LsqDen))
+      .withColumn("a_i", (col("sx") - col("b_s") * lit(Spectra.SumN)) / lit(Spectra.N.toDouble))
       .withColumn("tw", expr(Spectra.dtSeriesSpark("xs")))
       .withColumn("st", Spectra.biquadCol(col("tw")))
       .select(col("record_id"), col("chan"),
@@ -223,7 +223,7 @@ object SignalOps {
        |  SELECT record_id, evid, sta, chan, pk, t.j,
        |         CAST(t.j + 1 AS DOUBLE) / 2e0 AS freq,
        |         100 + (pk + t.j * 7) % 200 AS snr_c,
-       |         (pk * 13 + t.j * 29) % 400 - 200 AS acc_c
+       |         ${graft.functions.Portable.accTerm("pk", "t.j")} AS acc_c
        |  FROM gm_records, range(0, $NFreq) t(j)
        |)""".stripMargin
 
@@ -287,8 +287,8 @@ object SignalOps {
          |FROM (
          |  SELECT record_id, chan, b_s, a_i, ${Spectra.biquadSql("tw")} AS st FROM (
          |    SELECT record_id, chan, b_s, a_i, ${Spectra.dtSeriesSql("xs")} AS tw FROM (
-         |      SELECT record_id, chan, xs, b_s, (sx - b_s * 120.0e0) / 16.0e0 AS a_i FROM (
-         |        SELECT record_id, chan, xs, sx, (16.0e0 * snx - 120.0e0 * sx) / 5440.0e0 AS b_s FROM (
+         |      SELECT record_id, chan, xs, b_s, (sx - b_s * ${Portable.dl(Spectra.SumN)}) / ${Portable.dl(Spectra.N.toDouble)} AS a_i FROM (
+         |        SELECT record_id, chan, xs, sx, (${Portable.dl(Spectra.N.toDouble)} * snx - ${Portable.dl(Spectra.SumN)} * sx) / ${Portable.dl(Spectra.LsqDen)} AS b_s FROM (
          |          SELECT record_id, chan, xs,
          |                 ${Portable.dotSql("xs", onesSql)} AS sx,
          |                 ${Portable.dotSql("xs", narrSql)} AS snx

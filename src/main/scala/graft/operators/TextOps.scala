@@ -51,7 +51,11 @@ object TextOps {
     * the simhash fingerprints — the distributed equivalent of a
     * web-dedup pipeline's "write the signature table once" step. The
     * cached projection is 3 narrow columns, orders of magnitude
-    * smaller than the raw corpus. */
+    * smaller than the raw corpus. Lifetime: the entry (one per data
+    * dir) stays cached for the session — intentional for the gate and
+    * bench runs, which hit the whole dedup family; a long-lived
+    * service would call `spark.catalog.clearCache()` (or persist to a
+    * real signature TABLE) between corpus versions. */
   private def hashed(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("sh", Portable.shingles(col("tk"), ShingleN))
