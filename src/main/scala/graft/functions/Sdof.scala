@@ -29,7 +29,10 @@ object Sdof {
 
   val Dt      = 0.05                      // sampling interval of the synthetic series (s)
   val Zeta    = 0.05                      // 5% damping, the published pSA convention
-  val Periods = Seq(0.1, 0.5, 1.0, 3.0)   // psa_periods subset (ims.py:142)
+  // psa_periods subset (ims.py:142) — the reference grid is ~100
+  // log-spaced periods; these 8 span its range and each adds one
+  // codegen'd kernel column (cost is linear in periods).
+  val Periods = Seq(0.1, 0.2, 0.3, 0.5, 1.0, 2.0, 3.0, 5.0)
   val NFreq: Int = Portable.SeriesN       // grid length (shared source of truth)
 
   /** psa_p01 / psa_p05 / psa_p10 / psa_p30 (period in deci-seconds). */

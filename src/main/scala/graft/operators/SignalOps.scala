@@ -155,6 +155,24 @@ object SignalOps {
       sqrt(col("t2")).as("fas_noise_k2"))
   }
 
+  /** Smoothed Fourier amplitude spectrum at the common frequency grid
+    * (`calculation/snr.py` fas_signal product; the reference publishes
+    * FAS flatfiles alongside SNR): KO-smoothed amplitude sqrt(S_k) of
+    * the signal window at every one-sided bin. Same shuffle-free
+    * literal-row DFT as [[snrFft]], all 8 bins published. */
+  def imFas(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Spectra
+    val base = Catalog.records(s, d)
+      .select(col("record_id"), col("chan"), col("pk"))
+      .select(col("record_id"), col("chan"), expr(Spectra.xsSpark).as("xs"))
+    val withP = Spectra.Bins.foldLeft(base) { (df, k) =>
+      df.withColumn(s"p$k", Spectra.powerCol("xs", k))
+    }
+    withP.select(Seq(col("record_id"), col("chan")) ++
+      Spectra.Bins.map(k =>
+        sqrt(Spectra.koSmoothCol(j => col(s"p$j"), k)).as(s"fas_k$k")): _*)
+  }
+
   /** Waveform preprocessing (`data_processing/waveform_manipulation
     * .py:15,123`): linear detrend (closed-form least squares over the
     * fixed index grid), Welch taper (polynomial — no trig in checked
@@ -214,6 +232,7 @@ object SignalOps {
     "im_calc"          -> (imCalc _),
     "im_psa"           -> (imPsa _),
     "snr_fft"          -> (snrFft _),
+    "im_fas"           -> (imFas _),
     "waveform_preproc" -> (waveformPreproc _),
     "im_duration"      -> (imDuration _)
   )
@@ -277,6 +296,18 @@ object SignalOps {
          |      $qcols
          |    FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs, ${Spectra.ysSql} AS ys
          |          FROM gm_records)))""".stripMargin
+    },
+    "im_fas" -> Catalog.oracle {
+      import graft.functions.Spectra
+      val pcols = Spectra.Bins.map(k => s"${Spectra.powerSql("xs", k)} AS p$k").mkString(",\n      ")
+      val fas = Spectra.Bins.map(k =>
+        s"sqrt(${Spectra.koSmoothSql(j => s"p$j", k)}) AS fas_k$k").mkString(",\n  ")
+      s"""SELECT record_id, chan,
+         |  $fas
+         |FROM (
+         |  SELECT record_id, chan,
+         |      $pcols
+         |  FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))""".stripMargin
     },
     "waveform_preproc" -> Catalog.oracle {
       import graft.functions.{Portable, Spectra}
