@@ -225,7 +225,25 @@ object SignalOps {
         ((col("n95") - col("n5")).cast("double") * lit(0.05)).as("ds595"))
   }
 
+  /** Horizontal-component combination of pSA (the reference flatfile's
+    * rotd/geomean-style columns applied to the oscillator response):
+    * per (event, station), the HN/BN component maxima of psa_p10
+    * combine into SRSS-mean and geometric mean. The composition a
+    * flatfile consumer actually reads — kernel column, pivot, exact
+    * sqrt arithmetic. */
+  def psaComponentCombo(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Sdof
+    Catalog.records(s, d)
+      .select(col("evid"), col("sta"), col("chan"), expr(Sdof.psSpark).as("ps"))
+      .select(col("evid"), col("sta"), col("chan"), Sdof.psaCol(1.0, col("ps")).as("psa"))
+      .groupBy(col("evid"), col("sta")).pivot("chan", Seq("HN", "BN")).agg(max(col("psa")))
+      .select(col("evid"), col("sta"), col("HN").as("psa_hn"), col("BN").as("psa_bn"),
+        sqrt((col("HN") * col("HN") + col("BN") * col("BN")) / 2).as("psa_srss"),
+        sqrt(col("HN") * col("BN")).as("psa_geom"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "psa_component_combo" -> (psaComponentCombo _),
     "snr_stats"        -> (snrStats _),
     "fmax_screening"   -> (fmaxScreening _),
     "station_mag_agg"  -> (stationMagAgg _),
@@ -296,6 +314,20 @@ object SignalOps {
          |      $qcols
          |    FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs, ${Spectra.ysSql} AS ys
          |          FROM gm_records)))""".stripMargin
+    },
+    "psa_component_combo" -> Catalog.oracle {
+      import graft.functions.Sdof
+      s"""SELECT evid, sta, psa_hn, psa_bn,
+         |  sqrt((psa_hn * psa_hn + psa_bn * psa_bn) / 2) AS psa_srss,
+         |  sqrt(psa_hn * psa_bn) AS psa_geom
+         |FROM (
+         |  SELECT evid, sta,
+         |    max(CASE WHEN chan = 'HN' THEN psa END) AS psa_hn,
+         |    max(CASE WHEN chan = 'BN' THEN psa END) AS psa_bn
+         |  FROM (
+         |    SELECT evid, sta, chan, ${Sdof.psaSql(1.0, "ps")} AS psa
+         |    FROM (SELECT evid, sta, chan, ${Sdof.psSql} AS ps FROM gm_records))
+         |  GROUP BY evid, sta)""".stripMargin
     },
     "im_fas" -> Catalog.oracle {
       import graft.functions.Spectra

@@ -288,7 +288,26 @@ object TextOps {
     labels
   }
 
+  /** Per-(source, lang) corpus report — the monitoring surface a
+    * training-data pipeline publishes per ingest batch: document and
+    * token volumes, exact mean lengths (integer-sum ratios), and the
+    * short-document share. One partial-aggregable groupBy. */
+  val ShortDocWords = 30
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(size(col("tk"))).as("sum_words"),
+        count(when(size(col("tk")) < ShortDocWords, lit(1))).as("n_short"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("sum_chars").cast("long").as("sum_chars"),
+        col("sum_words").cast("long").as("sum_words"),
+        (col("sum_chars").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+        (col("n_short").cast("double") / col("n_docs").cast("double")).as("short_ratio"))
+
   val queries: Map[String, QueryFn] = Map(
+    "corpus_stats"    -> (corpusStats _),
     "dup_clusters"    -> (dupClusters _),
     "corpus_clean"    -> (corpusClean _),
     "dedup_exact"     -> (dedupExact _),
@@ -362,6 +381,18 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "corpus_stats" ->
+      s"""SELECT source, lang, n_docs,
+         |  CAST(sum_chars AS BIGINT) AS sum_chars,
+         |  CAST(sum_words AS BIGINT) AS sum_words,
+         |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+         |  CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_ratio
+         |FROM (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    sum(length(text)) AS sum_chars,
+         |    sum(len($tkSql)) AS sum_words,
+         |    count(CASE WHEN len($tkSql) < $ShortDocWords THEN 1 END) AS n_short
+         |  FROM documents GROUP BY source, lang)""".stripMargin,
     "dup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |dedges AS (
