@@ -383,6 +383,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(AnnOps.dedupEmbeddingWith(spark, Sf, 2, 10).count() > 0)
   }
 
+  test("flatfile psa columns are bit-equal to the im_psa operator") {
+    import graft.functions.Sdof
+    val cols = Sdof.Periods.map(Sdof.colName)
+    val ff = MergeOps.mergeFlatfile(spark, Sf)
+      .select((Seq("record_id") ++ cols).map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(r => r.getString(0) -> cols.indices.map(i => r.getDouble(i + 1))).toMap
+    val psa = SignalOps.imPsa(spark, Sf)
+      .select((Seq("record_id") ++ cols).map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(r => r.getString(0) -> cols.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(ff.keySet == psa.keySet)
+    for ((rid, vals) <- psa.take(5000))
+      assert(ff(rid) == vals, s"flatfile/im_psa psa mismatch for $rid")
+  }
+
   test("decimal_year matches the reference's golden values") {
     // `tests/test_aftershocks.py:120-128` (atol 1e-3)
     val golden = Seq(
