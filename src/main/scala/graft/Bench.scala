@@ -27,13 +27,20 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => time(SparkEntry.queries(n))) // warmup pass
-    val results = names.map { n =>
-      n -> (1 to 3).map(_ => time(SparkEntry.queries(n))).sorted.apply(1)
+    // A query that fails ANY of its 3 runs is reported as null and
+    // excluded from the total — a -1 sentinel must not participate in
+    // the median (an intermittent failure would still yield a "real"
+    // median) nor be summed into the headline.
+    val results = names.map { n => n -> (1 to 3).map(_ => time(SparkEntry.queries(n))) }
+    val medians = results.map { case (n, runs) =>
+      n -> (if (runs.forall(_ >= 0)) Some(runs.sorted.apply(1)) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = medians.collect { case (n, None) => n }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

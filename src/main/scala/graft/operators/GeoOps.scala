@@ -403,13 +403,18 @@ object GeoOps {
   // ---- greedy ABWD cluster labels --------------------------------
 
   /** Qualifying (event, container) pairs for the ABWD greedy
-    * (`aftershocks.py:222 abwd_crjb`): container m is order-earlier
-    * (mag DESC, evid ASC — the deterministic stand-in for numpy's
-    * reversed stable argsort) and the event falls inside m's FORWARD
-    * time window and spatial window. Unlike the Gardner-Knopoff
-    * flags, ABWD has no magnitude-gap condition and only looks
-    * forward in time. Same per-magnitude-class banded join shape as
-    * [[aftershockPairs]]. */
+    * (`aftershocks.py:222 abwd_crjb`): the event falls inside
+    * container m's FORWARD time window and spatial window. Unlike the
+    * Gardner-Knopoff flags, ABWD has no magnitude condition at all on
+    * the claimed side — the reference's `valid` mask is only
+    * "unlabeled, dt in [0, window], within distance" — so a
+    * higher-magnitude event that claimed nothing at its own step can
+    * later be claimed by a smaller-magnitude container whose forward
+    * window holds it. Both sides' magnitudes are emitted because the
+    * greedy's processing order (mag DESC, evid ASC — the
+    * deterministic stand-in for numpy's reversed stable argsort) is
+    * resolved downstream, not encoded in the pair set. Same
+    * per-magnitude-class banded join shape as [[aftershockPairs]]. */
   private[graft] def abwdPairs(s: SparkSession, d: String): DataFrame = {
     val ev = Catalog.events(s, d)
     val offsets = explode(array((for (t <- -1 to 1; la <- -1 to 1; lo <- -1 to 1)
@@ -432,11 +437,9 @@ object GeoOps {
       val dy = (col("m_lat") - col("ev_lat")) * KmPerDegLat
       subs.join(mains, Seq("tb", "lb", "lob"))
         .filter(col("m_evid") =!= col("evid"))
-        .filter(col("m_mag") > col("mag") ||
-          (col("m_mag") === col("mag") && col("m_evid") < col("evid")))
         .filter(col("ev_us") >= col("m_us") && col("ev_us") - col("m_us") <= tUs)
         .filter(sqrt(dx * dx + dy * dy) <= dKm)
-        .select("evid", "m_evid", "m_mag")
+        .select("evid", "mag", "m_evid", "m_mag")
     }.reduce(_ unionByName _)
   }
 
@@ -444,94 +447,140 @@ object GeoOps {
 
   /** Greedy ABWD cluster labels (`aftershocks.py:222`; reference test
     * `tests/test_aftershocks.py:52`): walk the catalogue in magnitude
-    * order; each still-unlabeled event becomes a mainshock and claims
-    * every still-unlabeled event in its window.
+    * order (mag DESC, evid ASC — the deterministic stand-in for
+    * numpy's reversed stable argsort); each still-unlabeled event
+    * with ≥1 still-unlabeled event in its forward window becomes a
+    * mainshock, labels itself, and claims all of them. Faithful to
+    * the reference's fine print: claims carry NO magnitude condition
+    * (a barren earlier event can be claimed by a later, smaller
+    * container — `valid` is only "unlabeled, dt in [0, window], in
+    * range"), a mainshock labels itself only when it claims ≥1
+    * event, and the order-last event never claims (the reference
+    * loops `range(neq - 1)`).
     *
-    * Sequential on paper, but batchable without changing the result:
-    * an event whose order-first potential container is itself
-    * undecided cannot be resolved yet, while an event with NO
-    * undecided order-earlier container is guaranteed to be reached
-    * unlabeled — so each round promotes exactly those to mainshocks
-    * and hands each remaining event to its order-first container iff
-    * that container was just promoted (claims in the sequential greedy
-    * always go to the order-first eventual mainshock). Rounds needed =
-    * depth of the container-dependency chain — a function of local
-    * catalogue density, not catalogue size, and the event table is the
-    * SMALL table of the schema (≪ records), so a driver loop of
-    * anti-joins over a persisted pair table is the right scale shape.
-    * Lineage is cut every round with an eager localCheckpoint.
-    *
-    * Output: cluster_evid = the claiming mainshock's evid (its own for
-    * clustered mainshocks, NULL for events in no cluster — the
-    * reference's label-0), is_aftershock flag. */
+    * Output: cluster_evid = the claiming mainshock's evid (its own
+    * for mainshocks, NULL for events in no cluster — the reference's
+    * label-0), is_aftershock flag. */
   def aftershockClusters(s: SparkSession, d: String): DataFrame =
-    abwdLabel(Catalog.events(s, d).select(col("evid")), abwdPairs(s, d))
+    abwdLabel(Catalog.events(s, d).select(col("evid"), col("mag")), abwdPairs(s, d))
 
-  /** The batched greedy itself, factored over explicit (events, pairs)
-    * inputs so tests can drive it with hand-computed fixtures.
-    * `events`: one `evid` per catalogue event; `pairs`: qualifying
-    * (evid, m_evid, m_mag) container pairs, m order-earlier.
+  /** The batched greedy itself, factored over explicit (events,
+    * pairs) inputs so tests can drive it with hand-computed fixtures.
+    * `events`: (evid, mag); `pairs`: qualifying (evid, mag, m_evid,
+    * m_mag) rows meaning event `evid` lies inside container
+    * `m_evid`'s forward window — no order restriction between the
+    * sides.
     *
-    * Round invariants (the equivalence proof with the sequential
-    * greedy): containers decided as aftershocks never claim, so they
-    * drop out of the live pair table; promoted mainshocks REMAIN
-    * claim-eligible forever (their claimables can free up when an
-    * order-earlier blocker is claimed in a later round). An undecided
-    * event with no remaining container is promoted; an undecided
-    * event whose order-first remaining container is a known mainshock
-    * is claimed by it — exactly the order-first eventual-mainshock
-    * container, which is the sequential claimer. The order-first
-    * undecided event always resolves, so every round progresses. */
+    * Equivalence with the sequential greedy: the outcome is a
+    * function of one bit per event — main(e), "e reached its own
+    * step unlabeled and claimed ≥1 event" — because (i) e arrives
+    * at its own step already labeled iff some order-earlier container
+    * of e has main set, and (ii) a non-main event's final cluster is
+    * its order-FIRST main container, whichever side of e it sits on
+    * (the first main container in processing order finds e unlabeled
+    * and claims it). main(e) itself depends only on main() of
+    * order-earlier events: e's containers (arrival check), each
+    * claimee x of e when x is order-earlier (x may have become a
+    * mainshock), and x's order-earlier containers (x may already be
+    * claimed at e's step). The loop materializes that dependency
+    * graph ONCE, then each round evaluates main() for every event
+    * whose dependencies are all decided — the order-minimal
+    * undecided event always qualifies, so every round progresses;
+    * rounds = dependency-chain depth, a function of local catalogue
+    * density, not catalogue size. The events table is the SMALL table
+    * of the schema, and every loop-carried table is eagerly
+    * checkpointed to cut lineage. */
   private[graft] def abwdLabel(events: DataFrame, pairsIn: DataFrame): DataFrame = {
-    // The live pair table SHRINKS monotonically: a decided event's
-    // rows leave the `evid` side, a claimed container's rows leave the
-    // `m_evid` side (promoted mainshocks stay — still claim-eligible).
-    // Checkpointing the shrinking table makes every round's window +
-    // anti-joins run over only the still-contended pairs instead of
-    // re-filtering the full table (measured ~2.5x on sf0.1), and caps
-    // lineage depth at one round.
-    var activePairs = pairsIn.localCheckpoint(true)
-    var undecided = events.select(col("evid")).localCheckpoint(true)
-    var mainsParts = List.empty[DataFrame] // checkpointed mains evids per round
-    val w = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
-    var decided = List.empty[DataFrame]
+    // processing position is (mag DESC, evid ASC)
+    def before(aMag: Column, aEvid: Column, bMag: Column, bEvid: Column): Column =
+      aMag > bMag || (aMag === bMag && aEvid < bEvid)
+    val pairs = pairsIn.select("evid", "mag", "m_evid", "m_mag").localCheckpoint(true)
+    // range(neq - 1): the order-last event never claims. A one-row
+    // collect of a scalar, not a data-path collect.
+    val lastEvid = events.orderBy(col("mag").asc, col("evid").desc).limit(1)
+      .select("evid").collect().headOption.map(_.getLong(0)).getOrElse(Long.MinValue)
+
+    // Dependency edges e ← d (main(d) must be decided before main(e);
+    // every d is order-earlier than e by construction):
+    //   dep1 — d is a container of e          (arrival-claim check)
+    //   dep2 — d is an order-earlier claimee  (claimee-became-mainshock)
+    //   dep3 — d is an order-earlier container of one of e's claimees
+    //                                          (claimee-already-claimed)
+    val dep1 = pairs.filter(before(col("m_mag"), col("m_evid"), col("mag"), col("evid")))
+      .select(col("evid").as("e"), col("m_evid").as("d"))
+    val dep2 = pairs.filter(before(col("mag"), col("evid"), col("m_mag"), col("m_evid")))
+      .select(col("m_evid").as("e"), col("evid").as("d"))
+    val dep3 = pairs.select(col("m_evid").as("e"), col("m_mag").as("e_mag"), col("evid").as("x"))
+      .join(pairs.select(col("evid").as("x"), col("m_evid").as("d"), col("m_mag").as("d_mag")),
+        Seq("x"))
+      .filter(col("d") =!= col("e"))
+      .filter(before(col("d_mag"), col("d"), col("e_mag"), col("e")))
+      .select("e", "d")
+    val deps = dep1.unionByName(dep2).unionByName(dep3).distinct().localCheckpoint(true)
+
+    var mainBits = events.select(col("evid"), lit(false).as("main")).limit(0)
+      .localCheckpoint(true)
+    var undecided = events.select(col("evid"), col("mag")).localCheckpoint(true)
     var rounds = 0
     while (!undecided.isEmpty && rounds < MaxAbwdRounds) {
       rounds += 1
-      val c1 = activePairs
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("evid"), col("m_evid").as("c1"))
+      val blocked = deps.join(undecided.select(col("evid").as("d")), Seq("d"), "left_semi")
+        .select(col("e").as("evid"))
+      val ready = undecided.join(blocked, Seq("evid"), "left_anti").localCheckpoint(true)
+      val mains = mainBits.filter(col("main"))
+      // e was claimed before its own step: an order-earlier container
+      // of e is a mainshock (the order-first one is the claimer).
+      val arrClaimed = pairs
+        .join(ready.select("evid"), Seq("evid"), "left_semi")
+        .filter(before(col("m_mag"), col("m_evid"), col("mag"), col("evid")))
+        .join(mains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+        .select("evid").distinct()
+      // e has an available claimee x at its step: x is not itself an
+      // order-earlier mainshock and no order-earlier container of x
+      // is a mainshock.
+      val eClaims = pairs
+        .join(ready.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+        .select(col("m_evid").as("e"), col("m_mag").as("e_mag"),
+          col("evid").as("x"), col("mag").as("x_mag"))
+      val earlyMainX = eClaims.join(mains.select(col("evid").as("x")), Seq("x"), "left_semi")
+        .filter(before(col("x_mag"), col("x"), col("e_mag"), col("e")))
+        .select("e", "x")
+      val claimedEarlyX = eClaims
+        .join(pairs.join(mains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+          .select(col("evid").as("x"), col("m_evid").as("mc"), col("m_mag").as("mc_mag")),
+          Seq("x"))
+        .filter(before(col("mc_mag"), col("mc"), col("e_mag"), col("e")))
+        .select("e", "x")
+      val availE = eClaims.select("e", "x")
+        .join(earlyMainX, Seq("e", "x"), "left_anti")
+        .join(claimedEarlyX, Seq("e", "x"), "left_anti")
+        .select(col("e").as("evid")).distinct()
+      val newBits = ready.select("evid")
+        .join(arrClaimed.withColumn("ac", lit(true)), Seq("evid"), "left")
+        .join(availE.withColumn("av", lit(true)), Seq("evid"), "left")
+        .select(col("evid"),
+          (!coalesce(col("ac"), lit(false)) && coalesce(col("av"), lit(false)) &&
+            col("evid") =!= lit(lastEvid)).as("main"))
         .localCheckpoint(true)
-      val mains = undecided.join(c1, Seq("evid"), "left_anti")
-      val claimers = mainsParts.foldLeft(mains)(_ unionByName _)
-      val claims = c1.join(claimers.select(col("evid").as("c1")), Seq("c1"), "left_semi")
-      val decidedR = mains
-        .select(col("evid"), col("evid").as("cluster_evid"), lit(false).as("is_aftershock"))
-        .unionByName(claims.select(col("evid"), col("c1").as("cluster_evid"),
-          lit(true).as("is_aftershock")))
-        .localCheckpoint(true)
-      decided ::= decidedR
-      mainsParts ::= decidedR.filter(!col("is_aftershock")).select(col("evid"))
-      undecided = undecided.join(decidedR.select("evid"), Seq("evid"), "left_anti")
-        .localCheckpoint(true)
-      activePairs = activePairs
-        .join(decidedR.select("evid"), Seq("evid"), "left_anti")
-        .join(decidedR.filter(col("is_aftershock")).select(col("evid").as("m_evid")),
-          Seq("m_evid"), "left_anti")
+      mainBits = mainBits.unionByName(newBits).localCheckpoint(true)
+      undecided = undecided.join(newBits.select("evid"), Seq("evid"), "left_anti")
         .localCheckpoint(true)
     }
     require(undecided.isEmpty, s"ABWD greedy did not converge in $MaxAbwdRounds rounds")
-    val emptyLab = events
-      .select(col("evid"), col("evid").as("cluster_evid"), lit(false).as("is_aftershock"))
-      .limit(0)
-    val lab = decided.foldLeft(emptyLab)(_ unionByName _)
-    val clustered = lab.filter(col("is_aftershock"))
-      .select(col("cluster_evid").as("ce")).distinct()
-    lab.join(clustered, lab("cluster_evid") === clustered("ce"), "left")
+    val mains = mainBits.filter(col("main")).select("evid")
+    // each non-main event's cluster is its order-first main container
+    val wOrd = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
+    val claims = pairs
+      .join(mains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+      .join(mains, Seq("evid"), "left_anti")
+      .withColumn("rn", row_number().over(wOrd)).filter(col("rn") === 1)
+      .select(col("evid"), col("m_evid").as("cluster_evid"), lit(true).as("is_aftershock"))
+    events.select("evid")
+      .join(claims, Seq("evid"), "left")
+      .join(mains.withColumn("m", lit(true)), Seq("evid"), "left")
       .select(col("evid"),
-        when(col("is_aftershock") || col("ce").isNotNull, col("cluster_evid"))
-          .otherwise(lit(null).cast("long")).as("cluster_evid"),
-        col("is_aftershock"))
+        when(col("m"), col("evid")).otherwise(col("cluster_evid")).as("cluster_evid"),
+        coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
   }
 
   /** Decimal year of an epoch-microseconds column (`aftershocks.py:117

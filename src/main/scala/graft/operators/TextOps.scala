@@ -54,15 +54,19 @@ object TextOps {
     * smaller than the raw corpus. Lifetime: the entry (one per data
     * dir) stays cached for the session — intentional for the gate and
     * bench runs, which hit the whole dedup family; a long-lived
-    * service would call `spark.catalog.clearCache()` (or persist to a
-    * real signature TABLE) between corpus versions. */
+    * service would call [[clearSignatureCache]] (or persist to a real
+    * signature TABLE) between corpus versions. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def hashed(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .withColumn("sh", Portable.shingles(col("tk"), ShingleN))
-      .select(col("doc_id"),
-        transform(col("sh"), x => Portable.hmod(x)).as("hs"),
-        array_distinct(col("sh")).as("shset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigCache.computeIfAbsent(d, _ =>
+      docs(s, d)
+        .withColumn("sh", Portable.shingles(col("tk"), ShingleN))
+        .select(col("doc_id"),
+          transform(col("sh"), x => Portable.hmod(x)).as("hs"),
+          array_distinct(col("sh")).as("shset"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def sigCol: Column = array((0 until MinhashK).map { j =>
     coalesce(
@@ -269,23 +273,36 @@ object TextOps {
       .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < MaxCcRounds) {
-      rounds += 1
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("idb"), col("cluster_id").as("nl")), Seq("idb"))
-        .groupBy(col("ida")).agg(min(col("nl")).as("nmin"))
-      val next = labels
-        .join(neighborMin.select(col("ida").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
-    }
-    require(converged, s"label propagation did not converge in $MaxCcRounds rounds")
-    edges.unpersist()
-    labels
+    // finally: a non-converged require() (or any round failure) must
+    // not leak the persisted edge list for the life of the session.
+    try {
+      while (!converged && rounds < MaxCcRounds) {
+        rounds += 1
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("idb"), col("cluster_id").as("nl")), Seq("idb"))
+          .groupBy(col("ida")).agg(min(col("nl")).as("nmin"))
+        val next = labels
+          .join(neighborMin.select(col("ida").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("old")).isEmpty
+        labels = next
+      }
+      require(converged, s"label propagation did not converge in $MaxCcRounds rounds")
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** Unpersist every signature table [[hashed]] has cached (one entry
+    * per data dir). The gate and bench deliberately keep the cache
+    * warm across the dedup family; a long-lived service should call
+    * this between corpus versions instead of letting entries
+    * accumulate. */
+  def clearSignatureCache(): Unit = {
+    sigCache.values.forEach(df => { df.unpersist(); () })
+    sigCache.clear()
   }
 
   /** Per-(source, lang) corpus report — the monitoring surface a

@@ -264,13 +264,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the sequential greedy (A > B > C > E > D by order; A∋B, B∋C,
     // C∋D, E∋D): sequentially A claims B, then C — never claimed,
     // because B was — becomes a mainshock and claims D before E runs.
-    val events = Seq(1L, 2L, 3L, 4L, 5L).toDF("evid")
+    val events = Seq((1L, 5.5), (2L, 4.5), (3L, 3.5), (4L, 2.5), (5L, 2.0)).toDF("evid", "mag")
     val pairs = Seq(
-      (2L, 1L, 5.0), // B in A's window
-      (3L, 2L, 4.0), // C in B's window
-      (5L, 3L, 3.0), // D in C's window
-      (5L, 4L, 2.5)  // D in E's window
-    ).toDF("evid", "m_evid", "m_mag")
+      (2L, 4.5, 1L, 5.5), // B in A's window
+      (3L, 3.5, 2L, 4.5), // C in B's window
+      (5L, 2.0, 3L, 3.5), // D in C's window
+      (5L, 2.0, 4L, 2.5)  // D in E's window
+    ).toDF("evid", "mag", "m_evid", "m_mag")
     val out = GeoOps.abwdLabel(events, pairs).collect()
       .map(r => r.getLong(0) ->
         ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2))).toMap
@@ -278,7 +278,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((Some(1L), true)))
     assert(out(3L) == ((Some(3L), false)))
     assert(out(5L) == ((Some(3L), true)))
-    assert(out(4L) == ((None, false))) // E: mainshock with no aftershocks
+    assert(out(4L) == ((None, false))) // E: candidate mainshock, no claims
+  }
+
+  test("abwd greedy honors backward claims and own-step mainshock priority") {
+    val sp = spark; import sp.implicits._
+    // Reference semantics (`aftershocks.py:222`): claims carry no
+    // magnitude condition. Two sub-cases in one catalogue:
+    //  - P(mag 5) is barren at its own step; later, smaller Q(mag 4)
+    //    has P in its forward window and claims it (backward claim).
+    //  - X(mag 6) has claimee R, so X labels itself at its own step
+    //    and is NOT claimable by later Y(mag 5.5) even though Y's
+    //    window holds X; Y then claims nothing => unclustered.
+    val events = Seq((1L, 5.0), (2L, 4.0), (10L, 6.0), (11L, 5.5), (12L, 3.0))
+      .toDF("evid", "mag")
+    val pairs = Seq(
+      (1L, 5.0, 2L, 4.0),   // P in Q's forward window (backward claim)
+      (12L, 3.0, 10L, 6.0), // R in X's window
+      (10L, 6.0, 11L, 5.5), // X in Y's window
+      (12L, 3.0, 11L, 5.5)  // R in Y's window too (X claims it first)
+    ).toDF("evid", "mag", "m_evid", "m_mag")
+    val out = GeoOps.abwdLabel(events, pairs).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2))).toMap
+    assert(out(10L) == ((Some(10L), false))) // X mainshock
+    assert(out(12L) == ((Some(10L), true)))  // R claimed by X, not Y
+    assert(out(11L) == ((None, false)))      // Y barren
+    assert(out(2L) == ((Some(2L), false)))   // Q mainshock via backward claim
+    assert(out(1L) == ((Some(2L), true)))    // P claimed by smaller, later Q
   }
 
   test("abwd clusters match a sequential greedy replay on the sf0.001 catalogue") {
@@ -290,7 +317,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_._1)
     val label = scala.collection.mutable.Map.empty[Long, Long]
     val flagged = scala.collection.mutable.Set.empty[Long]
-    for (i <- order if !label.contains(i)) {
+    // order.init: the reference loops `range(neq - 1)` — the
+    // order-last event never claims.
+    for (i <- order.init if !label.contains(i)) {
       val claims = claimable.getOrElse(i, Set.empty).filterNot(label.contains)
       if (claims.nonEmpty) {
         label(i) = i
