@@ -137,3 +137,128 @@ case class Iir2State(child: Expression, b0: Double, b1: Double, b2: Double,
   override protected def withNewChildInternal(newChild: Expression): Iir2State =
     copy(child = newChild)
 }
+
+/** RotD statistics [min, median, max] of the per-rotation-angle SDOF
+  * response peaks — the RotD0/RotD50/RotD100 component definition
+  * (Boore 2010) the reference's flatfiles publish per IM
+  * (`nzgmdb/data_processing/merge_flatfiles.py:615-643`,
+  * wiki `IM-Calculation.md`). Children are the two negated horizontal
+  * ground-acceleration series (000 / 090 axes); for each angle k the
+  * rotated input x = cos_k*x000 + sin_k*x090 drives the same
+  * Newmark-beta recurrence as [[SdofPeak]] (same coefficients, same
+  * association order as the DuckDB `list_reduce` twin), or — when
+  * `raw` — the peak |x| itself (the PGA RotD variant, oscillator
+  * skipped). The median over an even angle count is the numpy
+  * convention: mean of the two middle order statistics. */
+case class RotdStats(left: Expression, right: Expression,
+    cosA: Array[Double], sinA: Array[Double],
+    cu: Double, cv: Double, keff: Double, tdt: Double, raw: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rotd_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"rotd_stats requires two array<double>, got $l, $r")
+    }
+
+  private def stats(peaks: Array[Double]): Array[Double] = {
+    java.util.Arrays.sort(peaks)
+    val n = peaks.length
+    val med = if (n % 2 == 1) peaks(n / 2) else (peaks(n / 2 - 1) + peaks(n / 2)) / 2.0
+    Array(peaks(0), med, peaks(n - 1))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val p0 = a.asInstanceOf[ArrayData]
+    val p9 = b.asInstanceOf[ArrayData]
+    val n = math.min(p0.numElements(), p9.numElements())
+    val peaks = new Array[Double](cosA.length)
+    var k = 0
+    while (k < cosA.length) {
+      val c = cosA(k); val s = sinA(k)
+      var peak = 0.0
+      if (raw) {
+        var i = 0
+        while (i < n) {
+          val ax = math.abs(c * p0.getDouble(i) + s * p9.getDouble(i))
+          if (ax > peak) peak = ax
+          i += 1
+        }
+      } else if (n > 0) {
+        var u = 0.0; var v = 0.0
+        var pn = c * p0.getDouble(0) + s * p9.getDouble(0)
+        var i = 1
+        while (i < n) {
+          val x = c * p0.getDouble(i) + s * p9.getDouble(i)
+          val u1 = (x + pn + cu * u + cv * v) / keff
+          v = tdt * (u1 - u) - v
+          u = u1
+          pn = x
+          val au = math.abs(u1)
+          if (au > peak) peak = au
+          i += 1
+        }
+      }
+      peaks(k) = peak
+      k += 1
+    }
+    new GenericArrayData(stats(peaks))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cosRef = ctx.addReferenceObj("rotdCos", cosA, "double[]")
+      val sinRef = ctx.addReferenceObj("rotdSin", sinA, "double[]")
+      val Seq(n, peaks, k, c, s, peak, u, v, pn, i, x, u1, au, nn, med, out) =
+        Seq("n", "peaks", "k", "c", "s", "peak", "u", "v", "pn", "i", "x", "u1", "au",
+          "nn", "med", "out").map(ctx.freshName)
+      val body =
+        if (raw)
+          s"""
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $au = java.lang.Math.abs($c * $a.getDouble($i) + $s * $b.getDouble($i));
+             |  if ($au > $peak) $peak = $au;
+             |}
+           """.stripMargin
+        else
+          s"""
+             |if ($n > 0) {
+             |  double $u = 0.0; double $v = 0.0;
+             |  double $pn = $c * $a.getDouble(0) + $s * $b.getDouble(0);
+             |  for (int $i = 1; $i < $n; $i++) {
+             |    double $x = $c * $a.getDouble($i) + $s * $b.getDouble($i);
+             |    double $u1 = ($x + $pn + ($cu) * $u + ($cv) * $v) / ($keff);
+             |    $v = ($tdt) * ($u1 - $u) - $v;
+             |    $u = $u1;
+             |    $pn = $x;
+             |    double $au = java.lang.Math.abs($u1);
+             |    if ($au > $peak) $peak = $au;
+             |  }
+             |}
+           """.stripMargin
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double[] $peaks = new double[$cosRef.length];
+         |for (int $k = 0; $k < $cosRef.length; $k++) {
+         |  double $c = $cosRef[$k]; double $s = $sinRef[$k];
+         |  double $peak = 0.0;
+         |  $body
+         |  $peaks[$k] = $peak;
+         |}
+         |java.util.Arrays.sort($peaks);
+         |int $nn = $peaks.length;
+         |double $med = ($nn % 2 == 1) ? $peaks[$nn / 2]
+         |  : ($peaks[$nn / 2 - 1] + $peaks[$nn / 2]) / 2.0;
+         |double[] $out = new double[] { $peaks[0], $med, $peaks[$nn - 1] };
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RotdStats =
+    copy(left = newLeft, right = newRight)
+}

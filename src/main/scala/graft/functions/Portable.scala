@@ -46,6 +46,9 @@ object Portable {
   val SeriesN = 16
   def accTerm(pk: String, j: String): String = s"($pk * 13 + $j * 29) % 400 - 200"
   def noiseTerm(pk: String, j: String): String = s"($pk * 7 + $j * 31) % 100 - 50"
+  /** The 090-axis horizontal twin of [[accTerm]] (000 axis) — the
+    * second component the RotD rotation combines. */
+  def acc090Term(pk: String, j: String): String = s"($pk * 23 + $j * 37) % 400 - 200"
 
   /** Portable 60-bit hash of a string expression. */
   def h60(c: Column): Column =

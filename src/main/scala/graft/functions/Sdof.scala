@@ -42,8 +42,8 @@ object Sdof {
     * Scala's shortest-roundtrip repr through a string cast. */
   private def dl(d: Double): String = Portable.dl(d)
 
-  private case class Coef(cu: Double, cv: Double, keff: Double, tdt: Double, k: Double)
-  private def coef(t: Double): Coef = {
+  private[functions] case class Coef(cu: Double, cv: Double, keff: Double, tdt: Double, k: Double)
+  private[functions] def coef(t: Double): Coef = {
     val om = 2.0 * math.Pi / t
     val k  = om * om
     val c  = 2.0 * Zeta * om

@@ -124,6 +124,29 @@ object SignalOps {
         Sdof.Periods.map(t => Sdof.psaCol(t, col("ps")).as(Sdof.colName(t))): _*)
   }
 
+  /** RotD0/50/100 components (`merge_flatfiles.py:615-643` — the
+    * reference publishes one flatfile per component, rotd0/50/100
+    * among them; wiki IM-Calculation.md): per record, the two
+    * horizontal series are rotated through [[graft.functions.Rotd]]'s
+    * angle grid, each rotation's pSA peak (and raw-PGA peak) is
+    * computed by the codegen'd [[graft.functions.RotdStats]] kernel,
+    * and min/median/max over angles become the published columns.
+    * Pure projection over records — no shuffle, embarrassingly
+    * parallel at 100 TB; per-row cost angles x periods x steps, all
+    * inside whole-stage codegen. */
+  def imRotd(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Rotd, Sdof}
+    val base = Catalog.records(s, d)
+      .select(col("record_id"), expr(Sdof.psSpark).as("p0"), expr(Rotd.ps090Spark).as("p9"))
+    val withStats = Rotd.Periods.foldLeft(
+      base.withColumn("st_pga", Rotd.pgaStatsCol(col("p0"), col("p9")))) { (df, t) =>
+      df.withColumn(s"st_${Rotd.suffix(t)}", Rotd.statsCol(t, col("p0"), col("p9")))
+    }
+    val cols = Rotd.Periods.flatMap(t => Rotd.psaStatCols(t, col(s"st_${Rotd.suffix(t)}"))) ++
+      Rotd.pgaStatCols(col("st_pga"))
+    withStats.select(col("record_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** FFT-based SNR with Konno-Ohmachi smoothing
     * (`calculation/snr.py:20-139`: split at the p-wave, FAS of signal
     * and noise windows, KO-smoothed, ratioed). Per record: one-sided
@@ -249,6 +272,7 @@ object SignalOps {
     "station_mag_agg"  -> (stationMagAgg _),
     "im_calc"          -> (imCalc _),
     "im_psa"           -> (imPsa _),
+    "im_rotd"          -> (imRotd _),
     "snr_fft"          -> (snrFft _),
     "im_fas"           -> (imFas _),
     "waveform_preproc" -> (waveformPreproc _),
@@ -381,6 +405,18 @@ object SignalOps {
       s"""SELECT record_id, chan,
          |  ${Sdof.Periods.map(t => s"${Sdof.psaSql(t, "ps")} AS ${Sdof.colName(t)}").mkString(",\n  ")}
          |FROM (SELECT record_id, chan, ${Sdof.psSql} AS ps FROM gm_records)""".stripMargin
+    },
+    "im_rotd" -> Catalog.oracle {
+      import graft.functions.Rotd
+      val pkCols = Rotd.Periods.map(t => s"${Rotd.peaksSqlCol(t)} AS pks_${Rotd.suffix(t)}") :+
+        s"${Rotd.pgaPeaksSqlCol} AS pks_pga"
+      val stats = Rotd.Periods.flatMap(t => Rotd.psaStatSqls(t, s"pks_${Rotd.suffix(t)}")) ++
+        Rotd.pgaStatSqls("pks_pga")
+      s"""SELECT record_id,
+         |  ${stats.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+         |FROM (SELECT record_id,
+         |  ${pkCols.mkString(",\n  ")}
+         |FROM gm_records)""".stripMargin
     },
     "station_mag_agg" -> Catalog.oracle(
       """SELECT evid,

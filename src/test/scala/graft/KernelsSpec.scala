@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Iir2State, SdofPeak, VecDot}
+import graft.functions.{Iir2State, RotdStats, SdofPeak, VecDot}
 
 /** Property-style tests for the codegen'd recurrence kernels: on
   * ARBITRARY double series (seeded random, not just the driver
@@ -51,6 +51,43 @@ class KernelsSpec extends AnyFunSuite {
           (y, py1, x, px1, pen + y * y)
       }
       assert(got(0) == y1 && got(1) == en, s"series $xs")
+    }
+  }
+
+  test("RotdStats matches per-angle SdofPeak folds + numpy-style median") {
+    val (cu, cv, keff, tdt) = (1586.09, 86.28, 5799.2, 40.0)
+    val angles = graft.functions.Rotd.angles
+    val cosA = angles.map(_._1).toArray
+    val sinA = angles.map(_._2).toArray
+    def sdofPeak(ps: Seq[Double]): Double =
+      if (ps.isEmpty) 0.0
+      else ps.tail.foldLeft((0.0, 0.0, ps.head, 0.0)) { case ((u, v, pn, peak), x) =>
+        val u1 = (x + pn + cu * u + cv * v) / keff
+        (u1, tdt * (u1 - u) - v, x, math.max(peak, math.abs(u1)))
+      }._4
+    def stats(peaks: Array[Double]): Array[Double] = {
+      val s = peaks.sorted
+      val n = s.length
+      val med = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      Array(s(0), med, s(n - 1))
+    }
+    for (_ <- 1 to 200) {
+      val p0 = randSeries()
+      val p9 = p0.indices.map(_ => rnd.nextDouble() * 2e6 - 1e6)
+      // oscillator mode: each angle is the SdofPeak fold of the rotated series
+      val got = RotdStats(lit(p0), lit(p9), cosA, sinA, cu, cv, keff, tdt, raw = false)
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+      val peaks = angles.map { case (c, s) =>
+        sdofPeak(p0.indices.map(i => c * p0(i) + s * p9(i)))
+      }.toArray
+      assert(got.sameElements(stats(peaks)), s"osc mode on $p0 / $p9")
+      // raw mode: per-angle peak |rotated|
+      val gotRaw = RotdStats(lit(p0), lit(p9), cosA, sinA, 0, 0, 1, 0, raw = true)
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+      val rawPeaks = angles.map { case (c, s) =>
+        p0.indices.foldLeft(0.0)((m, i) => math.max(m, math.abs(c * p0(i) + s * p9(i))))
+      }.toArray
+      assert(gotRaw.sameElements(stats(rawPeaks)), s"raw mode on $p0 / $p9")
     }
   }
 
