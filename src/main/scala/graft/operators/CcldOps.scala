@@ -52,6 +52,79 @@ object CcldOps {
         (col("mx1").cast("double") * 360.0 / UScale.toDouble).as("strike_max"))
   }
 
+  // ---- magnitude-scaling regressions -----------------------------
+
+  private def dl(d: Double): String = graft.functions.Portable.dl(d)
+
+  /** Tectonic regime from hypocentre depth — the synthetic catalogue's
+    * stand-in for the reference's tect-domain eqType input. */
+  private def eqTypeSqlCase(depth: String): String =
+    s"CASE WHEN $depth >= 70e0 THEN 'intraslab' WHEN $depth >= 40e0 THEN 'interface' ELSE 'crustal' END"
+
+  /** One published M-scaling relationship: validity filter plus the
+    * log10-area / log10-length expressions (dialect-neutral SQL text
+    * over columns mag / mech / eq_type — valid in both Spark SQL and
+    * DuckDB, double literals via [[dl]] / e-notation). */
+  private case class MwModel(name: String, valid: String, la: String, ll: String)
+
+  /** The reference's coefficient tables (`ccldpy.py:22
+    * WellsCoppersmith1994`, `:71 Leonard2014`, `:184
+    * ThingbaijamEtAl2017`), median form (the sigma columns drive the
+    * Monte-Carlo perturbation, which `ccld_sample` covers; the
+    * regression itself is what these tables ARE). Forms: forward
+    * log10(A) = a + b*M, or Leonard's inverted (M - a)/b with the
+    * long-rupture branch — evaluated in log domain, where the branch
+    * cut L > 45 km becomes log10L > log10(45), a driver-side literal.
+    * Leonard's stable-continental branch is omitted because the
+    * depth-derived eqType never produces 'stable' here. */
+  private def mwModels: Seq[MwModel] = {
+    def lin(a: Double, b: Double) = s"(${dl(a)} + ${dl(b)} * mag)"
+    def inv(a: Double, b: Double) = s"((mag - ${dl(a)}) / ${dl(b)})"
+    def invLong(a2: Double, b2: Double, cutKm: Double, a3: Double, b3: Double) =
+      s"(CASE WHEN ${inv(a2, b2)} > ${dl(math.log10(cutKm))} THEN ${inv(a3, b3)} ELSE ${inv(a2, b2)} END)"
+    Seq(
+      MwModel("wc94", "eq_type = 'crustal'", lin(-3.49, 0.91), lin(-2.44, 0.59)),
+      MwModel("leonard2014", "eq_type = 'crustal'",
+        s"(CASE WHEN mech = 'SS' THEN ${inv(3.99, 1.00)} ELSE ${inv(4.00, 1.00)} END)",
+        s"(CASE WHEN mech = 'SS' THEN ${invLong(4.170, 1.667, 45.0, 5.27, 1.000)} " +
+          s"ELSE ${invLong(4.000, 2.000, 5.4, 4.240, 1.667)} END)"),
+      MwModel("thingbaijam2017", "eq_type IN ('crustal', 'interface')",
+        s"(CASE WHEN eq_type = 'interface' THEN ${lin(-3.292, 0.949)} " +
+          s"WHEN mech = 'SS' THEN ${lin(-3.486, 0.942)} " +
+          s"WHEN mech = 'NM' THEN ${lin(-2.551, 0.808)} ELSE ${lin(-4.362, 1.049)} END)",
+        s"(CASE WHEN eq_type = 'interface' THEN ${lin(-2.412, 0.583)} " +
+          s"WHEN mech = 'SS' THEN ${lin(-2.943, 0.681)} " +
+          s"WHEN mech = 'NM' THEN ${lin(-1.722, 0.485)} ELSE ${lin(-2.693, 0.614)} END)"))
+  }
+
+  // Shared log-domain finishing (ccldpy.py's AR = L^2/A with the
+  // AR >= 1 clamp, where the clamp rebalances L = W = sqrt(A)):
+  // log10AR = 2*log10L - log10A; clamped branch halves log10A.
+  private val mwArRaw  = "2e0 * ll - la"
+  private val mwLenSql = s"CASE WHEN $mwArRaw < 0e0 THEN la / 2e0 ELSE ll END"
+  private val mwWidSql = s"CASE WHEN $mwArRaw < 0e0 THEN la / 2e0 ELSE la - ll END"
+  private val mwArSql  = s"CASE WHEN $mwArRaw < 0e0 THEN 0e0 ELSE $mwArRaw END"
+
+  /** Rupture-dimension regressions per event and published model —
+    * the coefficient tables that close the reference's CCLD surface
+    * (SURVEY §6). One row per (event, applicable model); log10
+    * rupture area / length / width / aspect ratio. Pure projection +
+    * a 3-way unionByName: no shuffle, embarrassingly parallel. */
+  def ccldMwScaling(s: SparkSession, d: String): DataFrame = {
+    val base = Catalog.events(s, d).select(col("evid"), col("mag"),
+      expr(eqTypeSqlCase("ev_depth")).as("eq_type"),
+      expr(mechSqlCase("(CAST(evid % 360 AS DOUBLE) - 180e0)")).as("mech"))
+    mwModels.map { m =>
+      base.filter(expr(m.valid))
+        .withColumn("la", expr(m.la)).withColumn("ll", expr(m.ll))
+        .select(col("evid"), col("mag"), lit(m.name).as("model"), col("eq_type"), col("mech"),
+          col("la").as("log10_area"),
+          expr(mwLenSql).as("log10_len"),
+          expr(mwWidSql).as("log10_width"),
+          expr(mwArSql).as("log10_ar"))
+    }.reduce(_ unionByName _)
+  }
+
   // ---- category weighting + preferred mechanism ------------------
 
   /** Per-category simulation allocation (`ccldpy.py` nsims: the seven
@@ -189,6 +262,7 @@ object CcldOps {
   val queries: Map[String, QueryFn] = Map(
     "ccld_sample"         -> (ccldSample _),
     "ccld_preferred"      -> (ccldPreferred _),
+    "ccld_mw_scaling"     -> (ccldMwScaling _),
     "ccld_rupture_select" -> (ccldRuptureSelect _))
 
   private def uSql(slice: Int): String =
@@ -197,6 +271,22 @@ object CcldOps {
   private def dls(x: Double): String = graft.functions.Portable.dl(x)
 
   val oracles: Map[String, String] = Map(
+    "ccld_mw_scaling" -> Catalog.oracle(
+      mwModels.map { m =>
+        s"""SELECT evid, mag, '${m.name}' AS model, eq_type, mech,
+           |  la AS log10_area,
+           |  $mwLenSql AS log10_len,
+           |  $mwWidSql AS log10_width,
+           |  $mwArSql AS log10_ar
+           |FROM (SELECT evid, mag, eq_type, mech, ${m.la} AS la, ${m.ll} AS ll
+           |      FROM mw_base WHERE ${m.valid})""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+      s"""mw_base AS (
+         |  SELECT evid, mag,
+         |    ${eqTypeSqlCase("ev_depth")} AS eq_type,
+         |    ${mechSqlCase("(CAST(evid % 360 AS DOUBLE) - 180e0)")} AS mech
+         |  FROM gm_events
+         |)""".stripMargin),
     "ccld_rupture_select" -> Catalog.oracle {
       val snL = StrikeSin.map(dls).mkString("[", ", ", "]")
       val csL = StrikeCos.map(dls).mkString("[", ", ", "]")
