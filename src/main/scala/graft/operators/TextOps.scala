@@ -323,7 +323,121 @@ object TextOps {
         (col("sum_chars").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
         (col("n_short").cast("double") / col("n_docs").cast("double")).as("short_ratio"))
 
+  // ---- segment-level dedup (CCNet-style line dedup) --------------
+
+  /** Words per dedup segment — this corpus has no newlines, so the
+    * CCNet "line" unit is a fixed-width word window. */
+  val SegWords = 8
+
+  /** Segment-level exact dedup report (the CCNet/RefinedWeb shape:
+    * hash every line across the WHOLE corpus, drop lines seen in
+    * multiple documents as boilerplate). Per document: segment count,
+    * duplicated-segment count/ratio, and the word count that survives
+    * dropping cross-document duplicate segments. Scale shape: explode
+    * to (segment-hash, doc) rows, one partial-aggregable groupBy on
+    * the hash (THE corpus-wide shuffle), join back on the same key
+    * (co-partitioned), re-aggregate per doc. */
+  def dedupSegments(s: SparkSession, d: String): DataFrame = {
+    val nSeg = floor((size(col("tk")) + lit(SegWords - 1)).cast("double") / lit(SegWords)).cast("int")
+    val segCol = transform(sequence(lit(0), nSeg - 1),
+      i => concat_ws(" ", slice(col("tk"), i * SegWords + 1, lit(SegWords))))
+    val segRows = docs(s, d).select(col("doc_id"), explode(segCol).as("seg"))
+      .select(col("doc_id"), Portable.h60(col("seg")).as("segh"),
+        size(split(col("seg"), " ")).as("wc"))
+    val freq = segRows.groupBy(col("segh")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    segRows.join(freq, Seq("segh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_segments"),
+        sum(col("wc")).as("total_words"),
+        sum(when(col("ndocs") < 2, col("wc")).otherwise(0L)).as("kept_words"))
+      .select(col("doc_id"), col("n_segments"),
+        col("n_dup_segments").cast("long").as("n_dup_segments"),
+        col("total_words").cast("long").as("total_words"),
+        col("kept_words").cast("long").as("kept_words"),
+        (col("n_dup_segments").cast("double") / col("n_segments").cast("double")).as("dup_ratio"))
+  }
+
+  // ---- Gopher-style repetition quality ---------------------------
+
+  /** Gopher quality-filter signals (Rae et al. 2021 §A1.1, the
+    * repetition rules a production corpus filter applies on top of
+    * [[textQuality]]'s basics): duplicate word-n-gram fractions, the
+    * most-frequent-word dominance ratio, and the combined pass flag
+    * at the published thresholds. Pure projection — array arithmetic
+    * only, no shuffle; the per-doc mode is an O(words x vocab) lambda
+    * scan, bounded by document length. */
+  def qualityGopher(s: SparkSession, d: String): DataFrame = {
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    docs(s, d)
+      .withColumn("g2", Portable.shingles(col("tk"), 2))
+      .withColumn("g3", Portable.shingles(col("tk"), 3))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_words"),
+        ((length(col("text")) - (size(col("tk")) - 1)).cast("double") /
+          size(col("tk")).cast("double")).as("mean_word_len"),
+        dupFrac(col("g2")).as("dup_2gram_frac"),
+        dupFrac(col("g3")).as("dup_3gram_frac"),
+        (array_max(transform(array_distinct(col("tk")),
+          t => size(filter(col("tk"), x => x === t)))).cast("double") /
+          size(col("tk")).cast("double")).as("top_word_ratio"))
+      .withColumn("gopher_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("dup_2gram_frac") < 0.2 && col("dup_3gram_frac") < 0.18 &&
+          col("top_word_ratio") < 0.2)
+  }
+
+  // ---- deterministic stratified sampling -------------------------
+
+  /** Hash-based stratified sampling — the reproducible per-source
+    * downsampling step of a training-data mix: every (doc, salt) pair
+    * maps to a uniform in [0, 1e6) via the counter-hash (no RNG
+    * state, partitioning-independent, replayable), and each source
+    * stratum keeps docs under its rate. Rates here derive from the
+    * source hash (4 tiers); a production mix passes an explicit
+    * rate table. One scan, no shuffle. */
+  val SampleSalt = "s1"
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("rate_ppm", (Portable.h60(col("source")) % 4L) * 250000L + 125000L)
+      .withColumn("u_ppm",
+        Portable.h60(concat(col("doc_id").cast("string"), lit(":" + SampleSalt))) % 1000000L)
+      .filter(col("u_ppm") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"), col("u_ppm"))
+
+  // ---- TF-IDF top terms ------------------------------------------
+
+  /** Top-k characteristic terms per document, scored tf * N / df —
+    * the log-free IDF weighting (ln is not bit-portable cross-engine;
+    * the ranking intent is identical). Scale shape: explode + two
+    * partial-aggregable groupBys; the document-frequency table is
+    * vocabulary-sized and broadcast; the top-k window repartitions by
+    * doc. */
+  val TfidfK = 3
+  def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), explode(col("tk")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "dedup_segments"  -> (dedupSegments _),
+    "quality_gopher"  -> (qualityGopher _),
+    "sample_stratified" -> (sampleStratified _),
+    "tfidf_topk"      -> (tfidfTopk _),
     "corpus_stats"    -> (corpusStats _),
     "dup_clusters"    -> (dupClusters _),
     "corpus_clean"    -> (corpusClean _),
@@ -398,6 +512,55 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_segments" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |segs AS (SELECT doc_id, unnest(list_transform(range(0, (len(tk) + ${SegWords - 1}) // $SegWords),
+         |           i -> array_to_string(list_slice(tk, i * $SegWords + 1, i * $SegWords + $SegWords), ' '))) AS seg
+         |         FROM toks),
+         |sr AS (SELECT doc_id, ${Portable.h60Sql("seg")} AS segh,
+         |              len(string_split(seg, ' ')) AS wc FROM segs),
+         |fr AS (SELECT segh, count(DISTINCT doc_id) AS ndocs FROM sr GROUP BY segh)
+         |SELECT doc_id, count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+         |  CAST(sum(wc) AS BIGINT) AS total_words,
+         |  CAST(sum(CASE WHEN ndocs < 2 THEN wc ELSE 0 END) AS BIGINT) AS kept_words,
+         |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
+         |FROM sr JOIN fr USING (segh) GROUP BY doc_id""".stripMargin,
+    "quality_gopher" ->
+      s"""WITH toks AS (SELECT doc_id, text, $tkSql AS tk FROM documents),
+         |f AS (SELECT doc_id, text, tk,
+         |        ${Portable.shinglesSql("tk", 2)} AS g2,
+         |        ${Portable.shinglesSql("tk", 3)} AS g3 FROM toks),
+         |m AS (SELECT doc_id,
+         |  len(tk) AS n_words,
+         |  CAST(length(text) - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+         |  CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0e0 END AS dup_2gram_frac,
+         |  CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) ELSE 0e0 END AS dup_3gram_frac,
+         |  CAST(list_max(list_transform(list_distinct(tk), t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS top_word_ratio
+         |  FROM f)
+         |SELECT doc_id, n_words, mean_word_len, dup_2gram_frac, dup_3gram_frac, top_word_ratio,
+         |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3e0 AND mean_word_len <= 1e1
+         |   AND dup_2gram_frac < 2e-1 AND dup_3gram_frac < 1.8e-1 AND top_word_ratio < 2e-1) AS gopher_pass
+         |FROM m""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, source, rate_ppm, u_ppm FROM (
+         |  SELECT doc_id, source,
+         |    (${Portable.h60Sql("source")} % 4) * 250000 + 125000 AS rate_ppm,
+         |    ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$SampleSalt'")} % 1000000 AS u_ppm
+         |  FROM documents)
+         |WHERE u_ppm < rate_ppm""".stripMargin,
+    "tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tkSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, score, rank FROM (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |WHERE rank <= $TfidfK""".stripMargin,
     "corpus_stats" ->
       s"""SELECT source, lang, n_docs,
          |  CAST(sum_chars AS BIGINT) AS sum_chars,

@@ -177,7 +177,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("no plan contains an all-pairs join (except the brute-force ANN baseline)") {
-    val allowedNestedLoop = Set("ann_cosine_topk") // documented broadcast NL baseline
+    // ann_cosine_topk: documented broadcast NL brute-force baseline;
+    // tfidf_topk: a ONE-ROW broadcast (the corpus-size scalar) — a
+    // scalar join, not an all-pairs product.
+    val allowedNestedLoop = Set("ann_cosine_topk", "tfidf_topk")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -334,6 +337,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(clus == label.get(evid), s"evid $evid: cluster $clus vs sequential ${label.get(evid)}")
       assert(r.getBoolean(2) == flagged.contains(evid), s"evid $evid: flag mismatch")
     }
+  }
+
+  test("training-data ops: segment dedup, gopher quality, sampling, tfidf invariants") {
+    // dedup_segments: ratios and word counts are internally consistent,
+    // and a duplicated segment must appear in >= 2 docs by definition.
+    val seg = TextOps.dedupSegments(spark, Sf).collect()
+    assert(seg.nonEmpty)
+    for (r <- seg) {
+      val (nSeg, nDup) = (r.getLong(1), r.getLong(2))
+      val (tot, kept, ratio) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nDup <= nSeg && kept <= tot)
+      assert(ratio == nDup.toDouble / nSeg.toDouble)
+    }
+    // quality_gopher: every ratio bounded, pass flag consistent
+    for (r <- TextOps.qualityGopher(spark, Sf).collect()) {
+      val (n, mwl) = (r.getInt(1), r.getDouble(2))
+      val (d2, d3, top) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(d2 >= 0 && d2 <= 1 && d3 >= 0 && d3 <= 1 && top > 0 && top <= 1)
+      val expect = n >= 50 && n <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        d2 < 0.2 && d3 < 0.18 && top < 0.2
+      assert(r.getBoolean(6) == expect)
+    }
+    // sample_stratified: deterministic (same rows twice), under-rate by construction
+    val s1 = TextOps.sampleStratified(spark, Sf).collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = TextOps.sampleStratified(spark, Sf).collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    // tfidf_topk: <= K rows per doc, ranks are 1..K, score consistent
+    val tf = TextOps.tfidfTopk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getDouble(4)))
+    val perDoc = tf.groupBy(_._1)
+    assert(perDoc.values.forall(rs => rs.length <= TextOps.TfidfK &&
+      rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq))
+    assert(tf.forall(_._3 > 0))
   }
 
   test("geo distances: haversine/bearing match a driver-side recompute, same pairs as gate op") {
