@@ -15,6 +15,10 @@ run / fork := true
 // via sbt's logger: the bench/verify mains print machine-parseable JSON
 // lines, and the "[info] " prefix breaks the harness's parser.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the trailing "[success] Total time" footer after the JSON
+// line breaks it too (BENCH_r03/r04 both recorded parsed:null because
+// the footer, not the JSON, was the final stdout line).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = medians.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE printing so executor-shutdown log lines can't
+    // land after the JSON — the driver parses the final stdout line.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
