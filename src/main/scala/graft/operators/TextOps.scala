@@ -364,14 +364,22 @@ object TextOps {
     * repetition rules a production corpus filter applies on top of
     * [[textQuality]]'s basics): duplicate word-n-gram fractions, the
     * most-frequent-word dominance ratio, and the combined pass flag
-    * at the published thresholds. Pure projection — array arithmetic
-    * only, no shuffle; the per-doc mode is an O(words x vocab) lambda
-    * scan, bounded by document length. */
+    * at the published thresholds.
+    *
+    * Scale shape: the most-frequent-word count is explode +
+    * `groupBy(doc_id, term)` + max — two partial-aggregable shuffles,
+    * LINEAR in document length (a per-row lambda mode scan is
+    * O(words x distinct words): ~1e9 comparisons on one core for a
+    * single 100k-word doc, Gopher's own domain). The array-derived
+    * metrics ride through the aggregation as per-group constants
+    * (max of a constant), so the whole operator stays one corpus
+    * scan with no join back. */
   def qualityGopher(s: SparkSession, d: String): DataFrame = {
     def dupFrac(g: Column): Column =
       when(size(g) > 0,
         (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
         .otherwise(lit(0.0))
+    val consts = Seq("n_words", "mean_word_len", "dup_2gram_frac", "dup_3gram_frac")
     docs(s, d)
       .withColumn("g2", Portable.shingles(col("tk"), 2))
       .withColumn("g3", Portable.shingles(col("tk"), 3))
@@ -381,9 +389,16 @@ object TextOps {
           size(col("tk")).cast("double")).as("mean_word_len"),
         dupFrac(col("g2")).as("dup_2gram_frac"),
         dupFrac(col("g3")).as("dup_3gram_frac"),
-        (array_max(transform(array_distinct(col("tk")),
-          t => size(filter(col("tk"), x => x === t)))).cast("double") /
-          size(col("tk")).cast("double")).as("top_word_ratio"))
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col(consts.head)).as(consts.head),
+        consts.tail.map(c => max(col(c)).as(c)) :+ count(lit(1)).as("cnt"): _*)
+      .groupBy(col("doc_id"))
+      .agg(max(col(consts.head)).as(consts.head),
+        consts.tail.map(c => max(col(c)).as(c)) :+ max(col("cnt")).as("top_cnt"): _*)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("dup_2gram_frac"), col("dup_3gram_frac"),
+        (col("top_cnt").cast("double") / col("n_words").cast("double")).as("top_word_ratio"))
       .withColumn("gopher_pass",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
