@@ -36,15 +36,27 @@ object Bench {
       n -> (if (runs.forall(_ >= 0)) Some(runs.sorted.apply(1)) else None)
     }
     val failed = medians.collect { case (n, None) => n }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
+    // ms precision: full-precision doubles double the line length for
+    // noise digits, and the driver's tail is the scarce resource.
+    val qs = medians.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(x =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)))
+    }.mkString("{", ",", "}")
     val total = medians.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Two stdout lines, headline LAST: the driver keeps a fixed tail
+    // of stdout and parses its final line, so a single ~2.5 kB line
+    // carrying the full per-query map gets its FRONT truncated off →
+    // `parsed: null` (rounds 1-6). The detail map goes on its own
+    // line first; the compact headline (a few hundred bytes, always
+    // intact inside any reasonable tail) closes the stream.
+    val detailLine = s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so executor-shutdown log lines can't
     // land after the JSON — the driver parses the final stdout line.
     spark.stop()
-    println(line)
+    println(detailLine)
+    println(headline)
     System.out.flush()
   }
 }

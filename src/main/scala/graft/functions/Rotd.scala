@@ -30,11 +30,27 @@ object Rotd {
   val NAngles = 18
   val Periods = Seq(0.1, 0.5, 1.0, 3.0)
 
-  /** (cos, sin) per rotation angle k*pi/NAngles. */
-  val angles: Seq[(Double, Double)] = (0 until NAngles).map { k =>
-    val th = math.Pi * k / NAngles
+  /** Production fidelity constants (SURVEY §5): the reference runs
+    * RotD at 1-degree resolution over the full `psa_periods` grid
+    * (`calculation/ims.py:142`, `data/config.yaml`). The kernel takes
+    * its angle table as a constructor constant, so a production
+    * caller swaps [[anglesN]]([[ProdNAngles]]) and
+    * [[Sdof.ProdPeriods]] in with NO plan change — per-row cost grows
+    * linearly (angles x periods x steps), still one shuffle-free
+    * projection. The checked profile stays at 18 angles / 8 periods
+    * because the DuckDB oracle interprets NAngles x periods
+    * list_reduce folds per row; the 180-vs-18 consistency property
+    * (RotD100/RotD0 monotone under grid refinement, RotD50
+    * bracketed) is pinned by KernelsSpec. */
+  val ProdNAngles = 180
+
+  /** (cos, sin) per rotation angle k*pi/n. */
+  def anglesN(n: Int): Seq[(Double, Double)] = (0 until n).map { k =>
+    val th = math.Pi * k / n
     (math.cos(th), math.sin(th))
   }
+
+  val angles: Seq[(Double, Double)] = anglesN(NAngles)
 
   private def dl(d: Double): String = Portable.dl(d)
   private val N = Portable.SeriesN

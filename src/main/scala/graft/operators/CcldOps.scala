@@ -62,16 +62,22 @@ object CcldOps {
     s"CASE WHEN $depth >= 70e0 THEN 'intraslab' WHEN $depth >= 40e0 THEN 'interface' ELSE 'crustal' END"
 
   /** One published M-scaling relationship: validity filter plus the
-    * log10-area / log10-length expressions (dialect-neutral SQL text
-    * over columns mag / mech / eq_type — valid in both Spark SQL and
-    * DuckDB, double literals via [[dl]] / e-notation). */
-  private case class MwModel(name: String, valid: String, la: String, ll: String)
+    * log10-area / log10-length expressions and their standard
+    * deviations (dialect-neutral SQL text over columns mag / mech /
+    * eq_type — valid in both Spark SQL and DuckDB, double literals
+    * via [[dl]] / e-notation). */
+  private case class MwModel(name: String, valid: String, la: String, ll: String,
+                             sa: String, sl: String)
+
+  /** The CY08 aspect-ratio clamp sigma (`ccldpy.py` s_cy08 = 0.16 in
+    * every model's AR < 1 branch — model-independent). */
+  val SigmaAr = 0.16
 
   /** The reference's coefficient tables (`ccldpy.py:22
     * WellsCoppersmith1994`, `:71 Leonard2014`, `:184
-    * ThingbaijamEtAl2017`), median form (the sigma columns drive the
-    * Monte-Carlo perturbation, which `ccld_sample` covers; the
-    * regression itself is what these tables ARE). Forms: forward
+    * ThingbaijamEtAl2017`): median forms plus the per-model sigma
+    * columns (s1/s2 in each branch) that feed the Monte-Carlo
+    * perturbation ([[ccldSampleSigma]]). Forms: forward
     * log10(A) = a + b*M, or Leonard's inverted (M - a)/b with the
     * long-rupture branch — evaluated in log domain, where the branch
     * cut L > 45 km becomes log10L > log10(45), a driver-side literal.
@@ -82,19 +88,29 @@ object CcldOps {
     def inv(a: Double, b: Double) = s"((mag - ${dl(a)}) / ${dl(b)})"
     def invLong(a2: Double, b2: Double, cutKm: Double, a3: Double, b3: Double) =
       s"(CASE WHEN ${inv(a2, b2)} > ${dl(math.log10(cutKm))} THEN ${inv(a3, b3)} ELSE ${inv(a2, b2)} END)"
+    def bySS(ss: Double, other: Double) =
+      s"(CASE WHEN mech = 'SS' THEN ${dl(ss)} ELSE ${dl(other)} END)"
     Seq(
-      MwModel("wc94", "eq_type = 'crustal'", lin(-3.49, 0.91), lin(-2.44, 0.59)),
+      MwModel("wc94", "eq_type = 'crustal'", lin(-3.49, 0.91), lin(-2.44, 0.59),
+        dl(0.24), dl(0.16)),
       MwModel("leonard2014", "eq_type = 'crustal'",
         s"(CASE WHEN mech = 'SS' THEN ${inv(3.99, 1.00)} ELSE ${inv(4.00, 1.00)} END)",
         s"(CASE WHEN mech = 'SS' THEN ${invLong(4.170, 1.667, 45.0, 5.27, 1.000)} " +
-          s"ELSE ${invLong(4.000, 2.000, 5.4, 4.240, 1.667)} END)"),
+          s"ELSE ${invLong(4.000, 2.000, 5.4, 4.240, 1.667)} END)",
+        bySS(0.13, 0.15), bySS(0.19, 0.23)),
       MwModel("thingbaijam2017", "eq_type IN ('crustal', 'interface')",
         s"(CASE WHEN eq_type = 'interface' THEN ${lin(-3.292, 0.949)} " +
           s"WHEN mech = 'SS' THEN ${lin(-3.486, 0.942)} " +
           s"WHEN mech = 'NM' THEN ${lin(-2.551, 0.808)} ELSE ${lin(-4.362, 1.049)} END)",
         s"(CASE WHEN eq_type = 'interface' THEN ${lin(-2.412, 0.583)} " +
           s"WHEN mech = 'SS' THEN ${lin(-2.943, 0.681)} " +
-          s"WHEN mech = 'NM' THEN ${lin(-1.722, 0.485)} ELSE ${lin(-2.693, 0.614)} END)"))
+          s"WHEN mech = 'NM' THEN ${lin(-1.722, 0.485)} ELSE ${lin(-2.693, 0.614)} END)",
+        s"(CASE WHEN eq_type = 'interface' THEN ${dl(0.150)} " +
+          s"WHEN mech = 'SS' THEN ${dl(0.184)} " +
+          s"WHEN mech = 'NM' THEN ${dl(0.181)} ELSE ${dl(0.121)} END)",
+        s"(CASE WHEN eq_type = 'interface' THEN ${dl(0.107)} " +
+          s"WHEN mech = 'SS' THEN ${dl(0.151)} " +
+          s"WHEN mech = 'NM' THEN ${dl(0.128)} ELSE ${dl(0.083)} END)"))
   }
 
   // Shared log-domain finishing (ccldpy.py's AR = L^2/A with the
@@ -121,7 +137,95 @@ object CcldOps {
           col("la").as("log10_area"),
           expr(mwLenSql).as("log10_len"),
           expr(mwWidSql).as("log10_width"),
-          expr(mwArSql).as("log10_ar"))
+          expr(mwArSql).as("log10_ar"),
+          expr(m.sa).as("sigma_area"),
+          expr(m.sl).as("sigma_len"),
+          lit(SigmaAr).as("sigma_ar"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Drawn (sigma-perturbed) log10-area / log10-length forms per
+    * model, as SQL text over per-draw standard-normal columns
+    * z1/z2/z3: forward models add s*z inside the exponent
+    * (`ccldpy.py` `10 ** (a1 + b1*M + np.random.normal(0, s1))`);
+    * Leonard's inverted form subtracts the draw before dividing
+    * (`10 ** ((M - a2 - np.random.normal(0, s2)) / b2)`) and
+    * re-draws (z3) when the drawn length crosses the long-rupture
+    * branch cut, exactly as the reference re-calls the RNG. */
+  private def drawnForms(m: MwModel): (String, String) = m.name match {
+    case "leonard2014" =>
+      def invd(a: Double, b: Double, sg: Double, z: String) =
+        s"((mag - ${dl(a)} - ${dl(sg)} * $z) / ${dl(b)})"
+      val ss2 = invd(4.170, 1.667, 0.19, "z2")
+      val ssL = invd(5.27, 1.000, 0.19, "z3")
+      val nr2 = invd(4.000, 2.000, 0.23, "z2")
+      val nrL = invd(4.240, 1.667, 0.23, "z3")
+      val lad = s"(CASE WHEN mech = 'SS' THEN ${invd(3.99, 1.00, 0.13, "z1")} " +
+        s"ELSE ${invd(4.00, 1.00, 0.15, "z1")} END)"
+      val lld = s"(CASE WHEN mech = 'SS' THEN (CASE WHEN $ss2 > ${dl(math.log10(45.0))} THEN $ssL ELSE $ss2 END) " +
+        s"ELSE (CASE WHEN $nr2 > ${dl(math.log10(5.4))} THEN $nrL ELSE $nr2 END) END)"
+      (lad, lld)
+    case _ => (s"(${m.la} + ${m.sa} * z1)", s"(${m.ll} + ${m.sl} * z2)")
+  }
+
+  /** Sigma-perturbed Monte-Carlo draws of the M-scaling regressions —
+    * the perturbation loop the reference runs per simulation
+    * (`ccldpy.py`: every relationship call perturbs with
+    * `np.random.normal(0, s)`), wired through the same counter-hash
+    * RNG as [[ccldSample]]: each standard normal is an Irwin-Hall-3
+    * sum of three hash uniforms, scaled to unit variance
+    * (z = 2*(u₁+u₂+u₃)/U − 3; exact integer arithmetic until one
+    * final scaling, so partitioning-independent and replayable — the
+    * documented production swap-in is a 12-term sum or an inverse-CDF
+    * `Expression`). Per (event, model): N draws of the drawn
+    * area/length (Leonard's long-rupture branch decided per draw on
+    * the DRAWN length, with a fresh z3 exactly as the reference
+    * re-calls the RNG), the AR >= 1 clamp applied per draw in log
+    * domain at the median (the CY08 AR re-draw is log10 of a normal —
+    * not representable bit-exactly cross-engine, and negative draws
+    * would leave the log domain entirely). Published per (event,
+    * model): the exact drawn-area mean (linear in z, so the integer
+    * uniform sum gives it exactly), order-independent min/max of the
+    * drawn length, and the clamp count — every column either integer
+    * or a deterministic scalar expression, no double summation.
+    * Scale shape: one explode (x NSamples), pure projection, one
+    * partial-aggregable groupBy. */
+  def ccldSampleSigma(s: SparkSession, d: String): DataFrame = {
+    val base = Catalog.events(s, d).select(col("evid"), col("mag"),
+      expr(eqTypeSqlCase("ev_depth")).as("eq_type"),
+      expr(mechSqlCase("(CAST(evid % 360 AS DOUBLE) - 180e0)")).as("mech"))
+    mwModels.map { m =>
+      val (lad, lld) = drawnForms(m)
+      val drawsDf = base.filter(expr(m.valid))
+        .select(col("evid"), col("mag"), col("eq_type"), col("mech"),
+          explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
+      val withZ = Seq(1, 2, 3).foldLeft(drawsDf) { (df, i) =>
+        df.withColumn(s"h$i",
+          md5(concat(col("evid").cast("string"), lit(s"_${m.name}_"),
+            col("k").cast("string"), lit(s"_z$i"))))
+          .withColumn(s"S$i",
+            (0 until 3).map(sl =>
+              conv(substring(col(s"h$i"), 1 + 10 * sl, 10), 16, 10).cast("long") % UScale)
+              .reduce(_ + _))
+          .withColumn(s"z$i", col(s"S$i").cast("double") * 2.0 / UScale.toDouble - 3.0)
+      }
+      withZ
+        .withColumn("lad", expr(lad))
+        .withColumn("lld", expr(lld))
+        .withColumn("len_d", expr("CASE WHEN 2e0 * lld - lad < 0e0 THEN lad / 2e0 ELSE lld END"))
+        .groupBy(col("evid"))
+        .agg(count(lit(1)).as("n_draws"),
+          max(col("mag")).as("mag"), max(col("mech")).as("mech"),
+          max(col("eq_type")).as("eq_type"),
+          sum(col("S1")).as("ssum"),
+          min(col("len_d")).as("min_log10_len"),
+          max(col("len_d")).as("max_log10_len"),
+          sum(when(expr("2e0 * lld - lad < 0e0"), 1L).otherwise(0L)).as("n_clamped"))
+        .withColumn("z1",
+          col("ssum").cast("double") * 2.0 / (UScale * NSamples).toDouble - 3.0)
+        .select(col("evid"), lit(m.name).as("model"), col("n_draws"),
+          expr(lad).as("mean_log10_area"),
+          col("min_log10_len"), col("max_log10_len"), col("n_clamped"))
     }.reduce(_ unionByName _)
   }
 
@@ -261,6 +365,7 @@ object CcldOps {
 
   val queries: Map[String, QueryFn] = Map(
     "ccld_sample"         -> (ccldSample _),
+    "ccld_sample_sigma"   -> (ccldSampleSigma _),
     "ccld_preferred"      -> (ccldPreferred _),
     "ccld_mw_scaling"     -> (ccldMwScaling _),
     "ccld_rupture_select" -> (ccldRuptureSelect _))
@@ -277,9 +382,59 @@ object CcldOps {
            |  la AS log10_area,
            |  $mwLenSql AS log10_len,
            |  $mwWidSql AS log10_width,
-           |  $mwArSql AS log10_ar
+           |  $mwArSql AS log10_ar,
+           |  ${m.sa} AS sigma_area,
+           |  ${m.sl} AS sigma_len,
+           |  ${dl(SigmaAr)} AS sigma_ar
            |FROM (SELECT evid, mag, eq_type, mech, ${m.la} AS la, ${m.ll} AS ll
            |      FROM mw_base WHERE ${m.valid})""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+      s"""mw_base AS (
+         |  SELECT evid, mag,
+         |    ${eqTypeSqlCase("ev_depth")} AS eq_type,
+         |    ${mechSqlCase("(CAST(evid % 360 AS DOUBLE) - 180e0)")} AS mech
+         |  FROM gm_events
+         |)""".stripMargin),
+    "ccld_sample_sigma" -> Catalog.oracle(
+      mwModels.map { m =>
+        val (lad, lld) = drawnForms(m)
+        def hSql(i: Int) =
+          s"md5(CAST(evid AS VARCHAR) || '_${m.name}_' || CAST(t.k AS VARCHAR) || '_z$i')"
+        def sSql(i: Int) = (0 until 3).map(sl =>
+          s"(CAST('0x' || substring(h$i, ${1 + 10 * sl}, 10) AS BIGINT) % $UScale)")
+          .mkString(" + ")
+        s"""SELECT evid, '${m.name}' AS model, n_draws,
+           |  $lad AS mean_log10_area,
+           |  min_log10_len, max_log10_len, n_clamped
+           |FROM (
+           |  SELECT evid, max(mag) AS mag, max(mech) AS mech, max(eq_type) AS eq_type,
+           |    count(*) AS n_draws,
+           |    CAST(sum(S1) AS DOUBLE) * 2e0 / ${UScale * NSamples}e0 - 3e0 AS z1,
+           |    min(len_d) AS min_log10_len,
+           |    max(len_d) AS max_log10_len,
+           |    CAST(sum(CASE WHEN 2e0 * lld - lad < 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+           |  FROM (
+           |    SELECT *, CASE WHEN 2e0 * lld - lad < 0e0 THEN lad / 2e0 ELSE lld END AS len_d FROM (
+           |      SELECT *, $lad AS lad, $lld AS lld FROM (
+           |        SELECT *,
+           |          CAST(S1 AS DOUBLE) * 2e0 / ${UScale}e0 - 3e0 AS z1,
+           |          CAST(S2 AS DOUBLE) * 2e0 / ${UScale}e0 - 3e0 AS z2,
+           |          CAST(S3 AS DOUBLE) * 2e0 / ${UScale}e0 - 3e0 AS z3
+           |        FROM (
+           |          SELECT evid, mag, mech, eq_type, k,
+           |            ${sSql(1)} AS S1,
+           |            ${sSql(2)} AS S2,
+           |            ${sSql(3)} AS S3
+           |          FROM (
+           |            SELECT evid, mag, mech, eq_type, t.k,
+           |              ${hSql(1)} AS h1, ${hSql(2)} AS h2, ${hSql(3)} AS h3
+           |            FROM mw_base, range(0, $NSamples) t(k)
+           |            WHERE ${m.valid})
+           |        )
+           |      )
+           |    )
+           |  ) GROUP BY evid
+           |)""".stripMargin
       }.mkString("\nUNION ALL\n"),
       s"""mw_base AS (
          |  SELECT evid, mag,

@@ -196,6 +196,35 @@ object SignalOps {
         sqrt(Spectra.koSmoothCol(j => col(s"p$j"), k)).as(s"fas_k$k")): _*)
   }
 
+  /** EAS component flatfile (`data_processing/merge_flatfiles.py:
+    * 609-644`: the reference publishes an `eas` component file
+    * alongside rotd0/50/100 — component split at :617-628,
+    * `columns_remove_eas` at :632-644 keeps the FAS-grid columns and
+    * drops PGA/pSA). EAS is the effective amplitude spectrum: the
+    * orientation-independent combination of the TWO horizontal
+    * spectra, sqrt((|FAS_000|² + |FAS_090|²) / 2), smoothed on the
+    * averaged power with the same Konno-Ohmachi weights as [[imFas]].
+    * Per record: literal-twiddle DFT of both horizontal series (the
+    * 090 axis via [[graft.functions.Rotd.ps090Spark]], the series
+    * `im_rotd` rotates — squaring makes its sign convention moot),
+    * power-average, KO-smooth, sqrt. Pure projection — no shuffle,
+    * codegen end-to-end, embarrassingly parallel at 100 TB. */
+  def imEas(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Rotd, Spectra}
+    val base = Catalog.records(s, d)
+      .select(col("record_id"), col("pk"))
+      .select(col("record_id"),
+        expr(Spectra.xsSpark).as("xs"), expr(Rotd.ps090Spark).as("x9"))
+    val withP = Spectra.Bins.foldLeft(base) { (df, k) =>
+      df.withColumn(s"p$k", Spectra.powerCol("xs", k))
+        .withColumn(s"q$k", Spectra.powerCol("x9", k))
+    }
+    withP.select(col("record_id") +:
+      Spectra.Bins.map(k =>
+        sqrt(Spectra.koSmoothCol(j => (col(s"p$j") + col(s"q$j")) / lit(2.0), k))
+          .as(s"eas_k$k")): _*)
+  }
+
   /** Waveform preprocessing (`data_processing/waveform_manipulation
     * .py:15,123`): linear detrend (closed-form least squares over the
     * fixed index grid), Welch taper (polynomial — no trig in checked
@@ -275,6 +304,7 @@ object SignalOps {
     "im_rotd"          -> (imRotd _),
     "snr_fft"          -> (snrFft _),
     "im_fas"           -> (imFas _),
+    "im_eas"           -> (imEas _),
     "waveform_preproc" -> (waveformPreproc _),
     "im_duration"      -> (imDuration _)
   )
@@ -364,6 +394,21 @@ object SignalOps {
          |  SELECT record_id, chan,
          |      $pcols
          |  FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))""".stripMargin
+    },
+    "im_eas" -> Catalog.oracle {
+      import graft.functions.{Rotd, Spectra}
+      val pcols = Spectra.Bins.map(k => s"${Spectra.powerSql("xs", k)} AS p$k").mkString(",\n      ")
+      val qcols = Spectra.Bins.map(k => s"${Spectra.powerSql("x9", k)} AS q$k").mkString(",\n      ")
+      val eas = Spectra.Bins.map(k =>
+        s"sqrt(${Spectra.koSmoothSql(j => s"((p$j + q$j) / 2e0)", k)}) AS eas_k$k").mkString(",\n  ")
+      s"""SELECT record_id,
+         |  $eas
+         |FROM (
+         |  SELECT record_id,
+         |      $pcols,
+         |      $qcols
+         |  FROM (SELECT record_id, ${Spectra.xsSql} AS xs, ${Rotd.ps090Sql} AS x9
+         |        FROM gm_records))""".stripMargin
     },
     "waveform_preproc" -> Catalog.oracle {
       import graft.functions.{Portable, Spectra}

@@ -303,6 +303,8 @@ object TextOps {
   def clearSignatureCache(): Unit = {
     sigCache.values.forEach(df => { df.unpersist(); () })
     sigCache.clear()
+    segCache.values.forEach(df => { df.unpersist(); () })
+    segCache.clear()
   }
 
   /** Per-(source, lang) corpus report — the monitoring surface a
@@ -337,13 +339,30 @@ object TextOps {
     * to (segment-hash, doc) rows, one partial-aggregable groupBy on
     * the hash (THE corpus-wide shuffle), join back on the same key
     * (co-partitioned), re-aggregate per doc. */
+  /** (doc_id, segh, wc) segment rows, persisted once per data dir:
+    * the tokenize→window→hash subtree feeds BOTH the corpus-wide
+    * frequency groupBy and the join back, and without materialization
+    * the plan evaluates it twice — two full `documents` scans (the
+    * same disease the minhash family had before [[hashed]]; same
+    * cure). The cached projection is 3 narrow columns. Lifetime
+    * mirrors [[sigCache]]: session-long for the gate/bench, released
+    * by [[clearSignatureCache]]. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def segmentRows(s: SparkSession, d: String): DataFrame =
+    segCache.computeIfAbsent(d, _ => {
+      val nSeg = floor((size(col("tk")) + lit(SegWords - 1)).cast("double") / lit(SegWords)).cast("int")
+      val segCol = transform(sequence(lit(0), nSeg - 1),
+        i => concat_ws(" ", slice(col("tk"), i * SegWords + 1, lit(SegWords))))
+      docs(s, d).select(col("doc_id"), explode(segCol).as("seg"))
+        .select(col("doc_id"), Portable.h60(col("seg")).as("segh"),
+          size(split(col("seg"), " ")).as("wc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def dedupSegments(s: SparkSession, d: String): DataFrame = {
-    val nSeg = floor((size(col("tk")) + lit(SegWords - 1)).cast("double") / lit(SegWords)).cast("int")
-    val segCol = transform(sequence(lit(0), nSeg - 1),
-      i => concat_ws(" ", slice(col("tk"), i * SegWords + 1, lit(SegWords))))
-    val segRows = docs(s, d).select(col("doc_id"), explode(segCol).as("seg"))
-      .select(col("doc_id"), Portable.h60(col("seg")).as("segh"),
-        size(split(col("seg"), " ")).as("wc"))
+    val segRows = segmentRows(s, d)
     val freq = segRows.groupBy(col("segh")).agg(countDistinct(col("doc_id")).as("ndocs"))
     segRows.join(freq, Seq("segh"))
       .groupBy(col("doc_id"))
@@ -373,7 +392,14 @@ object TextOps {
     * single 100k-word doc, Gopher's own domain). The array-derived
     * metrics ride through the aggregation as per-group constants
     * (max of a constant), so the whole operator stays one corpus
-    * scan with no join back. */
+    * scan with no join back.
+    *
+    * Degenerate docs survive: `explode_outer` keeps a (doc_id, NULL)
+    * row for NULL/empty text (a plain `explode` would silently drop
+    * the document — split(NULL)→NULL→no rows), `count(term)` gives
+    * that row top_cnt 0, and the ratio guard yields NULL metrics —
+    * exactly the row of NULLs the pre-aggregation projection and the
+    * DuckDB twin produce on a real corpus containing NULL text. */
   def qualityGopher(s: SparkSession, d: String): DataFrame = {
     def dupFrac(g: Column): Column =
       when(size(g) > 0,
@@ -389,16 +415,18 @@ object TextOps {
           size(col("tk")).cast("double")).as("mean_word_len"),
         dupFrac(col("g2")).as("dup_2gram_frac"),
         dupFrac(col("g3")).as("dup_3gram_frac"),
-        explode(col("tk")).as("term"))
+        explode_outer(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(max(col(consts.head)).as(consts.head),
-        consts.tail.map(c => max(col(c)).as(c)) :+ count(lit(1)).as("cnt"): _*)
+        consts.tail.map(c => max(col(c)).as(c)) :+ count(col("term")).as("cnt"): _*)
       .groupBy(col("doc_id"))
       .agg(max(col(consts.head)).as(consts.head),
         consts.tail.map(c => max(col(c)).as(c)) :+ max(col("cnt")).as("top_cnt"): _*)
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("dup_2gram_frac"), col("dup_3gram_frac"),
-        (col("top_cnt").cast("double") / col("n_words").cast("double")).as("top_word_ratio"))
+        when(col("n_words") > 0,
+          col("top_cnt").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(null).cast("double")).as("top_word_ratio"))
       .withColumn("gopher_pass",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
@@ -430,8 +458,13 @@ object TextOps {
     * the log-free IDF weighting (ln is not bit-portable cross-engine;
     * the ranking intent is identical). Scale shape: explode + two
     * partial-aggregable groupBys; the document-frequency table is
-    * vocabulary-sized and broadcast; the top-k window repartitions by
-    * doc. */
+    * vocabulary-sized, so the tf⋈df join carries NO broadcast hint —
+    * a web corpus has 10⁸+ distinct terms and a forced broadcast
+    * would OOM the driver; AQE still picks a broadcast join when the
+    * vocabulary measures small, and falls back to a sort-merge join
+    * co-partitioned on `term` (the same key tf was just aggregated
+    * on, so the shuffle is already in place) when it doesn't. The
+    * top-k window repartitions by doc. */
   val TfidfK = 3
   def tfidfTopk(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d).select(col("doc_id"), explode(col("tk")).as("term"))
@@ -439,7 +472,7 @@ object TextOps {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))

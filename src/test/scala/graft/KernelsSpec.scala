@@ -91,6 +91,41 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("RotD production grid (180 angles) is consistent with the checked 18-angle grid") {
+    // The 18-angle grid (k*10 deg) is a SUBSET of the 180-angle
+    // production grid (k*1 deg), so refinement can only widen the
+    // envelope: RotD100 monotone non-decreasing, RotD0 monotone
+    // non-increasing, and the coarse RotD50 must stay inside the fine
+    // envelope. Pins that dialing NAngles up (production profile,
+    // SURVEY §5) never produces contradictory statistics.
+    val (cu, cv, keff, tdt) = (1586.09, 86.28, 5799.2, 40.0)
+    val fine = graft.functions.Rotd.anglesN(graft.functions.Rotd.ProdNAngles)
+    // every 10th fine angle IS the coarse grid — bitwise by
+    // construction, so the envelope comparisons below are exact; the
+    // shipped 18-angle table matches it to FP-noise (pi*k/18 vs
+    // pi*10k/180 differ in the last ulp)
+    val coarse = fine.zipWithIndex.collect { case (a, i) if i % 10 == 0 => a }
+    graft.functions.Rotd.angles.zip(coarse).foreach { case ((c1, s1), (c2, s2)) =>
+      assert(math.abs(c1 - c2) < 1e-12 && math.abs(s1 - s2) < 1e-12,
+        "shipped coarse grid must align with every 10th production angle")
+    }
+    def stats(angles: Seq[(Double, Double)], p0: Seq[Double], p9: Seq[Double]): Array[Double] =
+      RotdStats(lit(p0), lit(p9),
+        angles.map(_._1).toArray, angles.map(_._2).toArray, cu, cv, keff, tdt, raw = false)
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+    for (_ <- 1 to 50) {
+      val p0 = randSeries()
+      val p9 = p0.indices.map(_ => rnd.nextDouble() * 2e6 - 1e6)
+      val c = stats(coarse, p0, p9)
+      val f = stats(fine, p0, p9)
+      assert(f(2) >= c(2), s"RotD100 must not shrink under grid refinement: ${f(2)} < ${c(2)}")
+      assert(f(0) <= c(0), s"RotD0 must not grow under grid refinement: ${f(0)} > ${c(0)}")
+      assert(c(1) >= f(0) && c(1) <= f(2),
+        s"coarse RotD50 ${c(1)} outside fine envelope [${f(0)}, ${f(2)}]")
+      assert(f(1) >= f(0) && f(1) <= f(2), "fine RotD50 outside its own envelope")
+    }
+  }
+
   test("VecDot matches the sequential fold on arbitrary pairs") {
     for (_ <- 1 to 300) {
       val (a, b) = (randSeries(), randSeries())

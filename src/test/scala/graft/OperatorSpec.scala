@@ -69,6 +69,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quality_gopher keeps a row for NULL-text documents") {
+    import org.apache.spark.sql.functions._
+    // a real corpus contains NULL text; explode would silently drop
+    // those docs (split(NULL) -> NULL -> no rows) where the oracle's
+    // per-row projection keeps a row of NULL metrics — pin the
+    // explode_outer + count(term) + ratio-guard path on a fixture
+    // the driver testdata doesn't cover
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher_null").toString
+    val base = graft.sources.Tables.documents(spark, Sf).limit(20)
+    val extra = spark.range(2).select(
+      (col("id") + 1000000L).as("doc_id"),
+      when(col("id") === 0, lit(null).cast("string")).otherwise(lit("")).as("text"),
+      lit("en").as("lang"), lit("synthetic").as("source"),
+      lit(0L).as("n_chars"))
+    base.unionByName(extra).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.qualityGopher(spark, dir)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 22, s"expected all 22 docs to survive, got ${rows.size}")
+    val nullDoc = rows(1000000L)
+    assert(nullDoc.isNullAt(nullDoc.fieldIndex("top_word_ratio")),
+      "NULL-text doc must carry NULL top_word_ratio")
+    assert(nullDoc.isNullAt(nullDoc.fieldIndex("n_words")),
+      "NULL-text doc must carry NULL n_words")
+    assert(rows.contains(1000001L), "empty-text doc must survive")
+  }
+
   test("quality_all equals the composition of the individual quality filters") {
     import org.apache.spark.sql.functions._
     // intersect the per-filter survivor sets, then channel-dedup them —
