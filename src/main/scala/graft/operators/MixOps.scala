@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryFn
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Training-mix construction operators over the `documents` table —
+  * the steps between a cleaned corpus and an actual training run:
+  * token-budget allocation across sources, the deterministic sampled
+  * mix itself, and PII screening.
+  *
+  * All arithmetic that crosses the oracle stays integer (counts,
+  * ppm rates, integer division) so the DuckDB twin is bit-exact; the
+  * per-source tables are sources-sized (tiny against the corpus), so
+  * every join here has a broadcastable build side that AQE picks up
+  * without a forced hint.
+  */
+object MixOps {
+
+  /** Fraction of total tokens the mix keeps: budget = total / BudgetDiv. */
+  val BudgetDiv = 5L
+
+  /** Sampling salt for the mix draw (independent of
+    * [[TextOps.SampleSalt]]'s stratified-sampling stream). */
+  val MixSalt = "mix1"
+
+  /** Per-source token-budget allocation — the data-mixing step of a
+    * training-data pipeline (the published mixes weight sources, then
+    * downsample each to its token share). Source weights here derive
+    * from the source hash (4 tiers, as `sample_stratified`); a
+    * production mix passes an explicit weight table. Every rate is
+    * integer ppm arithmetic: budget = total/5 tokens, each source
+    * gets budget*w/Σw, its rate is that budget over its token count
+    * (capped at 1), expected tokens follow — all exact integer
+    * division, replayable anywhere. Scale shape: one corpus scan +
+    * one partial-aggregable groupBy(source); the totals are a one-row
+    * aggregate cross-joined back (sources-sized result, trivially
+    * broadcast). At web scale the per-source budget products stay
+    * under 2^62 for corpora to ~10^12 tokens; past that the same
+    * plan runs on DECIMAL(38). */
+  def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
+    val perSource = TextOps.docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("tokens"))
+      .withColumn("weight", Portable.h60(col("source")) % 4L + 1L)
+    val totals = perSource.agg(
+      sum(col("tokens")).as("total_tokens"), sum(col("weight")).as("wsum"))
+    perSource.crossJoin(totals)
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr(s"((total_tokens div $BudgetDiv) * weight div wsum) * 1000000 div tokens")))
+      .withColumn("expected_tokens", expr("tokens * rate_ppm div 1000000"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+        col("rate_ppm"), col("expected_tokens"))
+  }
+
+  /** The sampled training mix itself: every document draws a
+    * counter-hash uniform (same no-state RNG as `sample_stratified`,
+    * independent salt) and survives iff it lands under its source's
+    * budget-derived rate from [[tokenBudgetMix]]. One corpus scan +
+    * the sources-sized rate table joined back (AQE broadcast) — the
+    * rate derivation re-aggregates the same scan, which Spark's
+    * cache-free plan evaluates as a second pass over `source`/`tk`
+    * only (two columns, pruned scan); a pipeline materializing the
+    * mix table would persist [[tokenBudgetMix]]'s 4-row output
+    * first. */
+  def corpusMixSample(s: SparkSession, d: String): DataFrame = {
+    val rates = tokenBudgetMix(s, d).select(col("source"), col("rate_ppm"))
+    TextOps.docs(s, d)
+      .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rates, Seq("source"))
+      .withColumn("u_ppm",
+        Portable.h60(concat(col("doc_id").cast("string"), lit(":" + MixSalt))) % 1000000L)
+      .filter(col("u_ppm") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_ppm"), col("u_ppm"))
+  }
+
+  // ---- PII screening ---------------------------------------------
+
+  /** Patterns kept inside the regex subset Java (Spark) and RE2
+    * (DuckDB) match identically: literal classes, bounded repeats,
+    * \b anchors — no backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII screening/redaction — the corpus-hygiene pass production
+    * pipelines run before release (emails / phone numbers / IPv4
+    * literals): per document, match counts per category, a combined
+    * flag, and the post-redaction length (each category replaced by
+    * a fixed tag, applied email→phone→ip). Pure codegen'd projection,
+    * no shuffle, embarrassingly parallel. The synthetic corpus
+    * contains no digits, so the oracle pins the zero-match agreement
+    * of both regex engines; the real match path is pinned by the
+    * fixture spec (OperatorSpec) with literal PII strings. */
+  def piiCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ipv4"),
+      (regexp_count(col("text"), lit(EmailRe)) +
+        regexp_count(col("text"), lit(PhoneRe)) +
+        regexp_count(col("text"), lit(Ipv4Re)) > 0).as("has_pii"),
+      length(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")).as("redact_len"))
+
+  val queries: Map[String, QueryFn] = Map(
+    "token_budget_mix"  -> (tokenBudgetMix _),
+    "corpus_mix_sample" -> (corpusMixSample _),
+    "pii_count"         -> (piiCount _))
+
+  private val tkSql = Portable.tokensSql("text")
+
+  private val budgetCtes =
+    s"""toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+       |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens,
+       |       ${Portable.h60Sql("source")} % 4 + 1 AS weight
+       |       FROM toks GROUP BY source),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       |               CAST(sum(weight) AS BIGINT) AS wsum FROM ps),
+       |rates AS (
+       |  SELECT source, n_docs, tokens, weight,
+       |    least(1000000, ((total_tokens // $BudgetDiv) * weight // wsum) * 1000000 // tokens) AS rate_ppm
+       |  FROM ps, tot)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "token_budget_mix" ->
+      s"""WITH $budgetCtes
+         |SELECT source, n_docs, tokens, weight, rate_ppm,
+         |  tokens * rate_ppm // 1000000 AS expected_tokens
+         |FROM rates""".stripMargin,
+    "corpus_mix_sample" ->
+      s"""WITH $budgetCtes
+         |SELECT doc_id, source, n_tokens, rate_ppm, u_ppm FROM (
+         |  SELECT t.doc_id, t.source, CAST(len(t.tk) AS BIGINT) AS n_tokens, r.rate_ppm,
+         |    ${Portable.h60Sql(s"CAST(t.doc_id AS VARCHAR) || ':$MixSalt'")} % 1000000 AS u_ppm
+         |  FROM toks t JOIN rates r ON t.source = r.source)
+         |WHERE u_ppm < rate_ppm""".stripMargin,
+    "pii_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INT) AS n_ipv4,
+         |  (len(regexp_extract_all(text, '$EmailRe')) +
+         |   len(regexp_extract_all(text, '$PhoneRe')) +
+         |   len(regexp_extract_all(text, '$Ipv4Re'))) > 0 AS has_pii,
+         |  CAST(length(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g')) AS INT) AS redact_len
+         |FROM documents""".stripMargin)
+}

@@ -36,7 +36,7 @@ object TextOps {
 
   // ---- shared derivations ----------------------------------------
 
-  private def docs(s: SparkSession, d: String): DataFrame =
+  private[operators] def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("tk", Portable.tokens(col("text")))
 
   /** doc_id, hs (shingle hash list, order-preserving), shset (distinct
@@ -434,6 +434,40 @@ object TextOps {
           col("top_word_ratio") < 0.2)
   }
 
+  // ---- benchmark decontamination ---------------------------------
+
+  /** Eval-set membership: a fixed hash-free slice of the corpus
+    * stands in for the benchmark suite a production pipeline
+    * decontaminates against (the suite arrives as its own small
+    * table; the slice keeps the oracle on one input). */
+  val EvalMod = 50L
+
+  /** Benchmark n-gram decontamination — the training-data hygiene
+    * step every published pipeline runs (GPT-3 appendix C / Gopher
+    * §A1.2 shape: drop or flag training docs sharing word n-grams
+    * with the eval suite). Per non-eval doc with at least one
+    * overlap: distinct-shingle count, hit count, contamination
+    * fraction. Scale shape: the eval side of the join is
+    * benchmark-sized (MBs against a 100 TB corpus) — distinct
+    * shingle hashes, equi-joined (AQE broadcasts a small build side
+    * on its own); the corpus side is one explode off the persisted
+    * [[hashed]] signature table, so decontamination adds NO extra
+    * corpus scan when run alongside the dedup family. One
+    * partial-aggregable groupBy. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val dh = hashed(s, d)
+      .select(col("doc_id"), array_distinct(col("hs")).as("dh"))
+    val evalSh = dh.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("dh")).as("h")).distinct()
+    dh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), size(col("dh")).as("n_sh"), explode(col("dh")).as("h"))
+      .join(evalSh, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_sh"), count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_sh").cast("double")).as("contam_frac"))
+  }
+
   // ---- deterministic stratified sampling -------------------------
 
   /** Hash-based stratified sampling — the reproducible per-source
@@ -482,6 +516,7 @@ object TextOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "decontaminate"   -> (decontaminate _),
     "dedup_segments"  -> (dedupSegments _),
     "quality_gopher"  -> (qualityGopher _),
     "sample_stratified" -> (sampleStratified _),
@@ -560,6 +595,15 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |shd AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+         |dht AS (SELECT doc_id, list_distinct(list_transform(shl, x -> ${Portable.hmodSql("x")})) AS dh FROM shd),
+         |ev AS (SELECT DISTINCT unnest(dh) AS h FROM dht WHERE doc_id % $EvalMod = 0),
+         |ex AS (SELECT doc_id, len(dh) AS n_sh, unnest(dh) AS h FROM dht WHERE doc_id % $EvalMod <> 0)
+         |SELECT doc_id, n_sh, count(*) AS n_hits,
+         |  CAST(count(*) AS DOUBLE) / CAST(n_sh AS DOUBLE) AS contam_frac
+         |FROM ex JOIN ev USING (h) GROUP BY doc_id, n_sh""".stripMargin,
     "dedup_segments" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |segs AS (SELECT doc_id, unnest(list_transform(range(0, (len(tk) + ${SegWords - 1}) // $SegWords),

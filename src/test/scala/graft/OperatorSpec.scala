@@ -95,6 +95,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(1000001L), "empty-text doc must survive")
   }
 
+  test("pii_count matches hand-counted PII on a literal fixture") {
+    import org.apache.spark.sql.functions._
+    // the driver corpus has no digits, so the oracle only pins
+    // zero-match agreement; this fixture exercises the real match
+    // and redaction path with known counts
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    val rows = Seq(
+      (1L, "contact alice@example.com or bob.smith@mail.co today", 2, 0, 0),
+      (2L, "call 555-123-4567 or 555 987 6543 now", 0, 2, 0),
+      (3L, "server at 10.0.0.1 and 192.168.001.200 talked", 0, 0, 2),
+      (4L, "mixed: c@d.io, 111-222-3333, 8.8.8.8", 1, 1, 1),
+      (5L, "clean text with no personal data at all", 0, 0, 0))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "e", "p", "i")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("fix").as("source"), length(col("text")).cast("long").as("n_chars"))
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MixOps.piiCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    val want = rows.map(r => r._1 -> ((r._3, r._4, r._5, r._3 + r._4 + r._5 > 0))).toMap
+    assert(got == want, s"got $got, want $want")
+    // redaction shrinks or grows length only where matches exist
+    val lens = MixOps.piiCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(lens(5L) == rows.find(_._1 == 5L).get._2.length,
+      "no-PII doc must keep its exact length after redaction")
+    assert(lens(4L) != rows.find(_._1 == 4L).get._2.length,
+      "PII doc length must change under redaction")
+  }
+
   test("quality_all equals the composition of the individual quality filters") {
     import org.apache.spark.sql.functions._
     // intersect the per-filter survivor sets, then channel-dedup them —
@@ -204,9 +233,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("no plan contains an all-pairs join (except the brute-force ANN baseline)") {
     // ann_cosine_topk: documented broadcast NL brute-force baseline;
-    // tfidf_topk: a ONE-ROW broadcast (the corpus-size scalar) — a
-    // scalar join, not an all-pairs product.
-    val allowedNestedLoop = Set("ann_cosine_topk", "tfidf_topk")
+    // tfidf_topk / token_budget_mix / corpus_mix_sample: a ONE-ROW
+    // broadcast (corpus-size / budget-totals scalar) — a scalar join,
+    // not an all-pairs product.
+    val allowedNestedLoop =
+      Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
