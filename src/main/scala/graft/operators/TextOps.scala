@@ -392,7 +392,12 @@ object TextOps {
     * single 100k-word doc, Gopher's own domain). The array-derived
     * metrics ride through the aggregation as per-group constants
     * (max of a constant), so the whole operator stays one corpus
-    * scan with no join back.
+    * scan with no join back. The wider shuffle rows (4 extra double
+    * buffers per (doc, term) group) are the accepted price: the
+    * narrow-row alternative re-derives the constants in a second
+    * projection joined back on doc_id, and tokenize+shingle is the
+    * dominant CPU kernel — one corpus pass with wider rows beats two
+    * passes with narrow ones.
     *
     * Degenerate docs survive: `explode_outer` keeps a (doc_id, NULL)
     * row for NULL/empty text (a plain `explode` would silently drop
