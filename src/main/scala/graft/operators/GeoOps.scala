@@ -121,7 +121,17 @@ object GeoOps {
     * station product is cut by the same lat-band prefilter as
     * [[eventStationDistances]]. */
   val RupMagMin = 5.5
-  def rrupDistances(s: SparkSession, d: String): DataFrame = {
+
+  /** The rupture-plane pair frame behind [[rrupDistances]] and
+    * [[propagationTable]]: the banded station×plane join with r_jb /
+    * r_rup plus the GC2-style strike coordinates r_x (signed
+    * perpendicular km from the extended strike line — the box strike
+    * runs east-west, so this is the north-positive offset from the
+    * box centre line, the hanging-wall convention of
+    * `src_site_dist.calc_rx_ry`) and r_y (km along strike beyond the
+    * trace ends; 0 when the projection lands inside). All
+    * greatest/least/abs arithmetic — bit-portable. */
+  private def rupFrame(s: SparkSession, d: String): DataFrame = {
     val halfW = floor(col("mag")) * lit(0.05) // half-width in degrees
     val planes = Catalog.events(s, d).filter(col("mag") >= RupMagMin)
       .select(col("evid"), col("mag"),
@@ -145,8 +155,15 @@ object GeoOps {
       .withColumn("r_jb", sqrt(dxKm * dxKm + dyKm * dyKm))
       .filter(col("r_jb") <= MaxKm)
       .select(col("evid"), col("sta"), col("r_jb"),
-        sqrt(col("r_jb") * col("r_jb") + col("ztop") * col("ztop")).as("r_rup"))
+        sqrt(col("r_jb") * col("r_jb") + col("ztop") * col("ztop")).as("r_rup"),
+        ((col("sta_lat") - (col("lat1") + col("lat2")) / 2) * KmPerDegLat).as("r_x"),
+        greatest(lit(0.0),
+          abs((col("sta_lon") - (col("lon1") + col("lon2")) / 2) * KmPerDegLon)
+            - (col("lon2") - col("lon1")) / 2 * KmPerDegLon).as("r_y"))
   }
+
+  def rrupDistances(s: SparkSession, d: String): DataFrame =
+    rupFrame(s, d).select("evid", "sta", "r_jb", "r_rup")
 
   /** Production-grade rupture distances with OBLIQUE plane geometry —
     * the user-facing twin of [[rrupDistances]] matching the
@@ -320,6 +337,31 @@ object GeoOps {
         when(col("crossed"), (lit(1.0) - col("t_hi")) * col("r_epi"))
           .otherwise(lit(null).cast("double")).as("boundary_dist"))
   }
+
+  /** The published propagation path table
+    * (`calculation/distances.py:611-633` propagation_data rows,
+    * written as `propagation_path_table.csv` at
+    * `merge_flatfiles.py:659`; re-merged into the flatfiles at :434):
+    * one row per qualifying (event, station) pair carrying every
+    * path metric — r_epi / r_hyp / azimuth octant + back-azimuth from
+    * [[eventStationDistances]], r_jb / r_rup / r_x / r_y from the
+    * rupture frame (NULL for small events, exactly the reference's
+    * left merge), and the Taupo-VZ crossing length / boundary
+    * distance as r_tvz / r_xvf from [[tvzPath]]. All three inputs
+    * generate the SAME banded pair set, so the assembly is two
+    * co-keyed (evid, sta) left joins — no new pair generation, no
+    * band recomputation on the probe side, and each join's right side
+    * is a subset of the left's key space. */
+  def propagationTable(s: SparkSession, d: String): DataFrame =
+    eventStationDistances(s, d)
+      .withColumn("b_az_oct", (col("az_oct") + 4) % 8)
+      .join(rupFrame(s, d), Seq("evid", "sta"), "left")
+      .join(tvzPath(s, d)
+        .withColumnRenamed("tvz_length", "r_tvz")
+        .withColumnRenamed("boundary_dist", "r_xvf"), Seq("evid", "sta"), "left")
+      .select(col("evid"), col("sta"), col("r_epi"), col("r_hyp"),
+        col("r_jb"), col("r_rup"), col("r_x"), col("r_y"),
+        col("r_tvz"), col("r_xvf"), col("az_oct"), col("b_az_oct"))
 
   // ---- aftershock flagging ---------------------------------------
 
@@ -645,6 +687,7 @@ object GeoOps {
     "ccld_vertices"           -> (ccldVertices _),
     "tect_domain"             -> (tectDomain _),
     "tvz_path"                -> (tvzPath _),
+    "propagation_table"       -> (propagationTable _),
     "aftershock_flags"        -> (aftershockFlags _),
     "aftershock_mainshock"    -> (aftershockMainshock _),
     // no SQL oracle: the greedy is a driver loop, not a single query —
@@ -671,9 +714,11 @@ object GeoOps {
       s"(${x2 - x1}e0 * ($py - ${y1}e0) - ${y2 - y1}e0 * ($px - ${x1}e0)) >= 0"
     }.mkString("(", " AND ", ")")
 
-  val oracles: Map[String, String] = Map(
-    "event_station_distances" -> Catalog.oracle(
-      s"""SELECT e.evid, s.sta,
+  /** Shared oracle bodies: the propagation-table oracle composes the
+    * same SQL as the standalone distance oracles (CTE-wrapped), so
+    * the texts live once. */
+  private val esdOracleBody: String =
+    s"""SELECT e.evid, s.sta,
          |  sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
          |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0)) AS r_epi,
          |  sqrt(sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
@@ -696,7 +741,70 @@ object GeoOps {
          |    ELSE 7 END AS az_oct
          |FROM gm_events e JOIN gm_stations s
          |  ON sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
-         |        + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0)) <= ${MaxKm}e0""".stripMargin),
+         |        + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0)) <= ${MaxKm}e0""".stripMargin
+
+  private val tvzOracleBody: String = {
+    val verts = domains.find(_._2 == "TVZ").get._3
+    def edgeFSql(i: Int, px: String, py: String): String = {
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      s"(${x2 - x1}e0 * ($py - ${y1}e0) - ${y2 - y1}e0 * ($px - ${x1}e0))"
+    }
+    val n = verts.indices
+    val repi =
+      s"""sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+         |   + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))""".stripMargin
+    s"""SELECT evid, sta,
+       |  CASE WHEN crossed THEN t_hi - t_lo ELSE 0e0 END AS tvz_length,
+       |  CASE WHEN crossed THEN (1e0 - t_hi) * r_epi ELSE NULL END AS boundary_dist
+       |FROM (
+       |  SELECT *, (NOT degenerate) AND t_lo < t_hi AS crossed FROM (
+       |    SELECT *,
+       |      greatest(0e0, ${n.map(i => s"CASE WHEN fb$i > 0 THEN -fa$i / fb$i ELSE 0e0 END").mkString(", ")}) AS t_lo,
+       |      least(1e0, ${n.map(i => s"CASE WHEN fb$i < 0 THEN -fa$i / fb$i ELSE 1e0 END").mkString(", ")}) AS t_hi,
+       |      (${n.map(i => s"(fb$i = 0 AND fa$i < 0)").mkString(" OR ")}) AS degenerate
+       |    FROM (
+       |      SELECT *, ${n.map(i => s"fs$i - fa$i AS fb$i").mkString(", ")} FROM (
+       |        SELECT e.evid, s.sta, $repi AS r_epi,
+       |          ${n.map(i => s"${edgeFSql(i, "e.ev_lon", "e.ev_lat")} AS fa$i").mkString(",\n          ")},
+       |          ${n.map(i => s"${edgeFSql(i, "s.sta_lon", "s.sta_lat")} AS fs$i").mkString(",\n          ")}
+       |        FROM gm_events e JOIN gm_stations s ON $repi <= ${MaxKm}e0
+       |      )
+       |    )
+       |  )
+       |)""".stripMargin
+  }
+
+  /** [[rupFrame]]'s oracle body — the rrup oracle plus the r_x / r_y
+    * strike coordinates, same association order as the Columns. */
+  private val rupxOracleBody: String =
+    s"""SELECT evid, sta, r_jb, sqrt(r_jb * r_jb + ztop * ztop) AS r_rup,
+       |  (sta_lat - (lat1 + lat2) / 2) * ${KmPerDegLat}e0 AS r_x,
+       |  greatest(0e0, abs((sta_lon - (lon1 + lon2) / 2) * ${KmPerDegLon}e0)
+       |    - (lon2 - lon1) / 2 * ${KmPerDegLon}e0) AS r_y
+       |FROM (
+       |  SELECT p.evid, s.sta, p.ztop, p.lat1, p.lat2, p.lon1, p.lon2, s.sta_lat, s.sta_lon,
+       |    sqrt(((s.sta_lon - greatest(p.lon1, least(p.lon2, s.sta_lon))) * ${KmPerDegLon}e0)
+       |       * ((s.sta_lon - greatest(p.lon1, least(p.lon2, s.sta_lon))) * ${KmPerDegLon}e0)
+       |       + ((s.sta_lat - greatest(p.lat1, least(p.lat2, s.sta_lat))) * ${KmPerDegLat}e0)
+       |       * ((s.sta_lat - greatest(p.lat1, least(p.lat2, s.sta_lat))) * ${KmPerDegLat}e0)) AS r_jb
+       |  FROM gm_stations s, (
+       |    SELECT evid, ev_lat - floor(mag) * 5e-2 AS lat1, ev_lat + floor(mag) * 5e-2 AS lat2,
+       |           ev_lon - floor(mag) * 5e-2 AS lon1, ev_lon + floor(mag) * 5e-2 AS lon2,
+       |           ev_depth * 5e-1 AS ztop
+       |    FROM gm_events WHERE mag >= ${RupMagMin}e0) p
+       |) WHERE r_jb <= ${MaxKm}e0""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "event_station_distances" -> Catalog.oracle(esdOracleBody),
+    "propagation_table" -> Catalog.oracle(
+      s"""SELECT evid, sta, r_epi, r_hyp, r_jb, r_rup, r_x, r_y,
+         |  tvz_length AS r_tvz, boundary_dist AS r_xvf,
+         |  az_oct, (az_oct + 4) % 8 AS b_az_oct
+         |FROM esd LEFT JOIN rupx USING (evid, sta) LEFT JOIN tvz USING (evid, sta)""".stripMargin,
+      s"esd AS (\n$esdOracleBody\n)",
+      s"rupx AS (\n$rupxOracleBody\n)",
+      s"tvz AS (\n$tvzOracleBody\n)"),
     "rrup_distances" -> Catalog.oracle(
       s"""SELECT evid, sta, r_jb, sqrt(r_jb * r_jb + ztop * ztop) AS r_rup FROM (
          |  SELECT p.evid, s.sta, p.ztop,
@@ -710,37 +818,7 @@ object GeoOps {
          |           ev_depth * 5e-1 AS ztop
          |    FROM gm_events WHERE mag >= ${RupMagMin}e0) p
          |) WHERE r_jb <= ${MaxKm}e0""".stripMargin),
-    "tvz_path" -> Catalog.oracle {
-      val verts = domains.find(_._2 == "TVZ").get._3
-      def edgeFSql(i: Int, px: String, py: String): String = {
-        val (x1, y1) = verts(i)
-        val (x2, y2) = verts((i + 1) % verts.size)
-        s"(${x2 - x1}e0 * ($py - ${y1}e0) - ${y2 - y1}e0 * ($px - ${x1}e0))"
-      }
-      val n = verts.indices
-      val repi =
-        s"""sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
-           |   + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))""".stripMargin
-      s"""SELECT evid, sta,
-         |  CASE WHEN crossed THEN t_hi - t_lo ELSE 0e0 END AS tvz_length,
-         |  CASE WHEN crossed THEN (1e0 - t_hi) * r_epi ELSE NULL END AS boundary_dist
-         |FROM (
-         |  SELECT *, (NOT degenerate) AND t_lo < t_hi AS crossed FROM (
-         |    SELECT *,
-         |      greatest(0e0, ${n.map(i => s"CASE WHEN fb$i > 0 THEN -fa$i / fb$i ELSE 0e0 END").mkString(", ")}) AS t_lo,
-         |      least(1e0, ${n.map(i => s"CASE WHEN fb$i < 0 THEN -fa$i / fb$i ELSE 1e0 END").mkString(", ")}) AS t_hi,
-         |      (${n.map(i => s"(fb$i = 0 AND fa$i < 0)").mkString(" OR ")}) AS degenerate
-         |    FROM (
-         |      SELECT *, ${n.map(i => s"fs$i - fa$i AS fb$i").mkString(", ")} FROM (
-         |        SELECT e.evid, s.sta, $repi AS r_epi,
-         |          ${n.map(i => s"${edgeFSql(i, "e.ev_lon", "e.ev_lat")} AS fa$i").mkString(",\n          ")},
-         |          ${n.map(i => s"${edgeFSql(i, "s.sta_lon", "s.sta_lat")} AS fs$i").mkString(",\n          ")}
-         |        FROM gm_events e JOIN gm_stations s ON $repi <= ${MaxKm}e0
-         |      )
-         |    )
-         |  )
-         |)""".stripMargin
-    },
+    "tvz_path" -> Catalog.oracle(tvzOracleBody),
     "tect_domain" -> Catalog.oracle(
       s"""SELECT evid, ev_lat, ev_lon,
          |  CASE ${domains.sortBy(_._1).map { case (_, name, verts) =>
