@@ -284,6 +284,68 @@ object GeoOps {
     ev.select(col("evid"), col("ev_lat"), col("ev_lon"), domainCase.as("domain"))
   }
 
+  /** Synthetic basin outlines (CCW convex quads) — stand-ins for the
+    * reference's basin outline files (`data_retrieval/sites.py:122
+    * add_site_basins`, Velocity_Model `basin_outlines_dict`, named
+    * per its rename table). LIST ORDER IS SEMANTIC: the reference
+    * assigns by looping over outlines and OVERWRITING the basin
+    * column, so the LAST containing outline wins (note the contrast
+    * with [[domains]], where the lowest priority wins). North
+    * Canterbury deliberately overlaps Canterbury to pin that rule. */
+  val basins: Seq[(String, Seq[(Double, Double)])] = Seq(
+    ("Canterbury",         Seq((170.0, -45.0), (174.0, -45.0), (174.0, -42.0), (170.0, -42.0))),
+    ("North Canterbury",   Seq((171.0, -43.5), (173.0, -43.5), (173.0, -42.5), (171.0, -42.5))),
+    ("Greater Wellington", Seq((174.0, -41.8), (176.0, -41.8), (176.0, -40.8), (174.0, -40.8))),
+    ("Waikato Hauraki",    Seq((174.5, -38.5), (176.5, -38.5), (176.5, -36.5), (174.5, -36.5))))
+
+  /** Per-station basin tagging (`sites.py:122-181`): the site-table
+    * `basin` column the reference publishes alongside Vs30. Same
+    * broadcast-quad containment as [[tectDomain]] but with the
+    * loop-overwrite (last-wins) semantics and a NULL default — a
+    * foldLeft in list order where each containing basin overwrites
+    * the accumulator. Pure projection over the dimension table. */
+  def siteBasin(s: SparkSession, d: String): DataFrame = {
+    val basinCase = basins.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, verts)) =>
+        when(insideQuad(verts, col("sta_lon"), col("sta_lat")), lit(name)).otherwise(acc)
+    }
+    Catalog.stations(s, d)
+      .select(col("sta"), col("sta_lat"), col("sta_lon"), col("sta_vs30"),
+        basinCase.as("basin"))
+  }
+
+  /** The published earthquake source table (event_df at
+    * `merge_flatfiles.py:170-253`, written :647 as
+    * `earthquake_source_table.csv`): one row per event that reached
+    * the IM catalogue (:211 `isin(unique_events)`), carrying the
+    * mechanism angles under the reference's normalization rules
+    * (strike == 360 → 0 at :205, rake > 180 → rake − 360 at :206),
+    * the tectonic domain, decimal year, and the record count. The
+    * raw strike/dip/rake derive from the event key — the slot the
+    * GeoNet CSV mechanism columns plug into. Shape: one groupBy of
+    * the record catalogue (count doubles as the semi-join), inline
+    * broadcast-quad containment, pure projection — two partial-agg
+    * shuffles end to end. */
+  def eqSourceTable(s: SparkSession, d: String): DataFrame = {
+    val recs = Catalog.records(s, d).groupBy(col("evid")).agg(count(lit(1)).as("n_records"))
+    val domainCase = domains.sortBy(_._1).foldRight(lit("Oceanic"): Column) {
+      case ((_, name, verts), elseCol) =>
+        when(insideQuad(verts, col("ev_lon"), col("ev_lat")), lit(name)).otherwise(elseCol)
+    }
+    val strikeRaw = (col("evid") % 361).cast("double") // 0..360: exercises the ==360 rule
+    val rakeRaw   = (col("evid") % 360).cast("double") // 0..359: exercises the >180 rule
+    Catalog.events(s, d)
+      .join(recs, Seq("evid"))
+      .select(col("evid"), col("ev_us"), col("ev_lat").as("lat"), col("ev_lon").as("lon"),
+        col("ev_depth").as("depth"), col("mag"),
+        when(strikeRaw === 360.0, 0.0).otherwise(strikeRaw).as("strike"),
+        ((col("evid") % 90).cast("double") + 1.0).as("dip"),
+        when(rakeRaw > 180.0, rakeRaw - 360.0).otherwise(rakeRaw).as("rake"),
+        domainCase.as("domain"),
+        decimalYearCol(col("ev_us")).as("dec_year"),
+        col("n_records"))
+  }
+
   // ---- TVZ path terms --------------------------------------------
 
   /** Taupo-volcanic-zone path terms (`calculation/distances.py:674
@@ -688,6 +750,8 @@ object GeoOps {
     "tect_domain"             -> (tectDomain _),
     "tvz_path"                -> (tvzPath _),
     "propagation_table"       -> (propagationTable _),
+    "site_basin"              -> (siteBasin _),
+    "eq_source_table"         -> (eqSourceTable _),
     "aftershock_flags"        -> (aftershockFlags _),
     "aftershock_mainshock"    -> (aftershockMainshock _),
     // no SQL oracle: the greedy is a driver loop, not a single query —
@@ -805,6 +869,31 @@ object GeoOps {
       s"esd AS (\n$esdOracleBody\n)",
       s"rupx AS (\n$rupxOracleBody\n)",
       s"tvz AS (\n$tvzOracleBody\n)"),
+    "site_basin" -> Catalog.oracle(
+      s"""SELECT sta, sta_lat, sta_lon, sta_vs30,
+         |  CASE ${basins.reverse.map { case (name, verts) =>
+               s"WHEN ${insideQuadSql(verts, "sta_lon", "sta_lat")} THEN '$name'"
+             }.mkString("\n       ")}
+         |       ELSE NULL END AS basin
+         |FROM gm_stations""".stripMargin),
+    "eq_source_table" -> Catalog.oracle(
+      s"""SELECT e.evid, e.ev_us, e.ev_lat AS lat, e.ev_lon AS lon, e.ev_depth AS depth, e.mag,
+         |  CASE WHEN CAST(e.evid % 361 AS DOUBLE) = 360e0 THEN 0e0
+         |       ELSE CAST(e.evid % 361 AS DOUBLE) END AS strike,
+         |  CAST(e.evid % 90 AS DOUBLE) + 1e0 AS dip,
+         |  CASE WHEN CAST(e.evid % 360 AS DOUBLE) > 180e0 THEN CAST(e.evid % 360 AS DOUBLE) - 360e0
+         |       ELSE CAST(e.evid % 360 AS DOUBLE) END AS rake,
+         |  CASE ${domains.sortBy(_._1).map { case (_, name, verts) =>
+               s"WHEN ${insideQuadSql(verts, "e.ev_lon", "e.ev_lat")} THEN '$name'"
+             }.mkString("\n       ")}
+         |       ELSE 'Oceanic' END AS domain,
+         |  CAST(year(make_timestamp(e.ev_us)) AS DOUBLE) +
+         |  CAST(e.ev_us - epoch_us(make_timestamp(year(make_timestamp(e.ev_us)), 1, 1, 0, 0, 0)) AS DOUBLE) /
+         |  CAST(epoch_us(make_timestamp(year(make_timestamp(e.ev_us)) + 1, 1, 1, 0, 0, 0))
+         |     - epoch_us(make_timestamp(year(make_timestamp(e.ev_us)), 1, 1, 0, 0, 0)) AS DOUBLE) AS dec_year,
+         |  r.n_records
+         |FROM gm_events e JOIN (
+         |  SELECT evid, count(*) AS n_records FROM gm_records GROUP BY evid) r USING (evid)""".stripMargin),
     "rrup_distances" -> Catalog.oracle(
       s"""SELECT evid, sta, r_jb, sqrt(r_jb * r_jb + ztop * ztop) AS r_rup FROM (
          |  SELECT p.evid, s.sta, p.ztop,
