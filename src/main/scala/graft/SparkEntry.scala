@@ -27,6 +27,7 @@ object SparkEntry {
         "streaming_sessionize" -> ((s, d) => graft.streaming.StreamingSessionize.run(s, d)),
         "streaming_window_counts" -> ((s, d) => graft.streaming.StreamingWindowCounts.run(s, d)),
         "streaming_dedup_exact" -> ((s, d) => graft.streaming.StreamingDedup.run(s, d)),
+        "streaming_corpus_filter" -> ((s, d) => graft.streaming.StreamingCorpusFilter.run(s, d)),
         "streaming_interval_join" -> ((s, d) => graft.streaming.StreamingIntervalJoin.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
         "streaming_sessionize" -> EventOps.oracles("sessionize"),
         "streaming_window_counts" -> graft.streaming.StreamingWindowCounts.oracle,
         "streaming_dedup_exact" -> graft.streaming.StreamingDedup.oracle,
+        "streaming_corpus_filter" -> graft.streaming.StreamingCorpusFilter.oracle,
         "streaming_interval_join" -> graft.streaming.StreamingIntervalJoin.oracle)
 }

@@ -95,6 +95,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(1000001L), "empty-text doc must survive")
   }
 
+  test("token_budget_mix never over-allocates the global token budget") {
+    import org.apache.spark.sql.functions._
+    val mix = MixOps.tokenBudgetMix(spark, Sf).collect()
+    val totalTokens = mix.map(r => r.getLong(r.fieldIndex("tokens"))).sum
+    val expected = mix.map(r => r.getLong(r.fieldIndex("expected_tokens"))).sum
+    val budget = totalTokens / MixOps.BudgetDiv
+    assert(expected <= budget,
+      s"sum(expected_tokens)=$expected exceeds budget=$budget of total=$totalTokens")
+    // every rate is a valid ppm and capped sources keep all their tokens
+    for (r <- mix) {
+      val rate = r.getLong(r.fieldIndex("rate_ppm"))
+      assert(rate >= 0 && rate <= 1000000, s"rate_ppm $rate out of range")
+      if (rate == 1000000)
+        assert(r.getLong(r.fieldIndex("expected_tokens")) == r.getLong(r.fieldIndex("tokens")))
+    }
+    // the sampled mix respects each source's rate exactly
+    val sampled = MixOps.corpusMixSample(spark, Sf).collect()
+    for (r <- sampled)
+      assert(r.getLong(r.fieldIndex("u_ppm")) < r.getLong(r.fieldIndex("rate_ppm")))
+  }
+
   test("pii_count matches hand-counted PII on a literal fixture") {
     import org.apache.spark.sql.functions._
     // the driver corpus has no digits, so the oracle only pins
