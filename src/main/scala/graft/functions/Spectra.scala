@@ -31,6 +31,20 @@ object Spectra {
 
   def freqHz(k: Int): Double = k / (N * Dt)
 
+  /** The reference's common FAS frequency grid (`data/config.yaml`
+    * common_frequency_*: 389 log-spaced points in [0.01318257, 100]
+    * Hz, built with np.logspace at `calculation/ims.py:143-148`) —
+    * the production fidelity companion to [[Sdof.ProdPeriods]]
+    * (SURVEY §5). The DFT-row + KO-weight generators take the grid as
+    * constants, so a production caller swaps this in with no plan
+    * change; per-row cost stays linear in bins. The checked profile
+    * keeps the 8-bin grid for oracle tractability. */
+  val ProdFreqs: Seq[Double] = {
+    val (lo, hi, n) = (0.01318257, 100.0, 389)
+    (0 until n).map(i =>
+      math.pow(10.0, math.log10(lo) + (math.log10(hi) - math.log10(lo)) * i / (n - 1)))
+  }
+
   private def dl(d: Double): String = Portable.dl(d)
 
   /** Literal row as a Spark array column / DuckDB list expression. */
