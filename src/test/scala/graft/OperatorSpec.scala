@@ -95,6 +95,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(1000001L), "empty-text doc must survive")
   }
 
+  test("FlatfileSink.splitByComponent writes per-component files with pruned schemas") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // component-shaped IM table: rotd rows must lose the fas column,
+    // eas rows the psa column — the merge_flatfiles.py:631-644 rule
+    val df = graft.model.Catalog.records(spark, Sf).limit(60)
+      .select(col("record_id"),
+        (col("pk") % 3).cast("int").as("ci"),
+        col("im_val").as("psa_p10"), col("snr_val").as("fas_k2"))
+      .withColumn("component",
+        when(col("ci") === 0, "rotd50").when(col("ci") === 1, "eas").otherwise("000"))
+      .drop("ci")
+    val paths = graft.sources.FlatfileSink.splitByComponent(df, "component",
+      Map("rotd50" -> Seq("fas_k2"), "eas" -> Seq("psa_p10")), dir)
+    assert(paths.keySet == Set("000", "eas", "rotd50"))
+    val back000 = spark.read.option("header", "true").csv(paths("000"))
+    val backR = spark.read.option("header", "true").csv(paths("rotd50"))
+    val backE = spark.read.option("header", "true").csv(paths("eas"))
+    assert(back000.columns.toSet == Set("record_id", "psa_p10", "fas_k2", "component"))
+    assert(backR.columns.toSet == Set("record_id", "psa_p10", "component"))
+    assert(backE.columns.toSet == Set("record_id", "fas_k2", "component"))
+    val total = back000.count() + backR.count() + backE.count()
+    assert(total == df.count(), s"split lost rows: $total vs ${df.count()}")
+  }
+
   test("token_budget_mix never over-allocates the global token budget") {
     import org.apache.spark.sql.functions._
     val mix = MixOps.tokenBudgetMix(spark, Sf).collect()
