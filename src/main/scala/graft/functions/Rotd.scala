@@ -130,37 +130,49 @@ object Rotd {
 
   /** Spark side: the [min, median, max] raw-peak stats array for one
     * period, via the codegen'd [[RotdStats]] kernel over the two
-    * negated component series. */
+    * negated component series. The angle grid is a constructor
+    * constant — pass [[anglesN]]([[ProdNAngles]]) for the production
+    * profile. */
   def statsCol(t: Double, p0: org.apache.spark.sql.Column,
-               p9: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+               p9: org.apache.spark.sql.Column,
+               grid: Seq[(Double, Double)] = angles): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val C = Sdof.coef(t)
     ColumnBridge.column(RotdStats(
       ColumnBridge.expression(p0), ColumnBridge.expression(p9),
-      angles.map(_._1).toArray, angles.map(_._2).toArray,
+      grid.map(_._1).toArray, grid.map(_._2).toArray,
       C.cu, C.cv, C.keff, C.tdt, raw = false))
   }
 
   /** Spark side: raw-PGA variant (no oscillator). */
   def pgaStatsCol(p0: org.apache.spark.sql.Column,
-                  p9: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+                  p9: org.apache.spark.sql.Column,
+                  grid: Seq[(Double, Double)] = angles): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(RotdStats(
       ColumnBridge.expression(p0), ColumnBridge.expression(p9),
-      angles.map(_._1).toArray, angles.map(_._2).toArray,
+      grid.map(_._1).toArray, grid.map(_._2).toArray,
       0.0, 0.0, 1.0, 0.0, raw = true))
   }
 
-  /** Scaled Spark columns for one period off a stats-array column. */
-  def psaStatCols(t: Double, st: org.apache.spark.sql.Column)
+  /** Scaled Spark columns for one period off a stats-array column.
+    * `name` labels the period in the column names — [[suffix]] for
+    * the checked 8-period profile; the production 111-period grid
+    * needs a milli-second naming (deci-second rounding collides). */
+  def psaStatCols(t: Double, st: org.apache.spark.sql.Column,
+                  name: Double => String = suffix)
       : Seq[(String, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.functions.{element_at, lit}
     val C = Sdof.coef(t)
     Seq(
-      s"rotd0_${suffix(t)}"   -> lit(C.k) * element_at(st, 1) / lit(100.0),
-      s"rotd50_${suffix(t)}"  -> lit(C.k) * element_at(st, 2) / lit(100.0),
-      s"rotd100_${suffix(t)}" -> lit(C.k) * element_at(st, 3) / lit(100.0))
+      s"rotd0_${name(t)}"   -> lit(C.k) * element_at(st, 1) / lit(100.0),
+      s"rotd50_${name(t)}"  -> lit(C.k) * element_at(st, 2) / lit(100.0),
+      s"rotd100_${name(t)}" -> lit(C.k) * element_at(st, 3) / lit(100.0))
   }
+
+  /** Millisecond period suffix for the production grid (0.022 s →
+    * p00022): [[suffix]]'s deci-second rounding collides below 0.05 s. */
+  def suffixMs(t: Double): String = f"p${(t * 1000).round}%05d"
 
   def pgaStatCols(st: org.apache.spark.sql.Column)
       : Seq[(String, org.apache.spark.sql.Column)] = {

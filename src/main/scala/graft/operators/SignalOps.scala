@@ -135,14 +135,30 @@ object SignalOps {
     * parallel at 100 TB; per-row cost angles x periods x steps, all
     * inside whole-stage codegen. */
   def imRotd(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rotd
+    imRotdProfile(s, d, Rotd.angles, Rotd.Periods, Rotd.suffix)
+  }
+
+  /** [[imRotd]] parameterized by the fidelity profile: the angle grid
+    * and period set are kernel constructor constants, so the CHECKED
+    * 18-angle / 8-period profile and the reference-fidelity
+    * 180-angle / 111-period production profile
+    * ([[graft.functions.Rotd.ProdNAngles]],
+    * [[graft.functions.Sdof.ProdPeriods]], SURVEY §5) run the SAME
+    * shuffle-free single-scan plan — only per-row arithmetic grows
+    * (angles × periods × steps). `name` labels period columns
+    * ([[graft.functions.Rotd.suffixMs]] for the production grid —
+    * deci-second rounding collides below 0.05 s). */
+  def imRotdProfile(s: SparkSession, d: String, grid: Seq[(Double, Double)],
+                    periods: Seq[Double], name: Double => String): DataFrame = {
     import graft.functions.{Rotd, Sdof}
     val base = Catalog.records(s, d)
       .select(col("record_id"), expr(Sdof.psSpark).as("p0"), expr(Rotd.ps090Spark).as("p9"))
-    val withStats = Rotd.Periods.foldLeft(
-      base.withColumn("st_pga", Rotd.pgaStatsCol(col("p0"), col("p9")))) { (df, t) =>
-      df.withColumn(s"st_${Rotd.suffix(t)}", Rotd.statsCol(t, col("p0"), col("p9")))
+    val withStats = periods.foldLeft(
+      base.withColumn("st_pga", Rotd.pgaStatsCol(col("p0"), col("p9"), grid))) { (df, t) =>
+      df.withColumn(s"st_${name(t)}", Rotd.statsCol(t, col("p0"), col("p9"), grid))
     }
-    val cols = Rotd.Periods.flatMap(t => Rotd.psaStatCols(t, col(s"st_${Rotd.suffix(t)}"))) ++
+    val cols = periods.flatMap(t => Rotd.psaStatCols(t, col(s"st_${name(t)}"), name)) ++
       Rotd.pgaStatCols(col("st_pga"))
     withStats.select(col("record_id") +: cols.map { case (n, c) => c.as(n) }: _*)
   }

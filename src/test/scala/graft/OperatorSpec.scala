@@ -95,6 +95,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(1000001L), "empty-text doc must survive")
   }
 
+  test("im_rotd production profile (180 angles x 111 periods) runs the same plan end-to-end") {
+    import graft.functions.{Rotd, Sdof}
+    val prod = SignalOps.imRotdProfile(spark, Sf,
+      Rotd.anglesN(Rotd.ProdNAngles), Sdof.ProdPeriods, Rotd.suffixMs)
+    // 1 record_id + 3 stats per period + 3 PGA stats; all names distinct
+    assert(prod.columns.length == 1 + 3 * Sdof.ProdPeriods.length + 3)
+    assert(prod.columns.distinct.length == prod.columns.length,
+      "production period naming must not collide")
+    // limit keeps the test fast: the plan is a pure projection, so
+    // Spark evaluates only the collected rows
+    val rows = prod.limit(20).collect()
+    assert(rows.length == 20)
+    for (r <- rows; t <- Seq(0.1, 1.0, 10.0)) {
+      val s = Rotd.suffixMs(t)
+      val (lo, med, hi) = (r.getDouble(r.fieldIndex(s"rotd0_$s")),
+        r.getDouble(r.fieldIndex(s"rotd50_$s")), r.getDouble(r.fieldIndex(s"rotd100_$s")))
+      assert(lo <= med && med <= hi, s"rotd ordering violated at $t s: $lo / $med / $hi")
+    }
+  }
+
   test("FlatfileSink.splitByComponent writes per-component files with pruned schemas") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
