@@ -95,6 +95,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(1000001L), "empty-text doc must survive")
   }
 
+  test("corpus operators tolerate an empty documents/embeddings table") {
+    // empty ingest batches are routine in a continuously-fed pipeline;
+    // every corpus operator must plan and execute to an empty (or
+    // totals-only) result, not throw
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    spark.read.parquet(s"$Sf/documents.parquet").limit(0)
+      .write.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$Sf/embeddings.parquet").limit(0)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val names = (operators.TextOps.queries.keys ++ operators.MixOps.queries.keys ++
+      operators.AnnOps.queries.keys).toSeq.sorted
+    for (n <- names) {
+      val c = try SparkEntry.queries(n)(spark, dir).count()
+      catch { case e: Throwable => fail(s"$n threw on empty input: $e") }
+      // token_budget_mix legitimately emits per-source rows (none here);
+      // everything else must be empty
+      assert(c == 0, s"$n returned $c rows on empty input")
+    }
+  }
+
   test("im_rotd production profile (180 angles x 111 periods) runs the same plan end-to-end") {
     import graft.functions.{Rotd, Sdof}
     val prod = SignalOps.imRotdProfile(spark, Sf,
