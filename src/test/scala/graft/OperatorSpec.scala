@@ -95,6 +95,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(1000001L), "empty-text doc must survive")
   }
 
+  test("typed Graft API matches the untyped catalogue plans") {
+    import org.apache.spark.sql.functions._
+    val g = graft.api.Graft(spark, Sf)
+    // typed filter on a case-class field equals the Column filter
+    val typedBig = g.events.filter(_.mag >= 5.5).collect().map(_.evid).sorted.toSeq
+    val untypedBig = graft.model.Catalog.events(spark, Sf)
+      .filter(col("mag") >= 5.5).select("evid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(typedBig == untypedBig)
+    // nullable columns surface as Options
+    assert(g.stations.collect().exists(_.sta_vs30.isEmpty),
+      "Vs30 nulls must decode as None")
+    // the operator registry is reachable by name and rejects unknowns
+    assert(g.query("q_catalog").count() > 0)
+    assert(g.queryNames.contains("dedup_minhash"))
+    intercept[IllegalArgumentException](g.query("nope"))
+  }
+
   test("corpus operators tolerate an empty documents/embeddings table") {
     // empty ingest batches are routine in a continuously-fed pipeline;
     // every corpus operator must plan and execute to an empty (or
