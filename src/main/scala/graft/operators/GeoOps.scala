@@ -55,22 +55,8 @@ object GeoOps {
       .when(north && !east && !steep, 6).otherwise(7)
   }
 
-  def eventStationDistances(s: SparkSession, d: String): DataFrame = {
-    val ev = Catalog.events(s, d)
-      .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
-      .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
-    val st = Catalog.stations(s, d)
-      .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
-    val dx = dxKm
-    val dy = dyKm
-    ev.join(broadcast(st), Seq("band"))
-      .withColumn("r_epi", sqrt(dx * dx + dy * dy))
-      .filter(col("r_epi") <= MaxKm)
-      .select(col("evid"), col("sta"),
-        col("r_epi"),
-        sqrt(col("r_epi") * col("r_epi") + col("ev_depth") * col("ev_depth")).as("r_hyp"),
-        azOctant(dx, dy).as("az_oct"))
-  }
+  def eventStationDistances(s: SparkSession, d: String): DataFrame =
+    pairFrame(s, d).select("evid", "sta", "r_epi", "r_hyp", "az_oct")
 
   // Mean Earth radius (IUGG), km — the spherical production metric.
   val EarthRadiusKm = 6371.0088
@@ -366,7 +352,16 @@ object GeoOps {
     * measured to the path's exit crossing, which coincides with the
     * reference for the simple entry/exit case and is well-defined for
     * all others. */
-  def tvzPath(s: SparkSession, d: String): DataFrame = {
+  /** The shared banded (event, station) pair frame: ONE banded join
+    * carrying every per-pair path column — r_epi / r_hyp / azimuth
+    * octant AND the TVZ clip terms. [[eventStationDistances]],
+    * [[tvzPath]], and [[propagationTable]] are projections of this
+    * frame; Catalyst's column pruning removes whatever a consumer
+    * doesn't select (the standalone distance query never evaluates
+    * the clip edges — verified in the committed plan audit), so the
+    * single-product queries pay nothing while the propagation table
+    * derives all its non-rupture columns from ONE pair generation. */
+  private def pairFrame(s: SparkSession, d: String): DataFrame = {
     val verts = domains.find(_._2 == "TVZ").get._3
     def edgeF(i: Int, px: Column, py: Column): Column = {
       val (x1, y1) = verts(i)
@@ -394,11 +389,16 @@ object GeoOps {
       .withColumn("t_lo", greatest(lit(0.0) +: lows: _*))
       .withColumn("t_hi", least(lit(1.0) +: highs: _*))
       .withColumn("crossed", !degenerate && col("t_lo") < col("t_hi"))
-      .select(col("evid"), col("sta"),
+      .select(col("evid"), col("sta"), col("r_epi"),
+        sqrt(col("r_epi") * col("r_epi") + col("ev_depth") * col("ev_depth")).as("r_hyp"),
+        azOctant(dx, dy).as("az_oct"),
         when(col("crossed"), col("t_hi") - col("t_lo")).otherwise(lit(0.0)).as("tvz_length"),
         when(col("crossed"), (lit(1.0) - col("t_hi")) * col("r_epi"))
           .otherwise(lit(null).cast("double")).as("boundary_dist"))
   }
+
+  def tvzPath(s: SparkSession, d: String): DataFrame =
+    pairFrame(s, d).select("evid", "sta", "tvz_length", "boundary_dist")
 
   /** The published propagation path table
     * (`calculation/distances.py:611-633` propagation_data rows,
@@ -409,21 +409,19 @@ object GeoOps {
     * [[eventStationDistances]], r_jb / r_rup / r_x / r_y from the
     * rupture frame (NULL for small events, exactly the reference's
     * left merge), and the Taupo-VZ crossing length / boundary
-    * distance as r_tvz / r_xvf from [[tvzPath]]. All three inputs
-    * generate the SAME banded pair set, so the assembly is two
-    * co-keyed (evid, sta) left joins — no new pair generation, no
-    * band recomputation on the probe side, and each join's right side
-    * is a subset of the left's key space. */
+    * distance as r_tvz / r_xvf. The distance, azimuth, and TVZ
+    * columns all come from ONE [[pairFrame]] pass (no second pair
+    * generation); the only join is the rupture frame, left-joined
+    * co-keyed on (evid, sta) with its key space a subset of the
+    * frame's. */
   def propagationTable(s: SparkSession, d: String): DataFrame =
-    eventStationDistances(s, d)
+    pairFrame(s, d)
       .withColumn("b_az_oct", (col("az_oct") + 4) % 8)
       .join(rupFrame(s, d), Seq("evid", "sta"), "left")
-      .join(tvzPath(s, d)
-        .withColumnRenamed("tvz_length", "r_tvz")
-        .withColumnRenamed("boundary_dist", "r_xvf"), Seq("evid", "sta"), "left")
       .select(col("evid"), col("sta"), col("r_epi"), col("r_hyp"),
         col("r_jb"), col("r_rup"), col("r_x"), col("r_y"),
-        col("r_tvz"), col("r_xvf"), col("az_oct"), col("b_az_oct"))
+        col("tvz_length").as("r_tvz"), col("boundary_dist").as("r_xvf"),
+        col("az_oct"), col("b_az_oct"))
 
   // ---- aftershock flagging ---------------------------------------
 
