@@ -26,6 +26,27 @@ object MixOps {
     * [[TextOps.SampleSalt]]'s stratified-sampling stream). */
   val MixSalt = "mix1"
 
+  /** (doc_id, source, n_tokens), persisted once per data dir: the
+    * tokenize pass feeds BOTH the per-source rate aggregation and
+    * the per-doc sampling join — without materialization the mix
+    * sample tokenizes the corpus twice (the [[TextOps]] sigCache
+    * disease; same cure). Three narrow columns. Lifetime mirrors the
+    * signature cache: session-long for the gate/bench; a long-lived
+    * service calls [[clearTokenCache]] between corpus versions. */
+  private val tokCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    tokCache.computeIfAbsent(d, _ =>
+      TextOps.docs(s, d)
+        .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def clearTokenCache(): Unit = {
+    tokCache.values.forEach(df => { df.unpersist(); () })
+    tokCache.clear()
+  }
+
   /** Per-source token-budget allocation — the data-mixing step of a
     * training-data pipeline (the published mixes weight sources, then
     * downsample each to its token share). Source weights here derive
@@ -41,9 +62,9 @@ object MixOps {
     * under 2^62 for corpora to ~10^12 tokens; past that the same
     * plan runs on DECIMAL(38). */
   def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
-    val perSource = TextOps.docs(s, d).groupBy(col("source"))
+    val perSource = docTokens(s, d).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("tk")).cast("long")).as("tokens"))
+        sum(col("n_tokens")).as("tokens"))
       .withColumn("weight", Portable.h60(col("source")) % 4L + 1L)
     val totals = perSource.agg(
       sum(col("tokens")).as("total_tokens"), sum(col("weight")).as("wsum"))
@@ -58,17 +79,13 @@ object MixOps {
   /** The sampled training mix itself: every document draws a
     * counter-hash uniform (same no-state RNG as `sample_stratified`,
     * independent salt) and survives iff it lands under its source's
-    * budget-derived rate from [[tokenBudgetMix]]. One corpus scan +
-    * the sources-sized rate table joined back (AQE broadcast) — the
-    * rate derivation re-aggregates the same scan, which Spark's
-    * cache-free plan evaluates as a second pass over `source`/`tk`
-    * only (two columns, pruned scan); a pipeline materializing the
-    * mix table would persist [[tokenBudgetMix]]'s 4-row output
-    * first. */
+    * budget-derived rate from [[tokenBudgetMix]]. ONE tokenize pass:
+    * both the rate aggregation and the sampling join read the
+    * persisted [[docTokens]] projection, and the sources-sized rate
+    * table joins back via AQE broadcast. */
   def corpusMixSample(s: SparkSession, d: String): DataFrame = {
     val rates = tokenBudgetMix(s, d).select(col("source"), col("rate_ppm"))
-    TextOps.docs(s, d)
-      .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tokens"))
+    docTokens(s, d)
       .join(rates, Seq("source"))
       .withColumn("u_ppm",
         Portable.h60(concat(col("doc_id").cast("string"), lit(":" + MixSalt))) % 1000000L)
