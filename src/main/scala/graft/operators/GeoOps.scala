@@ -779,7 +779,7 @@ object GeoOps {
   /** Shared oracle bodies: the propagation-table oracle composes the
     * same SQL as the standalone distance oracles (CTE-wrapped), so
     * the texts live once. */
-  private val esdOracleBody: String =
+  private[operators] val esdOracleBody: String =
     s"""SELECT e.evid, s.sta,
          |  sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
          |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0)) AS r_epi,

@@ -293,6 +293,50 @@ object SignalOps {
         ((col("n95") - col("n5")).cast("double") * lit(0.05)).as("ds595"))
   }
 
+  /** Clip-detection feature vector (`data_processing/filtering.py`:
+    * `get_clip_probability` clamps event magnitude and distance to
+    * the config bounds (`data/config.yaml` mag_clip_low/high 3.0/8.8,
+    * dist_clip_low/high 0/645) and feeds them plus three heuristic
+    * clip flags (gmprocess MaxAmp / Histogram / Ping) into ClipNet.
+    * The network itself is a model artifact (documented gap, SURVEY
+    * §6); everything BEFORE it is relational and ships here: per
+    * record, the clamped inputs and the three detector flags over
+    * the synthetic series — rail-amplitude peak (MaxAmp), rail-bucket
+    * occupancy (Histogram's cluster-at-the-rails signal), and max
+    * first-difference jump (Ping), all INTEGER comparisons on the
+    * centi-unit series, so the oracle is bit-exact. Distance is the
+    * pair frame's r_hyp, left-joined co-keyed: records beyond the
+    * pair cutoff carry NULL dist exactly as an out-of-catalogue
+    * station would. One scan + one co-keyed left join. */
+  val MagClipLo = 3.0; val MagClipHi = 8.8
+  val DistClipLo = 0.0; val DistClipHi = 645.0
+  val RailC = 195L    // |acc_c| at/above this counts as at-the-rail
+  val RailMin = 2L    // histogram flag: >= this many rail samples
+  val PingJumpC = 350L // a first-difference jump this large is a "ping"
+  val PingMin = 2L    // ping flag: >= this many jumps (the series'
+                      // modular step wraps once per record ALWAYS, so
+                      // >=1 would be constant-true; >=2 discriminates)
+  def clipFeatures(s: SparkSession, d: String): DataFrame = {
+    val seriesExpr = s"transform(sequence(0, ${NFreq - 1}), j -> CAST(${graft.functions.Portable.accTerm("pk", "j")} AS BIGINT))"
+    val ev = Catalog.events(s, d).select(col("evid"), col("mag"))
+    val dist = GeoOps.eventStationDistances(s, d).select(col("evid"), col("sta"), col("r_hyp"))
+    Catalog.records(s, d)
+      .select(col("record_id"), col("evid"), col("sta"), expr(seriesExpr).as("xs"))
+      .join(ev, Seq("evid"))
+      .join(dist, Seq("evid", "sta"), "left")
+      .select(col("record_id"),
+        greatest(lit(MagClipLo), least(lit(MagClipHi), col("mag"))).as("mag_clipped"),
+        // explicit NULL passthrough: least/greatest SKIP nulls on both
+        // engines, which would silently clamp a missing distance to
+        // the upper bound instead of keeping it unknown
+        when(col("r_hyp").isNull, lit(null).cast("double"))
+          .otherwise(greatest(lit(DistClipLo), least(lit(DistClipHi), col("r_hyp"))))
+          .as("dist_clipped"),
+        (expr("array_max(transform(xs, x -> abs(x)))") >= RailC).as("max_amp_clip"),
+        (expr(s"size(filter(xs, x -> abs(x) >= $RailC))") >= RailMin).as("hist_clip"),
+        (expr(s"size(filter(transform(sequence(1, ${NFreq - 1}), j -> abs(xs[j] - xs[j-1])), v -> v >= $PingJumpC))") >= PingMin).as("ping_clip"))
+  }
+
   /** Horizontal-component combination of pSA (the reference flatfile's
     * rotd/geomean-style columns applied to the oscillator response):
     * per (event, station), the HN/BN component maxima of psa_p10
@@ -321,6 +365,7 @@ object SignalOps {
     "snr_fft"          -> (snrFft _),
     "im_fas"           -> (imFas _),
     "im_eas"           -> (imEas _),
+    "clip_features"    -> (clipFeatures _),
     "waveform_preproc" -> (waveformPreproc _),
     "im_duration"      -> (imDuration _)
   )
@@ -411,6 +456,21 @@ object SignalOps {
          |      $pcols
          |  FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))""".stripMargin
     },
+    "clip_features" -> Catalog.oracle(
+      s"""SELECT r.record_id,
+         |  greatest(${graft.functions.Portable.dl(MagClipLo)}, least(${graft.functions.Portable.dl(MagClipHi)}, e.mag)) AS mag_clipped,
+         |  CASE WHEN d.r_hyp IS NULL THEN NULL
+         |       ELSE greatest(${graft.functions.Portable.dl(DistClipLo)}, least(${graft.functions.Portable.dl(DistClipHi)}, d.r_hyp)) END AS dist_clipped,
+         |  list_max(list_transform(xs, x -> abs(x))) >= $RailC AS max_amp_clip,
+         |  len(list_filter(xs, x -> abs(x) >= $RailC)) >= $RailMin AS hist_clip,
+         |  len(list_filter(list_transform(range(1, $NFreq), j -> abs(xs[j+1] - xs[j])), v -> v >= $PingJumpC)) >= $PingMin AS ping_clip
+         |FROM (SELECT record_id, evid, sta,
+         |        list_transform(range(0, $NFreq), j -> CAST(${graft.functions.Portable.accTerm("pk", "j")} AS BIGINT)) AS xs
+         |      FROM gm_records) r
+         |JOIN gm_events e ON r.evid = e.evid
+         |LEFT JOIN (
+         |${GeoOps.esdOracleBody}
+         |) d ON r.evid = d.evid AND r.sta = d.sta""".stripMargin),
     "im_eas" -> Catalog.oracle {
       import graft.functions.{Rotd, Spectra}
       val pcols = Spectra.Bins.map(k => s"${Spectra.powerSql("xs", k)} AS p$k").mkString(",\n      ")
