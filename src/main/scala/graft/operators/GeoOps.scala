@@ -117,13 +117,35 @@ object GeoOps {
     * `src_site_dist.calc_rx_ry`) and r_y (km along strike beyond the
     * trace ends; 0 when the projection lands inside). All
     * greatest/least/abs arithmetic — bit-portable. */
-  private def rupFrame(s: SparkSession, d: String): DataFrame = {
+  /** The magnitude-sized rupture-plane boxes (large events only —
+    * dimension-sized at any scale, always broadcastable). */
+  private def rupPlanes(s: SparkSession, d: String): DataFrame = {
     val halfW = floor(col("mag")) * lit(0.05) // half-width in degrees
-    val planes = Catalog.events(s, d).filter(col("mag") >= RupMagMin)
+    Catalog.events(s, d).filter(col("mag") >= RupMagMin)
       .select(col("evid"), col("mag"),
         (col("ev_lat") - halfW).as("lat1"), (col("ev_lat") + halfW).as("lat2"),
         (col("ev_lon") - halfW).as("lon1"), (col("ev_lon") + halfW).as("lon2"),
         (col("ev_depth") * 0.5).as("ztop"))
+  }
+
+  // nearest point of the box to the station, then planar km distance;
+  // shared by the banded rrup query and the propagation inline path
+  private def rupJbCol: Column = {
+    val cLat = greatest(col("lat1"), least(col("lat2"), col("sta_lat")))
+    val cLon = greatest(col("lon1"), least(col("lon2"), col("sta_lon")))
+    val dxKm = (col("sta_lon") - cLon) * KmPerDegLon
+    val dyKm = (col("sta_lat") - cLat) * KmPerDegLat
+    sqrt(dxKm * dxKm + dyKm * dyKm)
+  }
+  private def rupXCol: Column =
+    (col("sta_lat") - (col("lat1") + col("lat2")) / 2) * KmPerDegLat
+  private def rupYCol: Column =
+    greatest(lit(0.0),
+      abs((col("sta_lon") - (col("lon1") + col("lon2")) / 2) * KmPerDegLon)
+        - (col("lon2") - col("lon1")) / 2 * KmPerDegLon)
+
+  private def rupFrame(s: SparkSession, d: String): DataFrame = {
+    val planes = rupPlanes(s, d)
       // ±2 bands: MaxKm/KmPerDegLat (2.70°) + the rupture half-width
       // (0.35° at mag 7, 0.45° at mag 9) can exceed one 3° band, so a
       // ±1 explode would silently drop qualifying pairs for mag ≥ 7;
@@ -132,20 +154,12 @@ object GeoOps {
       .withColumn("band", floor((col("lat1") + col("lat2")) / 2 / BandDeg).cast("long") + col("boff"))
     val st = Catalog.stations(s, d)
       .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
-    // nearest point of the box to the station, then planar km distance
-    val cLat = greatest(col("lat1"), least(col("lat2"), col("sta_lat")))
-    val cLon = greatest(col("lon1"), least(col("lon2"), col("sta_lon")))
-    val dxKm = (col("sta_lon") - cLon) * KmPerDegLon
-    val dyKm = (col("sta_lat") - cLat) * KmPerDegLat
     st.join(broadcast(planes), Seq("band"))
-      .withColumn("r_jb", sqrt(dxKm * dxKm + dyKm * dyKm))
+      .withColumn("r_jb", rupJbCol)
       .filter(col("r_jb") <= MaxKm)
       .select(col("evid"), col("sta"), col("r_jb"),
         sqrt(col("r_jb") * col("r_jb") + col("ztop") * col("ztop")).as("r_rup"),
-        ((col("sta_lat") - (col("lat1") + col("lat2")) / 2) * KmPerDegLat).as("r_x"),
-        greatest(lit(0.0),
-          abs((col("sta_lon") - (col("lon1") + col("lon2")) / 2) * KmPerDegLon)
-            - (col("lon2") - col("lon1")) / 2 * KmPerDegLon).as("r_y"))
+        rupXCol.as("r_x"), rupYCol.as("r_y"))
   }
 
   def rrupDistances(s: SparkSession, d: String): DataFrame =
@@ -389,7 +403,7 @@ object GeoOps {
       .withColumn("t_lo", greatest(lit(0.0) +: lows: _*))
       .withColumn("t_hi", least(lit(1.0) +: highs: _*))
       .withColumn("crossed", !degenerate && col("t_lo") < col("t_hi"))
-      .select(col("evid"), col("sta"), col("r_epi"),
+      .select(col("evid"), col("sta"), col("sta_lat"), col("sta_lon"), col("r_epi"),
         sqrt(col("r_epi") * col("r_epi") + col("ev_depth") * col("ev_depth")).as("r_hyp"),
         azOctant(dx, dy).as("az_oct"),
         when(col("crossed"), col("t_hi") - col("t_lo")).otherwise(lit(0.0)).as("tvz_length"),
@@ -411,17 +425,42 @@ object GeoOps {
     * left merge), and the Taupo-VZ crossing length / boundary
     * distance as r_tvz / r_xvf. The distance, azimuth, and TVZ
     * columns all come from ONE [[pairFrame]] pass (no second pair
-    * generation); the only join is the rupture frame, left-joined
-    * co-keyed on (evid, sta) with its key space a subset of the
-    * frame's. */
-  def propagationTable(s: SparkSession, d: String): DataFrame =
+    * generation), and the rupture columns compute INLINE against the
+    * broadcast plane boxes (a dimension-sized left join on evid — no
+    * shuffle of the pair set; the earlier (evid, sta) sort-merge
+    * join against the banded rupture frame shuffled every pair row
+    * and cost 17 s at sf0.1 vs ~4 s for this shape). The r_jb ≤
+    * MaxKm gate applies per column so values match the standalone
+    * `rrup_distances` rows exactly (beyond-cutoff and no-plane pairs
+    * both yield NULLs, like the reference's left merge). */
+  def propagationTable(s: SparkSession, d: String): DataFrame = {
+    // ztop IS NULL ⇔ no plane matched the left join: the clamp
+    // expressions MUST NOT run then — least/greatest skip NULLs, so
+    // NULL box bounds would collapse the clamp to the station's own
+    // coordinates and fabricate r_jb = 0
+    val gate = col("ztop").isNotNull && col("r_jb0") <= MaxKm
     pairFrame(s, d)
+      // DELIBERATE stage break: without it, whole-stage codegen fuses
+      // the TVZ clip, azimuth, and rupture expressions into one
+      // generated method too large to JIT, and the whole stage runs
+      // interpreted — measured 143 s vs 16 s at sf0.1 (rup+tvz or
+      // rup+az alone stay compiled at ~5 s; all three cross the
+      // cliff). The exchange is one narrow-row shuffle, co-keys the
+      // output for downstream (evid, sta) consumers, and gives AQE a
+      // re-plan point; each side of it stays JIT-compiled.
+      .repartition(col("evid"), col("sta"))
       .withColumn("b_az_oct", (col("az_oct") + 4) % 8)
-      .join(rupFrame(s, d), Seq("evid", "sta"), "left")
+      .join(broadcast(rupPlanes(s, d).drop("mag")), Seq("evid"), "left")
+      .withColumn("r_jb0", rupJbCol)
       .select(col("evid"), col("sta"), col("r_epi"), col("r_hyp"),
-        col("r_jb"), col("r_rup"), col("r_x"), col("r_y"),
+        when(gate, col("r_jb0")).otherwise(lit(null).cast("double")).as("r_jb"),
+        when(gate, sqrt(col("r_jb0") * col("r_jb0") + col("ztop") * col("ztop")))
+          .otherwise(lit(null).cast("double")).as("r_rup"),
+        when(gate, rupXCol).otherwise(lit(null).cast("double")).as("r_x"),
+        when(gate, rupYCol).otherwise(lit(null).cast("double")).as("r_y"),
         col("tvz_length").as("r_tvz"), col("boundary_dist").as("r_xvf"),
         col("az_oct"), col("b_az_oct"))
+  }
 
   // ---- aftershock flagging ---------------------------------------
 
