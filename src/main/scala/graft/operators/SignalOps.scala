@@ -304,10 +304,13 @@ object SignalOps {
     * the synthetic series — rail-amplitude peak (MaxAmp), rail-bucket
     * occupancy (Histogram's cluster-at-the-rails signal), and max
     * first-difference jump (Ping), all INTEGER comparisons on the
-    * centi-unit series, so the oracle is bit-exact. Distance is the
-    * pair frame's r_hyp, left-joined co-keyed: records beyond the
-    * pair cutoff carry NULL dist exactly as an out-of-catalogue
-    * station would. One scan + one co-keyed left join. */
+    * centi-unit series, so the oracle is bit-exact. Distance is
+    * r_hyp computed INLINE from the event/station coordinates (the
+    * exact `event_station_distances` arithmetic, NULL beyond the
+    * same cutoff) — joining the pair table itself would shuffle
+    * every (event, station) pair row just to fetch one column;
+    * inline, the only movement is the records⋈events co-keyed
+    * shuffle plus a broadcast station dim. */
   val MagClipLo = 3.0; val MagClipHi = 8.8
   val DistClipLo = 0.0; val DistClipHi = 645.0
   val RailC = 195L    // |acc_c| at/above this counts as at-the-rail
@@ -318,19 +321,26 @@ object SignalOps {
                       // >=1 would be constant-true; >=2 discriminates)
   def clipFeatures(s: SparkSession, d: String): DataFrame = {
     val seriesExpr = s"transform(sequence(0, ${NFreq - 1}), j -> CAST(${graft.functions.Portable.accTerm("pk", "j")} AS BIGINT))"
-    val ev = Catalog.events(s, d).select(col("evid"), col("mag"))
-    val dist = GeoOps.eventStationDistances(s, d).select(col("evid"), col("sta"), col("r_hyp"))
+    val ev = Catalog.events(s, d)
+      .select(col("evid"), col("mag"), col("ev_lat"), col("ev_lon"), col("ev_depth"))
+    val st = Catalog.stations(s, d).select(col("sta"), col("sta_lat"), col("sta_lon"))
+    // the exact event_station_distances arithmetic (same association
+    // order — bit-equal to the pair table's r_epi / r_hyp)
+    val dx = (col("sta_lon") - col("ev_lon")) * GeoOps.KmPerDegLon
+    val dy = (col("sta_lat") - col("ev_lat")) * GeoOps.KmPerDegLat
+    val rEpi = sqrt(dx * dx + dy * dy)
+    val rHyp = sqrt(rEpi * rEpi + col("ev_depth") * col("ev_depth"))
     Catalog.records(s, d)
       .select(col("record_id"), col("evid"), col("sta"), expr(seriesExpr).as("xs"))
       .join(ev, Seq("evid"))
-      .join(dist, Seq("evid", "sta"), "left")
+      .join(broadcast(st), Seq("sta"))
       .select(col("record_id"),
         greatest(lit(MagClipLo), least(lit(MagClipHi), col("mag"))).as("mag_clipped"),
-        // explicit NULL passthrough: least/greatest SKIP nulls on both
-        // engines, which would silently clamp a missing distance to
-        // the upper bound instead of keeping it unknown
-        when(col("r_hyp").isNull, lit(null).cast("double"))
-          .otherwise(greatest(lit(DistClipLo), least(lit(DistClipHi), col("r_hyp"))))
+        // NULL beyond the pair cutoff, like a missing pair row; the
+        // clamp must not run on NULL (least/greatest skip nulls)
+        when(rEpi <= GeoOps.MaxKm,
+          greatest(lit(DistClipLo), least(lit(DistClipHi), rHyp)))
+          .otherwise(lit(null).cast("double"))
           .as("dist_clipped"),
         (expr("array_max(transform(xs, x -> abs(x)))") >= RailC).as("max_amp_clip"),
         (expr(s"size(filter(xs, x -> abs(x) >= $RailC))") >= RailMin).as("hist_clip"),
@@ -456,11 +466,18 @@ object SignalOps {
          |      $pcols
          |  FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))""".stripMargin
     },
-    "clip_features" -> Catalog.oracle(
+    "clip_features" -> Catalog.oracle {
+      import graft.functions.Portable.dl
+      import GeoOps.{KmPerDegLat, KmPerDegLon, MaxKm}
+      val repi =
+        s"""sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+           |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))""".stripMargin
       s"""SELECT r.record_id,
-         |  greatest(${graft.functions.Portable.dl(MagClipLo)}, least(${graft.functions.Portable.dl(MagClipHi)}, e.mag)) AS mag_clipped,
-         |  CASE WHEN d.r_hyp IS NULL THEN NULL
-         |       ELSE greatest(${graft.functions.Portable.dl(DistClipLo)}, least(${graft.functions.Portable.dl(DistClipHi)}, d.r_hyp)) END AS dist_clipped,
+         |  greatest(${dl(MagClipLo)}, least(${dl(MagClipHi)}, e.mag)) AS mag_clipped,
+         |  CASE WHEN $repi <= ${MaxKm}e0
+         |       THEN greatest(${dl(DistClipLo)}, least(${dl(DistClipHi)},
+         |            sqrt($repi * $repi + e.ev_depth * e.ev_depth)))
+         |       ELSE NULL END AS dist_clipped,
          |  list_max(list_transform(xs, x -> abs(x))) >= $RailC AS max_amp_clip,
          |  len(list_filter(xs, x -> abs(x) >= $RailC)) >= $RailMin AS hist_clip,
          |  len(list_filter(list_transform(range(1, $NFreq), j -> abs(xs[j+1] - xs[j])), v -> v >= $PingJumpC)) >= $PingMin AS ping_clip
@@ -468,9 +485,8 @@ object SignalOps {
          |        list_transform(range(0, $NFreq), j -> CAST(${graft.functions.Portable.accTerm("pk", "j")} AS BIGINT)) AS xs
          |      FROM gm_records) r
          |JOIN gm_events e ON r.evid = e.evid
-         |LEFT JOIN (
-         |${GeoOps.esdOracleBody}
-         |) d ON r.evid = d.evid AND r.sta = d.sta""".stripMargin),
+         |JOIN gm_stations s ON r.sta = s.sta""".stripMargin
+    },
     "im_eas" -> Catalog.oracle {
       import graft.functions.{Rotd, Spectra}
       val pcols = Spectra.Bins.map(k => s"${Spectra.powerSql("xs", k)} AS p$k").mkString(",\n      ")
