@@ -24,19 +24,28 @@ object CcldOps {
   val UScale   = 1000000L // hash reduced to [0, UScale) before scaling
 
   /** The three per-draw uniforms come from disjoint 10-hex-char (40
-    * bit) slices of ONE md5 of the counter key: the digest is the
-    * dominant kernel cost, and one call per draw beats three
-    * (measured ~3x on the hash stage at sf0.1). Same slicing on the
-    * DuckDB side; production swaps xxhash64 with three seeds. */
-  private def uCol(slice: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(col("evid").cast("string"), lit("_"), col("k").cast("string"))),
-      1 + 10 * slice, 10), 16, 10).cast("long") % UScale
+    * bit) slices of ONE md5 of the counter key, read by the fused
+    * [[graft.functions.Md5Slices]] kernel (bit-identical to the
+    * `conv(substring(md5(...)))` spelling the oracles keep, minus
+    * the hex-encode/substring/reparse string ops — measured 2x on
+    * the draw stage at sf0.1). Production swaps xxhash64 seeds. */
+  private def uSlices(key: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Md5Slices(ColumnBridge.expression(key), n))
+  }
+
+  private def drawKey: org.apache.spark.sql.Column =
+    concat(col("evid").cast("string"), lit("_"), col("k").cast("string"))
+
+  private def uCol(us: org.apache.spark.sql.Column, slice: Int): org.apache.spark.sql.Column =
+    element_at(us, slice + 1) % UScale
 
   private def draws(s: SparkSession, d: String): DataFrame =
     Catalog.events(s, d)
       .select(col("evid"), explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
+      .withColumn("us", uSlices(drawKey, 3))
       .select(col("evid"), col("k"),
-        uCol(0).as("u1"), uCol(1).as("u2"), uCol(2).as("u3"))
+        uCol(col("us"), 0).as("u1"), uCol(col("us"), 1).as("u2"), uCol(col("us"), 2).as("u3"))
 
   def ccldSample(s: SparkSession, d: String): DataFrame = {
     val draws = this.draws(s, d)
@@ -201,12 +210,10 @@ object CcldOps {
           explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
       val withZ = Seq(1, 2, 3).foldLeft(drawsDf) { (df, i) =>
         df.withColumn(s"h$i",
-          md5(concat(col("evid").cast("string"), lit(s"_${m.name}_"),
-            col("k").cast("string"), lit(s"_z$i"))))
+          uSlices(concat(col("evid").cast("string"), lit(s"_${m.name}_"),
+            col("k").cast("string"), lit(s"_z$i")), 3))
           .withColumn(s"S$i",
-            (0 until 3).map(sl =>
-              conv(substring(col(s"h$i"), 1 + 10 * sl, 10), 16, 10).cast("long") % UScale)
-              .reduce(_ + _))
+            (0 until 3).map(sl => uCol(col(s"h$i"), sl)).reduce(_ + _))
           .withColumn(s"z$i", col(s"S$i").cast("double") * 2.0 / UScale.toDouble - 3.0)
       }
       withZ
@@ -331,8 +338,9 @@ object CcldOps {
     val base = Catalog.events(s, d).filter(col("mag") >= GeoOps.RupMagMin)
       .select(col("evid"), col("mag"), col("ev_depth"),
         explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
+      .withColumn("us", uSlices(drawKey, 2))
       .select(col("evid"), col("mag"), col("k"),
-        (uCol(0) % NStrike).as("si"), (uCol(1) % NDip).as("di"),
+        (uCol(col("us"), 0) % NStrike).as("si"), (uCol(col("us"), 1) % NDip).as("di"),
         (col("ev_depth") * 0.5).as("ztop"),
         ((floor(col("mag")) - 3) * 5.0 + 2.5).as("half_l"))
       .withColumn("wid", col("half_l"))

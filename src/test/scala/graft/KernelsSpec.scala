@@ -126,6 +126,23 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("Md5Slices matches the conv(substring(md5)) string spelling on arbitrary keys") {
+    import graft.functions.Md5Slices
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.commons.codec.digest.DigestUtils
+    for (_ <- 1 to 300) {
+      val key = (1 to (1 + rnd.nextInt(40)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString + "_" + rnd.nextInt(1000)
+      val hex = DigestUtils.md5Hex(key.getBytes("UTF-8"))
+      val n = 1 + rnd.nextInt(3)
+      val got = Md5Slices(Literal(UTF8String.fromString(key)), n)
+        .eval(null).asInstanceOf[GenericArrayData].toLongArray()
+      val want = (0 until n).map(i =>
+        java.lang.Long.parseLong(hex.substring(10 * i, 10 * i + 10), 16)).toArray
+      assert(got.sameElements(want), s"key=$key n=$n got=${got.toSeq} want=${want.toSeq}")
+    }
+  }
+
   test("VecDot matches the sequential fold on arbitrary pairs") {
     for (_ <- 1 to 300) {
       val (a, b) = (randSeries(), randSeries())
