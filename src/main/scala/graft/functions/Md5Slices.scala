@@ -51,26 +51,64 @@ object Md5Slices {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** md5(key) → n leading 40-bit big-endian nibble slices. */
-  def compute(key: UTF8String, n: Int): GenericArrayData = {
+  private def digestOf(key: UTF8String): Array[Byte] = {
     val d = md.get()
     d.reset()
-    val digest = d.digest(key.getBytes)
+    d.digest(key.getBytes)
+  }
+
+  private def nibbles(digest: Array[Byte], from: Int, count: Int): Long = {
+    var v = 0L
+    var j = from
+    val end = from + count
+    while (j < end) {
+      val b = digest(j >> 1) & 0xFF
+      val nib = if ((j & 1) == 0) (b >> 4) & 0xF else b & 0xF
+      v = (v << 4) | nib
+      j += 1
+    }
+    v
+  }
+
+  /** md5(key) → n leading 40-bit big-endian nibble slices. */
+  def compute(key: UTF8String, n: Int): GenericArrayData = {
+    val digest = digestOf(key)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      var v = 0L
-      var j = 10 * i
-      val end = j + 10
-      while (j < end) {
-        val b = digest(j >> 1) & 0xFF
-        val nib = if ((j & 1) == 0) (b >> 4) & 0xF else b & 0xF
-        v = (v << 4) | nib
-        j += 1
-      }
-      out(i) = v
+      out(i) = nibbles(digest, 10 * i, 10)
       i += 1
     }
     new GenericArrayData(out)
   }
+
+  /** md5(key) → leading 15 hex nibbles as a long ([[Md5Prefix60]]). */
+  def prefix60(key: UTF8String): Long = nibbles(digestOf(key), 0, 15)
+}
+
+/** The [[graft.functions.Portable.h60]] hash, fused: bit-identical to
+  * `conv(substring(md5(key), 1, 15), 16, 10)` without the hex
+  * encode / substring / base-16 reparse. This is the per-shingle
+  * kernel of the whole dedup family (every MinHash/SimHash signature
+  * hashes every shingle through it) and the per-row draw of the
+  * sampling/mixing operators. */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_prefix60 requires string, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    Md5Slices.prefix60(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Md5Slices.prefix60($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
 }

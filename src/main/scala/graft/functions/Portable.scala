@@ -50,9 +50,14 @@ object Portable {
     * second component the RotD rotation combines. */
   def acc090Term(pk: String, j: String): String = s"($pk * 23 + $j * 37) % 400 - 200"
 
-  /** Portable 60-bit hash of a string expression. */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash of a string expression — the fused
+    * [[Md5Prefix60]] kernel (bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)`, which remains the
+    * oracle spelling; KernelsSpec pins equality). */
+  def h60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => B}
+    B.column(Md5Prefix60(B.expression(c)))
+  }
   def h60Sql(e: String): String =
     s"CAST('0x' || substring(md5($e),1,15) AS BIGINT)"
 

@@ -140,6 +140,10 @@ class KernelsSpec extends AnyFunSuite {
       val want = (0 until n).map(i =>
         java.lang.Long.parseLong(hex.substring(10 * i, 10 * i + 10), 16)).toArray
       assert(got.sameElements(want), s"key=$key n=$n got=${got.toSeq} want=${want.toSeq}")
+      val got60 = graft.functions.Md5Prefix60(Literal(UTF8String.fromString(key)))
+        .eval(null).asInstanceOf[Long]
+      assert(got60 == java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        s"prefix60 mismatch on $key")
     }
   }
 
