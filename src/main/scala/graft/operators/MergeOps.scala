@@ -38,11 +38,20 @@ object MergeOps {
     // pSA columns (the reference flatfile's dominant payload) computed
     // on the fact side BEFORE the joins: 4 doubles cross the shuffle
     // instead of the 16-element series they reduce.
+    // fmin_max / HPF (`merge_flatfiles.py:507-510`: the published
+    // high-pass corner is the max component fmin / 1.25) — computed
+    // on the fact side over the record's channel siblings; the window
+    // keys a (evid, sta) shuffle the downstream evid join reuses
+    // partially (1.25 = 2^-2·5 is binary-exact, division identical
+    // cross-engine).
+    val chanW = Window.partitionBy(col("evid"), col("sta"))
     val r = Catalog.records(s, dir)
       .withColumn("ps", expr(Sdof.psSpark))
       .withColumns(Sdof.Periods.map(t =>
         Sdof.colName(t) -> Sdof.psaCol(t, col("ps"))).toMap)
       .drop("ps")
+      .withColumn("fmin_max", max(col("fmin")).over(chanW))
+      .withColumn("hpf", col("fmin_max") / 1.25)
     val st = Catalog.stations(s, dir)
     // Single orders scan: carry the provenance key (o_custkey) alongside
     // the event-catalogue derivation instead of re-scanning orders.
@@ -66,7 +75,7 @@ object MergeOps {
       .select(Seq(col("record_id"), col("evid"), col("sta"), col("chan"),
         col("mag"), col("ev_lat"), col("ev_lon"), col("ev_depth"),
         col("sta_lat"), col("sta_lon"), col("sta_vs30"),
-        col("score_x"), col("fmin"), col("network")) ++
+        col("score_x"), col("fmin"), col("fmin_max"), col("hpf"), col("network")) ++
         graft.functions.Sdof.Periods.map(t => col(graft.functions.Sdof.colName(t))): _*)
   }
 
@@ -158,9 +167,11 @@ object MergeOps {
       s"""SELECT r.record_id, r.evid, r.sta, r.chan,
          |       e.mag, e.ev_lat, e.ev_lon, e.ev_depth,
          |       s.sta_lat, s.sta_lon, s.sta_vs30,
-         |       r.score_x, r.fmin, n.n_name AS network,
+         |       r.score_x, r.fmin, r.fmin_max, r.fmin_max / 1.25e0 AS hpf,
+         |       n.n_name AS network,
          |       ${Sdof.Periods.map(t => s"r.${Sdof.colName(t)}").mkString(", ")}
-         |FROM (SELECT *, ${Sdof.Periods.map(t => s"${Sdof.psaSql(t, "ps")} AS ${Sdof.colName(t)}").mkString(", ")}
+         |FROM (SELECT *, max(fmin) OVER (PARTITION BY evid, sta) AS fmin_max,
+         |             ${Sdof.Periods.map(t => s"${Sdof.psaSql(t, "ps")} AS ${Sdof.colName(t)}").mkString(", ")}
          |      FROM (SELECT *, ${Sdof.psSql} AS ps FROM gm_records)) r
          |JOIN gm_events e ON r.evid = e.evid
          |LEFT JOIN gm_stations s ON r.sta = s.sta
