@@ -4,7 +4,14 @@ package graft
   * per-query jitter on a shared box is 2-4x (adjudicated in round 3:
   * a 43 s outlier was machine contention), and the median of three
   * makes a single contended run unable to corrupt the headline.
-  * Prints ONE JSON line for the driver. */
+  *
+  * Stdout contract: several ≤1 kB JSON detail lines (the per-query
+  * median map, chunked ~18 entries per line, keyed `queries_part`)
+  * followed by ONE compact headline line (`"metric":"total"`) LAST.
+  * The driver keeps a fixed tail of stdout and parses the final line
+  * for the headline; the chunking keeps every per-query number inside
+  * that tail (a single ~2.5 kB detail line got its front truncated,
+  * losing the first ~7 queries in rounds 1-7). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,24 +45,30 @@ object Bench {
     val failed = medians.collect { case (n, None) => n }
     // ms precision: full-precision doubles double the line length for
     // noise digits, and the driver's tail is the scarce resource.
-    val qs = medians.map { case (k, v) =>
+    val entries = medians.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(x =>
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)))
-    }.mkString("{", ",", "}")
+    }
     val total = medians.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Two stdout lines, headline LAST: the driver keeps a fixed tail
-    // of stdout and parses its final line, so a single ~2.5 kB line
-    // carrying the full per-query map gets its FRONT truncated off →
-    // `parsed: null` (rounds 1-6). The detail map goes on its own
-    // line first; the compact headline (a few hundred bytes, always
-    // intact inside any reasonable tail) closes the stream.
-    val detailLine = s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Detail lines first, headline LAST: the driver keeps a fixed tail
+    // of stdout and parses its final line. A single ~2.5 kB detail
+    // line got its FRONT truncated off by that tail (rounds 1-7 lost
+    // the first ~7 queries), so the per-query map is chunked into
+    // ≤1 kB lines (~18 entries ≈ 550 bytes each); `part`/`of` let a
+    // reader reassemble and detect a lost chunk. The compact headline
+    // (a few hundred bytes, always intact inside any reasonable tail)
+    // closes the stream.
+    val chunks = entries.grouped(18).toSeq
+    val detailLines = chunks.zipWithIndex.map { case (chunk, i) =>
+      val qs = chunk.mkString("{", ",", "}")
+      s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so executor-shutdown log lines can't
     // land after the JSON — the driver parses the final stdout line.
     spark.stop()
-    println(detailLine)
+    detailLines.foreach(println)
     println(headline)
     System.out.flush()
   }

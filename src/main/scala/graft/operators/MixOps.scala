@@ -61,16 +61,36 @@ object MixOps {
     * broadcast). At web scale the per-source budget products stay
     * under 2^62 for corpora to ~10^12 tokens; past that the same
     * plan runs on DECIMAL(38). */
-  def tokenBudgetMix(s: SparkSession, d: String): DataFrame = {
-    val perSource = docTokens(s, d).groupBy(col("source"))
+  def tokenBudgetMix(s: SparkSession, d: String): DataFrame =
+    budgetRates(perSourceTokens(s, d)
+      .withColumn("weight", Portable.h60(col("source")) % 4L + 1L))
+
+  /** Production variant: per-source weights come from an explicit
+    * `(source, weight)` table instead of the source hash — how a real
+    * mix config arrives (the published mixes are hand-tuned tables).
+    * Inner join: the weight table IS the source allowlist; sources
+    * absent from it are excluded from the mix. Same integer-ppm
+    * arithmetic and plan shape (the weight table is sources-sized, so
+    * AQE broadcasts it into the partial-agg output). */
+  def tokenBudgetMix(s: SparkSession, d: String, weights: DataFrame): DataFrame =
+    budgetRates(perSourceTokens(s, d).join(weights, Seq("source")))
+
+  private def perSourceTokens(s: SparkSession, d: String): DataFrame =
+    docTokens(s, d).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tokens"))
-      .withColumn("weight", Portable.h60(col("source")) % 4L + 1L)
+
+  private def budgetRates(perSource: DataFrame): DataFrame = {
     val totals = perSource.agg(
       sum(col("tokens")).as("total_tokens"), sum(col("weight")).as("wsum"))
     perSource.crossJoin(totals)
+      // tokens=0 would make the `div` NULL, and NULL-skipping least()
+      // would silently turn that into rate_ppm=1000000 (full sampling)
+      // — the opposite of the sensible 0 rate for an empty source.
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr(s"((total_tokens div $BudgetDiv) * weight div wsum) * 1000000 div tokens")))
+        when(col("tokens") > 0,
+          least(lit(1000000L), expr(s"((total_tokens div $BudgetDiv) * weight div wsum) * 1000000 div tokens")))
+          .otherwise(lit(0L)))
       .withColumn("expected_tokens", expr("tokens * rate_ppm div 1000000"))
       .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
         col("rate_ppm"), col("expected_tokens"))
@@ -83,8 +103,15 @@ object MixOps {
     * both the rate aggregation and the sampling join read the
     * persisted [[docTokens]] projection, and the sources-sized rate
     * table joins back via AQE broadcast. */
-  def corpusMixSample(s: SparkSession, d: String): DataFrame = {
-    val rates = tokenBudgetMix(s, d).select(col("source"), col("rate_ppm"))
+  def corpusMixSample(s: SparkSession, d: String): DataFrame =
+    mixSample(s, d, tokenBudgetMix(s, d))
+
+  /** Weighted-table companion of [[corpusMixSample]]. */
+  def corpusMixSample(s: SparkSession, d: String, weights: DataFrame): DataFrame =
+    mixSample(s, d, tokenBudgetMix(s, d, weights))
+
+  private def mixSample(s: SparkSession, d: String, budget: DataFrame): DataFrame = {
+    val rates = budget.select(col("source"), col("rate_ppm"))
     docTokens(s, d)
       .join(rates, Seq("source"))
       .withColumn("u_ppm",
@@ -141,7 +168,9 @@ object MixOps {
        |               CAST(sum(weight) AS BIGINT) AS wsum FROM ps),
        |rates AS (
        |  SELECT source, n_docs, tokens, weight,
-       |    least(1000000, ((total_tokens // $BudgetDiv) * weight // wsum) * 1000000 // tokens) AS rate_ppm
+       |    CASE WHEN tokens > 0
+       |      THEN least(1000000, ((total_tokens // $BudgetDiv) * weight // wsum) * 1000000 // tokens)
+       |      ELSE 0 END AS rate_ppm
        |  FROM ps, tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -39,8 +39,12 @@ object FlatfileSink {
   def splitByComponent(df: DataFrame, componentCol: String,
                        dropCols: Map[String, Seq[String]],
                        outDir: String): Map[String, String] = {
-    val comps = df.select(componentCol).distinct().collect()
-      .map(_.get(0).toString).sorted
+    val raw = df.select(componentCol).distinct().collect().map(_.get(0))
+    // a NULL component has no file to land in — fail with a clear
+    // message instead of an opaque NullPointerException mid-write
+    require(!raw.contains(null),
+      s"splitByComponent: NULL values in component column '$componentCol'")
+    val comps = raw.map(_.toString).sorted
     comps.map { c =>
       val sub = df.filter(col(componentCol) === c)
         .drop(dropCols.getOrElse(c, Nil): _*)

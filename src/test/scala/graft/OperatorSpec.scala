@@ -106,6 +106,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nullable columns surface as Options
     assert(g.stations.collect().exists(_.sta_vs30.isEmpty),
       "Vs30 nulls must decode as None")
+    // materialize every typed accessor: encoder/schema drift between
+    // the case classes and Catalog.records/Tables.documents would
+    // otherwise pass tests and fail only at first user call
+    assert(g.records.head().record_id.nonEmpty)
+    assert(g.documents.head().doc_id >= 0L)
     // the operator registry is reachable by name and rejects unknowns
     assert(g.query("q_catalog").count() > 0)
     assert(g.queryNames.contains("dedup_minhash"))
@@ -225,6 +230,53 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no-PII doc must keep its exact length after redaction")
     assert(lens(4L) != rows.find(_._1 == 4L).get._2.length,
       "PII doc length must change under redaction")
+  }
+
+  test("explicit weight-table mix: hash-weight identity + source allowlist") {
+    val ss = spark; import ss.implicits._
+    // passing the hash-derived weights back as a literal table must
+    // reproduce the default output exactly
+    val hashOut = MixOps.tokenBudgetMix(spark, Sf).collect()
+    val wtab = hashOut.map(r => (r.getString(0), r.getLong(3))).toSeq
+      .toDF("source", "weight")
+    val tabOut = MixOps.tokenBudgetMix(spark, Sf, wtab).collect()
+    assert(tabOut.map(_.toString).sorted.toSeq == hashOut.map(_.toString).sorted.toSeq)
+    // a subset weight table is a source allowlist; the rate follows
+    // the integer ppm arithmetic recomputed here exactly
+    val src = hashOut.map(_.getString(0)).min
+    val sub = MixOps.tokenBudgetMix(spark, Sf,
+      Seq((src, 3L)).toDF("source", "weight")).collect()
+    assert(sub.map(_.getString(0)).toSeq == Seq(src))
+    val tokens = sub.head.getLong(2)
+    val want = math.min(1000000L,
+      ((tokens / MixOps.BudgetDiv) * 3L / 3L) * 1000000L / tokens)
+    assert(sub.head.getLong(4) == want)
+    val samp = MixOps.corpusMixSample(spark, Sf,
+      Seq((src, 3L)).toDF("source", "weight"))
+    assert(samp.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(src))
+  }
+
+  test("zero-token source gets rate_ppm 0, not full sampling") {
+    val ss = spark; import ss.implicits._
+    // a source whose docs all have NULL text sums to NULL tokens; the
+    // NULL-skipping least() would silently yield rate 1000000 without
+    // the tokens>0 guard
+    val dir = java.nio.file.Files.createTempDirectory("graft_zerotok").toString
+    // src_a needs enough tokens that the integer ppm arithmetic
+    // doesn't round its rate to zero on a toy corpus
+    val longText = Seq.fill(100)("tok").mkString(" ")
+    Seq((1L, Some(longText), "en", "src_a", longText.length.toLong),
+        (2L, Some("delta epsilon"), "en", "src_a", 13L),
+        (3L, Option.empty[String], "en", "src_b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rates = MixOps.tokenBudgetMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rates("src_b") == 0L, "zero-token source must get rate 0")
+    assert(rates("src_a") > 0L)
+    val samp = MixOps.corpusMixSample(spark, dir).collect()
+    assert(samp.forall(_.getString(1) == "src_a"))
   }
 
   test("quality_all equals the composition of the individual quality filters") {
