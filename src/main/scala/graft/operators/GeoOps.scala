@@ -631,11 +631,19 @@ object GeoOps {
     * density, not catalogue size. The events table is the SMALL table
     * of the schema, and every loop-carried table is eagerly
     * checkpointed to cut lineage. */
-  private[graft] def abwdLabel(events: DataFrame, pairsIn: DataFrame): DataFrame = {
+  private[graft] def abwdLabel(events: DataFrame, pairsIn: DataFrame): DataFrame =
+    abwdLabel(events, pairsIn, AbwdTailThreshold)
+
+  private[graft] def abwdLabel(events: DataFrame, pairsIn: DataFrame,
+                               tailThreshold: Long): DataFrame = {
     // processing position is (mag DESC, evid ASC)
     def before(aMag: Column, aEvid: Column, bMag: Column, bEvid: Column): Column =
       aMag > bMag || (aMag === bMag && aEvid < bEvid)
+    val dbg0 = sys.env.contains("GRAFT_DEBUG")
+    val tEntry = System.nanoTime()
     val pairs = pairsIn.select("evid", "mag", "m_evid", "m_mag").localCheckpoint(true)
+    if (dbg0) System.err.println(
+      f"ABWD pairs built [${(System.nanoTime() - tEntry) / 1e9}%5.2fs]")
     // range(neq - 1): the order-last event never claims. A one-row
     // collect of a scalar, not a data-path collect.
     val lastEvid = events.orderBy(col("mag").asc, col("evid").desc).limit(1)
@@ -659,106 +667,238 @@ object GeoOps {
       .select("e", "d")
     val deps = dep1.unionByName(dep2).unionByName(dep3).distinct().localCheckpoint(true)
 
-    // Container edges with the container order-earlier — the rule-A
-    // wave table (see loop): one join against each round's new mains.
-    val earlyCont = pairs
-      .filter(before(col("m_mag"), col("m_evid"), col("mag"), col("evid")))
-      .select("evid", "m_evid").localCheckpoint(true)
-    if (sys.env.contains("GRAFT_DEBUG"))
-      System.err.println(s"ABWD static: pairs=${pairs.count()} earlyCont=${earlyCont.count()} deps=${deps.count()}")
+    val dbg = sys.env.contains("GRAFT_DEBUG")
+    val t0 = System.nanoTime()
+    def dt = f"${(System.nanoTime() - t0) / 1e9}%6.2fs"
+    if (dbg)
+      System.err.println(s"ABWD static [$dt]: pairs=${pairs.count()} deps=${deps.count()}")
 
     var mains = events.select(col("evid")).limit(0).localCheckpoint(true)
     var undecided = events.select(col("evid"), col("mag")).localCheckpoint(true)
-    var newMains = mains
-    var activeDeps = deps
-    var activeEarlyCont = earlyCont
+    // fmc: each event's order-FIRST decided-main container (max mag,
+    // then min evid). One broadcast-sized row per claimed-or-claimable
+    // event, merged incrementally each round from only the NEW mains'
+    // claim pairs — this replaces BOTH the old per-round
+    // pairs⋈all-mains joins (arrival-claim and claimee-already-claimed
+    // checks re-joined the full pair table against the full mains set
+    // every round) and the rule-A wave table: "claimed before its own
+    // step" ⟺ fmc(e) is order-earlier than e, because the order-first
+    // main container IS the claimer.
+    var fmc = events.select(col("evid"), col("mag").as("fm_mag"),
+      col("evid").as("fm_evid")).limit(0).localCheckpoint(true)
+    var uCount = undecided.count()
     var rounds = 0
-    while (!undecided.isEmpty && rounds < MaxAbwdRounds) {
+    while (uCount > tailThreshold && rounds < MaxAbwdRounds) {
       rounds += 1
-      if (sys.env.contains("GRAFT_DEBUG"))
-        System.err.println(s"ABWD round $rounds: undecided=${undecided.count()}")
-      // Rule A (wave): an event with a KNOWN-main order-earlier
-      // container was claimed before its own step — main=false is
+      if (dbg)
+        System.err.println(s"ABWD round $rounds [$dt]: undecided=$uCount")
+      // Rule A: an event whose first decided-main container is order-
+      // earlier was claimed before its own step — main=false is
       // determined regardless of its other unresolved dependencies.
       // The short-circuit makes convergence track cluster structure
       // (each promoted mainshock instantly resolves its claimable
       // window) instead of dependency-chain depth: without it the
       // full-determination rule alone resolves only a few percent of
-      // the catalogue per round (measured 45+ rounds at sf0.1).
-      // Waves fire from the PREVIOUS round's new mains; older waves
-      // already fired. Only the mains set and the undecided set are
-      // loop state — non-main decisions exist only as removal from
-      // `undecided` (the final labeling needs mains alone).
-      val falseA = undecided
-        .join(activeEarlyCont
-          .join(newMains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
-          .select("evid"), Seq("evid"), "left_semi")
-        .select("evid")
-      val und2 = undecided.join(falseA, Seq("evid"), "left_anti")
+      // the catalogue per round (measured 45+ rounds at sf0.1). Only
+      // mains/undecided/fmc are loop state — non-main decisions exist
+      // only as removal from `undecided` (final labeling needs mains
+      // alone). The static pairs/deps tables are NOT rewritten per
+      // round: every use is a map-side scan with a broadcast probe, a
+      // decided row simply stops matching.
+      val und2 = undecided.join(fmc, Seq("evid"), "left")
+        .filter(col("fm_evid").isNull ||
+          !before(col("fm_mag"), col("fm_evid"), col("mag"), col("evid")))
+        .select("evid", "mag")
       // Rule B (full determination): events none of whose dependency
       // sources are still undecided evaluate main() exactly.
-      val blocked = activeDeps.join(und2.select(col("evid").as("d")), Seq("d"), "left_semi")
+      val blocked = deps.join(und2.select(col("evid").as("d")), Seq("d"), "left_semi")
         .select(col("e").as("evid"))
+      def lap(tag: String): Unit = if (dbg) System.err.println(s"  ABWD lap $tag [$dt]")
       val ready = und2.join(blocked, Seq("evid"), "left_anti").localCheckpoint(true)
-      // e was claimed before its own step: an order-earlier container
-      // of e is a mainshock (the order-first one is the claimer).
-      val arrClaimed = pairs
-        .join(ready.select("evid"), Seq("evid"), "left_semi")
-        .filter(before(col("m_mag"), col("m_evid"), col("mag"), col("evid")))
-        .join(mains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
-        .select("evid").distinct()
-      // e has an available claimee x at its step: x is not itself an
-      // order-earlier mainshock and no order-earlier container of x
-      // is a mainshock.
-      val eClaims = pairs
+      lap("ready")
+      // Ready events passed the fmc filter with all containers decided,
+      // so none is arrival-claimed: e is a mainshock iff it has an
+      // available claimee x — x not an order-earlier mainshock itself,
+      // and x's first main container (if any) not order-earlier than e.
+      // The ready events' claim pairs are materialized once and reused
+      // for the fmc update below — one pairs scan per round, not two.
+      val claimPairs = pairs
         .join(ready.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+        .localCheckpoint(true)
+      val availE = claimPairs
         .select(col("m_evid").as("e"), col("m_mag").as("e_mag"),
           col("evid").as("x"), col("mag").as("x_mag"))
-      val earlyMainX = eClaims.join(mains.select(col("evid").as("x")), Seq("x"), "left_semi")
-        .filter(before(col("x_mag"), col("x"), col("e_mag"), col("e")))
-        .select("e", "x")
-      val claimedEarlyX = eClaims
-        .join(pairs.join(mains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
-          .select(col("evid").as("x"), col("m_evid").as("mc"), col("m_mag").as("mc_mag")),
-          Seq("x"))
-        .filter(before(col("mc_mag"), col("mc"), col("e_mag"), col("e")))
-        .select("e", "x")
-      val availE = eClaims.select("e", "x")
-        .join(earlyMainX, Seq("e", "x"), "left_anti")
-        .join(claimedEarlyX, Seq("e", "x"), "left_anti")
+        .join(mains.select(col("evid").as("x"), lit(true).as("x_main")), Seq("x"), "left")
+        .join(fmc.select(col("evid").as("x"), col("fm_mag").as("xc_mag"),
+          col("fm_evid").as("xc_evid")), Seq("x"), "left")
+        .filter(!(coalesce(col("x_main"), lit(false)) &&
+          before(col("x_mag"), col("x"), col("e_mag"), col("e"))))
+        .filter(col("xc_evid").isNull ||
+          !before(col("xc_mag"), col("xc_evid"), col("e_mag"), col("e")))
         .select(col("e").as("evid")).distinct()
-      newMains = ready.select("evid")
-        .join(arrClaimed, Seq("evid"), "left_anti")
+      val newMains = ready.select("evid")
         .join(availE, Seq("evid"), "left_semi")
         .filter(col("evid") =!= lit(lastEvid))
         .localCheckpoint(true)
+      lap("newMains")
       mains = mains.unionByName(newMains).localCheckpoint(true)
+      lap("mains")
+      // merge the new mains' claim pairs into fmc (order-first wins)
+      val newCand = claimPairs
+        .join(newMains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+        .select(col("evid"), col("m_mag").as("fm_mag"), col("m_evid").as("fm_evid"))
+      fmc = fmc.unionByName(newCand)
+        .groupBy("evid")
+        .agg(max_by(struct(col("fm_mag"), col("fm_evid")),
+          struct(col("fm_mag"), -col("fm_evid"))).as("fm"))
+        .select(col("evid"), col("fm.fm_mag").as("fm_mag"), col("fm.fm_evid").as("fm_evid"))
+        .localCheckpoint(true)
+      lap("fmc")
       undecided = und2.join(ready, Seq("evid"), "left_anti").localCheckpoint(true)
-      // The dependency tables shrink monotonically on the e side with
-      // the undecided set, so each round's joins stay proportional to
-      // the remaining contention (decided d rows simply stop matching
-      // the semi-join — no d-side copy needed).
-      activeDeps = activeDeps
-        .join(undecided.select(col("evid").as("e")), Seq("e"), "left_semi")
-        .localCheckpoint(true)
-      activeEarlyCont = activeEarlyCont
-        .join(undecided.select("evid"), Seq("evid"), "left_semi")
-        .localCheckpoint(true)
+      lap("undecided")
+      uCount = undecided.count()
     }
-    require(undecided.isEmpty, s"ABWD greedy did not converge in $MaxAbwdRounds rounds")
+    require(uCount <= tailThreshold,
+      s"ABWD greedy did not shrink to the driver tail in $MaxAbwdRounds rounds")
+    if (dbg)
+      System.err.println(s"ABWD tail [$dt]: undecided=$uCount after $rounds rounds")
+    // Sequential driver tail: once the undecided set is dimension-
+    // sized, per-round fixed job overhead dominates (the last 7 of 15
+    // rounds at sf0.1 processed <9k of 150k events), and no cluster
+    // size shrinks it — so finish the greedy exactly, sequentially.
+    // main(e) depends only on main() of order-earlier events, so one
+    // in-order pass over the residual with the decided main bits in
+    // hand IS the reference greedy. Collected state is bounded by
+    // tailThreshold × window occupancy (the pair rows touching a tail
+    // event), not catalogue size; main-bit membership is computed
+    // distributed (joins against `mains`) BEFORE the collect, so the
+    // full mains set never reaches the driver.
+    val allMains =
+      if (uCount == 0) mains
+      else {
+        val tail = abwdDriverTail(undecided, pairs, mains, lastEvid)
+        if (dbg) System.err.println(s"ABWD tail done [$dt]: tailMains=${tail.size}")
+        if (tail.isEmpty) mains
+        else {
+          val sp = events.sparkSession
+          import sp.implicits._
+          mains.unionByName(tail.toDF("evid"))
+        }
+      }
     // each non-main event's cluster is its order-first main container
     val wOrd = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
     val claims = pairs
-      .join(mains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
-      .join(mains, Seq("evid"), "left_anti")
+      .join(allMains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+      .join(allMains, Seq("evid"), "left_anti")
       .withColumn("rn", row_number().over(wOrd)).filter(col("rn") === 1)
       .select(col("evid"), col("m_evid").as("cluster_evid"), lit(true).as("is_aftershock"))
     events.select("evid")
       .join(claims, Seq("evid"), "left")
-      .join(mains.withColumn("m", lit(true)), Seq("evid"), "left")
+      .join(allMains.withColumn("m", lit(true)), Seq("evid"), "left")
       .select(col("evid"),
         when(col("m"), col("evid")).otherwise(col("cluster_evid")).as("cluster_evid"),
         coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
+  }
+
+  /** Default undecided-set size at which [[abwdLabel]] switches from
+    * distributed rounds to the sequential driver tail. A CONSTANT, so
+    * the driver collect stays bounded at any catalogue size: the
+    * collected state is O(threshold × window occupancy) pair rows
+    * (tens of MB at 50k×~7) regardless of how many distributed rounds
+    * it took to shrink there. Chosen where the per-round distributed
+    * cost (three ~1M-row static-table scans + 5 checkpoint jobs,
+    * ~2 s/round at sf0.1) stops paying for itself: the late rounds
+    * decide a few-percent tail each, while one in-order driver pass
+    * finishes it in well under a round's cost. */
+  val AbwdTailThreshold = 50000L
+
+  /** The in-order sequential finish of the ABWD greedy over the
+    * residual `undecided` set. Exact by the same argument as the
+    * batched loop: processing order (mag DESC, evid ASC) means every
+    * main() bit a tail event consults belongs to an order-earlier
+    * event — either already decided (flagged via joins against
+    * `mains` before collecting) or an earlier tail event this pass
+    * has just decided. Returns the tail events that become mains. */
+  private def abwdDriverTail(undecided: DataFrame, pairs: DataFrame,
+                             mains: DataFrame, lastEvid: Long): Seq[Long] = {
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    val dbg = sys.env.contains("GRAFT_DEBUG")
+    val t0 = System.nanoTime()
+    def lap(tag: String, n: Int): Unit = if (dbg)
+      System.err.println(f"  ABWD tail lap $tag rows=$n [${(System.nanoTime() - t0) / 1e9}%5.2fs]")
+    def beforeL(aMag: Double, aEvid: Long, bMag: Double, bEvid: Long): Boolean =
+      aMag > bMag || (aMag == bMag && aEvid < bEvid)
+    def group(rows: Array[(Long, Long, Double, Boolean)]): java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]] = {
+      // manual grouping: Scala groupBy on ~1M boxed tuples is seconds
+      val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]]()
+      for ((k, a, b, c) <- rows) {
+        var buf = m.get(k)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; m.put(k, buf) }
+        buf += ((a, b, c))
+      }
+      m
+    }
+    val u = undecided.select("evid", "mag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val uDF = u.map(_._1).toSeq.toDF("evid").localCheckpoint(true)
+    val mFlag = mains.select(col("evid").as("m_evid"), lit(true).as("m_main"))
+    val uFlag = uDF.select(col("evid").as("m_evid"), lit(true).as("m_tail"))
+    // Containers of tail events (arrival-claim check). Only containers
+    // that are decided mains or tail members can ever fire the check —
+    // an undecided-side container outside U cannot become a main in
+    // this pass — so the irrelevant rows are dropped DISTRIBUTED,
+    // before the collect.
+    val contOfE = group(pairs.join(uDF, Seq("evid"), "left_semi")
+      .join(mFlag, Seq("m_evid"), "left")
+      .join(uFlag, Seq("m_evid"), "left")
+      .filter(coalesce(col("m_main"), lit(false)) || coalesce(col("m_tail"), lit(false)))
+      .select(col("evid"), col("m_evid"), col("m_mag"),
+        coalesce(col("m_main"), lit(false)).as("m_main"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+    lap("contOfE", contOfE.size)
+    // claimees of tail events, with the claimee's own decided-main bit
+    val claimees = pairs.join(uDF.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+      .join(mains.select(col("evid"), lit(true).as("x_main")), Seq("evid"), "left")
+      .select(col("m_evid").as("e"), col("evid").as("x"), col("mag").as("x_mag"),
+        coalesce(col("x_main"), lit(false)).as("x_main"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val claimeesOf = group(claimees)
+    lap("claimees", claimees.length)
+    // containers of those claimees (claimee-already-claimed check),
+    // same decided-main-or-tail-member relevance filter
+    val xDF = claimees.map(_._2).distinct.toSeq.toDF("evid").localCheckpoint(true)
+    val contOfX = group(pairs.join(xDF, Seq("evid"), "left_semi")
+      .join(mFlag, Seq("m_evid"), "left")
+      .join(uFlag, Seq("m_evid"), "left")
+      .filter(coalesce(col("m_main"), lit(false)) || coalesce(col("m_tail"), lit(false)))
+      .select(col("evid").as("x"), col("m_evid").as("mc"), col("m_mag").as("mc_mag"),
+        coalesce(col("m_main"), lit(false)).as("mc_main"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+    lap("contOfX", contOfX.size)
+    val tailSet = scala.collection.mutable.HashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val empty = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+    def get(m: java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]],
+            k: Long) = { val v = m.get(k); if (v == null) empty else v }
+    for ((e, eMag) <- u.sortBy { case (evid, mag) => (-mag, evid) }) {
+      val arrClaimed = get(contOfE, e).exists { case (m, mMag, mMain) =>
+        beforeL(mMag, m, eMag, e) && (mMain || tailSet(m))
+      }
+      if (!arrClaimed && e != lastEvid) {
+        val canClaim = get(claimeesOf, e).exists { case (x, xMag, xDecMain) =>
+          val xEarlierMain = (xDecMain || tailSet(x)) && beforeL(xMag, x, eMag, e)
+          lazy val xClaimedEarlier = get(contOfX, x).exists {
+            case (mc, mcMag, mcMain) =>
+              beforeL(mcMag, mc, eMag, e) && (mcMain || tailSet(mc))
+          }
+          !xEarlierMain && !xClaimedEarlier
+        }
+        if (canClaim) { tailSet += e; out += e }
+      }
+    }
+    lap("greedy", out.size)
+    out.toSeq
   }
 
   /** Decimal year of an epoch-microseconds column (`aftershocks.py:117

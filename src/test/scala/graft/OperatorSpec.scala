@@ -551,6 +551,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("abwd distributed rounds and sequential driver tail agree") {
+    import org.apache.spark.sql.functions.col
+    // a thinned catalogue keeps the pure-distributed run quick
+    val ev = graft.model.Catalog.events(spark, Sf)
+      .select("evid", "mag").filter(col("evid") % 3 === 0)
+    val pr = GeoOps.abwdPairs(spark, Sf)
+      .filter(col("evid") % 3 === 0 && col("m_evid") % 3 === 0)
+    val dist = sortedRows(GeoOps.abwdLabel(ev, pr, 0L))          // all rounds, no tail
+    val tail = sortedRows(GeoOps.abwdLabel(ev, pr, Long.MaxValue)) // pure driver tail
+    assert(dist.nonEmpty && dist == tail,
+      "batched distributed greedy and sequential driver tail must decide identically")
+  }
+
   test("training-data ops: segment dedup, gopher quality, sampling, tfidf invariants") {
     // dedup_segments: ratios and word counts are internally consistent,
     // and a duplicated segment must appear in >= 2 docs by definition.
