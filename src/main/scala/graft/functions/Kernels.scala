@@ -138,6 +138,91 @@ case class Iir2State(child: Expression, b0: Double, b1: Double, b2: Double,
     copy(child = newChild)
 }
 
+/** Cascade of second-order IIR sections (SOS) over a series — the
+  * shape of the reference's Butterworth band-pass (`scipy.signal
+  * .butter(..., output="sos")` + `sosfilt`, `data_processing/
+  * waveform_manipulation.py:123-180`). Each element flows through the
+  * sections in order (section s's input is section s-1's output
+  * sample); returns array(y_last, sum(y^2)) of the LAST section's
+  * output. Sections are (b0, b1, b2, a1, a2) with the same recurrence
+  * and association order as [[Iir2State]] and the DuckDB
+  * `list_reduce` twin ([[Spectra.cascadeSql]]). Codegen unrolls the
+  * section loop — coefficient literals, no per-row allocation. */
+case class IirCascadeState(child: Expression,
+                           sections: Seq[(Double, Double, Double, Double, Double)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "iir_cascade_state"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if sections.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure("iir_cascade_state requires >= 1 section")
+    case t => TypeCheckResult.TypeCheckFailure(s"iir_cascade_state requires array<double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val s = sections.length
+    val x1 = new Array[Double](s); val x2 = new Array[Double](s)
+    val y1 = new Array[Double](s); val y2 = new Array[Double](s)
+    var en = 0.0
+    var i = 0
+    while (i < n) {
+      var v = xs.getDouble(i)
+      var j = 0
+      while (j < s) {
+        val (b0, b1, b2, a1, a2) = sections(j)
+        val y = b0 * v + b1 * x1(j) + b2 * x2(j) - a1 * y1(j) - a2 * y2(j)
+        x2(j) = x1(j); x1(j) = v
+        y2(j) = y1(j); y1(j) = y
+        v = y
+        j += 1
+      }
+      en = en + v * v
+      i += 1
+    }
+    new GenericArrayData(Array(if (n > 0) y1(s - 1) else 0.0, en))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(n, en, i, v, out) = Seq("n", "en", "i", "v", "out").map(ctx.freshName)
+      val st = sections.indices.map { j =>
+        (ctx.freshName(s"x1_$j"), ctx.freshName(s"x2_$j"),
+          ctx.freshName(s"y1_$j"), ctx.freshName(s"y2_$j"), ctx.freshName(s"y_$j"))
+      }
+      val decls = st.map { case (x1, x2, y1, y2, _) =>
+        s"double $x1 = 0.0; double $x2 = 0.0; double $y1 = 0.0; double $y2 = 0.0;"
+      }.mkString("\n")
+      val stages = sections.zipWithIndex.map { case ((b0, b1, b2, a1, a2), j) =>
+        val (x1, x2, y1, y2, y) = st(j)
+        val in = if (j == 0) v else st(j - 1)._5
+        s"""double $y = ($b0) * $in + ($b1) * $x1 + ($b2) * $x2 - ($a1) * $y1 - ($a2) * $y2;
+           |$x2 = $x1; $x1 = $in;
+           |$y2 = $y1; $y1 = $y;""".stripMargin
+      }.mkString("\n")
+      val yLast = st.last._3
+      val yOut = st.last._5
+      s"""
+         |int $n = $a.numElements();
+         |$decls
+         |double $en = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $stages
+         |  $en = $en + $yOut * $yOut;
+         |}
+         |double[] $out = new double[] { $yLast, $en };
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IirCascadeState =
+    copy(child = newChild)
+}
+
 /** RotD statistics [min, median, max] of the per-rotation-angle SDOF
   * response peaks — the RotD0/RotD50/RotD100 component definition
   * (Boore 2010) the reference's flatfiles publish per IM

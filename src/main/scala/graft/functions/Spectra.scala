@@ -171,4 +171,112 @@ object Spectra {
       s"list_transform($tw, x -> [x])), " +
       s"(st, el) -> [el[1], st[1], $yn, st[3], st[5] + $yn * $yn])"
   }
+
+  // ---- Butterworth band-pass SOS cascade (scipy-equivalent) ------
+
+  /** Minimal complex arithmetic for the driver-side filter design. */
+  private case class Cx(re: Double, im: Double) {
+    def +(o: Cx) = Cx(re + o.re, im + o.im)
+    def -(o: Cx) = Cx(re - o.re, im - o.im)
+    def *(o: Cx) = Cx(re * o.re - im * o.im, re * o.im + im * o.re)
+    def /(o: Cx) = {
+      val d = o.re * o.re + o.im * o.im
+      Cx((re * o.re + im * o.im) / d, (im * o.re - re * o.im) / d)
+    }
+    def sqrtC: Cx = { // principal branch
+      val m = math.hypot(re, im)
+      val sr = math.sqrt((m + re) / 2.0)
+      val si = math.sqrt((m - re) / 2.0)
+      Cx(sr, if (im < 0) -si else si)
+    }
+  }
+
+  /** One second-order section of the cascade:
+    * y = b0·x + b1·x₋₁ + b2·x₋₂ − a1·y₋₁ − a2·y₋₂. */
+  final case class Sos(b0: Double, b1: Double, b2: Double, a1: Double, a2: Double)
+
+  /** Butterworth band-pass SOS design, equivalent to the reference's
+    * `signal.butter(n, [low, high], btype="band", output="sos")`
+    * (`waveform_manipulation.py:123-146`): analog low-pass prototype
+    * poles → lp2bp pole transform → bilinear with pre-warp → monic
+    * biquads from conjugate pole pairs. The 2n zeros land n at z=1
+    * and n at z=−1; each section takes one (+1, −1) pair (numerator
+    * g·(1 − z⁻²)), with the full gain on the first section. All
+    * trig/sqrt runs ONCE here on the driver; both engines consume the
+    * same double literals (the dev/PORTABILITY.md rule). */
+  def butterBandpassSos(n: Int, lowHz: Double, highHz: Double, dt: Double): Seq[Sos] = {
+    val fs2 = 4.0 // bilinear constant 2·fs at scipy's internal fs = 2
+    def warp(f: Double): Double = fs2 * math.tan(math.Pi * f * dt)
+    val w1 = warp(lowHz); val w2 = warp(highHz)
+    val bw = w2 - w1; val w0 = math.sqrt(w1 * w2)
+    val proto = (0 until n).map { k =>
+      val th = math.Pi * (2 * k + n + 1) / (2.0 * n)
+      Cx(math.cos(th), math.sin(th))
+    }
+    val bp = proto.flatMap { p =>
+      val pb = p * Cx(bw / 2.0, 0.0)
+      val d = (pb * pb - Cx(w0 * w0, 0.0)).sqrtC
+      Seq(pb + d, pb - d)
+    }
+    val zp = bp.map(p => (Cx(fs2, 0.0) + p) / (Cx(fs2, 0.0) - p))
+    // k_analog = bw^n (butter prototype gain 1); analog zeros: n at 0
+    val den = bp.foldLeft(Cx(1.0, 0.0))((acc, p) => acc * (Cx(fs2, 0.0) - p))
+    val kz = (Cx(math.pow(fs2, n) * math.pow(bw, n), 0.0) / den).re
+    val upper = zp.filter(_.im > 1e-12).sortBy(p => (p.re, p.im))
+    val reals = zp.filter(p => math.abs(p.im) <= 1e-12).map(_.re).sorted
+    val pairs = upper.map(p => (-2.0 * p.re, p.re * p.re + p.im * p.im)) ++
+      reals.grouped(2).map { case Seq(r1, r2) => (-(r1 + r2), r1 * r2) }.toSeq
+    require(pairs.size == n, s"pole pairing failed: ${pairs.size} sections for order $n")
+    pairs.zipWithIndex.map { case ((pa1, pa2), i) =>
+      val g = if (i == 0) kz else 1.0
+      Sos(g, 0.0, -g, pa1, pa2)
+    }
+  }
+
+  /** CHECKED band-pass profile — the reference's default band at the
+    * synthetic dt: lowcut `low_cut_default` 0.04 Hz, highcut
+    * 1/(2.5·dt) = 8 Hz (`waveform_manipulation.py:236-237`,
+    * `config.yaml low_cut_default`), as TWO cascaded biquads (scipy
+    * order 2 → 4-pole band shape). The production profile
+    * [[ProdBandSos]] is the reference's `order_default: 4` (4
+    * sections) — same plan, same kernel, more constant sections. */
+  val BandLowHz = 0.04
+  val BandHighHz = 8.0
+  val BandSos: Seq[Sos] = butterBandpassSos(2, BandLowHz, BandHighHz, Dt)
+  val ProdBandSos: Seq[Sos] = butterBandpassSos(4, BandLowHz, BandHighHz, Dt)
+
+  /** SOS cascade over the series column `tw`, codegen'd
+    * ([[IirCascadeState]]): returns array(y_last, Σy²) of the final
+    * section's output. */
+  def cascadeCol(tw: Column, sos: Seq[Sos] = BandSos): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(IirCascadeState(ExpressionUtils.expression(tw),
+      sos.map(s => (s.b0, s.b1, s.b2, s.a1, s.a2))))
+  }
+
+  /** DuckDB `list_reduce` twin of [[cascadeCol]]. State vector:
+    * [x₋₁, x₋₂, y₋₁⁽⁰⁾, y₋₂⁽⁰⁾, …, y₋₁⁽ˢ⁻¹⁾, y₋₂⁽ˢ⁻¹⁾, Σy²]
+    * (1-indexed in SQL); section s's input is section s−1's output,
+    * textually inlined — double arithmetic is deterministic, so the
+    * re-evaluated subexpression equals the Java local. Final output:
+    * y_last = st[2S+1], Σy² = st[2S+2+1]. */
+  def cascadeSql(tw: String, sos: Seq[Sos] = BandSos): String = {
+    val s = sos.size
+    def yExpr(j: Int): String = {
+      val in = if (j == 0) "el[1]" else yExpr(j - 1)
+      val Sos(b0, b1, b2, a1, a2) = sos(j)
+      s"(${dl(b0)} * $in + ${dl(b1)} * st[${2 * j + 1}] + ${dl(b2)} * st[${2 * j + 2}]" +
+        s" - ${dl(a1)} * st[${2 * j + 3}] - ${dl(a2)} * st[${2 * j + 4}])"
+    }
+    val newState =
+      Seq("el[1]", "st[1]") ++
+        (0 until s).flatMap(j => Seq(yExpr(j), s"st[${2 * j + 3}]")) ++
+        Seq(s"st[${2 * s + 3}] + ${yExpr(s - 1)} * ${yExpr(s - 1)}")
+    val zeros = Seq.fill(2 * s + 3)(dl(0.0)).mkString("[", ", ", "]")
+    s"list_reduce(list_prepend($zeros, list_transform($tw, x -> [x])), " +
+      s"(st, el) -> ${newState.mkString("[", ", ", "]")})"
+  }
+  /** 1-based SQL index of y_last / Σy² in [[cascadeSql]]'s state. */
+  def cascadeLastIdx(sos: Seq[Sos] = BandSos): Int = 2 * sos.size + 1
+  def cascadeEnergyIdx(sos: Seq[Sos] = BandSos): Int = 2 * sos.size + 3
 }

@@ -242,11 +242,17 @@ object SignalOps {
   }
 
   /** Waveform preprocessing (`data_processing/waveform_manipulation
-    * .py:15,123`): linear detrend (closed-form least squares over the
-    * fixed index grid), Welch taper (polynomial — no trig in checked
-    * output), then an order-2 Butterworth low-pass as an IIR biquad
-    * state fold — the same portable array-fold shape as the pSA
-    * kernel. Publishes the fitted trend and the filtered series'
+    * .py:15,123-180`): linear detrend (closed-form least squares over
+    * the fixed index grid), Welch taper (polynomial — no trig in
+    * checked output), then the reference's Butterworth BAND-PASS as a
+    * cascade of second-order sections (`signal.butter(..., btype=
+    * "band", output="sos")` + `sosfilt`), codegen'd as one
+    * [[graft.functions.IirCascadeState]] fold. The checked profile is
+    * the reference's default band (0.04 Hz low cut, 1/(2.5·dt) = 8 Hz
+    * high cut) at scipy order 2 → two cascaded biquads; the
+    * `order_default: 4` production profile ([[Spectra.ProdBandSos]],
+    * 4 sections) swaps in as constructor constants with no plan
+    * change. Publishes the fitted trend and the filtered series'
     * final sample and energy. */
   def waveformPreproc(s: SparkSession, d: String): DataFrame = {
     import graft.functions.{Portable, Spectra}
@@ -260,7 +266,7 @@ object SignalOps {
       .withColumn("b_s", (lit(Spectra.N.toDouble) * col("snx") - lit(Spectra.SumN) * col("sx")) / lit(Spectra.LsqDen))
       .withColumn("a_i", (col("sx") - col("b_s") * lit(Spectra.SumN)) / lit(Spectra.N.toDouble))
       .withColumn("tw", expr(Spectra.dtSeriesSpark("xs")))
-      .withColumn("st", Spectra.biquadCol(col("tw")))
+      .withColumn("st", Spectra.cascadeCol(col("tw")))
       .select(col("record_id"), col("chan"),
         col("b_s").as("trend_slope"), col("a_i").as("trend_icept"),
         col("st").getItem(0).as("y_last"), col("st").getItem(1).as("y_energy"))
@@ -507,9 +513,9 @@ object SignalOps {
       val onesSql = Spectra.rowSql(Seq.fill(Spectra.N)(1.0))
       val narrSql = Spectra.rowSql((0 until Spectra.N).map(_.toDouble))
       s"""SELECT record_id, chan, b_s AS trend_slope, a_i AS trend_icept,
-         |       st[3] AS y_last, st[5] AS y_energy
+         |       st[${Spectra.cascadeLastIdx()}] AS y_last, st[${Spectra.cascadeEnergyIdx()}] AS y_energy
          |FROM (
-         |  SELECT record_id, chan, b_s, a_i, ${Spectra.biquadSql("tw")} AS st FROM (
+         |  SELECT record_id, chan, b_s, a_i, ${Spectra.cascadeSql("tw")} AS st FROM (
          |    SELECT record_id, chan, b_s, a_i, ${Spectra.dtSeriesSql("xs")} AS tw FROM (
          |      SELECT record_id, chan, xs, b_s, (sx - b_s * ${Portable.dl(Spectra.SumN)}) / ${Portable.dl(Spectra.N.toDouble)} AS a_i FROM (
          |        SELECT record_id, chan, xs, sx, (${Portable.dl(Spectra.N.toDouble)} * snx - ${Portable.dl(Spectra.SumN)} * sx) / ${Portable.dl(Spectra.LsqDen)} AS b_s FROM (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Iir2State, RotdStats, SdofPeak, VecDot}
+import graft.functions.{Iir2State, IirCascadeState, RotdStats, SdofPeak, Spectra, VecDot}
 
 /** Property-style tests for the codegen'd recurrence kernels: on
   * ARBITRARY double series (seeded random, not just the driver
@@ -51,6 +51,73 @@ class KernelsSpec extends AnyFunSuite {
           (y, py1, x, px1, pen + y * y)
       }
       assert(got(0) == y1 && got(1) == en, s"series $xs")
+    }
+  }
+
+  test("IirCascadeState equals sequential per-section biquad filtering") {
+    // the cascade kernel must equal independently filtering the series
+    // through each section in order (scipy sosfilt semantics)
+    def filterOne(xs: Seq[Double], s: Spectra.Sos): Seq[Double] = {
+      var x1 = 0.0; var x2 = 0.0; var y1 = 0.0; var y2 = 0.0
+      xs.map { x =>
+        val y = s.b0 * x + s.b1 * x1 + s.b2 * x2 - s.a1 * y1 - s.a2 * y2
+        x2 = x1; x1 = x; y2 = y1; y1 = y
+        y
+      }
+    }
+    for (sos <- Seq(Spectra.BandSos, Spectra.ProdBandSos); _ <- 1 to 150) {
+      val xs = randSeries()
+      val got = IirCascadeState(lit(xs), sos.map(s => (s.b0, s.b1, s.b2, s.a1, s.a2)))
+        .eval(null).asInstanceOf[GenericArrayData].toDoubleArray()
+      val ys = sos.foldLeft(xs)(filterOne)
+      val wantLast = if (ys.isEmpty) 0.0 else ys.last
+      val wantEn = ys.foldLeft(0.0)((acc, y) => acc + y * y)
+      assert(got(0) == wantLast && got(1) == wantEn, s"series $xs sos ${sos.size}")
+    }
+  }
+
+  test("Butterworth band-pass SOS cascade has the closed-form Butterworth response") {
+    // |H_d(e^{jw})| must equal the analog Butterworth band-pass
+    // magnitude at the bilinear-prewarped frequency: |H_a(jW)|^2 =
+    // 1 / (1 + ((W^2 - w0^2)/(bw*W))^{2n}), W = 4 tan(w/2). Exact
+    // identity of the bilinear transform — any design error (pole
+    // transform, pairing, gain) breaks it.
+    def h2(sos: Seq[Spectra.Sos], w: Double): Double = {
+      // |Π sections|² via complex arithmetic at z = e^{jw}
+      val (c1, s1) = (math.cos(-w), math.sin(-w))
+      val (c2, s2) = (math.cos(-2 * w), math.sin(-2 * w))
+      sos.foldLeft(1.0) { (acc, s) =>
+        val nr = s.b0 + s.b1 * c1 + s.b2 * c2
+        val ni = s.b1 * s1 + s.b2 * s2
+        val dr = 1.0 + s.a1 * c1 + s.a2 * c2
+        val di = s.a1 * s1 + s.a2 * s2
+        acc * (nr * nr + ni * ni) / (dr * dr + di * di)
+      }
+    }
+    for ((n, sos) <- Seq(2 -> Spectra.BandSos, 4 -> Spectra.ProdBandSos)) {
+      def warp(f: Double) = 4.0 * math.tan(math.Pi * f * Spectra.Dt)
+      val w1 = warp(Spectra.BandLowHz); val w2 = warp(Spectra.BandHighHz)
+      val bw = w2 - w1; val w0 = math.sqrt(w1 * w2)
+      def analog2(bigW: Double): Double = {
+        val r = (bigW * bigW - w0 * w0) / (bw * bigW)
+        1.0 / (1.0 + math.pow(r, 2 * n))
+      }
+      // band edges: exactly -3 dB
+      for (f <- Seq(Spectra.BandLowHz, Spectra.BandHighHz)) {
+        val w = 2 * math.Pi * f * Spectra.Dt
+        assert(math.abs(h2(sos, w) - 0.5) < 1e-9, s"n=$n edge $f Hz: ${h2(sos, w)}")
+      }
+      // center frequency (digital image of w0): unit gain
+      val wc = 2.0 * math.atan(w0 / 4.0)
+      assert(math.abs(h2(sos, wc) - 1.0) < 1e-9, s"n=$n center: ${h2(sos, wc)}")
+      // zeros at DC and Nyquist
+      assert(h2(sos, 1e-9) < 1e-12 && h2(sos, math.Pi - 1e-9) < 1e-10, s"n=$n rails")
+      // full-sweep identity against the closed form
+      for (k <- 1 until 200) {
+        val w = math.Pi * k / 200.0
+        val want = analog2(4.0 * math.tan(w / 2.0))
+        assert(math.abs(h2(sos, w) - want) < 1e-9, s"n=$n w=$w: ${h2(sos, w)} vs $want")
+      }
     }
   }
 
