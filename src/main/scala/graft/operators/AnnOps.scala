@@ -94,14 +94,11 @@ object AnnOps {
   def planesFor(corpusSize: Long, targetOccupancy: Int = 32): Int =
     math.max(4, math.ceil(math.log(corpusSize.toDouble / targetOccupancy) / math.log(2.0)).toInt)
 
-  /** Capped at 256: the literal-expression centroid assignment
-    * (`cellCol` builds one vec_dot per cell) is only plannable for
-    * test-scale cell counts. Beyond the cap, production IVF switches
-    * representation — a k-means centroid TABLE broadcast-joined with a
-    * per-row argmin — which keeps the same equi-join candidate shape
-    * while the cell count scales freely with N. */
+  /** Cell count ~N/targetCell: the centroid-TABLE assignment (below)
+    * has no representation cap — the table is broadcast-sized (~√N
+    * rows for the classic IVF sizing) at any corpus size. */
   def cellsFor(corpusSize: Long, targetCell: Int = 1024): Int =
-    math.min(256, math.max(4, math.ceil(corpusSize.toDouble / targetCell).toInt))
+    math.max(4, math.ceil(corpusSize.toDouble / targetCell).toInt)
 
   def annLshTopkWith(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val v = vectors(s, d).withColumn("bucket", bucketColFor("embedding", 0, nPlanes))
@@ -194,25 +191,43 @@ object AnnOps {
   def centroidCoef(c: Int, i: Int): Long =
     ((c * Dim + i + 7) * 1103515245L) % 2000003L - 1000001L
 
-  private def centroidSql(c: Int): String =
-    (0 until Dim).map(i => s"${centroidCoef(c, i).toDouble}D").mkString("array(", ",", ")")
-
-  /** Index of the centroid with the highest dot product (cosine-style
-    * assignment; ties broken by lowest cell index). */
-  private def cellCol(e: String, nCells: Int = NCells): Column = {
-    val dots = (0 until nCells).map(c =>
-      expr(s"vec_dot(cast($e as array<double>), ${centroidSql(c)})"))
-    val best = dots.reduce((a, b) => greatest(a, b))
-    (0 until nCells).foldRight(lit(-1)) { case (c, elseCol) =>
-      when(dots(c) === best, lit(c)).otherwise(elseCol)
-    }
+  /** The centroid TABLE (c, cent) — production IVF's representation
+    * (the k-means fit output); here the same deterministic pseudo-
+    * centroids, one row per cell. Broadcast-sized (~√N rows at the
+    * classic IVF sizing), so cell count scales freely with the corpus
+    * — this replaced the round-7 literal-expression assignment, whose
+    * one-vec_dot-per-cell CASE chain capped cells at test scale. */
+  def centroidTable(s: SparkSession, nCells: Int): DataFrame = {
+    import s.implicits._
+    (0 until nCells)
+      .map(c => (c, (0 until Dim).map(i => centroidCoef(c, i).toDouble)))
+      .toDF("c", "cent")
   }
 
-  /** Rank of each cell for a query (for multi-cell probing). */
-  private def probeCells(e: String, nCells: Int = NCells, nProbe: Int = NProbe): Column = {
-    val dots = (0 until nCells).map(c =>
-      struct(expr(s"vec_dot(cast($e as array<double>), ${centroidSql(c)})").as("d"), lit(c).as("c")))
-    slice(reverse(array_sort(array(dots: _*))), 1, nProbe)
+  /** Assign each vector to its argmax-dot centroid via the broadcast
+    * table: one broadcast nested-loop (N × cells rows — inherent to
+    * coarse quantization: every vector scores every centroid), then a
+    * partial-aggregable max_by that map-side-combines back to one row
+    * per vector (embedding/nrm ride the struct, so no join-back
+    * shuffle). Tie-break: lowest cell index (−c in the ordering). */
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("dd", vecDot("embedding", "cent"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c").as("cell"), col("embedding"), col("nrm")),
+        struct(col("dd"), (-col("c")).as("nc"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.nrm").as("nrm"), col("b.cell").as("cell"))
+
+  /** Each query probes its nProbe highest-dot cells (tiny side: a
+    * window over queries × cells). Tie-break mirrors the literal
+    * implementation this replaced: highest cell index first. */
+  private def probeCellsTable(q: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dd").desc, col("c").desc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("dd", vecDot("qe", "cent"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("c").as("cell"))
   }
 
   /** IVF ANN: vectors partition into centroid cells; each query scans
@@ -222,10 +237,9 @@ object AnnOps {
     annIvfTopkWith(s, d, NCells, NProbe)
 
   def annIvfTopkWith(s: SparkSession, d: String, nCells: Int, nProbe: Int): DataFrame = {
-    val v = vectors(s, d).withColumn("cell", cellCol("embedding", nCells))
-    val q = queriesSide(s, d)
-      .select(col("q_id"), col("qe"), col("qn"), explode(probeCells("qe", nCells, nProbe)).as("p"))
-      .select(col("q_id"), col("qe"), col("qn"), col("p.c").as("cell"))
+    val cents = centroidTable(s, nCells)
+    val v = assignCells(vectors(s, d), cents)
+    val q = probeCellsTable(queriesSide(s, d), cents, nProbe)
     v.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine)

@@ -390,9 +390,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ann_cosine_topk: documented broadcast NL brute-force baseline;
     // tfidf_topk / token_budget_mix / corpus_mix_sample: a ONE-ROW
     // broadcast (corpus-size / budget-totals scalar) — a scalar join,
-    // not an all-pairs product.
+    // not an all-pairs product; ann_ivf_topk: the coarse-quantizer
+    // assignment scores every vector against the broadcast
+    // DIMENSION-SIZED centroid table (~√N rows) — inherent to IVF,
+    // immediately partial-aggregated back to one row per vector.
     val allowedNestedLoop =
-      Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample")
+      Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
+        "ann_ivf_topk")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -662,7 +666,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ANN sizing rules and parameterized variants") {
     assert(AnnOps.planesFor(2000) == 6)
     assert(AnnOps.planesFor(1L << 40) == 35) // grows with log2(N)
-    assert(AnnOps.cellsFor(10000000L) == 256) // literal-CASE assignment cap
+    // table-driven assignment: cells ~ N/targetCell, no representation cap
+    assert(AnnOps.cellsFor(10000000L) == 9766)
     for (p <- Seq(4, 10)) {
       val res = AnnOps.annLshTopkWith(spark, Sf, p)
         .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -670,6 +675,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(res.forall { case (q, v) => q != v })
     }
     assert(AnnOps.annIvfTopkWith(spark, Sf, 4, 2).count() > 0)
+    // a cell count far beyond the old literal-expression cap still plans
+    assert(AnnOps.annIvfTopkWith(spark, Sf, 64, 8).count() > 0)
     assert(AnnOps.dedupEmbeddingWith(spark, Sf, 2, 10).count() > 0)
   }
 
