@@ -66,12 +66,111 @@ object MultiModalOps {
         // stub per-frame feature: offset of the frame's first byte
         expr("(n_bytes * frame_idx) div n_frames").as("frame_offset"))
 
+  // ---- ClipNet serving slot --------------------------------------
+
+  /** Literal-weight stand-in for the reference's ClipNet
+    * (`data_processing/filtering.py:24-59`: clamped magnitude +
+    * distance + the three heuristic clip flags → `clipNet().evaluate`
+    * → clip probability). The real network is a trained model
+    * artifact the container does not ship (documented gap, SURVEY
+    * §6); this 5→[[ClipHidden]]→1 MLP proves the SERVING path — a
+    * model instantiated once per partition scoring typed feature rows
+    * — with deterministic synthetic weights. The activation is the
+    * rational fast-sigmoid 0.5 + 0.5·x/(1+|x|): pure +,*,/,abs, so
+    * the whole forward pass is bit-exact cross-engine and the DuckDB
+    * oracle checks it end-to-end (a real exp()-sigmoid would be
+    * rows-only per dev/PORTABILITY.md). Swapping in trained weights
+    * (or an ONNX session in [[loadClipNet]]) changes no plan. */
+  final case class ClipNetStub(w1: Array[Array[Double]], b1: Array[Double],
+                               w2: Array[Double], b2: Double) {
+    def evaluate(x: Array[Double]): Double = {
+      var out = b2
+      var j = 0
+      while (j < b1.length) {
+        var h = b1(j)
+        var i = 0
+        while (i < x.length) { h = h + w1(i)(j) * x(i); i += 1 }
+        val hj = 0.5 + 0.5 * h / (1.0 + math.abs(h))
+        out = out + w2(j) * hj
+        j += 1
+      }
+      0.5 + 0.5 * out / (1.0 + math.abs(out))
+    }
+  }
+
+  val ClipInputs = 5
+  val ClipHidden = 8
+
+  /** Deterministic synthetic weights in [-1, 1] — the single source of
+    * truth for BOTH the Scala model and the SQL twin's literals. */
+  def clipW1(i: Int, j: Int): Double =
+    (((i * ClipHidden + j + 1) * 2654435761L) % 1999L - 999L) / 999.0
+  def clipB1(j: Int): Double = (((j + 7) * 1103515245L) % 1999L - 999L) / 999.0
+  def clipW2(j: Int): Double = (((j + 3) * 2246822519L) % 1999L - 999L) / 999.0
+  val ClipB2: Double = -0.25
+
+  /** Per-partition model load — where a real deployment opens its
+    * ONNX/TF session; here it materializes the literal weights. */
+  def loadClipNet(): ClipNetStub = ClipNetStub(
+    Array.tabulate(ClipInputs, ClipHidden)(clipW1),
+    Array.tabulate(ClipHidden)(clipB1),
+    Array.tabulate(ClipHidden)(clipW2), ClipB2)
+
+  final case class ClipIn(record_id: String, mag_clipped: Double,
+                          dist_clipped: Option[Double], max_amp_clip: Boolean,
+                          hist_clip: Boolean, ping_clip: Boolean)
+  final case class ClipScored(record_id: String, clip_prob: Option[Double])
+
+  /** The serving query: `clip_features` → per-partition model →
+    * `clip_prob`. Records beyond the distance cutoff carry a NULL
+    * distance (no pair row in the reference either) and score NULL. */
+  def clipProb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = SignalOps.clipFeatures(s, d).as[ClipIn]
+    feats.mapPartitions { it =>
+      val model = loadClipNet() // once per partition: the session shape
+      it.map { r =>
+        ClipScored(r.record_id, r.dist_clipped.map { dist =>
+          model.evaluate(Array(r.mag_clipped, dist,
+            if (r.max_amp_clip) 1.0 else 0.0,
+            if (r.hist_clip) 1.0 else 0.0,
+            if (r.ping_clip) 1.0 else 0.0))
+        })
+      }
+    }.toDF()
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_frame_sample" -> (multimodalFrameSample _)
+    "multimodal_frame_sample" -> (multimodalFrameSample _),
+    "clip_prob" -> (clipProb _)
   )
 
+  /** SQL twin of the forward pass — same literals via clipW1/clipB1/
+    * clipW2, same left-associated accumulation order, so doubles are
+    * bit-exact. */
+  private def clipProbOracle: String = {
+    import graft.functions.Portable.dl
+    val xs = Seq("f.mag_clipped", "f.dist_clipped",
+      "(CASE WHEN f.max_amp_clip THEN 1e0 ELSE 0e0 END)",
+      "(CASE WHEN f.hist_clip THEN 1e0 ELSE 0e0 END)",
+      "(CASE WHEN f.ping_clip THEN 1e0 ELSE 0e0 END)")
+    def pre(j: Int): String =
+      (0 until ClipInputs).map(i => s" + ${dl(clipW1(i, j))} * ${xs(i)}")
+        .mkString(s"(${dl(clipB1(j))}", "", ")")
+    def hj(j: Int): String =
+      s"(0.5e0 + 0.5e0 * ${pre(j)} / (1e0 + abs(${pre(j)})))"
+    val out = (0 until ClipHidden).map(j => s" + ${dl(clipW2(j))} * ${hj(j)}")
+      .mkString(s"(${dl(ClipB2)}", "", ")")
+    graft.model.Catalog.oracle(
+      s"""SELECT f.record_id,
+         |  CASE WHEN f.dist_clipped IS NULL THEN NULL
+         |       ELSE 0.5e0 + 0.5e0 * $out / (1e0 + abs($out)) END AS clip_prob
+         |FROM (${SignalOps.clipFeaturesOracleBody}) f""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "clip_prob" -> clipProbOracle,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

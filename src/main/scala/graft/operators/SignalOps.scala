@@ -370,6 +370,30 @@ object SignalOps {
         sqrt(col("HN") * col("BN")).as("psa_geom"))
   }
 
+  /** The clip_features oracle SELECT (over the gm CTEs) — shared with
+    * the `clip_prob` serving oracle in [[MultiModalOps]]. */
+  private[operators] def clipFeaturesOracleBody: String = {
+    import graft.functions.Portable.dl
+    import GeoOps.{KmPerDegLat, KmPerDegLon, MaxKm}
+    val repi =
+      s"""sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
+         |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))""".stripMargin
+    s"""SELECT r.record_id,
+       |  greatest(${dl(MagClipLo)}, least(${dl(MagClipHi)}, e.mag)) AS mag_clipped,
+       |  CASE WHEN $repi <= ${MaxKm}e0
+       |       THEN greatest(${dl(DistClipLo)}, least(${dl(DistClipHi)},
+       |            sqrt($repi * $repi + e.ev_depth * e.ev_depth)))
+       |       ELSE NULL END AS dist_clipped,
+       |  list_max(list_transform(xs, x -> abs(x))) >= $RailC AS max_amp_clip,
+       |  len(list_filter(xs, x -> abs(x) >= $RailC)) >= $RailMin AS hist_clip,
+       |  len(list_filter(list_transform(range(1, $NFreq), j -> abs(xs[j+1] - xs[j])), v -> v >= $PingJumpC)) >= $PingMin AS ping_clip
+       |FROM (SELECT record_id, evid, sta,
+       |        list_transform(range(0, $NFreq), j -> CAST(${graft.functions.Portable.accTerm("pk", "j")} AS BIGINT)) AS xs
+       |      FROM gm_records) r
+       |JOIN gm_events e ON r.evid = e.evid
+       |JOIN gm_stations s ON r.sta = s.sta""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "psa_component_combo" -> (psaComponentCombo _),
     "snr_stats"        -> (snrStats _),
@@ -472,27 +496,7 @@ object SignalOps {
          |      $pcols
          |  FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))""".stripMargin
     },
-    "clip_features" -> Catalog.oracle {
-      import graft.functions.Portable.dl
-      import GeoOps.{KmPerDegLat, KmPerDegLon, MaxKm}
-      val repi =
-        s"""sqrt(((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0) * ((s.sta_lon - e.ev_lon) * ${KmPerDegLon}e0)
-           |     + ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0) * ((s.sta_lat - e.ev_lat) * ${KmPerDegLat}e0))""".stripMargin
-      s"""SELECT r.record_id,
-         |  greatest(${dl(MagClipLo)}, least(${dl(MagClipHi)}, e.mag)) AS mag_clipped,
-         |  CASE WHEN $repi <= ${MaxKm}e0
-         |       THEN greatest(${dl(DistClipLo)}, least(${dl(DistClipHi)},
-         |            sqrt($repi * $repi + e.ev_depth * e.ev_depth)))
-         |       ELSE NULL END AS dist_clipped,
-         |  list_max(list_transform(xs, x -> abs(x))) >= $RailC AS max_amp_clip,
-         |  len(list_filter(xs, x -> abs(x) >= $RailC)) >= $RailMin AS hist_clip,
-         |  len(list_filter(list_transform(range(1, $NFreq), j -> abs(xs[j+1] - xs[j])), v -> v >= $PingJumpC)) >= $PingMin AS ping_clip
-         |FROM (SELECT record_id, evid, sta,
-         |        list_transform(range(0, $NFreq), j -> CAST(${graft.functions.Portable.accTerm("pk", "j")} AS BIGINT)) AS xs
-         |      FROM gm_records) r
-         |JOIN gm_events e ON r.evid = e.evid
-         |JOIN gm_stations s ON r.sta = s.sta""".stripMargin
-    },
+    "clip_features" -> Catalog.oracle(clipFeaturesOracleBody),
     "im_eas" -> Catalog.oracle {
       import graft.functions.{Rotd, Spectra}
       val pcols = Spectra.Bins.map(k => s"${Spectra.powerSql("xs", k)} AS p$k").mkString(",\n      ")

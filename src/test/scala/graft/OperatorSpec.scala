@@ -555,6 +555,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("clip_prob serving path: forward pass, NULL propagation, feature join") {
+    // forward pass against an independent recompute on fixed inputs
+    val model = MultiModalOps.loadClipNet()
+    val x = Array(5.5, 120.0, 1.0, 0.0, 1.0)
+    val want = {
+      def sig(v: Double) = 0.5 + 0.5 * v / (1.0 + math.abs(v))
+      val hidden = (0 until MultiModalOps.ClipHidden).map { j =>
+        sig((0 until MultiModalOps.ClipInputs)
+          .foldLeft(MultiModalOps.clipB1(j))((acc, i) => acc + MultiModalOps.clipW1(i, j) * x(i)))
+      }
+      sig(hidden.zipWithIndex.foldLeft(MultiModalOps.ClipB2) {
+        case (acc, (h, j)) => acc + MultiModalOps.clipW2(j) * h
+      })
+    }
+    assert(model.evaluate(x) == want)
+    // probabilities live in (0, 1); clip-flagged inputs must move the score
+    assert(want > 0.0 && want < 1.0)
+    assert(model.evaluate(x) != model.evaluate(Array(5.5, 120.0, 0.0, 0.0, 0.0)))
+    // end-to-end: one scored row per clip_features row; NULL distance
+    // (beyond the pair cutoff) must yield NULL prob, never a score
+    val feats = SignalOps.clipFeatures(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    val scored = MultiModalOps.clipProb(spark, Sf).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(scored.size == feats.size)
+    for ((rid, distNull) <- feats)
+      assert(scored(rid).isEmpty == distNull, s"record $rid: prob/dist null mismatch")
+    assert(scored.values.flatten.forall(p => p > 0.0 && p < 1.0))
+  }
+
   test("abwd distributed rounds and sequential driver tail agree") {
     import org.apache.spark.sql.functions.col
     // a thinned catalogue keeps the pure-distributed run quick
