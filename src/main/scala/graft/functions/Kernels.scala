@@ -223,6 +223,126 @@ case class IirCascadeState(child: Expression,
     copy(child = newChild)
 }
 
+/** [[IirCascadeState]]'s series-output sibling: returns the full
+  * filtered series (scipy `sosfilt` output) instead of the
+  * (last, energy) digest — the shape downstream integration /
+  * polynomial-correction stages consume. Same recurrence, same
+  * association order as the DuckDB growing-list fold twin. */
+case class IirCascadeSeries(child: Expression,
+                            sections: Seq[(Double, Double, Double, Double, Double)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "iir_cascade_series"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if sections.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure("iir_cascade_series requires >= 1 section")
+    case t => TypeCheckResult.TypeCheckFailure(s"iir_cascade_series requires array<double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val s = sections.length
+    val x1 = new Array[Double](s); val x2 = new Array[Double](s)
+    val y1 = new Array[Double](s); val y2 = new Array[Double](s)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var v = xs.getDouble(i)
+      var j = 0
+      while (j < s) {
+        val (b0, b1, b2, a1, a2) = sections(j)
+        val y = b0 * v + b1 * x1(j) + b2 * x2(j) - a1 * y1(j) - a2 * y2(j)
+        x2(j) = x1(j); x1(j) = v
+        y2(j) = y1(j); y1(j) = y
+        v = y
+        j += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(n, i, v, out) = Seq("n", "i", "v", "out").map(ctx.freshName)
+      val st = sections.indices.map { j =>
+        (ctx.freshName(s"x1_$j"), ctx.freshName(s"x2_$j"),
+          ctx.freshName(s"y1_$j"), ctx.freshName(s"y2_$j"), ctx.freshName(s"y_$j"))
+      }
+      val decls = st.map { case (x1, x2, y1, y2, _) =>
+        s"double $x1 = 0.0; double $x2 = 0.0; double $y1 = 0.0; double $y2 = 0.0;"
+      }.mkString("\n")
+      val stages = sections.zipWithIndex.map { case ((b0, b1, b2, a1, a2), j) =>
+        val (x1, x2, y1, y2, y) = st(j)
+        val in = if (j == 0) v else st(j - 1)._5
+        s"""double $y = ($b0) * $in + ($b1) * $x1 + ($b2) * $x2 - ($a1) * $y1 - ($a2) * $y2;
+           |$x2 = $x1; $x1 = $in;
+           |$y2 = $y1; $y1 = $y;""".stripMargin
+      }.mkString("\n")
+      s"""
+         |int $n = $a.numElements();
+         |$decls
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $stages
+         |  $out[$i] = ${st.last._5};
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IirCascadeSeries =
+    copy(child = newChild)
+}
+
+/** Cumulative trapezoid integration (`scipy.integrate
+  * .cumulative_trapezoid(..., initial=0.0)`): out(0) = 0,
+  * out(i) = out(i−1) + dt·(x(i−1) + x(i)) / 2. O(N) per row,
+  * codegen'd; DuckDB twin is the growing-list `list_reduce` fold. */
+case class CumTrapz(child: Expression, dt: Double) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "cum_trapz"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cum_trapz requires array<double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Double](n)
+    var i = 1
+    while (i < n) {
+      out(i) = out(i - 1) + dt * (xs.getDouble(i - 1) + xs.getDouble(i)) / 2.0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(n, i, out) = Seq("n", "i", "out").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 1; $i < $n; $i++) {
+         |  $out[$i] = $out[$i - 1] + ($dt) * ($a.getDouble($i - 1) + $a.getDouble($i)) / 2.0;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CumTrapz =
+    copy(child = newChild)
+}
+
 /** RotD statistics [min, median, max] of the per-rotation-angle SDOF
   * response peaks — the RotD0/RotD50/RotD100 component definition
   * (Boore 2010) the reference's flatfiles publish per IM

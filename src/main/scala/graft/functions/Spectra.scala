@@ -279,4 +279,96 @@ object Spectra {
   /** 1-based SQL index of y_last / Σy² in [[cascadeSql]]'s state. */
   def cascadeLastIdx(sos: Seq[Sos] = BandSos): Int = 2 * sos.size + 1
   def cascadeEnergyIdx(sos: Seq[Sos] = BandSos): Int = 2 * sos.size + 3
+
+  // ---- series-output cascade + integration + polyfit --------------
+
+  /** Full filtered series ([[IirCascadeSeries]]). */
+  def cascadeSeriesCol(tw: Column, sos: Seq[Sos] = BandSos): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(IirCascadeSeries(ExpressionUtils.expression(tw),
+      sos.map(s => (s.b0, s.b1, s.b2, s.a1, s.a2))))
+  }
+
+  /** DuckDB twin of [[cascadeSeriesCol]]: the [[cascadeSql]] state
+    * grows a tail — each step appends the final section's output —
+    * and the series is the fold result sliced past the fixed
+    * 2S+2-entry filter-state prefix. */
+  def cascadeSeriesSql(tw: String, sos: Seq[Sos] = BandSos): String = {
+    val s = sos.size
+    def yExpr(j: Int): String = {
+      val in = if (j == 0) "el[1]" else yExpr(j - 1)
+      val Sos(b0, b1, b2, a1, a2) = sos(j)
+      s"(${dl(b0)} * $in + ${dl(b1)} * st[${2 * j + 1}] + ${dl(b2)} * st[${2 * j + 2}]" +
+        s" - ${dl(a1)} * st[${2 * j + 3}] - ${dl(a2)} * st[${2 * j + 4}])"
+    }
+    val fixed = Seq("el[1]", "st[1]") ++
+      (0 until s).flatMap(j => Seq(yExpr(j), s"st[${2 * j + 3}]"))
+    val pre = 2 * s + 2
+    val zeros = Seq.fill(pre)(dl(0.0)).mkString("[", ", ", "]")
+    s"(list_reduce(list_prepend($zeros, list_transform($tw, x -> [x])), " +
+      s"(st, el) -> ${fixed.mkString("[", ", ", "]")} || st[${pre + 1}:] || [${yExpr(s - 1)}]))" +
+      s"[${pre + 1}:]"
+  }
+
+  /** Cumulative trapezoid ([[CumTrapz]]), `initial=0`. */
+  def cumTrapzCol(xs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(CumTrapz(ExpressionUtils.expression(xs), Dt))
+  }
+
+  /** DuckDB twin of [[cumTrapzCol]]: seed the fold with
+    * (first element, 0) and walk the rest — state [x₋₁] ++ outputs,
+    * out(i) = out(i−1) + dt·(x₋₁ + x)/2, same association order. */
+  def cumTrapzSql(xs: String): String =
+    s"list_reduce(list_prepend([($xs)[1], ${dl(0.0)}], list_transform(($xs)[2:], x -> [x])), " +
+      s"(st, el) -> [el[1]] || st[2:] || [st[len(st)] + ${dl(Dt)} * (st[1] + el[1]) / 2e0])" +
+      s"[2:]"
+
+  /** Pseudo-inverse rows of the degree-`order` polynomial fit over the
+    * fixed grid x = 0..n−1 (`np.polyfit(arange(n), d, order)`): row k
+    * dotted with the data vector gives coefficient k,
+    * highest-power-first. Solved once on the driver via the normal
+    * equations (Gauss-Jordan on the (order+1)² Gram matrix); both
+    * engines consume the rows as double literals. */
+  def polyfitRows(n: Int, order: Int): Seq[Seq[Double]] = {
+    val m = order + 1
+    // Fit in the scaled basis t = i/(n−1) — the raw power-basis Gram
+    // matrix at order 6 is ~1e10-conditioned and the normal equations
+    // lose ~6 digits; scaling buys them back, and the coefficient
+    // rescale below is an exact diagonal map.
+    val sc = (n - 1).toDouble
+    val v = Array.tabulate(n, m)((i, k) => math.pow(i.toDouble / sc, (order - k).toDouble))
+    // Thin QR via modified Gram-Schmidt (the monomial Gram matrix is
+    // Hilbert-like, ~1e8-conditioned — normal equations lose 6+
+    // digits even scaled; QR keeps the fit at ~1e-10)
+    val q = Array.tabulate(n, m)((i, k) => v(i)(k))
+    val r = Array.ofDim[Double](m, m)
+    for (k <- 0 until m) {
+      r(k)(k) = math.sqrt((0 until n).map(i => q(i)(k) * q(i)(k)).sum)
+      for (i <- 0 until n) q(i)(k) /= r(k)(k)
+      for (j <- k + 1 until m) {
+        r(k)(j) = (0 until n).map(i => q(i)(k) * q(i)(j)).sum
+        for (i <- 0 until n) q(i)(j) -= r(k)(j) * q(i)(k)
+      }
+    }
+    // R⁻¹ (upper triangular) by back substitution
+    val rInv = Array.ofDim[Double](m, m)
+    for (k <- m - 1 to 0 by -1) {
+      rInv(k)(k) = 1.0 / r(k)(k)
+      for (j <- k + 1 until m) {
+        var sum = 0.0
+        for (l <- k + 1 to j) sum += r(k)(l) * rInv(l)(j)
+        rInv(k)(j) = -sum / r(k)(k)
+      }
+    }
+    // P = R⁻¹ Qᵀ, rescaled back to the i-power basis:
+    // c_k = c_scaled_k / sc^(order−k)
+    (0 until m).map(k => (0 until n).map(i =>
+      (0 until m).map(j => rInv(k)(j) * q(i)(j)).sum
+        / math.pow(sc, (order - k).toDouble)).toSeq)
+  }
+
+  /** The reference's `poly_order_default: 6` displacement fit. */
+  val PolyOrder = 6
+  lazy val PolyRows: Seq[Seq[Double]] = polyfitRows(N, PolyOrder)
 }

@@ -272,6 +272,53 @@ object SignalOps {
         col("st").getItem(0).as("y_last"), col("st").getItem(1).as("y_energy"))
   }
 
+  /** The NGA-West-alignment polynomial correction — the rest of the
+    * reference's `high_and_low_cut_processing` after the band-pass
+    * (`waveform_manipulation.py:274-311`): filtered acc → velocity
+    * (`cumulative_trapezoid` × g/10) → displacement (second
+    * `cumulative_trapezoid`) → degree-6 LSQ fit on the index grid
+    * (`np.polyfit`, `poly_order_default: 6`) → second derivative
+    * (`np.polyder` twice — only the degree-6..2 coefficients survive)
+    * → Horner `np.polyval` on the grid, subtracted from the filtered
+    * acc. Spark shape: two O(N) codegen'd folds ([[graft.functions
+    * .IirCascadeSeries]], [[graft.functions.CumTrapz]]) and the FIT
+    * COLLAPSED to five `vec_dot`s against driver-computed
+    * pseudo-inverse literal rows (the polyfit is a linear map of the
+    * displacement vector — same literal-row pattern as the DFT).
+    * Zero shuffles; publishes the corrected series' digest plus the
+    * five curvature coefficients. */
+  def waveformPolyCorrect(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Portable, Spectra}
+    val ones = Seq.fill(Spectra.N)(1.0)
+    val narr = (0 until Spectra.N).map(_.toDouble)
+    var df = Catalog.records(s, d)
+      .select(col("record_id"), col("chan"), col("pk"))
+      .select(col("record_id"), col("chan"), expr(Spectra.xsSpark).as("xs"))
+      .withColumn("sx", Spectra.vecDot(col("xs"), array(ones.map(lit): _*)))
+      .withColumn("snx", Spectra.vecDot(col("xs"), array(narr.map(lit): _*)))
+      .withColumn("b_s", (lit(Spectra.N.toDouble) * col("snx") - lit(Spectra.SumN) * col("sx")) / lit(Spectra.LsqDen))
+      .withColumn("a_i", (col("sx") - col("b_s") * lit(Spectra.SumN)) / lit(Spectra.N.toDouble))
+      .withColumn("tw", expr(Spectra.dtSeriesSpark("xs")))
+      .withColumn("bb", Spectra.cascadeSeriesCol(col("tw")))
+      .withColumn("vel", transform(Spectra.cumTrapzCol(col("bb")),
+        v => v * lit(9.81) / lit(10.0)))
+      .withColumn("disp", Spectra.cumTrapzCol(col("vel")))
+    for (m <- 0 to 4) {
+      df = df.withColumn(s"cf$m",
+        Spectra.vecDot(col("disp"), array(Spectra.PolyRows(m).map(lit): _*)))
+      df = df.withColumn(s"c2_$m",
+        (col(s"cf$m") * lit((Spectra.PolyOrder - m).toDouble)) * lit((Spectra.PolyOrder - 1 - m).toDouble))
+    }
+    val horner = "((((c2_0 * CAST(i AS DOUBLE) + c2_1) * CAST(i AS DOUBLE) + c2_2)" +
+      " * CAST(i AS DOUBLE) + c2_3) * CAST(i AS DOUBLE) + c2_4)"
+    df.withColumn("corr", expr(
+        s"transform(sequence(0, ${Spectra.N - 1}), i -> bb[i] - $horner)"))
+      .select(col("record_id"), col("chan"),
+        element_at(col("corr"), Spectra.N).as("corr_last"),
+        Spectra.vecDot(col("corr"), col("corr")).as("corr_energy"),
+        col("c2_0"), col("c2_1"), col("c2_2"), col("c2_3"), col("c2_4"))
+  }
+
   /** Arias intensity and significant durations Ds575/Ds595 — the
     * remaining scalar members of the reference IM set (`calculation/
     * ims.py` IM list; wiki IM-Calculation.md). Cumulative energy stays
@@ -370,6 +417,22 @@ object SignalOps {
         sqrt(col("HN") * col("BN")).as("psa_geom"))
   }
 
+  /** The detrend + taper SQL chain producing (record_id, chan, b_s,
+    * a_i, tw) — shared by the `waveform_preproc` and
+    * `waveform_poly_correct` oracles. */
+  private def twChainSql: String = {
+    import graft.functions.{Portable, Spectra}
+    val onesSql = Spectra.rowSql(Seq.fill(Spectra.N)(1.0))
+    val narrSql = Spectra.rowSql((0 until Spectra.N).map(_.toDouble))
+    s"""    SELECT record_id, chan, b_s, a_i, ${Spectra.dtSeriesSql("xs")} AS tw FROM (
+       |      SELECT record_id, chan, xs, b_s, (sx - b_s * ${Portable.dl(Spectra.SumN)}) / ${Portable.dl(Spectra.N.toDouble)} AS a_i FROM (
+       |        SELECT record_id, chan, xs, sx, (${Portable.dl(Spectra.N.toDouble)} * snx - ${Portable.dl(Spectra.SumN)} * sx) / ${Portable.dl(Spectra.LsqDen)} AS b_s FROM (
+       |          SELECT record_id, chan, xs,
+       |                 ${Portable.dotSql("xs", onesSql)} AS sx,
+       |                 ${Portable.dotSql("xs", narrSql)} AS snx
+       |          FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))))""".stripMargin
+  }
+
   /** The clip_features oracle SELECT (over the gm CTEs) — shared with
     * the `clip_prob` serving oracle in [[MultiModalOps]]. */
   private[operators] def clipFeaturesOracleBody: String = {
@@ -407,6 +470,7 @@ object SignalOps {
     "im_eas"           -> (imEas _),
     "clip_features"    -> (clipFeatures _),
     "waveform_preproc" -> (waveformPreproc _),
+    "waveform_poly_correct" -> (waveformPolyCorrect _),
     "im_duration"      -> (imDuration _)
   )
 
@@ -513,20 +577,41 @@ object SignalOps {
          |        FROM gm_records))""".stripMargin
     },
     "waveform_preproc" -> Catalog.oracle {
-      import graft.functions.{Portable, Spectra}
-      val onesSql = Spectra.rowSql(Seq.fill(Spectra.N)(1.0))
-      val narrSql = Spectra.rowSql((0 until Spectra.N).map(_.toDouble))
+      import graft.functions.Spectra
       s"""SELECT record_id, chan, b_s AS trend_slope, a_i AS trend_icept,
          |       st[${Spectra.cascadeLastIdx()}] AS y_last, st[${Spectra.cascadeEnergyIdx()}] AS y_energy
          |FROM (
          |  SELECT record_id, chan, b_s, a_i, ${Spectra.cascadeSql("tw")} AS st FROM (
-         |    SELECT record_id, chan, b_s, a_i, ${Spectra.dtSeriesSql("xs")} AS tw FROM (
-         |      SELECT record_id, chan, xs, b_s, (sx - b_s * ${Portable.dl(Spectra.SumN)}) / ${Portable.dl(Spectra.N.toDouble)} AS a_i FROM (
-         |        SELECT record_id, chan, xs, sx, (${Portable.dl(Spectra.N.toDouble)} * snx - ${Portable.dl(Spectra.SumN)} * sx) / ${Portable.dl(Spectra.LsqDen)} AS b_s FROM (
-         |          SELECT record_id, chan, xs,
-         |                 ${Portable.dotSql("xs", onesSql)} AS sx,
-         |                 ${Portable.dotSql("xs", narrSql)} AS snx
-         |          FROM (SELECT record_id, chan, ${Spectra.xsSql} AS xs FROM gm_records))))))""".stripMargin
+         |$twChainSql))""".stripMargin
+    },
+    "waveform_poly_correct" -> Catalog.oracle {
+      import graft.functions.{Portable, Spectra}
+      val horner = "((((c2_0 * CAST(i AS DOUBLE) + c2_1) * CAST(i AS DOUBLE) + c2_2)" +
+        " * CAST(i AS DOUBLE) + c2_3) * CAST(i AS DOUBLE) + c2_4)"
+      val cfs = (0 to 4).map(m =>
+        s"${Portable.dotSql("disp", Spectra.rowSql(Spectra.PolyRows(m)))} AS cf$m").mkString(",\n      ")
+      val c2s = (0 to 4).map(m =>
+        s"(cf$m * ${Portable.dl((Spectra.PolyOrder - m).toDouble)}) * ${Portable.dl((Spectra.PolyOrder - 1 - m).toDouble)} AS c2_$m").mkString(",\n      ")
+      s"""SELECT record_id, chan,
+         |  corr[${Spectra.N}] AS corr_last,
+         |  ${Portable.dotSql("corr", "corr")} AS corr_energy,
+         |  c2_0, c2_1, c2_2, c2_3, c2_4
+         |FROM (
+         |  SELECT record_id, chan, c2_0, c2_1, c2_2, c2_3, c2_4,
+         |    list_transform(range(0, ${Spectra.N}), i -> bb[i+1] - $horner) AS corr
+         |  FROM (
+         |    SELECT record_id, chan, bb,
+         |      $c2s
+         |    FROM (
+         |      SELECT record_id, chan, bb,
+         |      $cfs
+         |      FROM (
+         |        SELECT record_id, chan, bb, ${Spectra.cumTrapzSql("vel")} AS disp FROM (
+         |          SELECT record_id, chan, bb,
+         |            list_transform(${Spectra.cumTrapzSql("bb")}, v -> v * 9.81e0 / 10e0) AS vel
+         |          FROM (
+         |            SELECT record_id, chan, ${Spectra.cascadeSeriesSql("tw")} AS bb FROM (
+         |$twChainSql)))))))""".stripMargin
     },
     "im_duration" -> Catalog.oracle(
       s"""SELECT record_id,

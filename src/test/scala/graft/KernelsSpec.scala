@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Iir2State, IirCascadeState, RotdStats, SdofPeak, Spectra, VecDot}
+import graft.functions.{CumTrapz, Iir2State, IirCascadeSeries, IirCascadeState, RotdStats, SdofPeak, Spectra, VecDot}
 
 /** Property-style tests for the codegen'd recurrence kernels: on
   * ARBITRARY double series (seeded random, not just the driver
@@ -73,6 +73,47 @@ class KernelsSpec extends AnyFunSuite {
       val wantLast = if (ys.isEmpty) 0.0 else ys.last
       val wantEn = ys.foldLeft(0.0)((acc, y) => acc + y * y)
       assert(got(0) == wantLast && got(1) == wantEn, s"series $xs sos ${sos.size}")
+    }
+  }
+
+  test("CumTrapz, cascade-series, and polyfit rows match independent recomputes") {
+    // cumulative trapezoid recurrence (scipy initial=0 semantics)
+    for (_ <- 1 to 200) {
+      val xs = randSeries()
+      val got = CumTrapz(lit(xs), 0.05).eval(null)
+        .asInstanceOf[GenericArrayData].toDoubleArray()
+      var v = 0.0
+      val want = xs.indices.map { i =>
+        if (i == 0) 0.0 else { v = v + 0.05 * (xs(i - 1) + xs(i)) / 2.0; v }
+      }
+      assert(got.toSeq == want, s"series $xs")
+    }
+    // series kernel is consistent with the digest kernel (same fold)
+    val secs = Spectra.BandSos.map(s => (s.b0, s.b1, s.b2, s.a1, s.a2))
+    for (_ <- 1 to 100) {
+      val xs = randSeries()
+      val series = IirCascadeSeries(lit(xs), secs).eval(null)
+        .asInstanceOf[GenericArrayData].toDoubleArray()
+      val digest = IirCascadeState(lit(xs), secs).eval(null)
+        .asInstanceOf[GenericArrayData].toDoubleArray()
+      assert((if (series.isEmpty) 0.0 else series.last) == digest(0))
+      assert(series.foldLeft(0.0)((a, y) => a + y * y) == digest(1))
+    }
+    // polyfit pseudo-inverse rows: fitting exact degree-6 polynomial
+    // data must recover its coefficients (P·V = I). Tolerance is set
+    // by the Vandermonde's own ~1e8 conditioning, not the solver:
+    // eps-level noise in the ~1e7-magnitude samples maps to ~1e-6
+    // coefficient error for ANY least-squares method (np.polyfit
+    // included); the QR designer sits at that floor.
+    val rows = Spectra.polyfitRows(Spectra.N, Spectra.PolyOrder)
+    val rnd2 = new scala.util.Random(7L)
+    for (_ <- 1 to 50) {
+      val c = Array.fill(Spectra.PolyOrder + 1)(rnd2.nextDouble() * 2 - 1)
+      val d = (0 until Spectra.N).map(i =>
+        c.indices.map(k => c(k) * math.pow(i.toDouble, (Spectra.PolyOrder - k).toDouble)).sum)
+      val fit = rows.map(r => r.zip(d).map { case (a, b) => a * b }.sum)
+      for (k <- c.indices)
+        assert(math.abs(fit(k) - c(k)) < 1e-5, s"coeff $k: ${fit(k)} vs ${c(k)}")
     }
   }
 
