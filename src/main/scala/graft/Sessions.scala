@@ -22,6 +22,16 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // HotSpot refuses to JIT methods over 8000 bytecodes
+      // (-XX:DontCompileHugeMethods), so a whole-stage-codegen method
+      // past that limit runs in the BYTECODE INTERPRETER — measured
+      // 2-6x on the wide fused signal projections (snr_fft 7.6→2.2 s,
+      // waveform_poly_correct 20→5 s at sf0.1). Capping Spark's limit
+      // at the JIT threshold makes such stages fall back to
+      // per-expression split-method codegen, which JITs fine. The
+      // round-7 propagation_table stage break solved one instance by
+      // hand; this is the general guard.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       // driver testdata carries TIMESTAMP(NANOS) parquet, which Spark
       // only reads as raw nanos-since-epoch longs (ts -> bigint).

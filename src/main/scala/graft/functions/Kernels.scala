@@ -301,10 +301,15 @@ case class IirCascadeSeries(child: Expression,
 }
 
 /** Cumulative trapezoid integration (`scipy.integrate
-  * .cumulative_trapezoid(..., initial=0.0)`): out(0) = 0,
-  * out(i) = out(i−1) + dt·(x(i−1) + x(i)) / 2. O(N) per row,
-  * codegen'd; DuckDB twin is the growing-list `list_reduce` fold. */
-case class CumTrapz(child: Expression, dt: Double) extends UnaryExpression {
+  * .cumulative_trapezoid(..., initial=0.0)`) with an optional
+  * elementwise post-factor: acc(i) = acc(i−1) + dt·(x(i−1) + x(i))/2,
+  * out(i) = acc(i)·mul/div — the reference's `cumtrapz(...) * g / 10`
+  * elementwise scaling fused into the same O(N) codegen'd pass (an
+  * interpreted HOF transform for the scale costs more than the fold
+  * itself). mul=div=1 is exact identity. DuckDB twin is the
+  * growing-list `list_reduce` fold (+ `list_transform` when scaled). */
+case class CumTrapz(child: Expression, dt: Double, mul: Double = 1.0, div: Double = 1.0)
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cum_trapz"
@@ -318,9 +323,12 @@ case class CumTrapz(child: Expression, dt: Double) extends UnaryExpression {
     val xs = a.asInstanceOf[ArrayData]
     val n = xs.numElements()
     val out = new Array[Double](n)
+    var acc = 0.0
+    if (n > 0) out(0) = acc * mul / div
     var i = 1
     while (i < n) {
-      out(i) = out(i - 1) + dt * (xs.getDouble(i - 1) + xs.getDouble(i)) / 2.0
+      acc = acc + dt * (xs.getDouble(i - 1) + xs.getDouble(i)) / 2.0
+      out(i) = acc * mul / div
       i += 1
     }
     new GenericArrayData(out)
@@ -328,12 +336,15 @@ case class CumTrapz(child: Expression, dt: Double) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val Seq(n, i, out) = Seq("n", "i", "out").map(ctx.freshName)
+      val Seq(n, i, out, acc) = Seq("n", "i", "out", "acc").map(ctx.freshName)
       s"""
          |int $n = $a.numElements();
          |double[] $out = new double[$n];
+         |double $acc = 0.0;
+         |if ($n > 0) $out[0] = $acc * ($mul) / ($div);
          |for (int $i = 1; $i < $n; $i++) {
-         |  $out[$i] = $out[$i - 1] + ($dt) * ($a.getDouble($i - 1) + $a.getDouble($i)) / 2.0;
+         |  $acc = $acc + ($dt) * ($a.getDouble($i - 1) + $a.getDouble($i)) / 2.0;
+         |  $out[$i] = $acc * ($mul) / ($div);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -55,16 +55,24 @@ object Spectra {
   // ---- series ----------------------------------------------------
 
   /** Synthetic signal window (the post-p-wave slice): acc_c grid
-    * derivation as doubles. `pk` in scope. */
+    * derivation as doubles. `pk` in scope. Spark side unrolls to an
+    * `array(...)` of literal-index scalar expressions — a HOF
+    * `transform` lambda is CodegenFallback and runs INTERPRETED,
+    * breaking whole-stage codegen for every consumer of the series
+    * (measured ~1-2 s per interpreted stage over the sf0.1 suite);
+    * element values are identical. The DuckDB twin keeps the
+    * `list_transform` spelling (same arithmetic per element). */
   val xsSpark: String =
-    s"transform(sequence(0, ${N - 1}), n -> CAST(${Portable.accTerm("pk", "n")} AS DOUBLE))"
+    (0 until N).map(n => s"CAST(${Portable.accTerm("pk", n.toString)} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
   val xsSql: String =
     s"list_transform(range(0, $N), n -> CAST(${Portable.accTerm("pk", "n")} AS DOUBLE))"
 
   /** Synthetic noise window (the pre-p-wave slice): smaller-amplitude
     * independent derivation from the record key. */
   val ysSpark: String =
-    s"transform(sequence(0, ${N - 1}), n -> CAST(${Portable.noiseTerm("pk", "n")} AS DOUBLE))"
+    (0 until N).map(n => s"CAST(${Portable.noiseTerm("pk", n.toString)} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
   val ysSql: String =
     s"list_transform(range(0, $N), n -> CAST(${Portable.noiseTerm("pk", "n")} AS DOUBLE))"
 
@@ -136,9 +144,13 @@ object Spectra {
 
   /** Detrended + tapered series from materialized columns `xs`
     * (array), `a_i` (intercept), `b_s` (slope). Per-element arithmetic
-    * is identical on both engines; only the indexing idiom differs. */
+    * is identical on both engines; only the indexing idiom differs
+    * (Spark unrolled to a codegen'd array constructor, see
+    * [[xsSpark]]). */
   def dtSeriesSpark(xs: String): String =
-    s"transform(sequence(1, $N), i -> ($xs[i-1] - (a_i + b_s * CAST(i - 1 AS DOUBLE))) * ${sparkRow(welchRow)}[i-1])"
+    (0 until N).map { i =>
+      s"($xs[$i] - (a_i + b_s * CAST($i AS DOUBLE))) * ${dl(welchRow(i))}"
+    }.mkString("array(", ", ", ")")
   def dtSeriesSql(xs: String): String =
     s"list_transform(range(1, ${N + 1}), i -> ($xs[i] - (a_i + b_s * CAST(i - 1 AS DOUBLE))) * ${rowSql(welchRow)}[i])"
   private def sparkRow(xs: Seq[Double]): String =
@@ -310,10 +322,11 @@ object Spectra {
       s"[${pre + 1}:]"
   }
 
-  /** Cumulative trapezoid ([[CumTrapz]]), `initial=0`. */
-  def cumTrapzCol(xs: Column): Column = {
+  /** Cumulative trapezoid ([[CumTrapz]]), `initial=0`, with the fused
+    * elementwise `·mul/div` post-factor (identity by default). */
+  def cumTrapzCol(xs: Column, mul: Double = 1.0, div: Double = 1.0): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-    ExpressionUtils.column(CumTrapz(ExpressionUtils.expression(xs), Dt))
+    ExpressionUtils.column(CumTrapz(ExpressionUtils.expression(xs), Dt, mul, div))
   }
 
   /** DuckDB twin of [[cumTrapzCol]]: seed the fold with

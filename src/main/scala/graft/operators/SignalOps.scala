@@ -272,6 +272,54 @@ object SignalOps {
         col("st").getItem(0).as("y_last"), col("st").getItem(1).as("y_energy"))
   }
 
+  /** Filter band-edge resolution — the per-record fmin/fmax priority
+    * logic of `process_observed.py:93-143` feeding
+    * `high_and_low_cut_processing` (`waveform_manipulation.py:
+    * 236-243`): fmin is the MAX of the record's GMC rows (records
+    * with a score, `gmc_rows["fmin_mean"].max()`), fmax the
+    * NaN-PROPAGATING min of the fmax-table row's three components (a
+    * NaN component poisons the min, survives Python's `or` — NaN is
+    * truthy — and fails the filter design → the
+    * "Failed to apply bandpass filter" skip); a bypass row overrides
+    * BOTH edges only when fmin or fmax is missing entirely;
+    * `lowcut = fmin/1.25 else 0.04`, `highcut = fmax or 1/(2.5·dt)`;
+    * lowcut ≥ highcut is its own skip reason. Catalog mapping (§3
+    * conventions): GMC membership = score_x present; the fmax-table
+    * row = the group's HN rows with loc_elev-NULL as the NaN marker;
+    * the bypass table = BN rows flagged 'R' with pk-derived edges.
+    * One partial-aggregable groupBy, conditional aggregates only. */
+  def bandEdges(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Spectra
+    val hn = col("chan") === "HN"
+    val byp = col("chan") === "BN" && col("rflag") === "R"
+    Catalog.records(s, d)
+      .groupBy(col("evid"), col("sta"))
+      .agg(
+        max(when(col("score_x").isNotNull, col("fmin"))).as("fmin_gmc"),
+        max(when(hn, lit(1L))).as("has_fmax"),
+        max(when(hn && col("loc_elev").isNull, lit(1L))).as("fmax_nan"),
+        min(when(hn, least(col("fmax_x"), col("fmax_y"), col("fmax_z")))).as("fmax_val"),
+        max(when(byp, lit(1L))).as("in_byp"),
+        max(when(byp, lit(0.03) + (col("pk") % 10) / lit(100.0))).as("fmin_byp"),
+        // bypass highcut range [0.02, 0.21] overlaps the bypass lowcut
+        // range so the lowcut>=highcut skip path carries real rows
+        min(when(byp, lit(0.02) + (col("pk") % 20) / lit(100.0))).as("fmax_byp"))
+      .withColumn("use_byp",
+        (col("fmin_gmc").isNull || col("has_fmax").isNull) && col("in_byp").isNotNull)
+      .withColumn("fmin_r", when(col("use_byp"), col("fmin_byp")).otherwise(col("fmin_gmc")))
+      .withColumn("lowcut",
+        when(col("fmin_r").isNull, lit(0.04)).otherwise(col("fmin_r") / lit(1.25)))
+      .withColumn("highcut",
+        when(col("use_byp"), col("fmax_byp"))
+          .when(col("fmax_nan").isNotNull, lit(null).cast("double"))
+          .when(col("has_fmax").isNotNull, col("fmax_val"))
+          .otherwise(lit(Spectra.BandHighHz)))
+      .select(col("evid"), col("sta"), col("lowcut"), col("highcut"),
+        when(col("highcut").isNull, lit("bandpass_failed"))
+          .when(col("lowcut") >= col("highcut"), lit("lowcut_ge_highcut"))
+          .otherwise(lit(null).cast("string")).as("skip_reason"))
+  }
+
   /** The NGA-West-alignment polynomial correction — the rest of the
     * reference's `high_and_low_cut_processing` after the band-pass
     * (`waveform_manipulation.py:274-311`): filtered acc → velocity
@@ -300,8 +348,10 @@ object SignalOps {
       .withColumn("a_i", (col("sx") - col("b_s") * lit(Spectra.SumN)) / lit(Spectra.N.toDouble))
       .withColumn("tw", expr(Spectra.dtSeriesSpark("xs")))
       .withColumn("bb", Spectra.cascadeSeriesCol(col("tw")))
-      .withColumn("vel", transform(Spectra.cumTrapzCol(col("bb")),
-        v => v * lit(9.81) / lit(10.0)))
+      // the reference's `cumtrapz(...) * g / 10` elementwise scale is
+      // fused into the kernel pass (an interpreted HOF transform for
+      // the scale alone cost more than the fold)
+      .withColumn("vel", Spectra.cumTrapzCol(col("bb"), 9.81, 10.0))
       .withColumn("disp", Spectra.cumTrapzCol(col("vel")))
     for (m <- 0 to 4) {
       df = df.withColumn(s"cf$m",
@@ -309,6 +359,12 @@ object SignalOps {
       df = df.withColumn(s"c2_$m",
         (col(s"cf$m") * lit((Spectra.PolyOrder - m).toDouble)) * lit((Spectra.PolyOrder - 1 - m).toDouble))
     }
+    // corr stays a HOF transform ON PURPOSE: it references bb per
+    // element, and an unrolled array() constructor invites the
+    // optimizer to inline the cascade-kernel alias 16× / blow past
+    // the JIT method-size cliff (measured 11.6 → 20.9 s) — the
+    // interpreted 16-element lambda evaluating materialized bb once
+    // is the cheaper shape
     val horner = "((((c2_0 * CAST(i AS DOUBLE) + c2_1) * CAST(i AS DOUBLE) + c2_2)" +
       " * CAST(i AS DOUBLE) + c2_3) * CAST(i AS DOUBLE) + c2_4)"
     df.withColumn("corr", expr(
@@ -471,6 +527,7 @@ object SignalOps {
     "clip_features"    -> (clipFeatures _),
     "waveform_preproc" -> (waveformPreproc _),
     "waveform_poly_correct" -> (waveformPolyCorrect _),
+    "band_edges"       -> (bandEdges _),
     "im_duration"      -> (imDuration _)
   )
 
@@ -583,6 +640,35 @@ object SignalOps {
          |FROM (
          |  SELECT record_id, chan, b_s, a_i, ${Spectra.cascadeSql("tw")} AS st FROM (
          |$twChainSql))""".stripMargin
+    },
+    "band_edges" -> Catalog.oracle {
+      val lowcut = "CASE WHEN fmin_r IS NULL THEN 4e-2 ELSE fmin_r / 1.25e0 END"
+      s"""SELECT evid, sta,
+         |  $lowcut AS lowcut,
+         |  highcut,
+         |  CASE WHEN highcut IS NULL THEN 'bandpass_failed'
+         |       WHEN ($lowcut) >= highcut THEN 'lowcut_ge_highcut'
+         |       ELSE NULL END AS skip_reason
+         |FROM (
+         |  SELECT *,
+         |    CASE WHEN use_byp THEN fmin_byp ELSE fmin_gmc END AS fmin_r,
+         |    CASE WHEN use_byp THEN fmax_byp
+         |         WHEN fmax_nan IS NOT NULL THEN NULL
+         |         WHEN has_fmax IS NOT NULL THEN fmax_val
+         |         ELSE 8e0 END AS highcut
+         |  FROM (
+         |    SELECT *,
+         |      ((fmin_gmc IS NULL) OR (has_fmax IS NULL)) AND in_byp IS NOT NULL AS use_byp
+         |    FROM (
+         |      SELECT evid, sta,
+         |        max(CASE WHEN score_x IS NOT NULL THEN fmin END) AS fmin_gmc,
+         |        max(CASE WHEN chan = 'HN' THEN 1 END) AS has_fmax,
+         |        max(CASE WHEN chan = 'HN' AND loc_elev IS NULL THEN 1 END) AS fmax_nan,
+         |        min(CASE WHEN chan = 'HN' THEN least(fmax_x, fmax_y, fmax_z) END) AS fmax_val,
+         |        max(CASE WHEN chan = 'BN' AND rflag = 'R' THEN 1 END) AS in_byp,
+         |        max(CASE WHEN chan = 'BN' AND rflag = 'R' THEN 3e-2 + (pk % 10) / 1e2 END) AS fmin_byp,
+         |        min(CASE WHEN chan = 'BN' AND rflag = 'R' THEN 2e-2 + (pk % 20) / 1e2 END) AS fmax_byp
+         |      FROM gm_records GROUP BY evid, sta)))""".stripMargin
     },
     "waveform_poly_correct" -> Catalog.oracle {
       import graft.functions.{Portable, Spectra}

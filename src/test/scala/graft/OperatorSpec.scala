@@ -555,6 +555,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("band_edges: every skip path carries rows; survivors have ordered edges") {
+    val rows = SignalOps.bandEdges(spark, Sf).collect()
+    val reasons = rows.map(r => if (r.isNullAt(4)) None else Some(r.getString(4))).toSet
+    // a dead branch here means a catalog-derivation change silently
+    // stopped exercising part of the resolution logic
+    assert(reasons == Set(None, Some("bandpass_failed"), Some("lowcut_ge_highcut")))
+    for (r <- rows if r.isNullAt(4)) {
+      assert(!r.isNullAt(2) && !r.isNullAt(3))
+      assert(r.getDouble(2) < r.getDouble(3), s"unskipped row with lowcut >= highcut: $r")
+    }
+  }
+
   test("clip_prob serving path: forward pass, NULL propagation, feature join") {
     // forward pass against an independent recompute on fixed inputs
     val model = MultiModalOps.loadClipNet()
