@@ -359,16 +359,16 @@ object SignalOps {
       df = df.withColumn(s"c2_$m",
         (col(s"cf$m") * lit((Spectra.PolyOrder - m).toDouble)) * lit((Spectra.PolyOrder - 1 - m).toDouble))
     }
-    // corr stays a HOF transform ON PURPOSE: it references bb per
-    // element, and an unrolled array() constructor invites the
-    // optimizer to inline the cascade-kernel alias 16× / blow past
-    // the JIT method-size cliff (measured 11.6 → 20.9 s) — the
-    // interpreted 16-element lambda evaluating materialized bb once
-    // is the cheaper shape
-    val horner = "((((c2_0 * CAST(i AS DOUBLE) + c2_1) * CAST(i AS DOUBLE) + c2_2)" +
-      " * CAST(i AS DOUBLE) + c2_3) * CAST(i AS DOUBLE) + c2_4)"
+    // corr unrolled to literal-index scalar expressions — safe now
+    // that Sessions caps hugeMethodLimit at the JIT threshold (the
+    // over-wide stage falls back to split-method codegen instead of
+    // running interpreted)
+    def horner(i: Int) =
+      s"((((c2_0 * CAST($i AS DOUBLE) + c2_1) * CAST($i AS DOUBLE) + c2_2)" +
+        s" * CAST($i AS DOUBLE) + c2_3) * CAST($i AS DOUBLE) + c2_4)"
     df.withColumn("corr", expr(
-        s"transform(sequence(0, ${Spectra.N - 1}), i -> bb[i] - $horner)"))
+        (0 until Spectra.N).map(i => s"(bb[$i] - ${horner(i)})")
+          .mkString("array(", ", ", ")")))
       .select(col("record_id"), col("chan"),
         element_at(col("corr"), Spectra.N).as("corr_last"),
         Spectra.vecDot(col("corr"), col("corr")).as("corr_energy"),
