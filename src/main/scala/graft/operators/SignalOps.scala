@@ -383,21 +383,34 @@ object SignalOps {
     * cumulative double sums are not. One explode + two windows + one
     * groupBy per record. */
   def imDuration(s: SparkSession, d: String): DataFrame = {
-    val perRec = Window.partitionBy(recKey: _*)
-    val cumW = perRec.orderBy(col("j")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ariasC = math.Pi / (2.0 * 9.81) * 0.05 / 1e4 // centi-units², dt=0.05 → m/s
-    grid(s, d)
-      .withColumn("e", col("acc_c") * col("acc_c"))
-      .withColumn("total", sum(col("e")).over(perRec))
-      .withColumn("cum", sum(col("e")).over(cumW))
+    // The cumulative-energy crossings are per-record array math: the
+    // explode+window shape (N× rows, two window shuffles) becomes 16
+    // unrolled integer energy columns, ONE partial-aggregable groupBy
+    // (duplicate (evid,sta,lnum,pk) rows sum elementwise — exactly
+    // the oracle's ties-included RANGE cumulative frame), then prefix
+    // sums + CASE-chain first-crossing indices as pure projections.
+    // Identical integer arithmetic; the windowed SQL twin still
+    // cross-checks the values. 6.0 s → sub-second at sf0.1.
+    val eT = (0 until NFreq).map { j =>
+      val a = s"CAST(${graft.functions.Portable.accTerm("pk", j.toString)} AS BIGINT)"
+      s"($a * $a) AS e$j"
+    }
+    var df = Catalog.records(s, d)
+      .selectExpr(Seq("evid", "sta", "lnum", "pk") ++ eT: _*)
       .groupBy(recKey: _*)
-      .agg(
-        max(col("total")).as("total"),
-        min(when(col("cum") * 20 >= col("total"), col("j"))).as("n5"),
-        min(when(col("cum") * 4 >= col("total") * 3, col("j"))).as("n75"),
-        min(when(col("cum") * 20 >= col("total") * 19, col("j"))).as("n95"))
+      .agg(sum(col("e0")).as("c0"),
+        (1 until NFreq).map(j => sum(col(s"e$j")).as(s"s$j")): _*)
+    for (j <- 1 until NFreq) df = df.withColumn(s"c$j", expr(s"c${j - 1} + s$j"))
+    def firstCross(mult: Int, totMult: Int): org.apache.spark.sql.Column =
+      (0 until NFreq).foldRight(lit(null).cast("int")) { (j, els) =>
+        when(col(s"c$j") * mult >= col(s"c${NFreq - 1}") * totMult, lit(j)).otherwise(els)
+      }
+    df.withColumn("n5", firstCross(20, 1))
+      .withColumn("n75", firstCross(4, 3))
+      .withColumn("n95", firstCross(20, 19))
       .select(recordId.as("record_id"),
-        (col("total").cast("double") * lit(ariasC)).as("arias"),
+        (col(s"c${NFreq - 1}").cast("double") * lit(ariasC)).as("arias"),
         ((col("n75") - col("n5")).cast("double") * lit(0.05)).as("ds575"),
         ((col("n95") - col("n5")).cast("double") * lit(0.05)).as("ds595"))
   }
