@@ -55,9 +55,11 @@ object Rotd {
   private def dl(d: Double): String = Portable.dl(d)
   private val N = Portable.SeriesN
 
-  /** Negated 090-axis ground-acceleration series (Spark SQL). */
+  /** Negated 090-axis ground-acceleration series (Spark SQL),
+    * unrolled to a codegen-able array constructor. */
   def ps090Spark: String =
-    s"transform(sequence(0, ${N - 1}), j -> -CAST(${Portable.acc090Term("pk", "j")} AS DOUBLE))"
+    (0 until N).map(j => s"-CAST(${Portable.acc090Term("pk", j.toString)} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
 
   /** DuckDB twin of [[ps090Spark]]. */
   def ps090Sql: String =

@@ -75,9 +75,12 @@ object Sdof {
 
   /** Negated synthetic ground-acceleration series (centi-units), one
     * double per grid step, derived from the record key `pk` — same
-    * derivation as SignalOps.grid's acc_c. Spark SQL expression. */
+    * derivation as SignalOps.grid's acc_c. Spark side unrolled to a
+    * codegen-able array constructor (a HOF lambda runs interpreted;
+    * see Spectra.xsSpark). */
   def psSpark: String =
-    s"transform(sequence(0, ${NFreq - 1}), j -> -CAST(${Portable.accTerm("pk", "j")} AS DOUBLE))"
+    (0 until NFreq).map(j => s"-CAST(${Portable.accTerm("pk", j.toString)} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
 
   /** DuckDB twin of [[psSpark]]. */
   def psSql: String =

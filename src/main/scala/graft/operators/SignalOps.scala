@@ -457,7 +457,9 @@ object SignalOps {
                       // modular step wraps once per record ALWAYS, so
                       // >=1 would be constant-true; >=2 discriminates)
   def clipFeatures(s: SparkSession, d: String): DataFrame = {
-    val seriesExpr = s"transform(sequence(0, ${NFreq - 1}), j -> CAST(${graft.functions.Portable.accTerm("pk", "j")} AS BIGINT))"
+    val seriesExpr = (0 until NFreq)
+      .map(j => s"CAST(${graft.functions.Portable.accTerm("pk", j.toString)} AS BIGINT)")
+      .mkString("array(", ", ", ")")
     val ev = Catalog.events(s, d)
       .select(col("evid"), col("mag"), col("ev_lat"), col("ev_lon"), col("ev_depth"))
     val st = Catalog.stations(s, d).select(col("sta"), col("sta_lat"), col("sta_lon"))
@@ -479,9 +481,14 @@ object SignalOps {
           greatest(lit(DistClipLo), least(lit(DistClipHi), rHyp)))
           .otherwise(lit(null).cast("double"))
           .as("dist_clipped"),
-        (expr("array_max(transform(xs, x -> abs(x)))") >= RailC).as("max_amp_clip"),
-        (expr(s"size(filter(xs, x -> abs(x) >= $RailC))") >= RailMin).as("hist_clip"),
-        (expr(s"size(filter(transform(sequence(1, ${NFreq - 1}), j -> abs(xs[j] - xs[j-1])), v -> v >= $PingJumpC))") >= PingMin).as("ping_clip"))
+        // flag arithmetic unrolled to codegen-able integer expressions
+        // (the HOF array_max/filter/transform chain ran interpreted)
+        (expr((0 until NFreq).map(j => s"abs(xs[$j])").mkString("greatest(", ", ", ")"))
+          >= RailC).as("max_amp_clip"),
+        (expr((0 until NFreq).map(j => s"(CASE WHEN abs(xs[$j]) >= $RailC THEN 1 ELSE 0 END)")
+          .mkString(" + ")) >= RailMin).as("hist_clip"),
+        (expr((1 until NFreq).map(j => s"(CASE WHEN abs(xs[$j] - xs[${j - 1}]) >= $PingJumpC THEN 1 ELSE 0 END)")
+          .mkString(" + ")) >= PingMin).as("ping_clip"))
   }
 
   /** Horizontal-component combination of pSA (the reference flatfile's
