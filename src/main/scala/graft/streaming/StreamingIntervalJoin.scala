@@ -37,10 +37,21 @@ object StreamingIntervalJoin {
               | AND p_time <= click_time + interval 1 hour""".stripMargin))
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
     val name = s"stream_interval_join_${runSeq.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Streaming state partition count is fixed at the FIRST run from
+    // the session's shuffle partitions and sizes the per-batch state
+    // store overhead (open/commit per partition per side per batch) —
+    // 32 batch-sized partitions cost ~5 s of pure state bookkeeping
+    // for this dimension-sized state. Scope it down for the bounded
+    // run and restore (a production always-on query would instead set
+    // it once at stream start, sized to its state volume).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
