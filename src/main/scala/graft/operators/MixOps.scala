@@ -120,6 +120,39 @@ object MixOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_ppm"), col("u_ppm"))
   }
 
+  // ---- sequence packing ------------------------------------------
+
+  /** Training context-window length (tokens) and the shard fan-out of
+    * the packing order. */
+  val CtxTokens = 2048L
+  val PackShards = 8L
+
+  /** Context-window packing — the step between a sampled mix and an
+    * actual training run: documents are concatenated in a
+    * deterministic order and split at fixed token boundaries
+    * (GPT-style concat-and-chunk). Emits, per document, the sequence
+    * it starts in, its token offset there, and how many windows it
+    * spans. Order is (source, shard, doc_id) with shard =
+    * hash(doc_id) — the shard key bounds each window-function
+    * partition so packing parallelizes at corpus scale instead of
+    * serializing per source (one running-sum partition per
+    * (source, shard), sequence ids unique per partition). Rides the
+    * persisted [[docTokens]] projection; empty/NULL-text documents
+    * are skipped (nothing to pack). */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docTokens(s, d)
+      .filter(col("n_tokens").isNotNull)
+      .withColumn("shard", Portable.h60(col("doc_id").cast("string")) % PackShards)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        expr(s"cum_before div $CtxTokens").as("seq_id"),
+        (col("cum_before") % CtxTokens).as("seq_offset"),
+        expr(s"(cum_before + n_tokens + ${CtxTokens - 1}) div $CtxTokens - cum_before div $CtxTokens").as("n_seqs"))
+  }
+
   // ---- PII screening ---------------------------------------------
 
   /** Patterns kept inside the regex subset Java (Spark) and RE2
@@ -155,6 +188,7 @@ object MixOps {
   val queries: Map[String, QueryFn] = Map(
     "token_budget_mix"  -> (tokenBudgetMix _),
     "corpus_mix_sample" -> (corpusMixSample _),
+    "pack_sequences"    -> (packSequences _),
     "pii_count"         -> (piiCount _))
 
   private val tkSql = Portable.tokensSql("text")
@@ -174,6 +208,18 @@ object MixOps {
        |  FROM ps, tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+         |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
+         |       FROM toks WHERE tk IS NOT NULL),
+         |cb AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tt)
+         |SELECT doc_id, source, shard, n_tokens,
+         |  cum_before // $CtxTokens AS seq_id,
+         |  cum_before % $CtxTokens AS seq_offset,
+         |  (cum_before + n_tokens + ${CtxTokens - 1}) // $CtxTokens - cum_before // $CtxTokens AS n_seqs
+         |FROM cb""".stripMargin,
     "token_budget_mix" ->
       s"""WITH $budgetCtes
          |SELECT source, n_docs, tokens, weight, rate_ppm,
