@@ -445,7 +445,11 @@ object GeoOps {
       // generated method too large to JIT, and the whole stage runs
       // interpreted — measured 143 s vs 16 s at sf0.1 (rup+tvz or
       // rup+az alone stay compiled at ~5 s; all three cross the
-      // cliff). The exchange is one narrow-row shuffle, co-keys the
+      // cliff). Re-tested in round 9 under the hugeMethodLimit=8000
+      // guard (Sessions.scala): removing the break makes the over-limit
+      // stage fall back to split-method codegen, which JITs but still
+      // costs 25.7 s vs 12.9 s with two fused JIT'd stages — the break
+      // stays. The exchange is one narrow-row shuffle, co-keys the
       // output for downstream (evid, sta) consumers, and gives AQE a
       // re-plan point; each side of it stays JIT-compiled.
       .repartition(col("evid"), col("sta"))

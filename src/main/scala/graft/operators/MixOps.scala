@@ -150,7 +150,12 @@ object MixOps {
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         expr(s"cum_before div $CtxTokens").as("seq_id"),
         (col("cum_before") % CtxTokens).as("seq_offset"),
-        expr(s"(cum_before + n_tokens + ${CtxTokens - 1}) div $CtxTokens - cum_before div $CtxTokens").as("n_seqs"))
+        // A zero-token (empty non-NULL text) document spans no windows:
+        // without the guard the ceil-minus-floor difference reports 1
+        // whenever its start offset is not window-aligned.
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr(s"(cum_before + n_tokens + ${CtxTokens - 1}) div $CtxTokens - cum_before div $CtxTokens"))
+          .as("n_seqs"))
   }
 
   // ---- PII screening ---------------------------------------------
@@ -213,12 +218,14 @@ object MixOps {
          |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
          |         ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
          |       FROM toks WHERE tk IS NOT NULL),
-         |cb AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tt)
+         |cb AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM tt)
          |SELECT doc_id, source, shard, n_tokens,
          |  cum_before // $CtxTokens AS seq_id,
          |  cum_before % $CtxTokens AS seq_offset,
-         |  (cum_before + n_tokens + ${CtxTokens - 1}) // $CtxTokens - cum_before // $CtxTokens AS n_seqs
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE (cum_before + n_tokens + ${CtxTokens - 1}) // $CtxTokens - cum_before // $CtxTokens
+         |  END AS n_seqs
          |FROM cb""".stripMargin,
     "token_budget_mix" ->
       s"""WITH $budgetCtes
