@@ -30,8 +30,10 @@ object AnnRecall {
 
     for (p <- Seq(6, 8, 10)) {
       report(s"lsh k=$p", AnnOps.annLshTopkWith(spark, sfDir, p))
-      report(s"lsh k=$p multiprobe", AnnOps.annLshMultiprobeWith(spark, sfDir, p))
+      report(s"lsh k=$p multiprobe r=1", AnnOps.annLshMultiprobeWith(spark, sfDir, p))
+      report(s"lsh k=$p multiprobe r=2", AnnOps.annLshMultiprobeWith(spark, sfDir, p, radius = 2))
     }
+    report("lsh k=8 multiprobe r=3", AnnOps.annLshMultiprobeWith(spark, sfDir, 8, radius = 3))
     for ((cells, probe) <- Seq((8, 1), (8, 2), (16, 4), (64, 8), (64, 16), (256, 32)))
       report(s"ivf cells=$cells probe=$probe", AnnOps.annIvfTopkWith(spark, sfDir, cells, probe))
     spark.stop()

@@ -114,18 +114,25 @@ object AnnOps {
   def annLshTopk(s: SparkSession, d: String): DataFrame =
     annLshTopkWith(s, d, NPlanes)
 
-  /** Multi-probe variant: each query additionally probes the NPlanes
-    * buckets at hamming distance 1 (flip one sign bit), trading a 9x
-    * fan-out on the tiny query side for recall — candidates stay an
-    * equi-join on the bucket id, the vector side is still scanned
-    * once. A candidate reached via several probes is deduplicated
-    * before ranking. */
+  /** Multi-probe variant: each query additionally probes every bucket
+    * within hamming distance `radius` of its own (flip up to `radius`
+    * sign bits), trading probe fan-out on the tiny query side for
+    * recall — candidates stay an equi-join on the bucket id, the
+    * vector side is still scanned once. Fan-out is Σ_{i≤radius} C(k,i)
+    * probes per query (k+1 at radius 1, +k(k-1)/2 at radius 2), so
+    * radius is the recall knob that costs query-side rows only; the
+    * measured recall-per-scan curve is in SURVEY §5. A candidate
+    * reached via several probes is deduplicated before ranking. */
   def annLshMultiprobe(s: SparkSession, d: String): DataFrame =
     annLshMultiprobeWith(s, d, NPlanes)
 
-  def annLshMultiprobeWith(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+  /** All k-bit masks with popcount ≤ radius (the probe set). */
+  private[graft] def probeMasks(nPlanes: Int, radius: Int): Seq[Long] =
+    (0L until (1L << nPlanes)).filter(m => java.lang.Long.bitCount(m) <= radius)
+
+  def annLshMultiprobeWith(s: SparkSession, d: String, nPlanes: Int, radius: Int = 1): DataFrame = {
     val v = vectors(s, d).withColumn("bucket", bucketColFor("embedding", 0, nPlanes))
-    val probes = explode(array((Seq(0L) ++ (0 until nPlanes).map(j => 1L << j)).map(lit): _*)).as("probe")
+    val probes = explode(array(probeMasks(nPlanes, radius).map(lit): _*)).as("probe")
     val q = queriesSide(s, d).withColumn("bucket0", bucketColFor("qe", 0, nPlanes))
       .select(col("q_id"), col("qe"), col("qn"), col("bucket0"), probes)
       .select(col("q_id"), col("qe"), col("qn"), expr("bucket0 ^ probe").as("bucket"))

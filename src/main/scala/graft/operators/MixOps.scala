@@ -139,11 +139,30 @@ object MixOps {
     * (source, shard), sequence ids unique per partition). Rides the
     * persisted [[docTokens]] projection; empty/NULL-text documents
     * are skipped (nothing to pack). */
-  def packSequences(s: SparkSession, d: String): DataFrame = {
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packFrame(docTokens(s, d))
+
+  /** Production profile: pack the SAMPLED mix, not the whole corpus —
+    * the real pipeline is budget → sample → pack, so the packing
+    * input is [[corpusMixSample]]'s survivor set (same window, input
+    * swapped). The whole-corpus [[packSequences]] stays the
+    * DuckDB-checked entry; this composition's invariants (row count =
+    * mix size, per-partition token conservation) are pinned by
+    * OperatorSpec. One extra plan node only: the mix filter runs over
+    * the same persisted [[docTokens]] projection the packer reads. */
+  def packMixSequences(s: SparkSession, d: String): DataFrame =
+    packFrame(corpusMixSample(s, d))
+
+  /** Weighted-table companion of [[packMixSequences]] — the full
+    * production chain with an explicit `(source, weight)` mix table. */
+  def packMixSequences(s: SparkSession, d: String, weights: DataFrame): DataFrame =
+    packFrame(corpusMixSample(s, d, weights))
+
+  private def packFrame(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docTokens(s, d)
+    docs
       .filter(col("n_tokens").isNotNull)
       .withColumn("shard", Portable.h60(col("doc_id").cast("string")) % PackShards)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))

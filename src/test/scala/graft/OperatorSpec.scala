@@ -279,6 +279,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(samp.forall(_.getString(1) == "src_a"))
   }
 
+  test("pack_sequences composes over the sampled mix (production profile)") {
+    import org.apache.spark.sql.functions._
+    val mixRows = MixOps.corpusMixSample(spark, Sf).count()
+    val packedMix = MixOps.packMixSequences(spark, Sf).collect()
+    val packedCorpus = MixOps.packSequences(spark, Sf).collect()
+    // packing annotates, never drops or duplicates: one output row per
+    // sampled document, and the mix is a strict subset of the corpus
+    assert(packedMix.length.toLong == mixRows)
+    assert(mixRows > 0 && packedMix.length < packedCorpus.length)
+    // every packed-mix doc appears in the packed corpus with the same
+    // token count (the sample changes WHICH docs pack, not their size)
+    val corpusTok = packedCorpus.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (r <- packedMix)
+      assert(corpusTok.get(r.getLong(0)).contains(r.getLong(3)))
+    // exact packing invariant per (source, shard) partition: the last
+    // occupied window index must equal (sum(tokens)-1) div ctx — the
+    // running sum leaves no gaps and spans no phantom windows
+    val ctx = MixOps.CtxTokens
+    for ((_, rs) <- packedMix.groupBy(r => (r.getString(1), r.getLong(2)))) {
+      val tokens = rs.map(_.getLong(3)).sum
+      if (tokens > 0) {
+        val lastWin = rs.filter(_.getLong(3) > 0)
+          .map(r => r.getLong(4) + r.getLong(6) - 1).max
+        assert(lastWin == (tokens - 1) / ctx,
+          s"packing gap: last window $lastWin vs expected ${(tokens - 1) / ctx}")
+      }
+    }
+  }
+
   test("quality_all equals the composition of the individual quality filters") {
     import org.apache.spark.sql.functions._
     // intersect the per-filter survivor sets, then channel-dedup them —
