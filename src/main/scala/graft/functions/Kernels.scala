@@ -21,6 +21,93 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * inlines them.
   */
 
+/** Null-element guard shared by the series kernels. The kernels read
+  * elements with `getDouble`, which silently yields 0/garbage for a
+  * NULL element — and their inputs are usually DECLARED
+  * `containsNull = true` (any array() over nullable source columns
+  * is), even though every call site builds value-wise non-null
+  * series. So the type check cannot reject nullable arrays; instead
+  * each kernel fails loudly at eval time on an actual NULL element.
+  * The guard is emitted/executed only when the input TYPE admits
+  * nulls — and the column builders wrap kernel inputs in
+  * [[AssertNoNullElements]], which validates once per row and
+  * refines the type to `containsNull = false`, so in the committed
+  * plans the per-kernel guards compile to nothing (a kernel-dense
+  * projection re-guarding per call measured ~25% slower,
+  * dev/SCALING.md round 9). */
+private[functions] object KernelGuards {
+  def mayContainNulls(t: DataType): Boolean = t match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  def requireNoNulls(a: ArrayData, op: String): Unit = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$op: NULL element at index $i - series kernels require non-null array elements")
+      i += 1
+    }
+  }
+
+  /** Generated-code twin of [[requireNoNulls]], inlined so the guard
+    * needs no object reference in the Janino-compiled class. Empty
+    * when the input type already promises non-null elements. */
+  def genGuard(ctx: CodegenContext, a: String, op: String, t: DataType): String =
+    if (!mayContainNulls(t)) ""
+    else {
+      val z = ctx.freshName("z")
+      s"""for (int $z = 0; $z < $a.numElements(); $z++)
+         |  if ($a.isNullAt($z)) throw new IllegalArgumentException(
+         |    "$op: NULL element at index " + $z + " - series kernels require non-null array elements");""".stripMargin
+    }
+}
+
+/** Type-refining null-element assertion: validates that the child
+  * array has no NULL elements (one `isNullAt` pass) and re-declares
+  * its type as `containsNull = false`, so every downstream series
+  * kernel skips its own guard. The column builders ([[Sdof]],
+  * [[Spectra]], [[Rotd]]) wrap kernel inputs in this node — the
+  * wrapped subtree is what whole-stage codegen's subexpression
+  * elimination dedups, so a projection calling eight kernels on the
+  * same series pays ONE validation pass, not eight (measured ~25%
+  * on im_psa with per-kernel guards, noise with this node —
+  * dev/SCALING.md round 9). Pass-through for the array value itself;
+  * NULL arrays stay NULL (only elements are asserted). */
+case class AssertNoNullElements(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(et, _) => ArrayType(et, containsNull = false)
+    case t => t
+  }
+  override def prettyName: String = "assert_no_null_elements"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"assert_no_null_elements requires array, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    if (KernelGuards.mayContainNulls(child.dataType))
+      KernelGuards.requireNoNulls(xs, prettyName)
+    xs
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${KernelGuards.genGuard(ctx, a, prettyName, child.dataType)}
+         |${ev.value} = $a;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AssertNoNullElements =
+    copy(child = newChild)
+}
+
 /** Peak |u| of the Newmark-beta SDOF recurrence over the negated
   * ground-acceleration series `ps` (see [[Sdof]] for the derivation):
   * state (u, v, p_prev) starting at (0, 0, ps[0]); per element x:
@@ -38,6 +125,8 @@ case class SdofPeak(child: Expression, cu: Double, cv: Double, keff: Double, tdt
 
   override def nullSafeEval(a: Any): Any = {
     val ps = a.asInstanceOf[ArrayData]
+    if (KernelGuards.mayContainNulls(child.dataType))
+      KernelGuards.requireNoNulls(ps, prettyName)
     val n = ps.numElements()
     if (n == 0) 0.0
     else {
@@ -62,6 +151,7 @@ case class SdofPeak(child: Expression, cu: Double, cv: Double, keff: Double, tdt
       val Seq(n, u, v, pn, peak, i, x, u1, au) =
         Seq("n", "u", "v", "pn", "peak", "i", "x", "u1", "au").map(ctx.freshName)
       s"""
+         |${KernelGuards.genGuard(ctx, a, prettyName, child.dataType)}
          |int $n = $a.numElements();
          |double $peak = 0.0;
          |if ($n > 0) {
@@ -100,6 +190,8 @@ case class Iir2State(child: Expression, b0: Double, b1: Double, b2: Double,
 
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
+    if (KernelGuards.mayContainNulls(child.dataType))
+      KernelGuards.requireNoNulls(xs, prettyName)
     val n = xs.numElements()
     var x1 = 0.0; var x2 = 0.0; var y1 = 0.0; var y2 = 0.0; var en = 0.0
     var i = 0
@@ -119,6 +211,7 @@ case class Iir2State(child: Expression, b0: Double, b1: Double, b2: Double,
       val Seq(n, x1, x2, y1, y2, en, i, x, y, out) =
         Seq("n", "x1", "x2", "y1", "y2", "en", "i", "x", "y", "out").map(ctx.freshName)
       s"""
+         |${KernelGuards.genGuard(ctx, a, prettyName, child.dataType)}
          |int $n = $a.numElements();
          |double $x1 = 0.0; double $x2 = 0.0; double $y1 = 0.0; double $y2 = 0.0;
          |double $en = 0.0;
@@ -163,6 +256,8 @@ case class IirCascadeState(child: Expression,
 
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
+    if (KernelGuards.mayContainNulls(child.dataType))
+      KernelGuards.requireNoNulls(xs, prettyName)
     val n = xs.numElements()
     val s = sections.length
     val x1 = new Array[Double](s); val x2 = new Array[Double](s)
@@ -206,6 +301,7 @@ case class IirCascadeState(child: Expression,
       val yLast = st.last._3
       val yOut = st.last._5
       s"""
+         |${KernelGuards.genGuard(ctx, a, prettyName, child.dataType)}
          |int $n = $a.numElements();
          |$decls
          |double $en = 0.0;
@@ -243,6 +339,8 @@ case class IirCascadeSeries(child: Expression,
 
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
+    if (KernelGuards.mayContainNulls(child.dataType))
+      KernelGuards.requireNoNulls(xs, prettyName)
     val n = xs.numElements()
     val s = sections.length
     val x1 = new Array[Double](s); val x2 = new Array[Double](s)
@@ -284,6 +382,7 @@ case class IirCascadeSeries(child: Expression,
            |$y2 = $y1; $y1 = $y;""".stripMargin
       }.mkString("\n")
       s"""
+         |${KernelGuards.genGuard(ctx, a, prettyName, child.dataType)}
          |int $n = $a.numElements();
          |$decls
          |double[] $out = new double[$n];
@@ -321,6 +420,8 @@ case class CumTrapz(child: Expression, dt: Double, mul: Double = 1.0, div: Doubl
 
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
+    if (KernelGuards.mayContainNulls(child.dataType))
+      KernelGuards.requireNoNulls(xs, prettyName)
     val n = xs.numElements()
     val out = new Array[Double](n)
     var acc = 0.0
@@ -338,6 +439,7 @@ case class CumTrapz(child: Expression, dt: Double, mul: Double = 1.0, div: Doubl
     nullSafeCodeGen(ctx, ev, a => {
       val Seq(n, i, out, acc) = Seq("n", "i", "out", "acc").map(ctx.freshName)
       s"""
+         |${KernelGuards.genGuard(ctx, a, prettyName, child.dataType)}
          |int $n = $a.numElements();
          |double[] $out = new double[$n];
          |double $acc = 0.0;
@@ -392,6 +494,10 @@ case class RotdStats(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val p0 = a.asInstanceOf[ArrayData]
     val p9 = b.asInstanceOf[ArrayData]
+    if (KernelGuards.mayContainNulls(left.dataType))
+      KernelGuards.requireNoNulls(p0, prettyName)
+    if (KernelGuards.mayContainNulls(right.dataType))
+      KernelGuards.requireNoNulls(p9, prettyName)
     val n = math.min(p0.numElements(), p9.numElements())
     val peaks = new Array[Double](cosA.length)
     var k = 0
@@ -458,6 +564,8 @@ case class RotdStats(left: Expression, right: Expression,
              |}
            """.stripMargin
       s"""
+         |${KernelGuards.genGuard(ctx, a, prettyName, left.dataType)}
+         |${KernelGuards.genGuard(ctx, b, prettyName, right.dataType)}
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double[] $peaks = new double[$cosRef.length];
          |for (int $k = 0; $k < $cosRef.length; $k++) {

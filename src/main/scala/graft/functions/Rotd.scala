@@ -141,7 +141,8 @@ object Rotd {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val C = Sdof.coef(t)
     ColumnBridge.column(RotdStats(
-      ColumnBridge.expression(p0), ColumnBridge.expression(p9),
+      AssertNoNullElements(ColumnBridge.expression(p0)),
+      AssertNoNullElements(ColumnBridge.expression(p9)),
       grid.map(_._1).toArray, grid.map(_._2).toArray,
       C.cu, C.cv, C.keff, C.tdt, raw = false))
   }
@@ -152,7 +153,8 @@ object Rotd {
                   grid: Seq[(Double, Double)] = angles): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(RotdStats(
-      ColumnBridge.expression(p0), ColumnBridge.expression(p9),
+      AssertNoNullElements(ColumnBridge.expression(p0)),
+      AssertNoNullElements(ColumnBridge.expression(p9)),
       grid.map(_._1).toArray, grid.map(_._2).toArray,
       0.0, 0.0, 1.0, 0.0, raw = true))
   }

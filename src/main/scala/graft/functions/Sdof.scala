@@ -95,8 +95,8 @@ object Sdof {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
     import org.apache.spark.sql.functions.lit
     val C = coef(t)
-    lit(C.k) * ExpressionUtils.column(
-      SdofPeak(ExpressionUtils.expression(ps), C.cu, C.cv, C.keff, C.tdt)) / lit(100.0)
+    lit(C.k) * ExpressionUtils.column(SdofPeak(
+      AssertNoNullElements(ExpressionUtils.expression(ps)), C.cu, C.cv, C.keff, C.tdt)) / lit(100.0)
   }
 
   /** DuckDB twin of [[psaSpark]] — `list_reduce` needs accumulator and

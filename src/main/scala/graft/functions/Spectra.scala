@@ -173,7 +173,8 @@ object Spectra {
     * association order as [[biquadSql]]'s 5-state fold. */
   def biquadCol(tw: Column): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-    ExpressionUtils.column(Iir2State(ExpressionUtils.expression(tw), b0, b1, b2, a1, a2))
+    ExpressionUtils.column(Iir2State(
+      AssertNoNullElements(ExpressionUtils.expression(tw)), b0, b1, b2, a1, a2))
   }
   def biquadSql(tw: String): String = {
     def y(x: String, st: String) =
@@ -236,6 +237,11 @@ object Spectra {
     val kz = (Cx(math.pow(fs2, n) * math.pow(bw, n), 0.0) / den).re
     val upper = zp.filter(_.im > 1e-12).sortBy(p => (p.re, p.im))
     val reals = zp.filter(p => math.abs(p.im) <= 1e-12).map(_.re).sorted
+    // digital poles come in conjugate pairs, so real-axis poles must
+    // pair among themselves; an odd count means the design degenerated
+    // (fail here with the pairing message, not a MatchError below)
+    require(reals.size % 2 == 0,
+      s"pole pairing failed: ${reals.size} unpaired real poles for order $n")
     val pairs = upper.map(p => (-2.0 * p.re, p.re * p.re + p.im * p.im)) ++
       reals.grouped(2).map { case Seq(r1, r2) => (-(r1 + r2), r1 * r2) }.toSeq
     require(pairs.size == n, s"pole pairing failed: ${pairs.size} sections for order $n")
@@ -262,7 +268,8 @@ object Spectra {
     * section's output. */
   def cascadeCol(tw: Column, sos: Seq[Sos] = BandSos): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-    ExpressionUtils.column(IirCascadeState(ExpressionUtils.expression(tw),
+    ExpressionUtils.column(IirCascadeState(
+      AssertNoNullElements(ExpressionUtils.expression(tw)),
       sos.map(s => (s.b0, s.b1, s.b2, s.a1, s.a2))))
   }
 
@@ -297,7 +304,8 @@ object Spectra {
   /** Full filtered series ([[IirCascadeSeries]]). */
   def cascadeSeriesCol(tw: Column, sos: Seq[Sos] = BandSos): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-    ExpressionUtils.column(IirCascadeSeries(ExpressionUtils.expression(tw),
+    ExpressionUtils.column(IirCascadeSeries(
+      AssertNoNullElements(ExpressionUtils.expression(tw)),
       sos.map(s => (s.b0, s.b1, s.b2, s.a1, s.a2))))
   }
 
@@ -326,7 +334,8 @@ object Spectra {
     * elementwise `·mul/div` post-factor (identity by default). */
   def cumTrapzCol(xs: Column, mul: Double = 1.0, div: Double = 1.0): Column = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-    ExpressionUtils.column(CumTrapz(ExpressionUtils.expression(xs), Dt, mul, div))
+    ExpressionUtils.column(CumTrapz(
+      AssertNoNullElements(ExpressionUtils.expression(xs)), Dt, mul, div))
   }
 
   /** DuckDB twin of [[cumTrapzCol]]: seed the fold with
@@ -340,20 +349,19 @@ object Spectra {
   /** Pseudo-inverse rows of the degree-`order` polynomial fit over the
     * fixed grid x = 0..n−1 (`np.polyfit(arange(n), d, order)`): row k
     * dotted with the data vector gives coefficient k,
-    * highest-power-first. Solved once on the driver via the normal
-    * equations (Gauss-Jordan on the (order+1)² Gram matrix); both
+    * highest-power-first. Solved once on the driver by thin QR
+    * (modified Gram-Schmidt) in the scaled basis t = i/(n−1); both
     * engines consume the rows as double literals. */
   def polyfitRows(n: Int, order: Int): Seq[Seq[Double]] = {
     val m = order + 1
-    // Fit in the scaled basis t = i/(n−1) — the raw power-basis Gram
-    // matrix at order 6 is ~1e10-conditioned and the normal equations
-    // lose ~6 digits; scaling buys them back, and the coefficient
-    // rescale below is an exact diagonal map.
+    // Fit in the scaled basis t = i/(n−1): the raw power basis at
+    // order 6 is ~1e10-conditioned; the coefficient rescale below is
+    // an exact diagonal map back.
     val sc = (n - 1).toDouble
     val v = Array.tabulate(n, m)((i, k) => math.pow(i.toDouble / sc, (order - k).toDouble))
-    // Thin QR via modified Gram-Schmidt (the monomial Gram matrix is
-    // Hilbert-like, ~1e8-conditioned — normal equations lose 6+
-    // digits even scaled; QR keeps the fit at ~1e-10)
+    // Thin QR via modified Gram-Schmidt on the scaled Vandermonde —
+    // scaling plus QR keeps the fit residual at ~1e-10, where a
+    // normal-equations solve would lose 6+ digits even scaled.
     val q = Array.tabulate(n, m)((i, k) => v(i)(k))
     val r = Array.ofDim[Double](m, m)
     for (k <- 0 until m) {

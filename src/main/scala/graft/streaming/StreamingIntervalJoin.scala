@@ -22,8 +22,20 @@ object StreamingIntervalJoin {
   private val runSeq = new AtomicInteger(0)
 
   def run(s: SparkSession, dir: String): DataFrame = {
+    // Streaming state partition count is fixed at the FIRST run from
+    // the session's shuffle partitions and sizes the per-batch state
+    // store overhead (open/commit per partition per side per batch) —
+    // 32 batch-sized partitions cost ~5 s of pure state bookkeeping
+    // for this dimension-sized state. The override is scoped to a
+    // CLONED session (same SparkContext, shared data, private conf +
+    // temp-view catalog): mutating the caller's session-global conf
+    // would race with any query concurrently planned on it. A
+    // production always-on query would instead set the value once at
+    // stream start, sized to its state volume.
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "4")
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
-      s.readStream.schema(StreamingSessionize.eventsSchema)
+      ns.readStream.schema(StreamingSessionize.eventsSchema)
         .parquet(s"$dir/[e]vents.parquet")
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
@@ -37,22 +49,13 @@ object StreamingIntervalJoin {
               | AND p_time <= click_time + interval 1 hour""".stripMargin))
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
     val name = s"stream_interval_join_${runSeq.incrementAndGet()}"
-    // Streaming state partition count is fixed at the FIRST run from
-    // the session's shuffle partitions and sizes the per-batch state
-    // store overhead (open/commit per partition per side per batch) —
-    // 32 batch-sized partitions cost ~5 s of pure state bookkeeping
-    // for this dimension-sized state. Scope it down for the bounded
-    // run and restore (a production always-on query would instead set
-    // it once at stream start, sized to its state volume).
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    // The memory sink registers its temp view in the session that
+    // starts the query — read the result back through the clone.
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ns.table(name)
   }
 
   val oracle: String =

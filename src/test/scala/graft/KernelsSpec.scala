@@ -39,6 +39,29 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("series kernels reject NULL array elements loudly") {
+    // inputs are usually DECLARED containsNull=true (array() over
+    // nullable columns); getDouble would silently read garbage for an
+    // actual NULL element, so the kernels must fail with a clear
+    // message instead
+    val withNull =
+      Literal(new GenericArrayData(Array[Any](1.0, null, 3.0)), ArrayType(DoubleType))
+    val clean = lit(Seq(1.0, 2.0, 3.0))
+    val sec = Seq((1.0, 0.5, 0.25, 0.1, 0.05))
+    val kernels = Seq(
+      SdofPeak(withNull, 1586.09, 86.28, 5799.2, 40.0),
+      Iir2State(withNull, 1.0, 0.5, 0.25, 0.1, 0.05),
+      IirCascadeState(withNull, sec),
+      IirCascadeSeries(withNull, sec),
+      CumTrapz(withNull, 0.01),
+      RotdStats(withNull, clean, Array(1.0), Array(0.0), 1586.09, 86.28, 5799.2, 40.0, raw = true),
+      RotdStats(clean, withNull, Array(1.0), Array(0.0), 1586.09, 86.28, 5799.2, 40.0, raw = true))
+    for (k <- kernels) {
+      val e = intercept[IllegalArgumentException](k.eval(null))
+      assert(e.getMessage.contains("NULL element"), s"${k.prettyName}: ${e.getMessage}")
+    }
+  }
+
   test("Iir2State matches the reference biquad fold on arbitrary series") {
     val (b0, b1, b2, a1, a2) = (0.2, 0.4, 0.2, -0.18, 0.05)
     for (_ <- 1 to 300) {
