@@ -213,6 +213,7 @@ object MixOps {
     "token_budget_mix"  -> (tokenBudgetMix _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "pack_sequences"    -> (packSequences _),
+    "pack_mix_sequences" -> ((s: SparkSession, d: String) => packMixSequences(s, d)),
     "pii_count"         -> (piiCount _))
 
   private val tkSql = Portable.tokensSql("text")
@@ -237,6 +238,24 @@ object MixOps {
          |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
          |         ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
          |       FROM toks WHERE tk IS NOT NULL),
+         |cb AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM tt)
+         |SELECT doc_id, source, shard, n_tokens,
+         |  cum_before // $CtxTokens AS seq_id,
+         |  cum_before % $CtxTokens AS seq_offset,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE (cum_before + n_tokens + ${CtxTokens - 1}) // $CtxTokens - cum_before // $CtxTokens
+         |  END AS n_seqs
+         |FROM cb""".stripMargin,
+    "pack_mix_sequences" ->
+      s"""WITH $budgetCtes,
+         |samp AS (
+         |  SELECT t.doc_id, t.source, t.tk
+         |  FROM toks t JOIN rates r ON t.source = r.source
+         |  WHERE ${Portable.h60Sql(s"CAST(t.doc_id AS VARCHAR) || ':$MixSalt'")} % 1000000 < r.rate_ppm),
+         |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
+         |       FROM samp WHERE tk IS NOT NULL),
          |cb AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM tt)
          |SELECT doc_id, source, shard, n_tokens,

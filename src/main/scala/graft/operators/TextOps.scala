@@ -439,6 +439,49 @@ object TextOps {
           col("top_word_ratio") < 0.2)
   }
 
+  /** Gopher duplicate-LINE signals (Rae et al. 2021 §A1.1, the other
+    * half of the repetition table [[qualityGopher]]'s n-gram/word
+    * rules leave): fraction of lines that are repeats of an earlier
+    * line, and the fraction of characters inside those repeated
+    * occurrences — boilerplate navigation/footer text shows up as
+    * line-level repetition long before it dominates n-grams.
+    *
+    * Scale shape: same as [[qualityGopher]] — explode the line list,
+    * two partial-aggregable groupBys (per-(doc, line) counts, then
+    * per-doc sums), one corpus scan, LINEAR in document length. All
+    * ratios divide two exact integer sums, so the DuckDB twin (a
+    * per-row list recompute) lands on identical doubles. NULL-text
+    * docs keep a row of NULL metrics (explode_outer + the n_lines
+    * gate), like every corpus operator here. */
+  def qualityRepetition(s: SparkSession, d: String): DataFrame = {
+    val perLine = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+        explode_outer(col("ls")).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(max(col("n_lines")).as("n_lines"), count(col("line")).as("cnt"))
+    perLine
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_lines")).as("n_lines"),
+        sum(when(col("cnt") > 0, col("cnt") - 1).otherwise(lit(0L))).as("dup_lines"),
+        sum(when(col("cnt") > 1, (col("cnt") - 1) * length(col("line")).cast("long"))
+          .otherwise(lit(0L))).as("dup_chars"),
+        sum(when(col("cnt") > 0, col("cnt") * length(col("line")).cast("long"))
+          .otherwise(lit(0L))).as("tot_chars"))
+      .select(col("doc_id"), col("n_lines"),
+        when(col("n_lines").isNotNull,
+          col("dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        when(col("n_lines").isNotNull,
+          when(col("tot_chars") > 0,
+            col("dup_chars").cast("double") / col("tot_chars").cast("double"))
+            .otherwise(lit(0.0)))
+          .as("dup_line_char_frac"))
+      .withColumn("rep_pass",
+        when(col("n_lines").isNotNull,
+          col("dup_line_frac") < 0.3 && col("dup_line_char_frac") < 0.2))
+  }
+
   // ---- benchmark decontamination ---------------------------------
 
   /** Eval-set membership: a fixed hash-free slice of the corpus
@@ -524,6 +567,7 @@ object TextOps {
     "decontaminate"   -> (decontaminate _),
     "dedup_segments"  -> (dedupSegments _),
     "quality_gopher"  -> (qualityGopher _),
+    "quality_repetition" -> (qualityRepetition _),
     "sample_stratified" -> (sampleStratified _),
     "tfidf_topk"      -> (tfidfTopk _),
     "corpus_stats"    -> (corpusStats _),
@@ -639,6 +683,27 @@ object TextOps {
          |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3e0 AND mean_word_len <= 1e1
          |   AND dup_2gram_frac < 2e-1 AND dup_3gram_frac < 1.8e-1 AND top_word_ratio < 2e-1) AS gopher_pass
          |FROM m""".stripMargin,
+    "quality_repetition" ->
+      s"""WITH ls AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+         |  CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+         |    t -> (len(list_filter(ls, x -> x = t)) - 1) * length(t))), 0) AS BIGINT) AS dup_chars,
+         |  CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS BIGINT) AS tot_chars
+         |  FROM ls),
+         |f AS (SELECT doc_id, n_lines,
+         |  CASE WHEN n_lines IS NOT NULL
+         |    THEN CAST(dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
+         |  CASE WHEN n_lines IS NOT NULL
+         |    THEN CASE WHEN tot_chars > 0
+         |      THEN CAST(dup_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE) ELSE 0e0 END
+         |  END AS dup_line_char_frac
+         |  FROM m)
+         |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+         |  CASE WHEN n_lines IS NOT NULL
+         |    THEN (dup_line_frac < 3e-1 AND dup_line_char_frac < 2e-1) END AS rep_pass
+         |FROM f""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, source, rate_ppm, u_ppm FROM (
          |  SELECT doc_id, source,

@@ -423,9 +423,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // assignment scores every vector against the broadcast
     // DIMENSION-SIZED centroid table (~√N rows) — inherent to IVF,
     // immediately partial-aggregated back to one row per vector.
+    // pack_mix_sequences composes corpus_mix_sample, inheriting the
+    // same one-row budget-totals scalar join.
     val allowedNestedLoop =
       Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
-        "ann_ivf_topk")
+        "pack_mix_sequences", "ann_ivf_topk")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
