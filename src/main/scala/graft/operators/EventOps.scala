@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 import graft.QueryFn
 import graft.sources.Tables
 
@@ -22,14 +23,42 @@ object EventOps {
 
   val GapUs: Long = 30L * 60 * 1000000 // 30-minute session gap
 
-  /** events with portable microsecond timestamps and integer cents.
-    * `ts` arrives as nanos-since-epoch (TIMESTAMP(NANOS) parquet read
-    * with nanosAsLong). */
-  private def events(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
+  /** Epoch-microseconds from whatever vintage of `events.ts` the data
+    * was written with. The testdata has shipped BOTH encodings across
+    * rounds: TIMESTAMP(NANOS) parquet (Spark reads it as a raw
+    * nanos-since-epoch long under the session's nanosAsLong setting)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Branching on the type Spark actually read — not a
+    * hardcoded assumption — is what keeps a regeneration from turning
+    * into a silent 1000x misscale (round-9 postmortem). The NTZ cast
+    * goes through the session timezone, which Sessions.scala pins to
+    * UTC, matching DuckDB's epoch_ns(ts). */
+  def tsUs(dt: DataType): Column = dt match {
+    case LongType                        => expr("ts div 1000").cast("long")
+    case TimestampNTZType | TimestampType => unix_micros(col("ts").cast("timestamp"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts read as unsupported type $other; expected nanos LongType or TIMESTAMP/_NTZ")
+  }
+
+  /** Same vintage branch, but producing an event-time TIMESTAMP column
+    * (for streaming watermarks / time windows). */
+  def tsEventTime(dt: DataType): Column = dt match {
+    case LongType                        => timestamp_micros(expr("ts div 1000").cast("long"))
+    case TimestampNTZType | TimestampType => col("ts").cast("timestamp")
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts read as unsupported type $other; expected nanos LongType or TIMESTAMP/_NTZ")
+  }
+
+  /** events with portable microsecond timestamps and integer cents. */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.select(
       col("event_id"), col("user_id"), col("event_type"),
-      expr("ts div 1000").cast("long").as("ts_us"),
+      tsUs(ev.schema("ts").dataType).as("ts_us"),
       expr("cast(round(value * 100) as bigint)").as("cents"))
+  }
 
   private val userW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
   private val userRunW = userW.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -34,12 +34,13 @@ object StreamingIntervalJoin {
     // stream start, sized to its state volume.
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = StreamingSessionize.eventsSchema(ns, dir)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
-      ns.readStream.schema(StreamingSessionize.eventsSchema)
+      ns.readStream.schema(schema)
         .parquet(s"$dir/[e]vents.parquet")
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
-          timestamp_micros(expr("ts div 1000").cast("long")).as(tsAs))
+          graft.operators.EventOps.tsEventTime(schema("ts").dataType).as(tsAs))
         .withWatermark(tsAs, "2 hours")
     val clicks    = side("click", "click_id", "c_user", "click_time")
     val purchases = side("purchase", "purchase_id", "p_user", "p_time")

@@ -43,21 +43,28 @@ object StreamingSessionize {
     out.iterator
   }
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) → nanos long under
-    * the session's nanosAsLong setting). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events schema for `readStream` (which demands an explicit schema),
+    * derived from the parquet FOOTER via a batch footer read of the same
+    * file — never hand-declared. Round 9's forced
+    * `StructField("ts", LongType)` over a column the driver had
+    * regenerated as TIMESTAMP(MICROS) made the vectorized reader hand
+    * back raw micros that downstream code divided as nanos: plausible
+    * numbers, 1000x wrong, caught only by the oracle. Deriving the
+    * schema from the footer removes that failure class; the ts vintage
+    * branch lives in [[EventOps.tsUs]]/[[EventOps.tsEventTime]]. */
+  def eventsSchema(s: SparkSession, dir: String): StructType =
+    s.read.parquet(s"$dir/events.parquet").schema
 
   private val runSeq = new AtomicInteger(0)
 
   def run(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val schema = eventsSchema(s, dir)
     // glob form: the file-stream source requires a directory or glob
     // basePath, and the driver ships events as a single parquet file
-    val stream = s.readStream.schema(eventsSchema).parquet(s"$dir/[e]vents.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").cast("long").as("ts_us"))
+    val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+      .select(col("event_id"), col("user_id"),
+        EventOps.tsUs(schema("ts").dataType).as("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)

@@ -22,10 +22,11 @@ object StreamingWindowCounts {
   private val runSeq = new AtomicInteger(0)
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val stream = s.readStream.schema(StreamingSessionize.eventsSchema)
+    val schema = StreamingSessionize.eventsSchema(s, dir)
+    val stream = s.readStream.schema(schema)
       .parquet(s"$dir/[e]vents.parquet")
       .select(
-        timestamp_micros(expr("ts div 1000").cast("long")).as("ev_time"),
+        graft.operators.EventOps.tsEventTime(schema("ts").dataType).as("ev_time"),
         col("event_type"),
         expr("cast(round(value * 100) as bigint)").as("cents"))
       .withWatermark("ev_time", "2 hours")

@@ -368,6 +368,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  /** r9 postmortem guard: a hand-declared `LongType` stream schema over
+    * a column the driver had regenerated as TIMESTAMP(MICROS) silently
+    * misscaled every timestamp 1000x — plausible numbers, caught only
+    * by the oracle. Two invariants keep that class dead: the stream
+    * schema must BE the batch footer schema, and both ts vintages must
+    * convert to identical epoch-micros. */
+  test("stream schema matches the parquet footer and both ts vintages convert identically") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val sp = spark
+    import sp.implicits._
+    val declared = StreamingSessionize.eventsSchema(spark, Sf)
+    val batch = spark.read.parquet(s"$Sf/events.parquet").schema
+    assert(declared == batch, "stream schema must derive from the parquet footer")
+    val us = Seq(0L, 1755043200123456L, 86400L * 1000000L + 7L)
+    val fromNanos = us.map(_ * 1000L).toDF("ts")
+      .select(EventOps.tsUs(org.apache.spark.sql.types.LongType).as("us"))
+      .as[Long].collect().toSeq
+    val ntz = us.toDF("raw")
+      .select(timestamp_micros(col("raw")).cast("timestamp_ntz").as("ts"))
+    val fromNtz = ntz.select(EventOps.tsUs(ntz.schema("ts").dataType).as("us"))
+      .as[Long].collect().toSeq
+    assert(fromNanos == us, s"nanos-long vintage misconverted: $fromNanos")
+    assert(fromNtz == us, s"TIMESTAMP_NTZ vintage misconverted: $fromNtz")
+  }
+
   test("minhash candidate pairs are ordered, distinct, with exact jaccard in [0,1]") {
     val rows = TextOps.ngramJaccard(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
