@@ -1,24 +1,62 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
 /** Benchmark main: a warmup pass absorbs codegen/executor spin-up,
   * then each query is timed three times and the MEDIAN reported —
   * per-query jitter on a shared box is 2-4x (adjudicated in round 3:
   * a 43 s outlier was machine contention), and the median of three
   * makes a single contended run unable to corrupt the headline.
   *
-  * Stdout contract: several ≤1 kB JSON detail lines (the per-query
-  * median map, chunked 30 entries per line, keyed `queries_part` with
-  * `part`/`of` for reassembly) followed by ONE compact headline line
-  * (`"metric":"total"`, carrying unit + sf once for all lines) LAST.
-  * The driver keeps a fixed (~3 kB) tail of stdout and parses the
-  * final line for the headline; the WHOLE payload must fit that tail
-  * or the front detail lines are cut (rounds 1-7 lost the first ~7
-  * queries to a single 2.5 kB line; round 8's 5.6 kB payload lost all
-  * of part 1). Budget: 90 entries × ~23 B at 2 decimals + 3 × 54 B
-  * line overhead + ~110 B headline ≈ 2.4 kB. */
+  * Stdout contract, ordered so that a fixed-size TAIL of stdout (the
+  * driver keeps ~2 kB and parses the FINAL line for the headline)
+  * always contains every per-query number:
+  *   1. named `queries_part` detail chunks (~2.4 kB total) — human
+  *      friendly, may be front-truncated by the tail, that's fine;
+  *   2. one `prop_diag` line — driver-side evidence for the
+  *      propagation_table wall-time anomaly (3 rounds of 32-35 s on
+  *      the driver vs 13-16 s local): all three timed runs, an extra
+  *      run BEFORE and AFTER the suite (suite-ordering probe), and
+  *      stage-metric totals (disk/mem spill, shuffle bytes, executor
+  *      time) for the timed runs;
+  *   3. one compact `medians` line: values-only array in ascending
+  *      query-name order (the SAME sorted order as the named chunks /
+  *      CORRECTNESS entries / SparkEntry.queries.keys.sorted) — ~0.6 kB
+  *      carries all 92 numbers even when every named chunk is cut;
+  *   4. the `total` headline LAST (driver parses the final line).
+  * Lines 2-4 total ~1 kB, inside any plausible tail. */
 object Bench {
+
+  /** Accumulates task metrics across completed stages. Listener events
+    * are posted asynchronously; reads are taken after a short drain
+    * sleep, which is fine for whole-run diagnostic totals. */
+  private final class StageAgg extends SparkListener {
+    val spillDisk = new AtomicLong
+    val spillMem = new AtomicLong
+    val shuffle = new AtomicLong
+    val execMs = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten + m.shuffleReadMetrics.totalBytesRead)
+        execMs.addAndGet(m.executorRunTime)
+      }
+    }
+    def snapshot: Seq[Long] = Seq(spillDisk.get, spillMem.get, shuffle.get, execMs.get)
+  }
+
+  private def fmt(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    val agg = new StageAgg
+    spark.sparkContext.addSparkListener(agg)
     def time(fn: QueryFn): Double = {
       val t0 = System.nanoTime()
       // toRdd materializes every output column: a bare count() would
@@ -36,49 +74,63 @@ object Bench {
       }
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val Prop = "propagation_table"
     names.foreach(n => time(SparkEntry.queries(n))) // warmup pass
+    // ordering probe: propagation_table right after warmup, before the
+    // suite touches anything else (cold-position measurement)
+    val propFirst = time(SparkEntry.queries(Prop))
     // A query that fails ANY of its 3 runs is reported as null and
     // excluded from the total — a -1 sentinel must not participate in
     // the median (an intermittent failure would still yield a "real"
     // median) nor be summed into the headline.
-    val results = names.map { n => n -> (1 to 3).map(_ => time(SparkEntry.queries(n))) }
+    var propRuns: Seq[Double] = Nil
+    var propMetrics: Seq[Long] = Nil
+    val results = names.map { n =>
+      if (n == Prop) {
+        val before = agg.snapshot
+        val runs = (1 to 3).map(_ => time(SparkEntry.queries(n)))
+        Thread.sleep(500) // drain the async listener bus
+        propMetrics = agg.snapshot.zip(before).map { case (a, b) => a - b }
+        propRuns = runs
+        n -> runs
+      } else n -> (1 to 3).map(_ => time(SparkEntry.queries(n)))
+    }
+    // ordering probe: once more after the whole suite (hot position)
+    val propLast = time(SparkEntry.queries(Prop))
     val medians = results.map { case (n, runs) =>
       n -> (if (runs.forall(_ >= 0)) Some(runs.sorted.apply(1)) else None)
     }
     val failed = medians.collect { case (n, None) => n }
     // 2-decimal precision: full-precision doubles double the line
     // length for noise digits, and the driver's tail is the scarce
-    // resource (round 8 lost part 1 of 5 — ~5.6 kB total exceeded the
-    // ~3 kB tail). 90 names avg 14.5 bytes → ~2.1 kB of entries; the
-    // whole payload must stay ≤ ~2.5 kB.
+    // resource.
     val entries = medians.map { case (k, v) =>
-      "\"" + k + "\":" + v.fold("null")(x =>
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(x)))
+      "\"" + k + "\":" + v.fold("null")(fmt)
     }
     val total = medians.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Detail lines first, headline LAST: the driver keeps a fixed tail
-    // of stdout and parses its final line. A single ~2.5 kB detail
-    // line got its FRONT truncated off by that tail (rounds 1-7 lost
-    // the first ~7 queries), so the per-query map is chunked into
-    // ≤1 kB lines (~18 entries ≈ 550 bytes each); `part`/`of` let a
-    // reader reassemble and detect a lost chunk. The compact headline
-    // (a few hundred bytes, always intact inside any reasonable tail)
-    // closes the stream.
-    // Detail lines carry ONLY part/of + the entry map — unit ("sec")
-    // and the sf path live once in the headline; repeating them per
-    // line cost ~200 bytes of the tail budget in round 8.
     val chunks = entries.grouped(30).toSeq
     val detailLines = chunks.zipWithIndex.map { case (chunk, i) =>
       val qs = chunk.mkString("{", ",", "}")
       s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":$qs}"""
     }
-    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
-    val headline = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}"""
+    val Seq(spillD, spillM, shufB, execMs) =
+      if (propMetrics.nonEmpty) propMetrics else Seq(0L, 0L, 0L, 0L)
+    val propDiag =
+      s"""{"metric":"prop_diag","first":${fmt(propFirst)},"runs":[${propRuns.map(fmt).mkString(",")}],""" +
+      s""""last":${fmt(propLast)},"spill_disk_mb":${spillD / 1048576},"spill_mem_mb":${spillM / 1048576},""" +
+      s""""shuffle_mb":${shufB / 1048576},"exec_core_s":${execMs / 1000}}"""
+    // the tail-proof line: all medians, values only, name-ascending
+    val compact =
+      s"""{"metric":"medians","order":"name_asc","n":${names.size},"sec":[""" +
+      medians.map(_._2.fold("null")(fmt)).mkString(",") + "]}"
+    val headline = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so executor-shutdown log lines can't
     // land after the JSON — the driver parses the final stdout line.
     spark.stop()
     detailLines.foreach(println)
+    println(propDiag)
+    println(compact)
     println(headline)
     System.out.flush()
   }
