@@ -75,7 +75,20 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val Prop = "propagation_table"
-    names.foreach(n => time(SparkEntry.queries(n))) // warmup pass
+    // Adaptive warmup: with map stages now running 32-wide, a cold
+    // query's first executions burn interpreted codegen on EVERY core
+    // until the C2 compile queue drains (measured 205 core-s cold vs 9
+    // hot on quality_gopher) — one fixed warmup pass is not always
+    // enough to reach steady state when the whole suite is queued.
+    // Re-run each query while it is still speeding up >1.4x (max 4
+    // runs) so the timed medians measure the hot engine, not the JIT.
+    names.foreach { n =>
+      var prev = time(SparkEntry.queries(n))
+      var i = 1
+      var cur = prev
+      do { prev = cur; cur = time(SparkEntry.queries(n)); i += 1 }
+      while (i < 4 && cur >= 0 && prev >= 0 && prev / math.max(cur, 1e-9) > 1.4)
+    }
     // ordering probe: propagation_table right after warmup, before the
     // suite touches anything else (cold-position measurement)
     val propFirst = time(SparkEntry.queries(Prop))

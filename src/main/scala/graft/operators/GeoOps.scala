@@ -58,6 +58,23 @@ object GeoOps {
   def eventStationDistances(s: SparkSession, d: String): DataFrame =
     pairFrame(s, d).select("evid", "sta", "r_epi", "r_hyp", "az_oct")
 
+  /** Pre-fan-out width boost for a dimension-sized scan feeding a
+    * broadcast-join pair generator. The generator multiplies each
+    * event row ~160x (3 bands x in-band stations) and evaluates all
+    * the per-pair math in the SAME stage as the scan, so stage
+    * parallelism equals the SCAN's split count — and the events file
+    * is one parquet split, which serialized the whole 24M-row
+    * generation onto a single task (~17 core-s at ~1.5-core occupancy;
+    * the one long task any box contention doubles — the r7-r9 "driver
+    * anomaly" on propagation_table). A skinny repartition (150k narrow
+    * rows, trivial exchange) buys full-width generation; gated so a
+    * genuinely multi-split scan (the 100 TB case) keeps its natural
+    * partitioning and pays nothing. */
+  private def fanoutWide(s: SparkSession, df: DataFrame): DataFrame = {
+    val width = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   // Mean Earth radius (IUGG), km — the spherical production metric.
   val EarthRadiusKm = 6371.0088
 
@@ -73,7 +90,7 @@ object GeoOps {
     * the bit-exact gate operator, so the two variants publish the same
     * rows with refined values. */
   def eventStationDistancesGeo(s: SparkSession, d: String): DataFrame = {
-    val ev = Catalog.events(s, d)
+    val ev = fanoutWide(s, Catalog.events(s, d))
       .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
       .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
     val st = Catalog.stations(s, d)
@@ -152,7 +169,7 @@ object GeoOps {
       // ±2 keeps the prefilter exhaustive for any magnitude ≤ 9.
       .select(col("*"), explode(array((-2L to 2L).map(lit): _*)).as("boff"))
       .withColumn("band", floor((col("lat1") + col("lat2")) / 2 / BandDeg).cast("long") + col("boff"))
-    val st = Catalog.stations(s, d)
+    val st = fanoutWide(s, Catalog.stations(s, d))
       .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
     st.join(broadcast(planes), Seq("band"))
       .withColumn("r_jb", rupJbCol)
@@ -196,7 +213,7 @@ object GeoOps {
         (col("ev_depth") * 0.5).as("ztop"))
       .select(col("*"), explode(array((-2L to 2L).map(lit): _*)).as("boff"))
       .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
-    val st = Catalog.stations(s, d)
+    val st = fanoutWide(s, Catalog.stations(s, d))
       .withColumn("band", floor(col("sta_lat") / BandDeg).cast("long"))
     val dx = (col("sta_lon") - col("ev_lon")) * KmPerDegLon // East, km
     val dy = (col("sta_lat") - col("ev_lat")) * KmPerDegLat // North, km
@@ -382,7 +399,7 @@ object GeoOps {
       val (x2, y2) = verts((i + 1) % verts.size)
       lit(x2 - x1) * (py - lit(y1)) - lit(y2 - y1) * (px - lit(x1))
     }
-    val ev = Catalog.events(s, d)
+    val ev = fanoutWide(s, Catalog.events(s, d))
       .select(col("*"), explode(array(lit(-1L), lit(0L), lit(1L))).as("boff"))
       .withColumn("band", floor(col("ev_lat") / BandDeg).cast("long") + col("boff"))
     val st = Catalog.stations(s, d)

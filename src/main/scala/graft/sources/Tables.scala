@@ -11,8 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * indirection keeps the operators storage-agnostic.
   */
 object Tables {
-  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Read a table, widening to the session's parallelism when the file
+    * layout under-splits. Parquet splits at row-group granularity, and
+    * the driver writes each table as ONE row group — so without this
+    * every scan is 1 task and every map-side pipeline (scan →
+    * project/explode/broadcast-join → partial agg) runs single-threaded
+    * until its first exchange; the CPU-heavy signal/quality operators
+    * were leaving 31 of 32 cores idle. The round-robin exchange moves
+    * only the PRUNED columns (Catalyst pushes the projection below the
+    * repartition into the scan) of a dimension-to-small-fact-sized
+    * table — trivial next to the 3-30x map-width win. Gated on actual
+    * scan partitions so a production multi-split layout (the 100 TB
+    * case: thousands of splits >> cores) keeps its natural
+    * partitioning and pays nothing. */
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    val width = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
 
   def region(s: SparkSession, dir: String): DataFrame     = rd(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame     = rd(s, dir, "nation")
