@@ -687,6 +687,8 @@ object GeoOps {
       .filter(before(col("d_mag"), col("d"), col("e_mag"), col("e")))
       .select("e", "d")
     val deps = dep1.unionByName(dep2).unionByName(dep3).distinct().localCheckpoint(true)
+    if (dbg0) System.err.println(
+      f"ABWD deps built [${(System.nanoTime() - tEntry) / 1e9}%5.2fs]")
 
     val dbg = sys.env.contains("GRAFT_DEBUG")
     val t0 = System.nanoTime()
