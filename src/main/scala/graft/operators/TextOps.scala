@@ -563,7 +563,51 @@ object TextOps {
         col("rank").cast("long").as("rank"))
   }
 
+  // ---- document chunking -----------------------------------------
+
+  val ChunkTokens = 256L
+  val ChunkStride = 192L
+
+  /** Sliding-window document chunking — the standard pre-training
+    * splitting step that turns long documents into model-context-sized
+    * pieces with a fixed token overlap (stride < window keeps
+    * cross-boundary context). The complementary half of
+    * [[graft.operators.MixOps]]'s `pack_sequences`: packing
+    * concatenates SHORT docs up to the context length, chunking splits
+    * LONG docs down to it. Window starts advance by ChunkStride while
+    * tokens remain past the previous window:
+    * K = 1 + ceil(max(0, n − ChunkTokens) / ChunkStride); the final
+    * chunk may be short. NULL-text docs keep a single all-NULL chunk
+    * row (explode_outer), like every corpus operator here.
+    *
+    * Scale shape: one scan, pure explode projection — zero shuffles,
+    * row growth n/stride, linear in corpus size; the chunk_text slice
+    * re-reads the token array already in the row, so no join-back. */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(col("tk")).cast("long")
+    val k = when(col("n").isNull, lit(null).cast("long"))
+      .when(col("n") <= ChunkTokens, lit(1L))
+      .otherwise(expr(s"1 + (n - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride"))
+    val len = least(col("n") - col("chunk_idx") * ChunkStride, lit(ChunkTokens))
+    docs(s, d).select(col("doc_id"), col("tk"), nTok.as("n"))
+      .withColumn("k", k)
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode_outer(when(col("k").isNotNull, sequence(lit(0L), col("k") - 1)))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("chunk_start"),
+        len.as("n_chunk_tokens"),
+        // concat_ws treats a NULL array as "" (DuckDB's array_to_string
+        // keeps NULL), so the no-chunk row needs an explicit NULL
+        when(col("chunk_idx").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            slice(col("tk"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+              len.cast("int"))))
+          .as("chunk_text"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "chunk_documents" -> (chunkDocuments _),
     "decontaminate"   -> (decontaminate _),
     "dedup_segments"  -> (dedupSegments _),
     "quality_gopher"  -> (qualityGopher _),
@@ -644,6 +688,29 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "chunk_documents" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tkSql AS tk,
+         |         CAST(len($tkSql) AS BIGINT) AS n
+         |  FROM documents),
+         |kk AS (
+         |  SELECT doc_id, tk, n,
+         |         CASE WHEN n IS NULL THEN NULL
+         |              WHEN n <= $ChunkTokens THEN 1
+         |              ELSE 1 + (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
+         |         END AS k
+         |  FROM t)
+         |SELECT doc_id,
+         |       g.i AS chunk_idx,
+         |       g.i * $ChunkStride AS chunk_start,
+         |       least(n - g.i * $ChunkStride, $ChunkTokens) AS n_chunk_tokens,
+         |       CASE WHEN g.i IS NULL THEN NULL
+         |            ELSE array_to_string(
+         |              tk[CAST(g.i * $ChunkStride + 1 AS BIGINT) :
+         |                 CAST(g.i * $ChunkStride + least(n - g.i * $ChunkStride, $ChunkTokens) AS BIGINT)],
+         |              ' ') END AS chunk_text
+         |FROM kk LEFT JOIN LATERAL (
+         |  SELECT unnest(generate_series(0, k - 1)) AS i) g ON TRUE""".stripMargin,
     "decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |shd AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),

@@ -396,6 +396,74 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromNtz == us, s"TIMESTAMP_NTZ vintage misconverted: $fromNtz")
   }
 
+  /** Chunking invariants, recomputed in plain Scala against whatever
+    * documents live in `dir`: dense chunk_idx, stride-spaced starts,
+    * exact per-chunk token counts, full coverage of every token, one
+    * all-NULL row per NULL-text doc. */
+  private def checkChunkInvariants(dir: String): Unit = {
+    val ct = TextOps.ChunkTokens; val st = TextOps.ChunkStride
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    val rows = TextOps.chunkDocuments(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4))))
+    assert(rows.map(_._1).distinct.length == docs.size, "every doc appears")
+    for ((docId, chunks) <- rows.groupBy(_._1)) {
+      val n = docs(docId).map(_.split(" ", -1).length.toLong)
+      if (n.isEmpty) {
+        assert(chunks.length == 1 && chunks.head._2.isEmpty, s"doc $docId: NULL text row")
+      } else {
+        val idx = chunks.flatMap(_._2).sorted
+        assert(idx.toSeq == (0L until idx.length).toSeq, s"doc $docId: dense chunk_idx")
+        for ((_, Some(i), Some(start), Some(len), Some(text)) <- chunks) {
+          assert(start == i * st && len == math.min(n.get - start, ct))
+          assert(text.split(" ", -1).length.toLong == len, s"doc $docId chunk $i token count")
+        }
+        val last = chunks.flatMap(c => c._3.zip(c._4).map { case (s0, l) => s0 + l }).max
+        assert(last == n.get, s"doc $docId: chunks cover all $n tokens")
+      }
+    }
+  }
+
+  test("chunk_documents covers every token with stride-spaced dense chunks") {
+    checkChunkInvariants(Sf)
+  }
+
+  /** r10 width-fix pin: a single-row-group parquet scan must come out
+    * of Tables widened to session parallelism (otherwise every
+    * map-side pipeline runs single-threaded until its first exchange),
+    * while the values stay identical to an unwidened read. */
+  test("under-split scans are widened to session parallelism") {
+    val width = spark.sparkContext.defaultParallelism
+    val t = graft.sources.Tables.lineitem(spark, Sf)
+    assert(t.rdd.getNumPartitions >= width,
+      s"lineitem read has ${t.rdd.getNumPartitions} partitions, want >= $width")
+    val raw = spark.read.parquet(s"$Sf/lineitem.parquet")
+    assert(t.count() == raw.count())
+  }
+
+  test("chunk_documents multi-chunk path on synthetic long docs (testdata docs are all 1-chunk)") {
+    // boundary fixture: n == window (1 chunk), n == window+1 (2),
+    // n == window+stride (2), n == window+stride+1 (3), a long doc,
+    // a NULL text, and an empty string
+    val sp = spark
+    import sp.implicits._
+    val ct = TextOps.ChunkTokens.toInt; val st = TextOps.ChunkStride.toInt
+    def doc(n: Int): String = (0 until n).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    Seq(
+      (1L, Option(doc(ct))), (2L, Option(doc(ct + 1))),
+      (3L, Option(doc(ct + st))), (4L, Option(doc(ct + st + 1))),
+      (5L, Option(doc(1000))), (6L, None), (7L, Option(""))
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    checkChunkInvariants(dir)
+    val counts = TextOps.chunkDocuments(spark, dir)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3, 5L -> 5, 6L -> 1, 7L -> 1))
+  }
+
   test("minhash candidate pairs are ordered, distinct, with exact jaccard in [0,1]") {
     val rows = TextOps.ngramJaccard(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
