@@ -371,6 +371,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("streaming running aggs equal the batch window result") {
+    val batch = sortedRows(EventOps.userRunningAggs(spark, Sf))
+    val stream = sortedRows(graft.streaming.StreamingRunningAggs.run(spark, Sf))
+    assert(stream == batch)
+  }
+
   /** r9 postmortem guard: a hand-declared `LongType` stream schema over
     * a column the driver had regenerated as TIMESTAMP(MICROS) silently
     * misscaled every timestamp 1000x — plausible numbers, caught only
