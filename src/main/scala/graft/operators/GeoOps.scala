@@ -457,19 +457,22 @@ object GeoOps {
     // coordinates and fabricate r_jb = 0
     val gate = col("ztop").isNotNull && col("r_jb0") <= MaxKm
     pairFrame(s, d)
-      // DELIBERATE stage break: without it, whole-stage codegen fuses
-      // the TVZ clip, azimuth, and rupture expressions into one
-      // generated method too large to JIT, and the whole stage runs
-      // interpreted — measured 143 s vs 16 s at sf0.1 (rup+tvz or
-      // rup+az alone stay compiled at ~5 s; all three cross the
-      // cliff). Re-tested in round 9 under the hugeMethodLimit=8000
-      // guard (Sessions.scala): removing the break makes the over-limit
-      // stage fall back to split-method codegen, which JITs but still
-      // costs 25.7 s vs 12.9 s with two fused JIT'd stages — the break
-      // stays. The exchange is one narrow-row shuffle, co-keys the
-      // output for downstream (evid, sta) consumers, and gives AQE a
-      // re-plan point; each side of it stays JIT-compiled.
-      .repartition(col("evid"), col("sta"))
+      // History of the rounds-7-9 DELIBERATE stage break (a
+      // repartition(evid, sta) here): with the whole 24M-row pair
+      // generation running as ONE task (single-row-group inputs,
+      // pre-round-10), fusing TVZ clip + azimuth + rupture expressions
+      // crossed the JIT cliff (143 s interpreted; 25.7 s split-method
+      // under the hugeMethodLimit guard; 12.9 s with the break's two
+      // fused JIT'd stages), so paying the full-pair-frame shuffle was
+      // the lesser evil. Round 10's gated ingest widening flipped that
+      // trade: at 32-wide the split-method penalty parallelizes
+      // (~23 core-s total) while the break's exchange was the suite's
+      // single largest shuffle (1.7 GB/run, ~46 core-s of write+read).
+      // Measured sf0.1 median-of-5: 1.78 s WITHOUT the break vs
+      // 2.0-2.8 s with — the break is gone, and the whole operator is
+      // now a single shuffle-free scan→project pipeline. At 100 TB the
+      // same holds: a multi-split scan is already wide, and no pair
+      // row ever crosses the wire.
       .withColumn("b_az_oct", (col("az_oct") + 4) % 8)
       .join(broadcast(rupPlanes(s, d).drop("mag")), Seq("evid"), "left")
       .withColumn("r_jb0", rupJbCol)
