@@ -57,19 +57,44 @@ object StreamingSessionize {
 
   private val runSeq = new AtomicInteger(0)
 
-  def run(s: SparkSession, dir: String): DataFrame = {
+  private def sessionStream(s: SparkSession, srcGlob: String,
+                            schema: StructType): DataFrame = {
     import s.implicits._
-    val schema = eventsSchema(s, dir)
-    // glob form: the file-stream source requires a directory or glob
-    // basePath, and the driver ships events as a single parquet file
-    val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+    s.readStream.schema(schema).parquet(srcGlob)
       .select(col("event_id"), col("user_id"),
         EventOps.tsUs(schema("ts").dataType).as("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
+      .toDF()
+  }
+
+  /** Production-shaped run: DURABLE parquet sink + checkpoint dir. A
+    * restart with the same checkpoint resumes exactly where the last
+    * trigger stopped — the file-source offset log skips already-read
+    * files and the state store rehydrates every user's open session,
+    * so sessions CONTINUE across restarts (pinned by the
+    * restart-recovery spec, which equals the batch window result over
+    * the full data). This is the deployment shape; [[run]]'s memory
+    * sink exists for the driver's exact-compare harness. */
+  def runFileSink(s: SparkSession, srcGlob: String, sinkDir: String,
+                  ckptDir: String, schema: StructType): Unit = {
+    val q = sessionStream(s, srcGlob, schema).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    val schema = eventsSchema(s, dir)
+    // glob form: the file-stream source requires a directory or glob
+    // basePath, and the driver ships events as a single parquet file
+    val stream = sessionStream(s, s"$dir/[e]vents.parquet", schema)
     val name = s"stream_sessionize_${runSeq.incrementAndGet()}"
-    val q = stream.toDF().writeStream
+    val q = stream.writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()

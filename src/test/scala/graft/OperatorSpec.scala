@@ -371,6 +371,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  /** The deployment-shape guarantee: a durable sink + checkpoint means
+    * a RESTARTED stream resumes from the offset log with every user's
+    * open session rehydrated from the state store. Split the events
+    * time-wise, run the stream, add the second half, restart with the
+    * SAME checkpoint — the union of sink output must equal the batch
+    * window over the full data, which can only happen if run 2 (a) did
+    * not re-emit run 1's rows and (b) continued run 1's open sessions
+    * rather than restarting session indices at 1. */
+  test("streaming sessionize survives a restart: checkpoint carries open-session state") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val schema = ev.schema
+    // split TIME-wise: the state fold only moves forward in event
+    // time, so part 2 must be strictly later than part 1
+    val withUs = ev.withColumn("us", EventOps.tsUs(schema("ts").dataType))
+    val Array(mid) = withUs.stat.approxQuantile("us", Array(0.5), 0.0)
+    withUs.filter(col("us") <= mid).drop("us").write.parquet(s"$src/part1.parquet")
+    graft.streaming.StreamingSessionize.runFileSink(
+      spark, s"$src/*.parquet", sink, ckpt, schema)
+    val rowsAfterRun1 = spark.read.parquet(sink).count()
+    assert(rowsAfterRun1 > 0 && rowsAfterRun1 < ev.count())
+    withUs.filter(col("us") > mid).drop("us").write.parquet(s"$src/part2.parquet")
+    graft.streaming.StreamingSessionize.runFileSink(
+      spark, s"$src/*.parquet", sink, ckpt, schema)
+    val streamed = sortedRows(spark.read.parquet(sink))
+    val batch = sortedRows(EventOps.sessionize(spark, Sf))
+    assert(streamed == batch,
+      "restarted stream output must equal the batch window over full data")
+  }
+
   test("streaming running aggs equal the batch window result") {
     val batch = sortedRows(EventOps.userRunningAggs(spark, Sf))
     val stream = sortedRows(graft.streaming.StreamingRunningAggs.run(spark, Sf))
