@@ -403,6 +403,54 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "restarted stream output must equal the batch window over full data")
   }
 
+  /** Watermark contract, pinned across a restart: a row older than the
+    * CHECKPOINTED watermark is dropped before aggregation (the rule
+    * that bounds streaming state at any scale), and append mode emits
+    * each closed window exactly once. Run 1 processes the early half
+    * (persisting watermark = max(part1) − 2 h); run 2 adds the late
+    * half plus a DUPLICATE of the very earliest event — far below the
+    * persisted watermark, so its window's emitted count must equal the
+    * batch count WITHOUT the duplicate. */
+  test("streaming window counts drop sub-watermark late data across a restart") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val schema = ev.schema
+    val withUs = ev.withColumn("us", EventOps.tsUs(schema("ts").dataType))
+    val Array(mid) = withUs.stat.approxQuantile("us", Array(0.5), 0.0)
+    val stats = withUs.agg(min("us"), max("us")).head
+    assert(mid - stats.getLong(0) > 4L * 3600 * 1000000,
+      "fixture needs part1 to span > watermark delay + window")
+    withUs.filter(col("us") <= mid).drop("us").write.parquet(s"$src/part1.parquet")
+    graft.streaming.StreamingWindowCounts.runFileSinkAppend(
+      spark, s"$src/*.parquet", sink, ckpt, schema)
+    // the too-late row: a duplicate of the earliest event
+    val late = withUs.orderBy(col("us")).limit(1).drop("us")
+    withUs.filter(col("us") > mid).drop("us").unionByName(late)
+      .write.parquet(s"$src/part2.parquet")
+    graft.streaming.StreamingWindowCounts.runFileSinkAppend(
+      spark, s"$src/*.parquet", sink, ckpt, schema)
+    val emitted = spark.read.parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(emitted.nonEmpty, "some windows must have closed")
+    // batch truth over the ON-TIME events only (no duplicate)
+    val batch = withUs
+      .select((col("us") - col("us") % (3600L * 1000000)).as("win_start_us"),
+        col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy("win_start_us", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((k, v) <- emitted)
+      assert(batch(k) == v, s"window $k: emitted $v != batch-without-late ${batch(k)}")
+    val lateRow = late.select(EventOps.tsUs(schema("ts").dataType).as("us"),
+      col("event_type")).head
+    val lateKey = (lateRow.getLong(0) - lateRow.getLong(0) % (3600L * 1000000),
+      lateRow.getString(1))
+    assert(emitted.contains(lateKey),
+      "the late event's window must have been emitted (closed) — otherwise the drop is untested")
+  }
+
   test("streaming running aggs equal the batch window result") {
     val batch = sortedRows(EventOps.userRunningAggs(spark, Sf))
     val stream = sortedRows(graft.streaming.StreamingRunningAggs.run(spark, Sf))
