@@ -295,6 +295,30 @@ object TextOps {
     } finally edges.unpersist()
   }
 
+  /** Best-representative dedup: one KEPT document per near-dup
+    * cluster, chosen by quality rather than id — production pipelines
+    * keep the best member of a duplicate class (cf. CCNet / RefinedWeb
+    * keep-longest), where `dedup_minhash` keeps the id-canonical one.
+    * Quality key: token count DESC (integer-exact cross-engine; a
+    * double score would make the argmax tie-break engine-dependent),
+    * ties → lowest doc_id; NULL-text docs rank below everything.
+    *
+    * Scale shape: [[dupClusters]]'s label table (one narrow row per
+    * doc) joined to the token-count projection, then ONE
+    * partial-aggregable max_by per cluster — no pairwise work beyond
+    * what the banded cluster labels already paid. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val nw = docs(s, d).select(col("doc_id"), size(col("tk")).cast("long").as("n_words"))
+    dupClusters(s, d)
+      .join(nw, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(
+        struct(col("doc_id"), col("n_words")),
+        struct(coalesce(col("n_words"), lit(-1L)), -col("doc_id"))).as("best"))
+      .select(col("best.doc_id").as("doc_id"), col("cluster_id"),
+        col("best.n_words").as("n_words"))
+  }
+
   /** Unpersist every signature table [[hashed]] has cached (one entry
     * per data dir). The gate and bench deliberately keep the cache
     * warm across the dedup family; a long-lived service should call
@@ -608,6 +632,7 @@ object TextOps {
 
   val queries: Map[String, QueryFn] = Map(
     "chunk_documents" -> (chunkDocuments _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "decontaminate"   -> (decontaminate _),
     "dedup_segments"  -> (dedupSegments _),
     "quality_gopher"  -> (qualityGopher _),
@@ -813,6 +838,24 @@ object TextOps {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |dedges AS (
+         |  SELECT ida AS a, idb AS b FROM pj WHERE jacc >= ${JaccT}e0
+         |  UNION ALL
+         |  SELECT idb AS a, ida AS b FROM pj WHERE jacc >= ${JaccT}e0),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |nw AS (SELECT doc_id, CAST(len($tkSql) AS BIGINT) AS n_words FROM documents)
+         |SELECT doc_id, cluster_id, n_words FROM (
+         |  SELECT c.doc_id, c.cluster_id, nw.n_words,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY coalesce(nw.n_words, -1) DESC, c.doc_id) AS rn
+         |  FROM cl c JOIN nw USING (doc_id))
+         |WHERE rn = 1""".stripMargin,
     "corpus_clean" ->
       s"""WITH $minhashCtes,
          |q AS (

@@ -559,6 +559,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
   }
 
+  test("dedup_keep_best keeps exactly one max-length member per cluster") {
+    val clusters = TextOps.dupClusters(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nWords = TextOps.textQuality(spark, Sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Int].toLong))).toMap
+    val kept = TextOps.dedupKeepBest(spark, Sf)
+      .collect().map(r => (r.getLong(1), (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(kept.size == byCluster.size, "one kept doc per cluster")
+    for ((cid, members) <- byCluster) {
+      val best = members.map(_._1)
+        .map(id => (nWords(id).getOrElse(-1L), id))
+        .sortBy { case (n, id) => (-n, id) }.head
+      assert(kept(cid)._1 == best._2,
+        s"cluster $cid: kept ${kept(cid)._1}, expected argmax ${best._2}")
+    }
+  }
+
   test("dedup keeps a canonical doc per duplicate class and never drops uniques") {
     val n = spark.read.parquet(s"$Sf/documents.parquet").count()
     val exact = TextOps.dedupExact(spark, Sf).count()
