@@ -255,12 +255,49 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "cosine")
   }
 
+  // ---- SemDeDup (cluster-then-dedup semantic dedup) --------------
+
+  val SemCells = 16   // k-means cell count (N/targetCell in production)
+  val SemCosT  = 0.92 // within-cell semantic-duplicate threshold
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space (here the deterministic
+    * pseudo-centroid assignment standing in for the k-means fit, as in
+    * `ann_ivf_topk`), then WITHIN each cluster drop every vector that
+    * has a lower-id cell-mate with cosine ≥ SemCosT. Differs from
+    * `dedup_embedding` in the candidate structure: centroid cells
+    * partition the space (every within-cell pair is examined — no
+    * probabilistic LSH miss), and recall beyond the cell boundary is
+    * traded for the guarantee that cluster size, and hence the
+    * quadratic in-cell pair work, is bounded by the cell sizing
+    * (`cellsFor`: ~targetCell vectors/cell at any corpus size). Same
+    * sorted-collect pair kernel as `dedupEmbedding`; one groupBy on the
+    * cell id is the only shuffle past assignment. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupWith(s, d, SemCells)
+
+  def semDedupWith(s: SparkSession, d: String, nCells: Int): DataFrame = {
+    val v = assignCells(vectors(s, d), centroidTable(s, nCells))
+    val dup = v
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
+          "b -> struct(a.embedding AS ea, a.nrm AS na, b.embedding AS eb, b.nrm AS nb, b.vec_id AS idb))))"
+      )).as("p"))
+      .filter(expr("vec_dot(cast(p.ea as array<double>), cast(p.eb as array<double>))") /
+        (col("p.na") * col("p.nb")) >= SemCosT)
+      .select(col("p.idb").as("vec_id")).distinct()
+    v.join(dup, Seq("vec_id"), "left_anti").select(col("vec_id"), col("cell"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "ann_cosine_topk"    -> (annCosineTopk _),
     "ann_lsh_topk"       -> (annLshTopk _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_ivf_topk"       -> (annIvfTopk _),
-    "dedup_embedding"    -> (dedupEmbedding _)
+    "dedup_embedding"    -> (dedupEmbedding _),
+    "semdedup"           -> (semDedup _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -283,21 +320,28 @@ object AnnOps {
 
   private val planesCte = planesCteFor(NPlanes)
 
-  private val centroidsCte: String =
+  private def centroidsCteFor(n: Int): String =
     "cells AS (SELECT * FROM (VALUES " +
-      (0 until NCells).map { c =>
+      (0 until n).map { c =>
         "(" + c + ", " + (0 until Dim).map(i => s"${centroidCoef(c, i)}").mkString("[", ",", "]") + "::DOUBLE[])"
       }.mkString(", ") + ") t(c, cent))"
+
+  private val centroidsCte: String = centroidsCteFor(NCells)
+
+  /** Argmax-dot cell assignment CTE (tie: lowest cell) — shared by the
+    * IVF and SemDeDup oracles; expects `vecs` and `cells` in scope. */
+  private val vcellCte: String =
+    s"""vdots AS (SELECT vec_id, embedding, nrm, c,
+       |    ${Portable.dotSql("embedding", "cent")} AS dd FROM vecs, cells),
+       |vcell AS (SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT vec_id, embedding, nrm, c AS cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, c ASC) AS rn
+       |    FROM vdots) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" ->
       s"""WITH $vecCte, $centroidsCte,
-         |vdots AS (SELECT vec_id, embedding, nrm, c,
-         |    ${Portable.dotSql("embedding", "cent")} AS dd FROM vecs, cells),
-         |vcell AS (SELECT vec_id, embedding, nrm, cell FROM (
-         |    SELECT vec_id, embedding, nrm, c AS cell,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, c ASC) AS rn
-         |    FROM vdots) WHERE rn = 1),
+         |$vcellCte,
          |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
          |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
          |qcell AS (SELECT q_id, qe, qn, cell FROM (
@@ -313,6 +357,15 @@ object AnnOps {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "semdedup" ->
+      s"""WITH $vecCte, ${centroidsCteFor(SemCells)},
+         |$vcellCte,
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM vcell a JOIN vcell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= ${SemCosT}e0)
+         |SELECT vec_id, cell FROM vcell
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $vecCte, ${planesCteFor(DedupTables * DedupPlanes)},
          |vb0 AS (

@@ -93,6 +93,67 @@ object EventOps {
       col("event_id"), col("user_id"), col("event_type"),
       get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
 
+  /** As-of join: each purchase matched to the LATEST click of the same
+    * user at or before the purchase time (last-touch attribution — the
+    * point-lookup complement of `streaming_interval_join`'s window
+    * fan-out). Spark has no ASOF JOIN operator; the scalable
+    * formulation is a single merged scan: tag both sides, sort within
+    * the user partition by (ts, side, id) — clicks before purchases at
+    * equal ts gives the `click_ts <= purchase_ts` semantics — and carry
+    * the most recent click forward with `last(_, ignoreNulls)` over the
+    * preceding rows. ONE window shuffle on user_id, no join at all, so
+    * there is no time-range blow-up to band: cost is linear in events
+    * regardless of how many clicks precede each purchase. The DuckDB
+    * twin is the opposite formulation (range join + per-purchase
+    * argmax), so the compare also pins the tie rules. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+    val mergeW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("c",
+        last(when(col("is_p") === 0, struct(col("ts_us"), col("event_id"))),
+          ignoreNulls = true).over(mergeW))
+      .filter(col("is_p") === 1)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("c.event_id").as("click_id"), col("c.ts_us").as("click_us"),
+        (col("ts_us") - col("c.ts_us")).as("lag_us"))
+  }
+
+  /** Ordered conversion funnel view → click → purchase: per user the
+    * first view, the first click AT OR AFTER that view, and the first
+    * purchase at or after that click (strict event-order semantics —
+    * a click before any view does not count). Three partial-aggregable
+    * groupBys chained by joins, every exchange hash-partitioned on
+    * `user_id`, so Catalyst reuses one partitioning across the whole
+    * chain; per-stage state is one row per user (bounded by the user
+    * dimension, not the event volume). */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val base = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_us") >= col("first_view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_us") >= col("first_click_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+    base
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        col("first_view_us"), col("first_click_us"), col("first_purchase_us"),
+        when(col("first_purchase_us").isNotNull, 3L)
+          .when(col("first_click_us").isNotNull, 2L)
+          .when(col("first_view_us").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+  }
+
   /** Session-level rollup — the product sessionization exists for:
     * per (user, session) event count, duration, exact cent spend.
     * Window pass to assign sessions, then one partial-aggregable
@@ -114,7 +175,9 @@ object EventOps {
     "sessionize"          -> (sessionize _),
     "session_stats"       -> (sessionStats _),
     "user_running_aggs"   -> (userRunningAggs _),
-    "event_props_extract" -> (eventPropsExtract _)
+    "event_props_extract" -> (eventPropsExtract _),
+    "asof_join"           -> (asofJoin _),
+    "event_funnel"        -> (eventFunnel _)
   )
 
   private val evCte =
@@ -173,6 +236,47 @@ object EventOps {
          |  CAST(sum(cents) OVER w AS DOUBLE) / 100e0 AS r_dollars
          |FROM ev
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Opposite formulation on purpose: range join + per-purchase argmax
+    // (row_number over click_us DESC) vs the engine's merged-scan
+    // window — agreeing output pins the <= and tie rules of both.
+    "asof_join" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us
+         |      FROM ev WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us,
+         |         row_number() OVER (PARTITION BY p.purchase_id
+         |           ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+         |  FROM p LEFT JOIN c
+         |    ON c.user_id = p.user_id AND c.click_us <= p.purchase_us)
+         |SELECT purchase_id, user_id, purchase_us, click_id, click_us,
+         |       purchase_us - click_us AS lag_us
+         |FROM j WHERE rn = 1""".stripMargin,
+    "event_funnel" ->
+      s"""WITH $evCte,
+         |base AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id),
+         |v AS (SELECT user_id, min(ts_us) AS first_view_us
+         |      FROM ev WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts_us) AS first_click_us
+         |      FROM ev e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts_us >= v.first_view_us
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts_us) AS first_purchase_us
+         |      FROM ev e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts_us >= c.first_click_us
+         |      GROUP BY e.user_id)
+         |SELECT base.user_id, base.n_events,
+         |       v.first_view_us, c.first_click_us, p.first_purchase_us,
+         |       CAST(CASE WHEN p.first_purchase_us IS NOT NULL THEN 3
+         |            WHEN c.first_click_us IS NOT NULL THEN 2
+         |            WHEN v.first_view_us IS NOT NULL THEN 1
+         |            ELSE 0 END AS BIGINT) AS stage
+         |FROM base
+         |LEFT JOIN v ON base.user_id = v.user_id
+         |LEFT JOIN c ON base.user_id = c.user_id
+         |LEFT JOIN p ON base.user_id = p.user_id""".stripMargin
   )
 }

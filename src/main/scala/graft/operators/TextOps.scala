@@ -630,7 +630,71 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  // ---- containment + corpus report extras ------------------------
+
+  val ContainT = 0.8 // doc-in-doc containment flag threshold
+
+  /** Asymmetric near-dup detection: n-gram CONTAINMENT |A∩B| / |A|
+    * over the same LSH candidate buckets as `ngram_jaccard`. Jaccard
+    * misses the doc-embedded-in-doc case (a page quoted inside a much
+    * larger page scores low symmetric overlap); containment flags it —
+    * the Broder (1997) resemblance/containment pair. Same scale shape
+    * as the Jaccard verify: candidates are banded-LSH bucket pairs
+    * (never all-pairs), the shingle sets ride the persisted signature
+    * table, and the per-pair kernel is int/int division (bit-exact
+    * cross-engine). Short docs with no shingles yield NULL containment
+    * on that side rather than a 0/0. */
+  def minhashContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = hashed(s, d).select(col("doc_id"), col("shset"))
+    candidates(s, d)
+      .join(sh.withColumnRenamed("doc_id", "ida").withColumnRenamed("shset", "sha"), Seq("ida"))
+      .join(sh.withColumnRenamed("doc_id", "idb").withColumnRenamed("shset", "shb"), Seq("idb"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(col("ida"), col("idb"),
+        when(size(col("sha")) > 0,
+          col("inter").cast("double") / size(col("sha")).cast("double")).as("contain_a"),
+        when(size(col("shb")) > 0,
+          col("inter").cast("double") / size(col("shb")).cast("double")).as("contain_b"))
+      .withColumn("is_contained",
+        (coalesce(col("contain_a"), lit(0.0)) >= ContainT) ||
+          (coalesce(col("contain_b"), lit(0.0)) >= ContainT))
+  }
+
+  /** Exact per-source token-length distribution report: doc counts and
+    * nearest-rank (ceil) p50/p90/p99 quantiles. Percentiles by the
+    * nearest-rank rule computed via row_number selection — all-integer
+    * (rank = (cnt·q + 99) div 100), so the result is engine-exact where
+    * interpolating percentile_cont would drift in the float arithmetic.
+    * One window shuffle on `source` + one partial-aggregable groupBy;
+    * the NULL-text side is a separate count joined back (two
+    * source-sized aggregates, AQE-broadcast). At corpus scale the
+    * per-source sort is the cost — exactly the distributed-sort shape
+    * exact quantiles require; approximate needs swap in a sketch, which
+    * the report deliberately avoids (release gates want exact). */
+  def corpusQuantiles(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("source"), col("doc_id"),
+      size(col("tk")).cast("long").as("ntok"))
+    val nulls = t.groupBy(col("source"))
+      .agg(sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("n_null"))
+    val w  = Window.partitionBy(col("source")).orderBy(col("ntok"), col("doc_id"))
+    val cw = Window.partitionBy(col("source"))
+    def pick(pct: Int): Column =
+      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("ntok")))
+    t.filter(col("ntok").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("source"))
+      .agg(max(col("cnt")).as("n_docs"), min(col("ntok")).as("min_tokens"),
+        pick(50).as("p50_tokens"), pick(90).as("p90_tokens"), pick(99).as("p99_tokens"),
+        max(col("ntok")).as("max_tokens"))
+      .join(nulls, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_null"), col("min_tokens"),
+        col("p50_tokens"), col("p90_tokens"), col("p99_tokens"), col("max_tokens"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "minhash_containment" -> (minhashContainment _),
+    "corpus_quantiles" -> (corpusQuantiles _),
     "chunk_documents" -> (chunkDocuments _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "decontaminate"   -> (decontaminate _),
@@ -713,6 +777,44 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "minhash_containment" ->
+      s"""WITH $minhashCtes
+         |SELECT c.ida, c.idb,
+         |  CASE WHEN len(x.shset) > 0
+         |       THEN CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) / CAST(len(x.shset) AS DOUBLE)
+         |  END AS contain_a,
+         |  CASE WHEN len(y.shset) > 0
+         |       THEN CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) / CAST(len(y.shset) AS DOUBLE)
+         |  END AS contain_b,
+         |  (coalesce(CASE WHEN len(x.shset) > 0
+         |       THEN CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) / CAST(len(x.shset) AS DOUBLE)
+         |     END, 0.0) >= ${ContainT}e0
+         |   OR coalesce(CASE WHEN len(y.shset) > 0
+         |       THEN CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) / CAST(len(y.shset) AS DOUBLE)
+         |     END, 0.0) >= ${ContainT}e0) AS is_contained
+         |FROM cand c JOIN sig x ON c.ida = x.doc_id JOIN sig y ON c.idb = y.doc_id""".stripMargin,
+    "corpus_quantiles" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($tkSql) AS BIGINT) AS ntok FROM documents),
+         |r AS (
+         |  SELECT source, ntok,
+         |         row_number() OVER (PARTITION BY source ORDER BY ntok, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM t WHERE ntok IS NOT NULL),
+         |q AS (
+         |  SELECT source, max(cnt) AS n_docs, min(ntok) AS min_tokens,
+         |         max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN ntok END) AS p50_tokens,
+         |         max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN ntok END) AS p90_tokens,
+         |         max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN ntok END) AS p99_tokens,
+         |         max(ntok) AS max_tokens
+         |  FROM r GROUP BY source),
+         |z AS (
+         |  SELECT source,
+         |         CAST(sum(CASE WHEN ntok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |  FROM t GROUP BY source)
+         |SELECT q.source, q.n_docs, z.n_null, q.min_tokens,
+         |       q.p50_tokens, q.p90_tokens, q.p99_tokens, q.max_tokens
+         |FROM q JOIN z ON q.source = z.source""".stripMargin,
     "chunk_documents" ->
       s"""WITH t AS (
          |  SELECT doc_id, $tkSql AS tk,

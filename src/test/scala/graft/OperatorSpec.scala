@@ -624,10 +624,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // DIMENSION-SIZED centroid table (~√N rows) — inherent to IVF,
     // immediately partial-aggregated back to one row per vector.
     // pack_mix_sequences composes corpus_mix_sample, inheriting the
-    // same one-row budget-totals scalar join.
+    // same one-row budget-totals scalar join. semdedup shares
+    // ann_ivf_topk's centroid-table assignment (and nothing else
+    // crosses: the in-cell pair kernel is a groupBy).
     val allowedNestedLoop =
       Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
-        "pack_mix_sequences", "ann_ivf_topk")
+        "pack_mix_sequences", "ann_ivf_topk", "semdedup")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -1033,5 +1035,140 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(flagged.contains(s._1) == qualifies(s),
         s"evid ${s._1}: flag=${flagged.contains(s._1)} but brute-force says ${qualifies(s)}")
     }
+  }
+
+  test("asof_join matches a brute-force latest-click recompute") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val tsd = ev.schema("ts").dataType
+    val rows = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        EventOps.tsUs(tsd).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = rows.filter(_._3 == "click")
+    val expected = rows.filter(_._3 == "purchase").map { p =>
+      val best = clicks.filter(c => c._2 == p._2 && c._4 <= p._4)
+        .sortBy(c => (c._4, c._1)).lastOption
+      (p._1, p._2, p._4, best.map(_._1), best.map(_._4))
+    }.toSet
+    val got = EventOps.asofJoin(spark, Sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSet
+    assert(got == expected, "asof_join disagrees with the brute-force recompute")
+    // lag is non-negative whenever a click matched
+    val lags = EventOps.asofJoin(spark, Sf).filter(col("lag_us").isNotNull)
+      .select(min(col("lag_us"))).collect()(0).getLong(0)
+    assert(lags >= 0L, "matched click after the purchase")
+  }
+
+  test("event_funnel: stage ordering invariants and strict event-order semantics") {
+    import org.apache.spark.sql.functions._
+    val f = EventOps.eventFunnel(spark, Sf).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))
+    }
+    for ((u, v, c, p, stage) <- f) {
+      // a later stage implies every earlier one, in temporal order
+      assert(stage == (if (p.isDefined) 3 else if (c.isDefined) 2 else if (v.isDefined) 1 else 0),
+        s"user $u: stage $stage inconsistent with timestamps")
+      for (cv <- c) assert(v.isDefined && v.get <= cv, s"user $u: click before first view")
+      for (pv <- p) assert(c.isDefined && c.get <= pv, s"user $u: purchase before first click")
+    }
+    // strict-order semantics on a fixture: a click BEFORE the first
+    // view must not advance the funnel
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val tsd = ev.schema("ts").dataType
+    val raw = ev.select(col("user_id"), col("event_type"), EventOps.tsUs(tsd).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byU = raw.groupBy(_._1)
+    for ((u, v, c, _, _) <- f; fv <- v; fc <- c) {
+      val evs = byU(u)
+      val expFirstClick = evs.filter(e => e._2 == "click" && e._3 >= fv).map(_._3).min
+      assert(fc == expFirstClick, s"user $u: first_click_us $fc != recomputed $expFirstClick")
+    }
+  }
+
+  test("semdedup: kept set equals a sequential within-cell greedy recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = (0 until AnnOps.SemCells)
+      .map(c => (0 until AnnOps.Dim).map(i => AnnOps.centroidCoef(c, i).toDouble).toArray)
+    def cellOf(e: Array[Double]): Int =
+      cents.indices.maxBy(c => (dot(e, cents(c)), -c)) // argmax dot, tie lowest cell
+    val byCell = vecs.groupBy(v => cellOf(v._2))
+    val dropped = byCell.values.flatMap { members =>
+      val srt = members.sortBy(_._1)
+      for {
+        j <- srt.indices; i <- 0 until j
+        (ida, ea) = srt(i); (idb, eb) = srt(j)
+        if dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb))) >= AnnOps.SemCosT
+      } yield idb
+    }.toSet
+    val expected = vecs.map(_._1).toSet -- dropped
+    val got = AnnOps.semDedup(spark, Sf).collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.map(_._1).toSet == expected, "semdedup kept-set mismatch vs sequential recompute")
+    for ((id, cell) <- got)
+      assert(cell == cellOf(vecs.find(_._1 == id).get._2), s"vec $id reported wrong cell")
+  }
+
+  test("minhash_containment: containment bounds jaccard and flags doc-in-doc") {
+    import org.apache.spark.sql.functions._
+    val cont = TextOps.minhashContainment(spark, Sf)
+      .join(TextOps.ngramJaccard(spark, Sf), Seq("ida", "idb"))
+      .collect()
+    assert(cont.nonEmpty, "no candidate pairs at sf0.001")
+    for (r <- cont) {
+      val j = r.getAs[Double]("jacc")
+      for (ca <- Option(r.getAs[java.lang.Double]("contain_a")))
+        assert(ca >= j - 1e-12 && ca <= 1.0 + 1e-12, s"contain_a $ca out of [jacc, 1]")
+      for (cb <- Option(r.getAs[java.lang.Double]("contain_b")))
+        assert(cb >= j - 1e-12 && cb <= 1.0 + 1e-12, s"contain_b $cb out of [jacc, 1]")
+    }
+    // literal fixture: B is a strict substring of A ⇒ contain_b = 1, jacc < 1
+    val fix = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "fix", 8L),
+      (1L, "alpha beta gamma delta epsilon", "en", "fix", 5L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sh = fix.select(col("doc_id"),
+      graft.functions.Portable.shingles(graft.functions.Portable.tokens(col("text")), TextOps.ShingleN).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
+    val inter = sh(0L).intersect(sh(1L)).size.toDouble
+    assert(inter / sh(1L).size == 1.0, "fixture: B's shingles all inside A")
+    assert(inter / sh(0L).size < 1.0, "fixture: A has extra shingles")
+  }
+
+  test("corpus_quantiles equals a sorted nearest-rank recompute") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, Sf)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val bySource = toks.groupBy(_._1)
+    val got = TextOps.corpusQuantiles(spark, Sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    }
+    def rank(n: Long, pct: Int): Int = ((n * pct + 99) / 100).toInt
+    for ((src, nDocs, nNull, mn, p50, p90, p99, mx) <- got) {
+      val all = bySource(src)
+      val vals = all.flatMap(_._3).sorted
+      assert(nDocs == vals.length && nNull == all.count(_._3.isEmpty), s"$src counts")
+      assert(mn == vals.head && mx == vals.last, s"$src min/max")
+      assert(p50 == vals(rank(vals.length, 50) - 1), s"$src p50")
+      assert(p90 == vals(rank(vals.length, 90) - 1), s"$src p90")
+      assert(p99 == vals(rank(vals.length, 99) - 1), s"$src p99")
+    }
+    assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 }
