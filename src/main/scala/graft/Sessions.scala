@@ -49,9 +49,17 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Standard local session: `local[cpus]` from SPARK_GRAFT_CPUS. */
+  /** Standard local session: `local[cpus]` from SPARK_GRAFT_CPUS,
+    * defaulting to every available core. The default used to be 4,
+    * which silently ran any harness that did not export the env var —
+    * including the per-round driver bench — at local[4] on a 32-core
+    * box: CPU-bound queries showed 2-10x the quiet-record wall with
+    * identical core-seconds (the rounds-7-9 "driver anomaly" pattern).
+    * A bench main should saturate the machine it is given unless told
+    * otherwise. */
   def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

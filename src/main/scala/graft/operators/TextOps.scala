@@ -660,6 +660,46 @@ object TextOps {
           (coalesce(col("contain_b"), lit(0.0)) >= ContainT))
   }
 
+  val IncMod = 5 // docs with doc_id % IncMod == 0 form the "incoming batch"
+
+  /** Incremental (batch-vs-index) dedup — the daily-ingest shape: an
+    * INCOMING batch (here the deterministic doc_id % IncMod == 0
+    * slice) is screened against the EXISTING corpus index, exact
+    * (content hash) and near (LSH bands + Jaccard verify), without
+    * ever re-deduping the index against itself. Within-batch dup
+    * handling stays with `dedup_exact`/`dedup_minhash`; this operator
+    * is the lookup against history. Scale shape: the index side is
+    * exactly the persisted signature/band table a production pipeline
+    * maintains between ingests — both probes are equi-joins into it
+    * (hash, and capped band buckets), so per-ingest cost is
+    * O(batch + matched buckets), independent of index size beyond the
+    * join fan-in the MaxBucket cap bounds. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val isInc = col("doc_id") % IncMod === 0
+    val h = Tables.documents(s, d).select(col("doc_id"), sha2(col("text"), 256).as("chash"))
+    val exactDup = h.filter(isInc)
+      .join(h.filter(!isInc).select(col("chash")).distinct(), Seq("chash"), "left_semi")
+      .select("doc_id")
+    val b = cappedBands(bands(s, d))
+    val cand = b.filter(isInc)
+      .join(b.filter(!isInc).withColumnRenamed("doc_id", "idx_id"), Seq("band", "bkey"))
+      .select(col("doc_id"), col("idx_id")).distinct()
+    val sh = hashed(s, d).select(col("doc_id"), col("shset"))
+    val nearDup = cand
+      .join(sh, Seq("doc_id"))
+      .join(sh.withColumnRenamed("doc_id", "idx_id").withColumnRenamed("shset", "shb"), Seq("idx_id"))
+      .filter(size(array_intersect(col("shset"), col("shb"))).cast("double") /
+        size(array_union(col("shset"), col("shb"))).cast("double") >= JaccT)
+      .select("doc_id").distinct()
+    Tables.documents(s, d).filter(isInc).select("doc_id")
+      .join(exactDup.withColumn("de", lit(true)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("dn", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("de"), lit(false)).as("dup_exact"),
+        coalesce(col("dn"), lit(false)).as("dup_near"))
+      .withColumn("keep", !(col("dup_exact") || col("dup_near")))
+  }
+
   /** Exact per-source token-length distribution report: doc counts and
     * nearest-rank (ceil) p50/p90/p99 quantiles. Percentiles by the
     * nearest-rank rule computed via row_number selection — all-integer
@@ -695,6 +735,7 @@ object TextOps {
   val queries: Map[String, QueryFn] = Map(
     "minhash_containment" -> (minhashContainment _),
     "corpus_quantiles" -> (corpusQuantiles _),
+    "dedup_incremental" -> (dedupIncremental _),
     "chunk_documents" -> (chunkDocuments _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "decontaminate"   -> (decontaminate _),
@@ -793,6 +834,30 @@ object TextOps {
          |       THEN CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) / CAST(len(y.shset) AS DOUBLE)
          |     END, 0.0) >= ${ContainT}e0) AS is_contained
          |FROM cand c JOIN sig x ON c.ida = x.doc_id JOIN sig y ON c.idb = y.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes,
+         |exd AS (
+         |  SELECT DISTINCT i.doc_id
+         |  FROM documents i JOIN documents x
+         |    ON sha256(i.text) = sha256(x.text)
+         |  WHERE i.doc_id % $IncMod = 0 AND x.doc_id % $IncMod <> 0),
+         |nrd AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  JOIN sig x ON x.doc_id = a.doc_id
+         |  JOIN sig y ON y.doc_id = b.doc_id
+         |  WHERE a.doc_id % $IncMod = 0 AND b.doc_id % $IncMod <> 0
+         |    AND CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(x.shset, y.shset))) AS DOUBLE) >= $JaccT)
+         |SELECT d.doc_id,
+         |       coalesce(e.t, false) AS dup_exact,
+         |       coalesce(n.t, false) AS dup_near,
+         |       NOT (coalesce(e.t, false) OR coalesce(n.t, false)) AS keep
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, true AS t FROM exd) e ON d.doc_id = e.doc_id
+         |LEFT JOIN (SELECT doc_id, true AS t FROM nrd) n ON d.doc_id = n.doc_id
+         |WHERE d.doc_id % $IncMod = 0""".stripMargin,
     "corpus_quantiles" ->
       s"""WITH t AS (
          |  SELECT source, doc_id, CAST(len($tkSql) AS BIGINT) AS ntok FROM documents),

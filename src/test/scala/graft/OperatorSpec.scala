@@ -1147,6 +1147,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inter / sh(0L).size < 1.0, "fixture: A has extra shingles")
   }
 
+  test("streaming asof join equals the batch merged-scan result") {
+    val a = sortedRows(EventOps.asofJoin(spark, Sf))
+    val b = sortedRows(graft.streaming.StreamingAsofJoin.run(spark, Sf))
+    assert(a == b, "streaming asof attribution != batch asof_join")
+  }
+
+  test("dedup_incremental screens the incoming batch against the index only") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.dedupIncremental(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    val (inc, idx) = docs.partition(_._1 % TextOps.IncMod == 0)
+    // output covers exactly the incoming slice
+    assert(out.keySet == inc.map(_._1).toSet, "output rows != incoming batch")
+    // exact flag recomputed brute-force on text equality (same-content
+    // docs hash equal; NULL text never matches)
+    val idxTexts = idx.flatMap(_._2).toSet
+    for ((id, txt) <- inc) {
+      val expExact = txt.exists(idxTexts.contains)
+      assert(out(id)._1 == expExact, s"doc $id dup_exact=${out(id)._1}, brute-force $expExact")
+      // keep is the negated disjunction
+      assert(out(id)._3 == !(out(id)._1 || out(id)._2), s"doc $id keep flag inconsistent")
+      // exact dup implies near candidate machinery CAN miss it only if
+      // the pair fell out of a capped bucket — don't over-constrain;
+      // but near-dup on identical text must hold when both have shingles
+    }
+    // an exact index duplicate with >= ShingleN tokens must also be
+    // near-flagged unless every shared band bucket got capped — verify
+    // at least that near ⊇ exact for docs with shingles (cap rarely
+    // binds at sf0.001; if it ever does, loosen this to a warning)
+    val longIncDups = inc.filter { case (id, txt) =>
+      txt.exists(t => idxTexts.contains(t) && t.split(" ", -1).length >= TextOps.ShingleN)
+    }.map(_._1)
+    for (id <- longIncDups)
+      assert(out(id)._2, s"doc $id exact-dups an index doc but not near-flagged")
+  }
+
   test("corpus_quantiles equals a sorted nearest-rank recompute") {
     import org.apache.spark.sql.functions._
     val toks = graft.sources.Tables.documents(spark, Sf)
