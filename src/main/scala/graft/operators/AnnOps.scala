@@ -255,6 +255,52 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "cosine")
   }
 
+  // ---- kNN graph -------------------------------------------------
+
+  val KnnK = 4 // neighbors per vector in the graph
+
+  /** Approximate kNN GRAPH construction: every vector's top-K
+    * neighbors by cosine among its multi-table LSH bucket mates — the
+    * all-vectors-are-queries sibling of `ann_lsh_topk`, and the input
+    * of graph-based semantic clustering / agglomerative dedup.
+    * Candidates come from the same banded structure as
+    * `dedup_embedding` (DedupTables independent hash tables, MaxBucket
+    * skew cap), so the pair count is bounded per bucket at any corpus
+    * size; each undirected candidate pair is scored once and emitted
+    * in both directions before the per-source top-K window. Vectors
+    * whose every bucket was capped (or that collide with nothing)
+    * simply have no rows — a kNN graph over LSH is sparse by design. */
+  def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until DedupTables).map { t =>
+        struct(lit(t).as("band"), bucketColFor("embedding", t * DedupPlanes, DedupPlanes).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val capped = banded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bn") <= MaxBucket).drop("bn")
+    val scored = capped
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("xs"))
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
+          "b -> struct(a.vec_id AS ida, a.embedding AS ea, a.nrm AS na, " +
+          "b.vec_id AS idb, b.embedding AS eb, b.nrm AS nb))))"
+      )).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
+        (expr("vec_dot(cast(p.ea as array<double>), cast(p.eb as array<double>))") /
+          (col("p.na") * col("p.nb"))).as("cosine"))
+      .distinct()
+    val sym = scored.select(col("ida").as("src"), col("idb").as("dst"), col("cosine"))
+      .unionByName(scored.select(col("idb").as("src"), col("ida").as("dst"), col("cosine")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select("src", "dst", "rnk", "cosine")
+  }
+
   // ---- SemDeDup (cluster-then-dedup semantic dedup) --------------
 
   val SemCells = 16   // k-means cell count (N/targetCell in production)
@@ -297,7 +343,8 @@ object AnnOps {
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_ivf_topk"       -> (annIvfTopk _),
     "dedup_embedding"    -> (dedupEmbedding _),
-    "semdedup"           -> (semDedup _)
+    "semdedup"           -> (semDedup _),
+    "ann_knn_graph"      -> (annKnnGraph _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -357,6 +404,29 @@ object AnnOps {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_knn_graph" ->
+      s"""WITH $vecCte, ${planesCteFor(DedupTables * DedupPlanes)},
+         |vb0 AS (
+         |  ${(0 until DedupTables).map(t =>
+              s"SELECT vec_id, embedding, nrm, $t AS band, ${bucketSqlFor("embedding", t * DedupPlanes, DedupPlanes)} AS bkey FROM vecs, pl"
+            ).mkString("\n  UNION ALL ")}),
+         |vb AS (
+         |  SELECT vec_id, embedding, nrm, band, bkey FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM vb0)
+         |  WHERE bn <= $MaxBucket),
+         |prs AS (
+         |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb,
+         |         ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |  FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |sym AS (
+         |  SELECT ida AS src, idb AS dst, cosine FROM prs
+         |  UNION ALL
+         |  SELECT idb AS src, ida AS dst, cosine FROM prs),
+         |ranked AS (
+         |  SELECT src, dst, cosine,
+         |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+         |  FROM sym)
+         |SELECT src, dst, rnk, cosine FROM ranked WHERE rnk <= $KnnK""".stripMargin,
     "semdedup" ->
       s"""WITH $vecCte, ${centroidsCteFor(SemCells)},
          |$vcellCte,

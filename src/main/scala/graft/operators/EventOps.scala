@@ -123,6 +123,26 @@ object EventOps {
         (col("ts_us") - col("c.ts_us")).as("lag_us"))
   }
 
+  val TrailUs: Long = 3600L * 1000000L // 1-hour trailing feature window
+
+  /** Trailing time-window features: per event, the same-user event
+    * count and exact cent spend in the preceding hour (inclusive) —
+    * the standard real-time-feature backfill shape (rate limiting,
+    * burst detection, spend velocity). A RANGE frame, not ROWS: the
+    * frame is defined by timestamp VALUES, so ties contribute
+    * symmetrically and the result is deterministic without a
+    * tie-breaking sort key — count and integer-cent sum over the frame
+    * are order-independent. One window shuffle on user_id, state
+    * bounded by the time horizon. */
+  def trailingWindowCounts(s: SparkSession, d: String): DataFrame = {
+    val trailW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-TrailUs, 0)
+    events(s, d)
+      .withColumn("n_trail", count(lit(1)).over(trailW))
+      .withColumn("cents_trail", sum(col("cents")).over(trailW))
+      .select("event_id", "user_id", "ts_us", "n_trail", "cents_trail")
+  }
+
   /** Ordered conversion funnel view → click → purchase: per user the
     * first view, the first click AT OR AFTER that view, and the first
     * purchase at or after that click (strict event-order semantics —
@@ -177,7 +197,8 @@ object EventOps {
     "user_running_aggs"   -> (userRunningAggs _),
     "event_props_extract" -> (eventPropsExtract _),
     "asof_join"           -> (asofJoin _),
-    "event_funnel"        -> (eventFunnel _)
+    "event_funnel"        -> (eventFunnel _),
+    "trailing_window_counts" -> (trailingWindowCounts _)
   )
 
   private val evCte =
@@ -255,6 +276,14 @@ object EventOps {
          |SELECT purchase_id, user_id, purchase_us, click_id, click_us,
          |       purchase_us - click_us AS lag_us
          |FROM j WHERE rn = 1""".stripMargin,
+    "trailing_window_counts" ->
+      s"""WITH $evCte
+         |SELECT event_id, user_id, ts_us,
+         |  count(*) OVER w AS n_trail,
+         |  CAST(sum(cents) OVER w AS BIGINT) AS cents_trail
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+         |  RANGE BETWEEN $TrailUs PRECEDING AND CURRENT ROW)""".stripMargin,
     "event_funnel" ->
       s"""WITH $evCte,
          |base AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY user_id),

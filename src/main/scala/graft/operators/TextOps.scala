@@ -732,7 +732,31 @@ object TextOps {
         col("p50_tokens"), col("p90_tokens"), col("p99_tokens"), col("max_tokens"))
   }
 
+  val VocabK = 500 // vocabulary report size
+
+  /** Corpus vocabulary report: the global top-K terms by total
+    * occurrence count, with document frequency — the seed statistics a
+    * BPE/vocab fit or a stopword audit starts from. Scale shape: one
+    * explode + one partial-aggregable groupBy(term) (map-side combine
+    * collapses the per-partition duplicates before the shuffle), then
+    * a DISTRIBUTED top-K — `orderBy(...).limit(K)` plans as
+    * TakeOrderedAndProject (per-partition heaps + a K-row driver
+    * merge), NOT a single-partition global sort; the rank column is a
+    * window over the K survivors only. Deterministic: ties break on
+    * the term string. */
+  def vocabTopk(s: SparkSession, d: String): DataFrame = {
+    val stats = docs(s, d)
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term")).limit(VocabK)
+    stats.withColumn("rnk",
+        row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+      .select("rnk", "term", "tf", "df")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "vocab_topk" -> (vocabTopk _),
     "minhash_containment" -> (minhashContainment _),
     "corpus_quantiles" -> (corpusQuantiles _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -818,6 +842,17 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "vocab_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tkSql) AS term FROM documents),
+         |stats AS (
+         |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |  FROM toks GROUP BY term),
+         |ranked AS (
+         |  SELECT term, tf, df,
+         |         row_number() OVER (ORDER BY tf DESC, term) AS rnk
+         |  FROM stats)
+         |SELECT rnk, term, tf, df FROM ranked WHERE rnk <= $VocabK""".stripMargin,
     "minhash_containment" ->
       s"""WITH $minhashCtes
          |SELECT c.ida, c.idb,

@@ -1147,6 +1147,77 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inter / sh(0L).size < 1.0, "fixture: A has extra shingles")
   }
 
+  test("trailing_window_counts matches a brute-force range recompute") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val tsd = ev.schema("ts").dataType
+    val rows = ev.select(col("event_id"), col("user_id"), EventOps.tsUs(tsd).as("ts_us"),
+        expr("cast(round(value * 100) as bigint)").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byU = rows.groupBy(_._2)
+    val got = EventOps.trailingWindowCounts(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == rows.length)
+    for ((id, u, t, _) <- rows) {
+      val frame = byU(u).filter(e => e._3 >= t - EventOps.TrailUs && e._3 <= t)
+      assert(got(id) == ((frame.length.toLong, frame.map(_._4).sum)),
+        s"event $id trailing frame mismatch")
+    }
+  }
+
+  test("vocab_topk equals a plain-Scala term-count recompute") {
+    import org.apache.spark.sql.functions._
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    val perDoc = texts.collect { case (id, Some(t)) => (id, t.split(" ", -1).toSeq) }
+    val tf = perDoc.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val df = perDoc.flatMap { case (id, ts) => ts.distinct.map(t => (t, id)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.length.toLong }
+    val expected = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(TextOps.VocabK)
+      .zipWithIndex.map { case ((t, n), i) => (i + 1L, t, n, df(t)) }
+    val got = TextOps.vocabTopk(spark, Sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == expected, "vocab_topk disagrees with recompute")
+  }
+
+  test("ann_knn_graph matches a sequential LSH-bucket recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def bucket(e: Array[Double], off: Int, n: Int): Long =
+      (0 until n).map { j =>
+        val pl = (0 until AnnOps.Dim).map(i => AnnOps.planeCoef(off + j, i).toDouble).toArray
+        if (dot(e, pl) > 0) 1L << j else 0L
+      }.sum
+    // banded buckets, cap, in-bucket pairs — mirror of the operator
+    val banded = for {
+      (id, e) <- vecs; t <- 0 until AnnOps.DedupTables
+    } yield ((t, bucket(e, t * AnnOps.DedupPlanes, AnnOps.DedupPlanes)), id)
+    val buckets = banded.groupBy(_._1).values
+      .filter(_.size <= AnnOps.MaxBucket).map(_.map(_._2).sorted)
+    val pairs = buckets.flatMap(ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))).toSet
+    val em = vecs.toMap
+    def cos(a: Long, b: Long): Double =
+      dot(em(a), em(b)) / (math.sqrt(dot(em(a), em(a))) * math.sqrt(dot(em(b), em(b))))
+    val sym = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val expected = sym.groupBy(_._1).flatMap { case (src, es) =>
+      es.map { case (_, dst) => (src, dst, cos(src, dst)) }
+        .sortBy { case (_, dst, c) => (-c, dst) }.take(AnnOps.KnnK)
+        .zipWithIndex.map { case ((s0, d0, c), i) => (s0, d0, i + 1, c) }
+    }.toSet
+    val got = AnnOps.annKnnGraph(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == expected, "ann_knn_graph disagrees with sequential recompute")
+  }
+
   test("streaming asof join equals the batch merged-scan result") {
     val a = sortedRows(EventOps.asofJoin(spark, Sf))
     val b = sortedRows(graft.streaming.StreamingAsofJoin.run(spark, Sf))
