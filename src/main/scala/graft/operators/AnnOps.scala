@@ -301,6 +301,52 @@ object AnnOps {
       .select("src", "dst", "rnk", "cosine")
   }
 
+  // ---- label centroids + kNN quality eval ------------------------
+
+  val CentScale = 1048576L // 2^20: centroid fixed-point scale
+
+  /** Per-label centroid (mean pooling) of the embedding space, one row
+    * per (label, dimension) — the class-prototype table a
+    * classifier-based quality filter or a nearest-centroid router
+    * starts from. Mean pooling at corpus scale is a SUM over an
+    * arbitrary shuffle order, and float addition is not associative —
+    * so the sum runs in the FIXED-POINT integer domain
+    * (round(x · 2^20) per element, exact in int64 up to ~2^43 rows),
+    * making the result bit-identical on any partitioning and engine;
+    * the final scale-back is a single float division chain. One
+    * posexplode + one partial-aggregable groupBy — map-side combine
+    * collapses each partition to (labels × dims) rows before the
+    * shuffle. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"cast(round(cast(x as double) * $CentScale) as bigint)")).as("sx"))
+      .select(col("label"), col("i").cast("long").as("i"), col("n"),
+        ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
+          .as("centroid"))
+
+  /** kNN-graph quality evaluation: per source label, how many graph
+    * edges stay within the label (purity) — the standard proxy for
+    * ANN recall when ground-truth neighbors are too expensive to
+    * compute at corpus scale. Composes [[annKnnGraph]] with two
+    * broadcast label lookups and one partial-aggregable groupBy;
+    * int/int purity is engine-exact. */
+  def knnLabelPurity(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    annKnnGraph(s, d)
+      .join(labels.withColumnRenamed("vec_id", "src").withColumnRenamed("label", "src_label"),
+        Seq("src"))
+      .join(labels.withColumnRenamed("vec_id", "dst").withColumnRenamed("label", "dst_label"),
+        Seq("dst"))
+      .groupBy(col("src_label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("src_label") === col("dst_label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("src_label").as("label"), col("n_edges"), col("n_same"),
+        (col("n_same").cast("double") / col("n_edges").cast("double")).as("purity"))
+  }
+
   // ---- SemDeDup (cluster-then-dedup semantic dedup) --------------
 
   val SemCells = 16   // k-means cell count (N/targetCell in production)
@@ -344,7 +390,9 @@ object AnnOps {
     "ann_ivf_topk"       -> (annIvfTopk _),
     "dedup_embedding"    -> (dedupEmbedding _),
     "semdedup"           -> (semDedup _),
-    "ann_knn_graph"      -> (annKnnGraph _)
+    "ann_knn_graph"      -> (annKnnGraph _),
+    "label_centroids"    -> (labelCentroids _),
+    "knn_label_purity"   -> (knnLabelPurity _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -385,6 +433,32 @@ object AnnOps {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, c ASC) AS rn
        |    FROM vdots) WHERE rn = 1)""".stripMargin
 
+  /** The kNN-graph query as standalone SQL — `ann_knn_graph`'s oracle
+    * and the inner table of `knn_label_purity`'s. */
+  private lazy val knnGraphSql: String =
+    s"""WITH $vecCte, ${planesCteFor(DedupTables * DedupPlanes)},
+       |vb0 AS (
+       |  ${(0 until DedupTables).map(t =>
+            s"SELECT vec_id, embedding, nrm, $t AS band, ${bucketSqlFor("embedding", t * DedupPlanes, DedupPlanes)} AS bkey FROM vecs, pl"
+          ).mkString("\n  UNION ALL ")}),
+       |vb AS (
+       |  SELECT vec_id, embedding, nrm, band, bkey FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM vb0)
+       |  WHERE bn <= $MaxBucket),
+       |prs AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb,
+       |         ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |sym AS (
+       |  SELECT ida AS src, idb AS dst, cosine FROM prs
+       |  UNION ALL
+       |  SELECT idb AS src, ida AS dst, cosine FROM prs),
+       |ranked AS (
+       |  SELECT src, dst, cosine,
+       |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+       |  FROM sym)
+       |SELECT src, dst, rnk, cosine FROM ranked WHERE rnk <= $KnnK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" ->
       s"""WITH $vecCte, $centroidsCte,
@@ -404,29 +478,26 @@ object AnnOps {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
-    "ann_knn_graph" ->
-      s"""WITH $vecCte, ${planesCteFor(DedupTables * DedupPlanes)},
-         |vb0 AS (
-         |  ${(0 until DedupTables).map(t =>
-              s"SELECT vec_id, embedding, nrm, $t AS band, ${bucketSqlFor("embedding", t * DedupPlanes, DedupPlanes)} AS bkey FROM vecs, pl"
-            ).mkString("\n  UNION ALL ")}),
-         |vb AS (
-         |  SELECT vec_id, embedding, nrm, band, bkey FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM vb0)
-         |  WHERE bn <= $MaxBucket),
-         |prs AS (
-         |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb,
-         |         ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-         |  FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-         |sym AS (
-         |  SELECT ida AS src, idb AS dst, cosine FROM prs
-         |  UNION ALL
-         |  SELECT idb AS src, ida AS dst, cosine FROM prs),
-         |ranked AS (
-         |  SELECT src, dst, cosine,
-         |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
-         |  FROM sym)
-         |SELECT src, dst, rnk, cosine FROM ranked WHERE rnk <= $KnnK""".stripMargin,
+    "ann_knn_graph" -> knnGraphSql,
+    "label_centroids" ->
+      s"""WITH t AS (
+         |  SELECT label, unnest(range(len(embedding))) AS i, embedding
+         |  FROM embeddings),
+         |x AS (SELECT label, i, embedding[i + 1] AS x FROM t)
+         |SELECT label, CAST(i AS BIGINT) AS i, count(*) AS n,
+         |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $CentScale) AS BIGINT)) AS DOUBLE)
+         |          / CAST(count(*) AS DOUBLE)) / ${CentScale}e0 AS centroid
+         |FROM x GROUP BY label, i""".stripMargin,
+    "knn_label_purity" ->
+      s"""WITH g AS ($knnGraphSql)
+         |SELECT e1.label, count(*) AS n_edges,
+         |       CAST(sum(CASE WHEN e1.label = e2.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+         |       CAST(sum(CASE WHEN e1.label = e2.label THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS purity
+         |FROM g
+         |JOIN embeddings e1 ON g.src = e1.vec_id
+         |JOIN embeddings e2 ON g.dst = e2.vec_id
+         |GROUP BY e1.label""".stripMargin,
     "semdedup" ->
       s"""WITH $vecCte, ${centroidsCteFor(SemCells)},
          |$vcellCte,

@@ -732,6 +732,25 @@ object TextOps {
         col("p50_tokens"), col("p90_tokens"), col("p99_tokens"), col("max_tokens"))
   }
 
+  /** Multi-level corpus report in ONE pass: per (source, lang), per
+    * source, and grand-total doc counts / token volumes / NULL-text
+    * counts via ROLLUP grouping sets — the report shape a release
+    * dashboard wants without three scans. Spark plans rollup as a
+    * single expand + partial-aggregable groupBy (rows 3x, one
+    * shuffle); `gid` is the grouping bit-vector (0 = detail row,
+    * 1 = lang rolled up, 3 = grand total), identical semantics to
+    * SQL GROUPING(). Token sums ride the BIGINT token counts, so
+    * every level is integer-exact. */
+  def corpusRollup(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), col("lang"), size(col("tk")).cast("long").as("ntok"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(col("ntok")).as("sum_tokens"),
+        grouping_id().as("gid"))
+      .select("source", "lang", "gid", "n_docs", "n_null", "sum_tokens")
+
   val VocabK = 500 // vocabulary report size
 
   /** Corpus vocabulary report: the global top-K terms by total
@@ -756,6 +775,7 @@ object TextOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "corpus_rollup" -> (corpusRollup _),
     "vocab_topk" -> (vocabTopk _),
     "minhash_containment" -> (minhashContainment _),
     "corpus_quantiles" -> (corpusQuantiles _),
@@ -842,6 +862,15 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "corpus_rollup" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, CAST(len($tkSql) AS BIGINT) AS ntok FROM documents)
+         |SELECT source, lang,
+         |       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN ntok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(sum(ntok) AS BIGINT) AS sum_tokens
+         |FROM t GROUP BY ROLLUP (source, lang)""".stripMargin,
     "vocab_topk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($tkSql) AS term FROM documents),

@@ -1218,6 +1218,65 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, "ann_knn_graph disagrees with sequential recompute")
   }
 
+  test("corpus_rollup levels are mutually consistent and match the detail rows") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.corpusRollup(spark, Sf).collect().map { r =>
+      (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), if (r.isNullAt(5)) 0L else r.getLong(5))
+    }
+    val detail = rows.filter(_._3 == 0L)
+    val bySrc  = rows.filter(_._3 == 1L)
+    val total  = rows.filter(_._3 == 3L)
+    assert(total.length == 1 && total.head._1.isEmpty && total.head._2.isEmpty)
+    // per-source rows equal the sum of their detail rows
+    for ((src, _, _, n, nn, st) <- bySrc) {
+      val d = detail.filter(_._1 == src)
+      assert(d.nonEmpty && d.map(_._4).sum == n && d.map(_._5).sum == nn &&
+        d.map(_._6).sum == st, s"source $src rollup != sum of detail")
+    }
+    assert(detail.map(_._4).sum == total.head._4, "grand total n_docs")
+    assert(bySrc.map(_._4).sum == total.head._4, "source level sums to total")
+  }
+
+  test("label_centroids equals an exact fixed-point mean recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val got = AnnOps.labelCentroids(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val byLabel = vecs.groupBy(_._1)
+    for ((lab, vs) <- byLabel; i <- vs.head._2.indices) {
+      // Spark's round() is BigDecimal HALF_UP (away from zero for
+      // negatives), which math.round is NOT — match it exactly
+      val sx = vs.map(v => BigDecimal(v._2(i).toDouble * AnnOps.CentScale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      val exp = (sx.toDouble / vs.length.toDouble) / AnnOps.CentScale.toDouble
+      val (n, c) = got((lab, i.toLong))
+      assert(n == vs.length && c == exp, s"label $lab dim $i centroid mismatch")
+    }
+    assert(got.size == byLabel.size * vecs.head._2.length)
+  }
+
+  test("knn_label_purity is consistent with the knn graph and label table") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = AnnOps.annKnnGraph(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = edges.groupBy(e => labels(e._1)).map { case (lab, es) =>
+      lab -> (es.length.toLong, es.count(e => labels(e._2) == lab).toLong)
+    }
+    val got = AnnOps.knnLabelPurity(spark, Sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == exp.keySet)
+    for ((lab, (n, same)) <- exp) {
+      assert(got(lab)._1 == n && got(lab)._2 == same, s"label $lab edge counts")
+      assert(got(lab)._3 == same.toDouble / n.toDouble, s"label $lab purity")
+    }
+  }
+
   test("streaming asof join equals the batch merged-scan result") {
     val a = sortedRows(EventOps.asofJoin(spark, Sf))
     val b = sortedRows(graft.streaming.StreamingAsofJoin.run(spark, Sf))
