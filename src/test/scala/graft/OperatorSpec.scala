@@ -1283,6 +1283,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "streaming asof attribution != batch asof_join")
   }
 
+  test("streaming trailing counts equal the batch RANGE-frame result") {
+    val a = sortedRows(EventOps.trailingWindowCounts(spark, Sf))
+    val b = sortedRows(graft.streaming.StreamingTrailingCounts.run(spark, Sf))
+    assert(a == b, "streaming sliding-buffer features != batch RANGE window")
+  }
+
   test("dedup_incremental screens the incoming batch against the index only") {
     import org.apache.spark.sql.functions._
     val out = TextOps.dedupIncremental(spark, Sf).collect()
