@@ -774,7 +774,93 @@ object TextOps {
       .select("rnk", "term", "tf", "df")
   }
 
+  val BpeK = 200 // pair-statistics report size
+
+  /** BPE pair statistics: the global top-K ADJACENT token pairs by
+    * occurrence count, with document frequency — the inner statistic of
+    * a byte-pair-encoding merge step (Sennrich et al. 2016: each merge
+    * round picks the most frequent adjacent pair), and the seed report
+    * a tokenizer fit over a new corpus starts from. Adjacent pairs are
+    * exactly the 2-gram shingles the dedup family already defines, so
+    * the derivation shares [[graft.functions.Portable.shingles]].
+    * Same scale shape as [[vocabTopk]]: one explode + one
+    * partial-aggregable groupBy(pair) (map-side combine collapses
+    * per-partition repeats before the shuffle), then the distributed
+    * top-K (`orderBy.limit` → TakeOrderedAndProject: per-partition
+    * heaps + a K-row driver merge); the rank window runs over the K
+    * survivors only. A full BPE fit iterates merge→re-pair; each round
+    * is this same one-shuffle shape over the re-merged token column. */
+  def bpePairCounts(s: SparkSession, d: String): DataFrame = {
+    val pairs = docs(s, d)
+      .select(col("doc_id"), explode(Portable.shingles(col("tk"), 2)).as("pair"))
+    val stats = pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("pair")).limit(BpeK)
+    stats.withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+      .select("rnk", "pair", "cnt", "df")
+  }
+
+  val ReservoirK    = 10   // sample size per source stratum (< the
+                           // sf0.01 per-source doc count, so the gate
+                           // exercises real selection, not identity)
+  val ReservoirSalt = "r1"
+
+  /** Fixed-SIZE deterministic per-source sample — the reservoir-sample
+    * complement of [[sampleStratified]]'s fixed-RATE draw: exactly
+    * min(K, n) documents per source, chosen as the K smallest values of
+    * the counter-hash u = h60(doc_id:salt). Hash-rank selection is the
+    * distributed, replayable equivalent of reservoir sampling (every
+    * doc's key is computable anywhere, no sequential state, and the
+    * same K docs come out on any partitioning or re-run). One window
+    * shuffle on `source`. At corpus scale the per-source sort is the
+    * cost; because u is uniform, a production caller prefilters
+    * u < ceil(K · margin / n_source · 2^60) from the per-source counts
+    * before the sort — the survivors are ~K·margin rows and the result
+    * is unchanged (the K smallest always survive a cut above them). */
+  def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("u",
+        Portable.h60(concat(col("doc_id").cast("string"), lit(":" + ReservoirSalt))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ReservoirK)
+      .select(col("doc_id"), col("source"), col("u"), col("rnk").cast("long").as("rnk"))
+  }
+
+  val RareTf = 3L // corpus occurrence count below which a token is "rare"
+
+  /** Frequency-based rarity signal: per document, the fraction of
+    * tokens whose CORPUS-wide occurrence count is below RareTf — the
+    * log-free analogue of a unigram-LM perplexity filter (CCNet-style:
+    * documents dominated by tokens the corpus has never seen are
+    * OCR noise / mojibake / codebooks; ln is not bit-portable
+    * cross-engine, so the signal stays in exact integer counts).
+    * Scale shape: one explode + a vocabulary-sized groupBy(term), then
+    * the tf table joins back on `term` (the key the aggregation just
+    * shuffled on — co-partitioned; no broadcast hint, the vocabulary
+    * of a web corpus does not fit the driver) and one partial-agg
+    * groupBy(doc_id). NULL-text docs keep a row of NULL metrics
+    * (explode_outer), like every corpus operator here. */
+  def rareTokenRatio(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), explode_outer(col("tk")).as("term"))
+    val tf = toks.filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+    toks.join(tf, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("term")).as("n_tokens"),
+        sum(when(col("ctf") < RareTf, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_rare").cast("long").as("n_rare"),
+        when(col("n_tokens") > 0,
+          col("n_rare").cast("double") / col("n_tokens").cast("double"))
+          .as("rare_ratio"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "bpe_pair_counts" -> (bpePairCounts _),
+    "sample_reservoir" -> (sampleReservoir _),
+    "rare_token_ratio" -> (rareTokenRatio _),
     "corpus_rollup" -> (corpusRollup _),
     "vocab_topk" -> (vocabTopk _),
     "minhash_containment" -> (minhashContainment _),
@@ -862,6 +948,46 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "bpe_pair_counts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tkSql AS tk FROM documents),
+         |prs AS (
+         |  SELECT doc_id, unnest(${Portable.shinglesSql("tk", 2)}) AS pair FROM toks),
+         |stats AS (
+         |  SELECT pair, count(*) AS cnt, count(DISTINCT doc_id) AS df
+         |  FROM prs GROUP BY pair),
+         |ranked AS (
+         |  SELECT pair, cnt, df,
+         |         row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+         |  FROM stats)
+         |SELECT rnk, pair, cnt, df FROM ranked WHERE rnk <= $BpeK""".stripMargin,
+    "sample_reservoir" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |         ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$ReservoirSalt'")} AS u
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, u,
+         |         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rnk
+         |  FROM u)
+         |SELECT doc_id, source, u, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= $ReservoirK""".stripMargin,
+    "rare_token_ratio" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tkSql) AS term FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, NULL AS term FROM documents WHERE text IS NULL),
+         |tf AS (
+         |  SELECT term, count(*) AS ctf FROM toks
+         |  WHERE term IS NOT NULL GROUP BY term)
+         |SELECT t.doc_id, count(t.term) AS n_tokens,
+         |       CAST(sum(CASE WHEN tf.ctf < $RareTf THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |       CASE WHEN count(t.term) > 0
+         |            THEN CAST(sum(CASE WHEN tf.ctf < $RareTf THEN 1 ELSE 0 END) AS DOUBLE)
+         |               / CAST(count(t.term) AS DOUBLE)
+         |       END AS rare_ratio
+         |FROM toks t LEFT JOIN tf ON t.term = tf.term
+         |GROUP BY t.doc_id""".stripMargin,
     "corpus_rollup" ->
       s"""WITH t AS (
          |  SELECT source, lang, CAST(len($tkSql) AS BIGINT) AS ntok FROM documents)

@@ -1346,4 +1346,62 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
+
+  test("bpe_pair_counts equals a plain-Scala adjacent-pair recompute") {
+    import org.apache.spark.sql.functions._
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getString(1)))
+    val pairRows = texts.flatMap { case (id, t) =>
+      val tk = t.split(" ", -1)
+      tk.sliding(2).filter(_.length == 2).map(p => (id, p.mkString(" ")))
+    }
+    val cnt = pairRows.groupBy(_._2).map { case (p, xs) =>
+      (p, xs.length.toLong, xs.map(_._1).distinct.length.toLong) }.toSeq
+    val expected = cnt.sortBy { case (p, c, _) => (-c, p) }.take(TextOps.BpeK)
+    val got = TextOps.bpePairCounts(spark, Sf).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq, "top-K pair statistics differ from recompute")
+  }
+
+  test("sample_reservoir keeps exactly the K hash-smallest docs per source") {
+    import org.apache.spark.sql.functions._
+    val all = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.h60(
+          concat(col("doc_id").cast("string"), lit(":" + TextOps.ReservoirSalt))).as("u"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (x._3, x._1)).take(TextOps.ReservoirK).toSeq
+    }.map(x => (x._1, x._2)).toSet
+    val got = TextOps.sampleReservoir(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, "reservoir membership differs from hash-rank recompute")
+    // every stratum is exactly min(K, n) — a fixed-SIZE sample
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((src, xs) <- all.groupBy(_._2))
+      assert(bySrc.getOrElse(src, 0) == math.min(TextOps.ReservoirK, xs.length), s"$src size")
+  }
+
+  test("rare_token_ratio bounds and NULL-text behavior") {
+    import org.apache.spark.sql.functions._
+    // fixture with a NULL-text doc: the report must keep it as NULLs
+    val dir = java.nio.file.Files.createTempDirectory("graft_rare").toString
+    val base = graft.sources.Tables.documents(spark, Sf).limit(30)
+    val extra = spark.range(1).select(
+      lit(2000000L).as("doc_id"), lit(null).cast("string").as("text"),
+      lit("en").as("lang"), lit("synthetic").as("source"), lit(0L).as("n_chars"))
+    base.unionByName(extra).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.rareTokenRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 31, "every doc must keep a row")
+    val nd = rows(2000000L)
+    assert(nd.getLong(nd.fieldIndex("n_tokens")) == 0L)
+    assert(nd.isNullAt(nd.fieldIndex("rare_ratio")), "NULL-text doc must carry NULL ratio")
+    for ((_, r) <- rows if !r.isNullAt(r.fieldIndex("rare_ratio"))) {
+      val (n, k) = (r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("n_rare")))
+      assert(k >= 0 && k <= n, s"n_rare out of bounds: $k / $n")
+    }
+  }
 }
