@@ -383,7 +383,82 @@ object AnnOps {
     v.join(dup, Seq("vec_id"), "left_anti").select(col("vec_id"), col("cell"))
   }
 
+  // ---- scalar-quantized (SQ8 / ADC) variant ----------------------
+
+  val SqLevels = 127L // symmetric int8 code range [-127, 127]
+
+  /** Per-dimension max-|x| scale table as a single broadcast row —
+    * the SQ8 codebook (in production: fitted once per corpus version
+    * and stored beside the index; here derived in-query). One
+    * posexplode + one 64-row groupBy; the sorted-collect keeps the
+    * array order deterministic. */
+  private def sqScales(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(max(abs(col("x").cast("double"))).as("sc"))
+      .agg(sort_array(collect_list(struct(col("i"), col("sc")))).as("xs"))
+      .select(transform(col("xs"), x => x.getField("sc")).as("scales"))
+
+  /** Scalar-quantized ANN (SQ8 + asymmetric distance computation):
+    * the database side is stored as int8 codes
+    * (round(x/s_i · 127) per dimension, s_i the per-dim max-|x|), the
+    * QUERY stays exact, and scoring runs against the dequantized
+    * reconstruction — the memory-bound scale path (4× smaller vectors
+    * than float32, 8× than float64) every production ANN index offers
+    * below IVF/PQ. Quantize→dequantize happens in one zip_with
+    * projection here so the oracle can replay it; a real index stores
+    * the codes. Exact top-k per query over the reconstructed scores:
+    * same broadcast + window shape as the brute-force baseline, so the
+    * checked output pins the quantization arithmetic, not the probe
+    * structure (compose with LSH/IVF bucketing for that). round() is
+    * half-away-from-zero on both engines; all other arithmetic is
+    * IEEE +·/ — bit-portable. */
+  def annSqTopk(s: SparkSession, d: String): DataFrame = {
+    val recon = Tables.embeddings(s, d)
+      .crossJoin(broadcast(sqScales(s, d)))
+      .withColumn("recon",
+        zip_with(col("embedding").cast("array<double>"), col("scales"),
+          (x, sc) => when(sc > 0,
+            round(x / sc * SqLevels) * sc / SqLevels.toDouble).otherwise(0.0)))
+      .select(col("vec_id"), col("recon"),
+        sqrt(vecDot("recon", "recon")).as("rnrm"))
+      .filter(col("rnrm") > 0)
+    recon
+      .crossJoin(broadcast(queriesSide(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qcosine", vecDot("qe", "recon") / (col("qn") * col("rnrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "qcosine")
+  }
+
+  /** Recall@K report: per query, how many of the brute-force top-K
+    * each approximate index (hyperplane-LSH, IVF) recovered — the ANN
+    * quality gate operationalized as a checked query (SURVEY §5's
+    * measured recall table is this aggregation over parameter sweeps).
+    * Reuses the three top-k operators verbatim; hits are an equi-join
+    * on (q_id, vec_id) and every ratio is int/int — engine-exact. */
+  def annRecallReport(s: SparkSession, d: String): DataFrame = {
+    val b = annCosineTopk(s, d).select(col("q_id"), col("vec_id"))
+    val l = annLshTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_l"))
+    val i = annIvfTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_i"))
+    b.join(l, Seq("q_id", "vec_id"), "left")
+      .join(i, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("in_l"), lit(0L))).as("lsh_hits"),
+        sum(coalesce(col("in_i"), lit(0L))).as("ivf_hits"))
+      .select(col("q_id"), col("n_true"),
+        col("lsh_hits").cast("long").as("lsh_hits"),
+        col("ivf_hits").cast("long").as("ivf_hits"),
+        (col("lsh_hits").cast("double") / col("n_true").cast("double")).as("lsh_recall"),
+        (col("ivf_hits").cast("double") / col("n_true").cast("double")).as("ivf_recall"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ann_sq_topk"        -> (annSqTopk _),
+    "ann_recall_report"  -> (annRecallReport _),
     "ann_cosine_topk"    -> (annCosineTopk _),
     "ann_lsh_topk"       -> (annLshTopk _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
@@ -459,25 +534,100 @@ object AnnOps {
        |  FROM sym)
        |SELECT src, dst, rnk, cosine FROM ranked WHERE rnk <= $KnnK""".stripMargin
 
+  /** The IVF top-k query as standalone SQL (also nested by
+    * `ann_recall_report`'s oracle). */
+  private lazy val ivfTopkSql: String =
+    s"""WITH $vecCte, $centroidsCte,
+       |$vcellCte,
+       |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
+       |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
+       |qcell AS (SELECT q_id, qe, qn, cell FROM (
+       |    SELECT q_id, qe, qn, c AS cell,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
+       |    FROM qdots) WHERE rn <= $NProbe),
+       |scored AS (
+       |  SELECT q.q_id, v.vec_id, ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
+       |  FROM vcell v JOIN qcell q ON v.cell = q.cell
+       |  WHERE v.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin
+
+  /** Brute-force top-k as standalone SQL (nested by the recall
+    * report). */
+  private lazy val cosineTopkSql: String =
+    s"""WITH $vecCte,
+       |scored AS (
+       |  SELECT q.q_id, v.vec_id, $cosSql AS cosine
+       |  FROM vecs v CROSS JOIN qs q
+       |  WHERE v.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin
+
+  /** Single-table LSH top-k as standalone SQL (nested by the recall
+    * report). */
+  private lazy val lshTopkSql: String =
+    s"""WITH $vecCte, $planesCte,
+       |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),
+       |qb AS (SELECT q_id, qe, qn, ${bucketSql("qe")} AS bucket FROM qs, pl),
+       |scored AS (
+       |  SELECT q.q_id, v.vec_id, ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
+       |  FROM vb v JOIN qb q ON v.bucket = q.bucket
+       |  WHERE v.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_ivf_topk" ->
-      s"""WITH $vecCte, $centroidsCte,
-         |$vcellCte,
-         |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
-         |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
-         |qcell AS (SELECT q_id, qe, qn, cell FROM (
-         |    SELECT q_id, qe, qn, c AS cell,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
-         |    FROM qdots) WHERE rn <= $NProbe),
+    "ann_sq_topk" ->
+      s"""WITH $vecCte,
+         |dims AS (SELECT unnest(range(len(embedding))) AS i, embedding FROM embeddings),
+         |sc0 AS (SELECT i, max(abs(CAST(embedding[i + 1] AS DOUBLE))) AS s
+         |        FROM dims GROUP BY i),
+         |sc AS (SELECT list(s ORDER BY i) AS scales FROM sc0),
+         |rec AS (SELECT vec_id,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      i -> CASE WHEN scales[i] > 0
+         |           THEN round(CAST(embedding[i] AS DOUBLE) / scales[i] * $SqLevels)
+         |                  * scales[i] / ${SqLevels}.0
+         |           ELSE 0.0 END) AS recon
+         |  FROM embeddings, sc),
+         |rn AS (SELECT * FROM (
+         |    SELECT vec_id, recon, ${Portable.normSql("recon")} AS rnrm FROM rec)
+         |  WHERE rnrm > 0),
          |scored AS (
-         |  SELECT q.q_id, v.vec_id, ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
-         |  FROM vcell v JOIN qcell q ON v.cell = q.cell
-         |  WHERE v.vec_id <> q.q_id),
+         |  SELECT q.q_id, r.vec_id,
+         |         ${Portable.dotSql("qe", "recon")} / (qn * rnrm) AS qcosine
+         |  FROM rn r CROSS JOIN qs q
+         |  WHERE r.vec_id <> q.q_id),
          |ranked AS (
-         |  SELECT q_id, vec_id, cosine,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  SELECT q_id, vec_id, qcosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
          |  FROM scored)
-         |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+         |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_recall_report" ->
+      s"""WITH b AS ($cosineTopkSql),
+         |l AS ($lshTopkSql),
+         |iv AS ($ivfTopkSql)
+         |SELECT b.q_id, count(*) AS n_true,
+         |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+         |       CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+         |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS lsh_recall,
+         |       CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS ivf_recall
+         |FROM b
+         |LEFT JOIN l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+         |LEFT JOIN iv ON b.q_id = iv.q_id AND b.vec_id = iv.vec_id
+         |GROUP BY b.q_id""".stripMargin,
+    "ann_ivf_topk" -> ivfTopkSql,
     "ann_knn_graph" -> knnGraphSql,
     "label_centroids" ->
       s"""WITH t AS (
@@ -522,17 +672,7 @@ object AnnOps {
          |  FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
          |  WHERE ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= ${DupCosT}e0)
          |SELECT vec_id FROM vecs WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
-    "ann_cosine_topk" ->
-      s"""WITH $vecCte,
-         |scored AS (
-         |  SELECT q.q_id, v.vec_id, $cosSql AS cosine
-         |  FROM vecs v CROSS JOIN qs q
-         |  WHERE v.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cosine,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
-         |  FROM scored)
-         |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_cosine_topk" -> cosineTopkSql,
     "ann_lsh_multiprobe" ->
       s"""WITH $vecCte, $planesCte,
          |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),
@@ -548,18 +688,6 @@ object AnnOps {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
-    "ann_lsh_topk" ->
-      s"""WITH $vecCte, $planesCte,
-         |vb AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM vecs, pl),
-         |qb AS (SELECT q_id, qe, qn, ${bucketSql("qe")} AS bucket FROM qs, pl),
-         |scored AS (
-         |  SELECT q.q_id, v.vec_id, ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
-         |  FROM vb v JOIN qb q ON v.bucket = q.bucket
-         |  WHERE v.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, cosine,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
-         |  FROM scored)
-         |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin
+    "ann_lsh_topk" -> lshTopkSql
   )
 }

@@ -1347,6 +1347,51 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  test("ann_sq_topk quantization is within the SQ8 half-step bound") {
+    import org.apache.spark.sql.functions._
+    // recompute the per-dim scales and check every reconstructed
+    // element is within s_i / (2*127) of the original (the max error a
+    // round-to-nearest int8 code can introduce), plus rank contiguity
+    val embs = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = embs.head._2.length
+    val scales = (0 until dim).map(i => embs.map(e => math.abs(e._2(i))).max)
+    def recon(x: Array[Double]): Array[Double] =
+      x.indices.map { i =>
+        if (scales(i) > 0) math.round(x(i) / scales(i) * 127).toDouble * scales(i) / 127.0
+        else 0.0
+      }.toArray
+    for ((_, v) <- embs.take(20); i <- 0 until dim) {
+      val err = math.abs(recon(v)(i) - v(i))
+      assert(err <= scales(i) / 254.0 + 1e-12, s"dim $i error $err exceeds half-step")
+    }
+    val out = AnnOps.annSqTopk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    for ((q, rs) <- out.groupBy(_._1))
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"q=$q ranks not contiguous")
+  }
+
+  test("ann_recall_report equals the overlap of the top-k operator outputs") {
+    def keyset(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = keyset(AnnOps.annCosineTopk(spark, Sf))
+    val l = keyset(AnnOps.annLshTopk(spark, Sf))
+    val i = keyset(AnnOps.annIvfTopk(spark, Sf))
+    val rep = AnnOps.annRecallReport(spark, Sf).collect()
+    assert(rep.nonEmpty)
+    for (r <- rep) {
+      val q = r.getLong(r.fieldIndex("q_id"))
+      val nTrue = r.getLong(r.fieldIndex("n_true"))
+      val bq = b.filter(_._1 == q)
+      assert(nTrue == bq.size, s"q=$q n_true")
+      assert(r.getLong(r.fieldIndex("lsh_hits")) == (bq & l).size, s"q=$q lsh_hits")
+      assert(r.getLong(r.fieldIndex("ivf_hits")) == (bq & i).size, s"q=$q ivf_hits")
+      val (lr, ir) = (r.getDouble(r.fieldIndex("lsh_recall")), r.getDouble(r.fieldIndex("ivf_recall")))
+      assert(lr >= 0.0 && lr <= 1.0 && ir >= 0.0 && ir <= 1.0, s"q=$q recall bounds")
+    }
+  }
+
   test("bpe_pair_counts equals a plain-Scala adjacent-pair recompute") {
     import org.apache.spark.sql.functions._
     val texts = graft.sources.Tables.documents(spark, Sf)
