@@ -857,7 +857,61 @@ object TextOps {
           .as("rare_ratio"))
   }
 
+  // ---- BM25 retrieval --------------------------------------------
+
+  val BmK1     = 1.2
+  val BmB      = 0.75
+  val BmTopK   = 20
+  val BmQTerms = Seq("hash", "join", "vector") // the literal query
+
+  /** BM25 document retrieval for a fixed query — the ranking function
+    * behind corpus search / retrieval-augmented sampling (Robertson &
+    * Zaragoza 2009), with the log-free IDF weight N/df the TF-IDF
+    * operator already established (ln is not bit-portable; the ranking
+    * intent is identical). Per query term:
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)); the per-doc
+    * score adds the (fixed, literal) query terms in a FIXED order via
+    * a conditional-aggregation pivot — a groupBy sum of doubles would
+    * be accumulation-order-dependent and neither reproducible across
+    * engines nor across retries. Scale shape: the exploded term scan
+    * filters to the query terms FIRST (predicate on the explode
+    * output, so only matching postings survive the shuffle), one
+    * partial-agg groupBy(doc_id, term), a query-sized df aggregate and
+    * one-row corpus stats both broadcast, then the distributed top-K
+    * (TakeOrderedAndProject). */
+  def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val qArr = array(BmQTerms.map(lit): _*)
+    val dls = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(array_contains(qArr, col("term")))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        (col("n_docs").cast("double") / col("df").cast("double")) *
+          (col("tf").cast("double") * lit(BmK1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(BmK1) * (lit(1.0) - lit(BmB) + lit(BmB) * col("dl").cast("double") / col("avgdl"))))
+    val aggs = BmQTerms.map(t =>
+      coalesce(max(when(col("term") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("score", BmQTerms.map(t => col(s"s_$t")).reduce(_ + _))
+    val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(BmTopK)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk") +: col("doc_id") +: col("score") +:
+        BmQTerms.map(t => col(s"s_$t")): _*)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "bm25_topk" -> (bm25Topk _),
     "bpe_pair_counts" -> (bpePairCounts _),
     "sample_reservoir" -> (sampleReservoir _),
     "rare_token_ratio" -> (rareTokenRatio _),
@@ -947,7 +1001,40 @@ object TextOps {
        |  WHERE bit_count(xor(a.fp, b.fp)) <= $HamT)""".stripMargin
   }
 
+  private val bmInList = BmQTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+  private val bmPivot = BmQTerms.map(t =>
+    s"coalesce(max(CASE WHEN term = '$t' THEN sc END), 0.0) AS s_$t").mkString(",\n  ")
+  private val bmSum = BmQTerms.map(t => s"s_$t").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH dls AS (
+         |  SELECT doc_id, CAST(len($tkSql) AS BIGINT) AS dl
+         |  FROM documents WHERE text IS NOT NULL),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dls),
+         |toks AS (SELECT doc_id, unnest($tkSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN $bmInList GROUP BY doc_id, term),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT t.doc_id, t.term,
+         |    (CAST(s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) *
+         |      (CAST(t.tf AS DOUBLE) * ${BmK1 + 1.0}) /
+         |      (CAST(t.tf AS DOUBLE) +
+         |        $BmK1 * (1.0 - $BmB + $BmB * CAST(l.dl AS DOUBLE) / s.avgdl)) AS sc
+         |  FROM tf t JOIN dfr d USING (term) JOIN dls l USING (doc_id) CROSS JOIN stats s),
+         |pd AS (SELECT doc_id,
+         |  $bmPivot
+         |  FROM sc GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT doc_id, $bmSum AS score, ${BmQTerms.map(t => s"s_$t").mkString(", ")},
+         |         row_number() OVER (ORDER BY $bmSum DESC, doc_id) AS rnk
+         |  FROM pd)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, score,
+         |       ${BmQTerms.map(t => s"s_$t").mkString(", ")}
+         |FROM ranked WHERE rnk <= $BmTopK""".stripMargin,
     "bpe_pair_counts" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tkSql AS tk FROM documents),

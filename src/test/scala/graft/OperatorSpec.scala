@@ -1347,6 +1347,55 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  test("bm25_topk equals a plain-Scala BM25 recompute") {
+    import org.apache.spark.sql.functions._
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getString(1)))
+    val toks = texts.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = toks.size.toLong
+    val avgdl = toks.values.map(_.length.toLong).sum.toDouble / n.toDouble
+    val q = TextOps.BmQTerms
+    val df = q.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+    def score(id: Long): Seq[Double] = q.map { t =>
+      val tf = toks(id).count(_ == t).toLong
+      if (tf == 0 || df(t) == 0) 0.0
+      else (n.toDouble / df(t).toDouble) * (tf.toDouble * (TextOps.BmK1 + 1.0)) /
+        (tf.toDouble + TextOps.BmK1 *
+          (1.0 - TextOps.BmB + TextOps.BmB * toks(id).length.toDouble / avgdl))
+    }
+    val expected = toks.keys.toSeq
+      .map(id => (id, score(id))).filter(_._2.sum > 0.0)
+      .sortBy { case (id, s) => (-s.sum, id) }.take(TextOps.BmTopK)
+    val got = TextOps.bm25Topk(spark, Sf).collect().sortBy(_.getLong(0))
+    assert(got.length == math.min(TextOps.BmTopK, expected.length))
+    for ((r, (id, s)) <- got.zip(expected)) {
+      assert(r.getLong(1) == id, s"rank ${r.getLong(0)} doc mismatch")
+      assert(math.abs(r.getDouble(2) - s.sum) < 1e-12, s"doc $id score")
+    }
+  }
+
+  test("streaming funnel transitions equal the batch funnel unpivot") {
+    import org.apache.spark.sql.functions._
+    val batch = EventOps.eventFunnel(spark, Sf).collect().flatMap { r =>
+      val u = r.getLong(r.fieldIndex("user_id"))
+      def at(c: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+      at("first_view_us").map(t => (u, 1L, t)) ++
+        at("first_click_us").map(t => (u, 2L, t)) ++
+        at("first_purchase_us").map(t => (u, 3L, t))
+    }.toSet
+    val got = graft.streaming.StreamingFunnel.run(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, "streaming transitions differ from batch funnel unpivot")
+    // stage times are monotone per user
+    for ((u, rs) <- got.groupBy(_._1)) {
+      val byStage = rs.map(x => x._2 -> x._3).toMap
+      for (s <- 2L to 3L if byStage.contains(s))
+        assert(byStage(s - 1) <= byStage(s), s"user $u stage $s out of order")
+    }
+  }
+
   test("ann_sq_topk quantization is within the SQ8 half-step bound") {
     import org.apache.spark.sql.functions._
     // recompute the per-dim scales and check every reconstructed
