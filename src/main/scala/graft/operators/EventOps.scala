@@ -191,7 +191,28 @@ object EventOps {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
         sum(col("cents")).as("sum_cents"))
 
+  val HourUs: Long = 3600L * 1000000L
+
+  /** Multi-dimensional event report: counts and exact cent volume per
+    * (event_type, hour-of-day) with all CUBE margins — type totals,
+    * hourly totals, grand total — in ONE pass (the traffic-shape
+    * dashboard a pipeline reads before sizing streaming state). CUBE
+    * plans as a single expand (rows ×4) + one partial-aggregable
+    * shuffle, the grouping-sets sibling of `corpus_rollup`'s ROLLUP;
+    * `gid` is the grouping bit-vector. Hour-of-day is exact integer
+    * arithmetic on epoch micros (UTC), no timezone/locale functions. */
+  def eventCube(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("hod", expr(s"(ts_us div $HourUs) % 24"))
+      .cube(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        grouping_id().as("gid"))
+      .select(col("event_type"), col("hod"), col("gid"),
+        col("n_events"), col("sum_cents").cast("long").as("sum_cents"))
+
   val queries: Map[String, QueryFn] = Map(
+    "event_cube"          -> (eventCube _),
     "sessionize"          -> (sessionize _),
     "session_stats"       -> (sessionStats _),
     "user_running_aggs"   -> (userRunningAggs _),
@@ -210,6 +231,14 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_cube" ->
+      s"""WITH $evCte,
+         |h AS (SELECT event_type, (ts_us // $HourUs) % 24 AS hod, cents FROM ev)
+         |SELECT event_type, hod,
+         |       CAST(GROUPING(event_type, hod) AS BIGINT) AS gid,
+         |       count(*) AS n_events,
+         |       CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM h GROUP BY CUBE (event_type, hod)""".stripMargin,
     "event_props_extract" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k

@@ -910,7 +910,71 @@ object TextOps {
         BmQTerms.map(t => col(s"s_$t")): _*)
   }
 
+  val HistMaxPow = 20 // token-length histogram covers [1, 2^21)
+
+  /** Power-of-2 token-length HISTOGRAM per source — the distribution
+    * view the release dashboard wants beside [[corpusQuantiles]]'s
+    * point statistics (quantiles say where the mass sits, the
+    * histogram shows the shape: a bimodal crawl, a truncation spike).
+    * Bucket b holds docs with 2^b ≤ tokens < 2^(b+1); the bucket CASE
+    * fold is generated from one Scala Seq on both engines (no log2 —
+    * not bit-portable). One partial-aggregable groupBy; NULL-text docs
+    * land in a NULL bucket row rather than disappearing. */
+  def tokenHistogram(s: SparkSession, d: String): DataFrame = {
+    val nt = size(col("tk")).cast("long")
+    // fold ascending so the LARGEST power ends up as the outermost
+    // when() — each bucket test must shadow all smaller ones
+    val bucket = (0 to HistMaxPow).foldLeft(lit(null).cast("long")) {
+      (acc, b) => when(nt >= (1L << b), lit(b.toLong)).otherwise(acc)
+    }
+    docs(s, d)
+      .select(col("source"), nt.as("ntok"), when(col("text").isNotNull, bucket).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+      .select(col("source"), col("bucket"),
+        when(col("bucket").isNotNull, expr("shiftleft(1L, cast(bucket as int))"))
+          .as("bucket_lo"),
+        col("n_docs"), col("sum_tokens").cast("long").as("sum_tokens"))
+  }
+
+  /** Cross-source duplication matrix: for every (source, source) pair,
+    * how many verified near-dup pairs span them — the corpus-curation
+    * report that shows which dumps/crawls re-host each other's content
+    * (and how much of the dedup burden is intra- vs inter-source).
+    * Rides the banded-LSH pair table (never all-pairs); the source
+    * pair is ordered lexicographically so each unordered pair
+    * aggregates once. Two broadcast-sized lookups + one partial-agg
+    * groupBy. */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairJaccard(s, d).filter(col("jacc") >= JaccT)
+      .join(src.withColumnRenamed("doc_id", "ida").withColumnRenamed("source", "sa"), Seq("ida"))
+      .join(src.withColumnRenamed("doc_id", "idb").withColumnRenamed("source", "sb"), Seq("idb"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+  }
+
+  /** Near-dup cluster SIZE distribution — the one-line health report
+    * of the dedup pass (a fat tail of giant clusters means boilerplate
+    * is slipping through the bucket caps; all-singletons means the
+    * thresholds are too tight). Composes [[dupClusters]]'s label table
+    * with two partial-aggregable groupBys; every output is an exact
+    * integer. */
+  def dupClusterSizes(s: SparkSession, d: String): DataFrame =
+    dupClusters(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+
   val queries: Map[String, QueryFn] = Map(
+    "token_histogram" -> (tokenHistogram _),
+    "dedup_cross_source" -> (dedupCrossSource _),
+    "dup_cluster_sizes" -> (dupClusterSizes _),
     "bm25_topk" -> (bm25Topk _),
     "bpe_pair_counts" -> (bpePairCounts _),
     "sample_reservoir" -> (sampleReservoir _),
@@ -1006,7 +1070,50 @@ object TextOps {
     s"coalesce(max(CASE WHEN term = '$t' THEN sc END), 0.0) AS s_$t").mkString(",\n  ")
   private val bmSum = BmQTerms.map(t => s"s_$t").mkString(" + ")
 
+  private val histChain = (HistMaxPow to 0 by -1)
+    .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
+
   val oracles: Map[String, String] = Map(
+    "token_histogram" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(len($tkSql) AS BIGINT) AS ntok FROM documents),
+         |b AS (
+         |  SELECT source, ntok,
+         |    CAST(CASE WHEN ntok IS NULL THEN NULL
+         |    $histChain
+         |    ELSE NULL END AS BIGINT) AS bucket
+         |  FROM t)
+         |SELECT source, bucket,
+         |       CASE WHEN bucket IS NOT NULL THEN CAST(1 AS BIGINT) << bucket END AS bucket_lo,
+         |       count(*) AS n_docs,
+         |       CAST(sum(ntok) AS BIGINT) AS sum_tokens
+         |FROM b GROUP BY source, bucket""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH $minhashCtes
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs,
+         |       least(da.source, db.source) <> greatest(da.source, db.source) AS cross_source
+         |FROM pj
+         |JOIN documents da ON pj.ida = da.doc_id
+         |JOIN documents db ON pj.idb = db.doc_id
+         |WHERE pj.jacc >= ${JaccT}e0
+         |GROUP BY 1, 2, 4""".stripMargin,
+    "dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |dedges AS (
+         |  SELECT ida AS a, idb AS b FROM pj WHERE jacc >= ${JaccT}e0
+         |  UNION ALL
+         |  SELECT idb AS a, ida AS b FROM pj WHERE jacc >= ${JaccT}e0),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |       CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz""".stripMargin,
     "bm25_topk" ->
       s"""WITH dls AS (
          |  SELECT doc_id, CAST(len($tkSql) AS BIGINT) AS dl

@@ -1347,6 +1347,65 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  test("token_histogram buckets partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.tokenHistogram(spark, Sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum == nDocs,
+      "bucket doc counts must sum to the corpus size")
+    for (r <- rows if !r.isNullAt(r.fieldIndex("bucket"))) {
+      val (b, lo) = (r.getLong(r.fieldIndex("bucket")), r.getLong(r.fieldIndex("bucket_lo")))
+      assert(lo == (1L << b), s"bucket_lo mismatch at $b")
+      val sum = r.getLong(r.fieldIndex("sum_tokens"))
+      val n = r.getLong(r.fieldIndex("n_docs"))
+      assert(sum >= n * lo && sum < n * lo * 2, s"bucket $b sum out of [n*lo, n*2lo)")
+    }
+  }
+
+  test("dedup_cross_source totals equal the verified pair count") {
+    import org.apache.spark.sql.functions._
+    val verified = TextOps.ngramJaccard(spark, Sf)
+      .filter(col("jacc") >= TextOps.JaccT).count()
+    val rows = TextOps.dedupCrossSource(spark, Sf).collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_pairs"))).sum == verified,
+      "per-source-pair counts must sum to the verified near-dup pair count")
+    for (r <- rows) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a <= b, s"source pair not canonically ordered: $a / $b")
+      assert(r.getBoolean(r.fieldIndex("cross_source")) == (a != b))
+    }
+  }
+
+  test("dup_cluster_sizes is the exact size distribution of dup_clusters") {
+    val labels = TextOps.dupClusters(spark, Sf).collect()
+      .map(r => r.getLong(1))
+    val expected = labels.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    val got = TextOps.dupClusterSizes(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "size histogram differs from label recompute")
+  }
+
+  test("event_cube margins are mutually consistent") {
+    val rows = EventOps.eventCube(spark, Sf).collect().map { r =>
+      (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    val detail = rows.filter(_._3 == 0L)
+    val byType = rows.filter(_._3 == 1L) // hod rolled up
+    val byHod  = rows.filter(_._3 == 2L) // type rolled up
+    val total  = rows.filter(_._3 == 3L)
+    assert(total.length == 1)
+    assert(detail.map(_._4).sum == total.head._4, "detail counts vs grand total")
+    assert(byType.map(_._4).sum == total.head._4, "type margin vs grand total")
+    assert(byHod.map(_._4).sum == total.head._4, "hod margin vs grand total")
+    for ((t, _, _, n, c) <- byType) {
+      val d = detail.filter(_._1 == t)
+      assert(d.map(_._4).sum == n && d.map(_._5).sum == c, s"type $t margin")
+    }
+  }
+
   test("bm25_topk equals a plain-Scala BM25 recompute") {
     import org.apache.spark.sql.functions._
     val texts = graft.sources.Tables.documents(spark, Sf)
