@@ -456,7 +456,68 @@ object AnnOps {
         (col("ivf_hits").cast("double") / col("n_true").cast("double")).as("ivf_recall"))
   }
 
+  // ---- product-quantized (PQ / ADC) variant ----------------------
+
+  val PqM    = 8  // subspaces
+  val PqDsub = 8  // dims per subspace (PqM * PqDsub == Dim)
+  val PqK    = 16 // codes per subspace codebook
+
+  /** Deterministic pseudo-codebook entry (m, c, i) — in production the
+    * per-subspace codebooks come from a k-means fit over subvectors;
+    * the assignment/ADC plumbing is identical. */
+  def pqCoef(m: Int, c: Int, i: Int): Long =
+    ((((m * PqK + c) * PqDsub + i) + 11) * 48271L) % 2000003L - 1000001L
+
+  /** The PQ codebook TABLE (m, c, cent) — PqM·PqK rows, broadcast at
+    * any corpus size (a real 2^8-code float32 book is 64 KB). */
+  def pqCodebook(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for { m <- 0 until PqM; c <- 0 until PqK }
+      yield (m, c, (0 until PqDsub).map(i => pqCoef(m, c, i).toDouble)))
+      .toDF("m", "c", "cent")
+  }
+
+  /** Product-quantized ANN (PQ + asymmetric distance computation,
+    * Jégou et al. 2011): each vector is stored as PqM sub-codes (one
+    * byte per subspace — 8 bytes per vector here vs 256 for float32),
+    * each sub-code the argmax-dot codebook entry for that subspace
+    * slice; queries stay exact and score against the CONCATENATED
+    * reconstruction (sequential-fold dot → deterministic double on
+    * both engines, unlike a shuffled sum of per-subspace partials).
+    * Scale shape: assignment is one broadcast nested-loop over the
+    * 128-row codebook + a partial-aggregable per-(vec, subspace)
+    * max_by + one per-vec sorted-collect — all keyed by vec_id, no
+    * vector-side shuffle beyond those groupBys; then the same
+    * broadcast-queries + window top-k as every ANN baseline here.
+    * Compose with the IVF cells for the probe structure; this checked
+    * query pins the quantize→ADC arithmetic end-to-end. */
+  def annPqTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val assigned = e.crossJoin(broadcast(pqCodebook(s)))
+      .withColumn("sub", slice(col("emb"), col("m") * PqDsub + 1, lit(PqDsub)))
+      .withColumn("dd", expr("vec_dot(sub, cent)"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("cent"), struct(col("dd"), (-col("c")).as("nc"))).as("bcent"))
+    val recon = assigned
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("bcent")))).as("xs"))
+      .select(col("vec_id"),
+        flatten(transform(col("xs"), x => x.getField("bcent"))).as("recon"))
+      .withColumn("rnrm", sqrt(vecDot("recon", "recon")))
+      .filter(col("rnrm") > 0)
+    recon
+      .crossJoin(broadcast(queriesSide(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qcosine", vecDot("qe", "recon") / (col("qn") * col("rnrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "qcosine")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ann_pq_topk"        -> (annPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
     "ann_recall_report"  -> (annRecallReport _),
     "ann_cosine_topk"    -> (annCosineTopk _),
@@ -585,7 +646,42 @@ object AnnOps {
        |  FROM scored)
        |SELECT q_id, vec_id, rnk, cosine FROM ranked WHERE rnk <= $TopK""".stripMargin
 
+  private def pqCodebookCte: String =
+    "pqc AS (SELECT * FROM (VALUES " +
+      (for { m <- 0 until PqM; c <- 0 until PqK } yield
+        "(" + m + ", " + c + ", " +
+          (0 until PqDsub).map(i => s"${pqCoef(m, c, i)}").mkString("[", ",", "]") +
+          "::DOUBLE[])").mkString(", ") +
+      ") t(m, c, cent))"
+
   val oracles: Map[String, String] = Map(
+    "ann_pq_topk" ->
+      s"""WITH $vecCte, $pqCodebookCte,
+         |sdots AS (
+         |  SELECT v.vec_id, p.m, p.c, p.cent,
+         |         ${Portable.dotSql(s"list_slice(v.embedding, p.m * $PqDsub + 1, p.m * $PqDsub + $PqDsub)", "p.cent")} AS dd
+         |  FROM vecs v, pqc p),
+         |chosen AS (
+         |  SELECT vec_id, m, cent FROM (
+         |    SELECT vec_id, m, cent,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd DESC, c ASC) AS rn
+         |    FROM sdots) WHERE rn = 1),
+         |rec AS (
+         |  SELECT vec_id, flatten(list(cent ORDER BY m)) AS recon
+         |  FROM chosen GROUP BY vec_id),
+         |rn AS (SELECT * FROM (
+         |    SELECT vec_id, recon, ${Portable.normSql("recon")} AS rnrm FROM rec)
+         |  WHERE rnrm > 0),
+         |scored AS (
+         |  SELECT q.q_id, r.vec_id,
+         |         ${Portable.dotSql("qe", "recon")} / (qn * rnrm) AS qcosine
+         |  FROM rn r CROSS JOIN qs q
+         |  WHERE r.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, qcosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
     "ann_sq_topk" ->
       s"""WITH $vecCte,
          |dims AS (SELECT unnest(range(len(embedding))) AS i, embedding FROM embeddings),

@@ -1455,6 +1455,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann_pq_topk scores against the argmax-dot codebook reconstruction") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def recon(v: Array[Double]): Array[Double] =
+      (0 until AnnOps.PqM).flatMap { m =>
+        val sub = v.slice(m * AnnOps.PqDsub, (m + 1) * AnnOps.PqDsub)
+        val best = (0 until AnnOps.PqK).maxBy { c =>
+          val cent = (0 until AnnOps.PqDsub).map(i => AnnOps.pqCoef(m, c, i).toDouble)
+          // (dot, -c): ties prefer the lowest code index
+          (sub.zip(cent).map { case (a, b) => a * b }.sum, -c)
+        }
+        (0 until AnnOps.PqDsub).map(i => AnnOps.pqCoef(m, best, i).toDouble)
+      }.toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+      d / (na * nb)
+    }
+    val out = AnnOps.annPqTopk(spark, Sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out.take(50)) {
+      val (q, v, sc) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val expect = cos(embs(q), recon(embs(v)))
+      assert(math.abs(sc - expect) < 1e-9, s"q=$q v=$v ADC score mismatch")
+    }
+    for ((q, rs) <- out.groupBy(_.getLong(0)))
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length).toSeq, s"q=$q ranks")
+  }
+
   test("ann_sq_topk quantization is within the SQ8 half-step bound") {
     import org.apache.spark.sql.functions._
     // recompute the per-dim scales and check every reconstructed
