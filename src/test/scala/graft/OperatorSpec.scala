@@ -627,9 +627,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // same one-row budget-totals scalar join. semdedup shares
     // ann_ivf_topk's centroid-table assignment (and nothing else
     // crosses: the in-cell pair kernel is a groupBy).
+    // ann_sq_topk / ann_pq_topk: exhaustive ADC scans against the
+    // broadcast query set (the quantization-arithmetic gates; the
+    // probe structure composes with LSH/IVF) plus their ONE-ROW scale
+    // table / 128-row codebook broadcasts. ann_recall_report nests the
+    // brute-force baseline by definition. bm25_topk carries the
+    // one-row corpus-stats scalar join.
     val allowedNestedLoop =
       Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
-        "pack_mix_sequences", "ann_ivf_topk", "semdedup")
+        "pack_mix_sequences", "ann_ivf_topk", "semdedup",
+        "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -1345,6 +1352,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p99 == vals(rank(vals.length, 99) - 1), s"$src p99")
     }
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
+  }
+
+  test("BucketedSink co-located join plans with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val toks = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+    graft.sources.BucketedSink.writeBucketed(docs, "b_docs", "doc_id", 4)
+    graft.sources.BucketedSink.writeBucketed(toks, "b_toks", "doc_id", 4)
+    val broadcastOff = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = graft.sources.BucketedSink.coLocatedJoin(spark, "b_docs", "b_toks", "doc_id")
+      assert(j.count() == docs.count(), "co-located join lost rows")
+      val plan = j.queryExecution.executedPlan.toString
+      // the headline win: NO Exchange — the shuffle was paid once at
+      // write time. (A per-partition Sort remains: since Spark 3 the
+      // bucketed scan does not advertise in-bucket order by default —
+      // spark.sql.legacy.bucketedTableScan.outputOrdering — and the
+      // in-memory partition sort is cheap and network-free next to the
+      // exchange it replaces.)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must recognize the bucketed layout:\n$plan")
+      // same result as the plain (shuffling) join
+      val plain = docs.join(toks, Seq("doc_id"))
+      assert(sortedRows(j) == sortedRows(plain), "bucketed join result differs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastOff)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_toks")
+    }
   }
 
   test("token_histogram buckets partition the corpus") {
