@@ -140,7 +140,29 @@ object MultiModalOps {
     }.toDF()
   }
 
+  /** Exact media dedup by content hash — the first pass of every
+    * image/video corpus pipeline (byte-identical re-uploads dominate
+    * web media duplication; perceptual hashing only runs on what
+    * survives this). sha-256 over the opaque BINARY payload + window
+    * keep-first, the media twin of `dedup_exact`: same plan, but the
+    * hash is computed on bytes (codec-agnostic, works on any blob)
+    * rather than decoded text. One scan + one hash-keyed window
+    * shuffle; at corpus scale the 32-byte digest column is what
+    * shuffles, never the payload. */
+  def multimodalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bhash")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("bhash"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_canonical", col("rn") === 1)
+      .select("doc_id", "n_bytes", "bhash", "is_canonical")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
     "clip_prob" -> (clipProb _)
@@ -170,6 +192,16 @@ object MultiModalOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's sha256 takes VARCHAR only; hashing the text is
+    // byte-identical to hashing its UTF-8 encoding (the blob IS that
+    // encoding), so the twin hashes the string and sizes the blob.
+    "multimodal_dedup" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS bhash,
+        |  row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+        |    AS is_canonical
+        |FROM documents""".stripMargin,
     "clip_prob" -> clipProbOracle,
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -1354,6 +1354,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  test("multimodal_dedup canonical flags match a byte-level recompute") {
+    import org.apache.spark.sql.functions._
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1))))
+    val canonical = texts.groupBy(_._2).view.mapValues(_.map(_._1).min).values.toSet
+    val got = MultiModalOps.multimodalDedup(spark, Sf).collect()
+    assert(got.length == texts.length, "every doc keeps a row")
+    for (r <- got) {
+      val (id, isC) = (r.getLong(0), r.getBoolean(r.fieldIndex("is_canonical")))
+      assert(isC == canonical.contains(id), s"doc $id canonical flag")
+      val t = texts.toMap.apply(id)
+      val nb = r.getLong(r.fieldIndex("n_bytes"))
+      t match {
+        case Some(s) => assert(nb == s.getBytes("UTF-8").length.toLong, s"doc $id n_bytes")
+        case None => assert(r.isNullAt(r.fieldIndex("bhash")), s"doc $id NULL blob hash")
+      }
+    }
+  }
+
   test("BucketedSink co-located join plans with zero exchanges") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, Sf)
