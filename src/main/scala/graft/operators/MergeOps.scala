@@ -96,6 +96,21 @@ object MergeOps {
       .agg(max(col("im_val")))
       .select(col("evid"), col("sta"), col("HN").as("im_hn"), col("BN").as("im_bn"))
 
+  /** The UNPIVOT (melt) inverse of [[imPivot]]: wide per-channel
+    * columns back to long (evid, sta, chan, im_val) rows — the
+    * publication direction runs wide (flatfiles), the processing
+    * direction runs long (per-channel kernels), and a real pipeline
+    * round-trips between them constantly. Spark's `stack(n, k1, v1,
+    * ...)` expression is the codegen'd melt (one Generate node, no
+    * shuffle, row growth = channel count); rows whose channel value is
+    * NULL after the pivot (the channel never existed for that station)
+    * are dropped, so pivot→melt is lossless on the defined cells. */
+  def imMelt(s: SparkSession, dir: String): DataFrame =
+    imPivot(s, dir)
+      .select(col("evid"), col("sta"),
+        expr("stack(2, 'HN', im_hn, 'BN', im_bn) AS (chan, im_val)"))
+      .filter(col("im_val").isNotNull)
+
   /** Horizontal-component combination on top of the pivot (the
     * reference publishes rotd/geom combinations of the two horizontal
     * components, `merge_flatfiles.py` component columns): SRSS-mean
@@ -154,6 +169,7 @@ object MergeOps {
     "merge_flatfile"      -> (mergeFlatfile _),
     "ground_level_argmin" -> (groundLevelArgmin _),
     "im_pivot"            -> (imPivot _),
+    "im_melt"             -> (imMelt _),
     "im_component_combo"  -> (imComponentCombo _),
     "db_upsert"           -> (dbUpsert _),
     "flatfile_semi_filter"-> (flatfileSemiFilter _),
@@ -191,6 +207,16 @@ object MergeOps {
         |       max(CASE WHEN chan = 'HN' THEN im_val END) AS im_hn,
         |       max(CASE WHEN chan = 'BN' THEN im_val END) AS im_bn
         |FROM gm_records GROUP BY evid, sta""".stripMargin),
+    "im_melt" -> Catalog.oracle(
+      """SELECT evid, sta, chan, im_val FROM (
+        |  SELECT evid, sta, 'HN' AS chan,
+        |         max(CASE WHEN chan = 'HN' THEN im_val END) AS im_val
+        |  FROM gm_records GROUP BY evid, sta
+        |  UNION ALL
+        |  SELECT evid, sta, 'BN' AS chan,
+        |         max(CASE WHEN chan = 'BN' THEN im_val END) AS im_val
+        |  FROM gm_records GROUP BY evid, sta)
+        |WHERE im_val IS NOT NULL""".stripMargin),
     "im_component_combo" -> Catalog.oracle(
       """SELECT evid, sta, im_hn, im_bn,
         |       sqrt((im_hn * im_hn + im_bn * im_bn) / 2) AS im_srss,

@@ -971,7 +971,32 @@ object TextOps {
       .select(col("sz").as("cluster_size"), col("n_clusters"),
         (col("sz") * col("n_clusters")).as("n_docs"))
 
+  val NormStripRe = "[^a-z0-9 ]" // kept in the Java∩RE2-identical subset
+
+  /** Normalize-then-dedup — the CCNet normalization step ahead of
+    * exact hashing: lowercase, strip non-alphanumerics, collapse
+    * whitespace, THEN hash — so trivially-variant re-hosts (case,
+    * punctuation, spacing) collapse onto one canonical doc that raw
+    * `dedup_exact` treats as distinct. The normalization stays in the
+    * ASCII + Java∩RE2 regex subset (the `pii_count` portability rule)
+    * so both engines produce identical bytes; full Unicode NFKC would
+    * be a library call with no cross-engine twin. Same plan as
+    * `dedup_exact`: one scan, codegen'd projection, one digest-keyed
+    * window shuffle. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), NormStripRe, ""), " +", " "))
+    val w = Window.partitionBy(col("nhash")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), sha2(col("norm"), 256).as("nhash"),
+        length(col("norm")).cast("long").as("n_norm_chars"))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select("doc_id", "nhash", "n_norm_chars", "is_canonical")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "dedup_normalized" -> (dedupNormalized _),
     "token_histogram" -> (tokenHistogram _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dup_cluster_sizes" -> (dupClusterSizes _),
@@ -1074,6 +1099,17 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "dedup_normalized" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(regexp_replace(lower(text),
+         |           '$NormStripRe', '', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, sha256(norm) AS nhash,
+         |       CAST(length(norm) AS BIGINT) AS n_norm_chars,
+         |       row_number() OVER (PARTITION BY sha256(norm) ORDER BY doc_id) = 1
+         |         AS is_canonical
+         |FROM n""".stripMargin,
     "token_histogram" ->
       s"""WITH t AS (
          |  SELECT source, CAST(len($tkSql) AS BIGINT) AS ntok FROM documents),

@@ -1354,6 +1354,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  test("im_melt round-trips the pivot losslessly on defined cells") {
+    import org.apache.spark.sql.functions._
+    val melted = MergeOps.imMelt(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.get(1), r.getString(2)), r.getDouble(3))).toMap
+    val wide = MergeOps.imPivot(spark, Sf).collect()
+    var cells = 0
+    for (r <- wide; (chan, idx) <- Seq(("HN", 2), ("BN", 3)) if !r.isNullAt(idx)) {
+      cells += 1
+      val k = (r.getLong(0), r.get(1), chan)
+      assert(melted.get(k).contains(r.getDouble(idx)), s"cell $k lost or changed")
+    }
+    assert(melted.size == cells, "melt emitted extra rows")
+  }
+
+  test("dedup_normalized collapses case/punct/space variants onto one canonical doc") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    val base = graft.sources.Tables.documents(spark, Sf).limit(10)
+    // three trivially-variant re-hosts of one text + a NULL doc
+    val t = "The quick  Brown FOX, jumps!"
+    val variants = Seq(
+      (3000000L, t), (3000001L, "the quick brown fox jumps"),
+      (3000002L, "THE QUICK BROWN: fox jumps?"), (3000003L, null))
+    val extra = spark.createDataFrame(
+        spark.sparkContext.parallelize(variants.map {
+          case (id, tx) => org.apache.spark.sql.Row(id, tx) }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("synthetic").as("source"), lit(0L).as("n_chars"))
+    base.unionByName(extra).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.dedupNormalized(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val variantRows = Seq(3000000L, 3000001L, 3000002L).map(rows)
+    assert(variantRows.map(_.getString(1)).distinct.length == 1,
+      "variants must share one normalized hash")
+    assert(variantRows.count(_.getBoolean(3)) == 1,
+      "exactly one canonical per normalized class")
+    assert(variantRows.find(_.getBoolean(3)).get.getLong(0) == 3000000L,
+      "lowest doc_id wins")
+    assert(rows(3000003L).isNullAt(1), "NULL text keeps NULL hash")
+  }
+
   test("multimodal_dedup canonical flags match a byte-level recompute") {
     import org.apache.spark.sql.functions._
     val texts = graft.sources.Tables.documents(spark, Sf)
