@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming keep-latest upsert — the CDC / materialized-latest-view
+  * twin of [[graft.operators.MergeOps.dbUpsert]]: versioned updates
+  * stream in, state carries ONE row per key (the highest version seen),
+  * and each micro-batch emits the keys it changed — a changelog whose
+  * final emission per key is the batch keep-last table. This is the
+  * fifth stateful pattern in the streaming family (boundary /
+  * accumulator / sliding-buffer / state-machine / LATEST-VALUE STORE),
+  * and the state bound (#keys, one version+value each) is what makes a
+  * latest-view maintainable at any update volume.
+  *
+  * Version ordering is total per key by construction (the two source
+  * branches carry distinct literal versions), so the monotone
+  * `version > stored` guard is deterministic with no tie rule needed.
+  * Under `Trigger.AvailableNow` on the bounded input (one parquet file
+  * → one micro-batch) each key emits exactly once with its final
+  * winner, so the driver's DuckDB oracle (the batch `db_upsert` SQL,
+  * reused verbatim) checks it exactly; a multi-batch deployment emits
+  * one changelog row per (key, batch-with-change), the shape a
+  * downstream sink compacts. */
+object StreamingUpsert {
+
+  final case class Up(record_id: String, version: Long, im: Option[Double])
+  final case class Latest(version: Long, im: Option[Double])
+  final case class Out(record_id: String, version: Long, im: Option[Double])
+
+  def keepLatest(key: String, rows: Iterator[Up],
+                 state: GroupState[Latest]): Iterator[Out] = {
+    var st = state.getOption
+    var changed = false
+    for (r <- rows) {
+      if (st.forall(_.version < r.version)) {
+        st = Some(Latest(r.version, r.im))
+        changed = true
+      }
+    }
+    st.foreach(state.update)
+    if (changed) Iterator.single(Out(key, st.get.version, st.get.im))
+    else Iterator.empty
+  }
+
+  private val runSeq = new AtomicInteger(0)
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(s"$dir/[l]ineitem.parquet")
+      .select(
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_suppkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"), lit("_"),
+          col("l_partkey").cast("string")).as("record_id"),
+        col("l_linenumber").cast("long").as("lnum"),
+        // Catalog.records' im_val derivation, verbatim
+        ((col("l_partkey") % 1000) / lit(10.0)).as("im_val"))
+      .select(col("record_id"), explode(expr(
+        "filter(array(" +
+          "IF(lnum <= 4, named_struct('version', 1L, 'im', im_val), NULL), " +
+          "IF(lnum >= 3, named_struct('version', 2L, 'im', im_val * 2), NULL)" +
+          "), x -> x IS NOT NULL)")).as("u"))
+      .select(col("record_id"), col("u.version").as("version"), col("u.im").as("im"))
+      .as[Up]
+      .groupByKey(_.record_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(keepLatest)
+    val name = s"stream_upsert_${runSeq.incrementAndGet()}"
+    val q = stream.toDF().writeStream
+      .format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}

@@ -1354,6 +1354,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  test("streaming db_upsert equals the batch keep-last table") {
+    val batch = MergeOps.dbUpsert(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val got = graft.streaming.StreamingUpsert.run(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == batch, "streaming latest-view differs from batch keep-last")
+    // one row per key — the single-batch changelog is the snapshot
+    assert(got.size == got.map(_._1).size, "duplicate keys in the changelog")
+  }
+
   test("im_melt round-trips the pivot losslessly on defined cells") {
     import org.apache.spark.sql.functions._
     val melted = MergeOps.imMelt(spark, Sf).collect()
