@@ -211,7 +211,54 @@ object EventOps {
       .select(col("event_type"), col("hod"), col("gid"),
         col("n_events"), col("sum_cents").cast("long").as("sum_cents"))
 
+  /** Per-user session rollup via Spark's BUILT-IN `session_window`
+    * operator — the declarative twin of the hand-rolled lag+cumsum
+    * [[sessionStats]], kept as its own checked query because the two
+    * formulations differ at one boundary: `session_window` closes a
+    * session when the next event lands AT OR AFTER prev + gap
+    * (half-open [start, prev+gap) windows), where the lag rule uses
+    * strictly-greater. The built-in plans as one partial-aggregable
+    * session-merge aggregation (no window function, map-side combine
+    * does local session merging before the shuffle) — at scale this
+    * beats the window formulation whenever sessions are short relative
+    * to partition size. Window bounds surface as exact epoch micros. */
+  def sessionWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.select(col("event_id"), col("user_id"),
+        tsEventTime(ev.schema("ts").dataType).as("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_cents").cast("long").as("sum_cents"))
+  }
+
+  val SlideUs: Long  = 900L * 1000000L  // 15-minute slide
+  val WinUs: Long    = 3600L * 1000000L // 1-hour window
+
+  /** Global traffic curve via the built-in SLIDING `window` operator:
+    * event counts + exact cent volume per 1-hour window sliding every
+    * 15 minutes. Each event replicates into window/slide = 4 windows
+    * (Spark plans this as a generate + partial-aggregable groupBy —
+    * one shuffle of pre-combined window rows); bounds are exact epoch
+    * micros, windows aligned to the epoch like Spark's. */
+  def slidingWindowCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.select(tsEventTime(ev.schema("ts").dataType).as("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_cents").cast("long").as("sum_cents"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "session_window_agg"  -> (sessionWindowAgg _),
+    "sliding_window_counts" -> (slidingWindowCounts _),
     "event_cube"          -> (eventCube _),
     "sessionize"          -> (sessionize _),
     "session_stats"       -> (sessionStats _),
@@ -231,6 +278,35 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // boundary at >= gap (session_window's half-open [start, prev+gap)
+    // rule) where the lag-formulated `sessionize` uses strictly >
+    "session_window_agg" ->
+      s"""WITH $evCte,
+         |lagd AS (
+         |  SELECT user_id, ts_us, cents,
+         |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us,
+         |         event_id
+         |  FROM ev),
+         |b AS (
+         |  SELECT user_id, ts_us, cents, event_id,
+         |         CASE WHEN prev_us IS NULL OR ts_us - prev_us >= $GapUs THEN 1 ELSE 0 END AS boundary
+         |  FROM lagd),
+         |sess AS (
+         |  SELECT user_id, ts_us, cents,
+         |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM b)
+         |SELECT user_id, min(ts_us) AS start_us, max(ts_us) + $GapUs AS end_us,
+         |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "sliding_window_counts" ->
+      s"""WITH $evCte,
+         |wins AS (
+         |  SELECT (ts_us // $SlideUs) * $SlideUs - j.j * $SlideUs AS start_us, cents
+         |  FROM ev, (SELECT unnest(range(0, ${WinUs / SlideUs})) AS j) j)
+         |SELECT start_us, start_us + $WinUs AS end_us,
+         |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM wins GROUP BY start_us""".stripMargin,
     "event_cube" ->
       s"""WITH $evCte,
          |h AS (SELECT event_type, (ts_us // $HourUs) % 24 AS hod, cents FROM ev)

@@ -1354,6 +1354,41 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  test("session_window_agg equals a sequential >= gap-rule recompute") {
+    import org.apache.spark.sql.functions._
+    val ev = EventOps.queries("sessionize")(spark, Sf) // event_id, user_id, ts_us, session_idx
+      .select(col("user_id"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    for ((u, ts) <- byUser) {
+      var start = ts.head; var last = ts.head; var n = 0L
+      for (t <- ts) {
+        if (t - last >= EventOps.GapUs) {
+          expected += ((u, start, last + EventOps.GapUs, n))
+          start = t; n = 0L
+        }
+        last = t; n += 1
+      }
+      expected += ((u, start, last + EventOps.GapUs, n))
+    }
+    val got = EventOps.sessionWindowAgg(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected.toSet, "session_window sessions differ from >= recompute")
+  }
+
+  test("sliding_window_counts replicates each event into exactly window/slide windows") {
+    val rows = EventOps.slidingWindowCounts(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nEvents = graft.sources.Tables.events(spark, Sf).count()
+    assert(rows.map(_._3).sum == (EventOps.WinUs / EventOps.SlideUs) * nEvents,
+      "window memberships must total windows-per-event x events")
+    for ((st, en, _) <- rows) {
+      assert(en - st == EventOps.WinUs, "window length")
+      assert(st % EventOps.SlideUs == 0, "window aligned to the slide grid")
+    }
+  }
+
   test("streaming db_upsert equals the batch keep-last table") {
     val batch = MergeOps.dbUpsert(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1),
