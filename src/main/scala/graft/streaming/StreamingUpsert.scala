@@ -48,10 +48,10 @@ object StreamingUpsert {
 
   private val runSeq = new AtomicInteger(0)
 
-  def run(s: SparkSession, dir: String): DataFrame = {
+  private def upsertStream(s: SparkSession, srcGlob: String,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import s.implicits._
-    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(s"$dir/[l]ineitem.parquet")
+    s.readStream.schema(schema).parquet(srcGlob)
       .select(
         concat(col("l_orderkey").cast("string"), lit("_"),
           col("l_suppkey").cast("string"), lit("_"),
@@ -69,8 +69,32 @@ object StreamingUpsert {
       .as[Up]
       .groupByKey(_.record_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(keepLatest)
+      .toDF()
+  }
+
+  /** Production-shaped run: durable parquet changelog + checkpoint. A
+    * restart with the same checkpoint resumes from the file-source
+    * offset log with every key's latest version rehydrated — replayed
+    * input re-emits NOTHING (the monotone guard sees equal versions),
+    * which is the idempotence a CDC changelog needs (pinned by the
+    * restart spec). */
+  def runFileSink(s: SparkSession, srcGlob: String, sinkDir: String,
+                  ckptDir: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val q = upsertStream(s, srcGlob, schema).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = upsertStream(s, s"$dir/[l]ineitem.parquet", schema)
     val name = s"stream_upsert_${runSeq.incrementAndGet()}"
-    val q = stream.toDF().writeStream
+    val q = stream.writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()

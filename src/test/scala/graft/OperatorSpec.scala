@@ -1354,6 +1354,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSet == bySource.keySet.filter(s => bySource(s).exists(_._3.isDefined)))
   }
 
+  /** CDC idempotence across a restart: run 1 processes the full
+    * update stream into a durable changelog; run 2 restarts from the
+    * same checkpoint after the SAME data arrives again as a new file.
+    * The rehydrated latest-value state makes the replay a no-op (every
+    * replayed version fails the monotone guard), so the changelog is
+    * unchanged and still equals the batch keep-last table — the
+    * exactly-once-compaction property a downstream consumer relies
+    * on. Without state rehydration run 2 would re-emit every key. */
+  test("streaming db_upsert replay after restart emits nothing new") {
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    li.write.parquet(s"$src/part1.parquet")
+    graft.streaming.StreamingUpsert.runFileSink(
+      spark, s"$src/*.parquet", sink, ckpt, li.schema)
+    val afterRun1 = spark.read.parquet(sink).count()
+    assert(afterRun1 > 0)
+    li.write.mode("append").parquet(s"$src/part2.parquet") // replay: same updates again
+    graft.streaming.StreamingUpsert.runFileSink(
+      spark, s"$src/*.parquet", sink, ckpt, li.schema)
+    val afterRun2 = spark.read.parquet(sink).count()
+    assert(afterRun2 == afterRun1,
+      s"replayed updates must emit nothing ($afterRun1 -> $afterRun2)")
+    val compacted = sortedRows(spark.read.parquet(sink))
+    val batch = sortedRows(MergeOps.dbUpsert(spark, Sf))
+    assert(compacted == batch, "changelog after replay must equal batch keep-last")
+  }
+
   test("session_window_agg equals a sequential >= gap-rule recompute") {
     import org.apache.spark.sql.functions._
     val ev = EventOps.queries("sessionize")(spark, Sf) // event_id, user_id, ts_us, session_idx
