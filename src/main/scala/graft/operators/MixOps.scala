@@ -209,7 +209,41 @@ object MixOps {
           PhoneRe, "<PHONE>"),
         Ipv4Re, "<IP>")).as("redact_len"))
 
+  val MaxEpochs     = 4L // data-constrained-scaling repeat cap (~4 epochs)
+  val EpochBudgetMul = 2L // epoch-planning budget = total tokens × this
+
+  /** Multi-EPOCH mix plan — the data-constrained regime (Muennighoff
+    * et al. 2023, arXiv 2305.16264): when the training budget exceeds
+    * a source's unique tokens, the source REPEATS, with returns
+    * decaying past ~4 epochs — so the plan allocates per-source
+    * desired tokens (weight share of the budget), converts them to
+    * epochs capped at MaxEpochs, and reports the tokens actually
+    * served. The companion of [[tokenBudgetMix]] for budgets ABOVE
+    * the corpus size where that operator's rates saturate at 1. All
+    * integer arithmetic (ceil = (d + n − 1) div n), one corpus scan +
+    * one partial-agg groupBy + the one-row totals broadcast. */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val perSource = perSourceTokens(s, d)
+      .withColumn("weight", Portable.h60(col("source")) % 4L + 1L)
+    val totals = perSource.agg(
+      sum(col("tokens")).as("total_tokens"), sum(col("weight")).as("wsum"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("desired_tokens",
+        expr(s"(total_tokens * $EpochBudgetMul) * weight div wsum"))
+      .withColumn("epochs",
+        when(col("tokens") > 0,
+          least(lit(MaxEpochs), expr("(desired_tokens + tokens - 1) div tokens")))
+          .otherwise(0L))
+      // epochs=0 (empty source) must serve 0, and least() skips NULLs
+      .withColumn("served_tokens",
+        when(col("epochs") > 0, least(col("desired_tokens"), col("epochs") * col("tokens")))
+          .otherwise(0L))
+      .select(col("source"), col("n_docs"), col("tokens").cast("long").as("tokens"),
+        col("weight"), col("desired_tokens"), col("epochs"), col("served_tokens"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "epoch_plan"        -> (epochPlan _),
     "token_budget_mix"  -> (tokenBudgetMix _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "pack_sequences"    -> (packSequences _),
@@ -233,6 +267,26 @@ object MixOps {
        |  FROM ps, tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "epoch_plan" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+         |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens,
+         |       ${Portable.h60Sql("source")} % 4 + 1 AS weight
+         |       FROM toks GROUP BY source),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |               CAST(sum(weight) AS BIGINT) AS wsum FROM ps),
+         |des AS (
+         |  SELECT source, n_docs, tokens, weight,
+         |         (total_tokens * $EpochBudgetMul) * weight // wsum AS desired_tokens
+         |  FROM ps, tot),
+         |ep AS (
+         |  SELECT *, CASE WHEN tokens > 0
+         |    THEN least($MaxEpochs, (desired_tokens + tokens - 1) // tokens)
+         |    ELSE 0 END AS epochs
+         |  FROM des)
+         |SELECT source, n_docs, tokens, weight, desired_tokens, epochs,
+         |       CASE WHEN epochs > 0 THEN least(desired_tokens, epochs * tokens)
+         |            ELSE 0 END AS served_tokens
+         |FROM ep""".stripMargin,
     "pack_sequences" ->
       s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
          |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,

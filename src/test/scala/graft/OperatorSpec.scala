@@ -1382,6 +1382,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == batch, "changelog after replay must equal batch keep-last")
   }
 
+  test("epoch_plan allocation is an exact integer recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = MixOps.epochPlan(spark, Sf).collect()
+    val tokens = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val weights = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val total = tokens.values.sum
+    val wsum = weights.values.sum
+    for (r <- rows) {
+      val (src, tk, w) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val desired = (total * MixOps.EpochBudgetMul) * w / wsum
+      assert(r.getLong(4) == desired, s"$src desired")
+      val epochs = if (tk > 0) math.min(MixOps.MaxEpochs, (desired + tk - 1) / tk) else 0L
+      assert(r.getLong(5) == epochs, s"$src epochs")
+      val served = if (epochs > 0) math.min(desired, epochs * tk) else 0L
+      assert(r.getLong(6) == served, s"$src served")
+      assert(epochs >= 0 && epochs <= MixOps.MaxEpochs)
+      assert(served <= desired)
+    }
+    // the plan must actually exercise the multi-epoch regime
+    assert(rows.exists(_.getLong(5) > 1), "no source repeats — budget too small to test epochs")
+  }
+
   test("session_window_agg equals a sequential >= gap-rule recompute") {
     import org.apache.spark.sql.functions._
     val ev = EventOps.queries("sessionize")(spark, Sf) // event_id, user_id, ts_us, session_idx
