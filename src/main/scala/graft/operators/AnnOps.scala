@@ -516,7 +516,30 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "qcosine")
   }
 
+  /** One Lloyd (k-means) iteration over the embedding space — the
+    * training step that produces the codebooks every quantizer here
+    * consumes (`ann_ivf_topk`'s cells, `semdedup`'s clusters,
+    * `ann_pq_topk`'s per-subspace codes): assign each vector to its
+    * argmax-dot centroid, then recompute each cell's mean. The mean
+    * runs in FIXED-POINT int64 (the `label_centroids` rule: float sums
+    * are shuffle-order-sensitive, integer sums are not), so the
+    * updated centroid is bit-identical on any partitioning — which is
+    * what makes an ITERATED fit reproducible on a cluster. One
+    * broadcast assignment + one posexplode + one partial-agg groupBy
+    * per iteration; a full fit loops this query, checkpointing like
+    * `dup_clusters`. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame =
+    assignCells(vectors(s, d), centroidTable(s, NCells))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"cast(round(cast(x as double) * $CentScale) as bigint)")).as("sx"))
+      .select(col("cell"), col("i").cast("long").as("i"), col("n"),
+        ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
+          .as("centroid_new"))
+
   val queries: Map[String, QueryFn] = Map(
+    "kmeans_step"        -> (kmeansStep _),
     "ann_pq_topk"        -> (annPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
     "ann_recall_report"  -> (annRecallReport _),
@@ -655,6 +678,15 @@ object AnnOps {
       ") t(m, c, cent))"
 
   val oracles: Map[String, String] = Map(
+    "kmeans_step" ->
+      s"""WITH $vecCte, $centroidsCte,
+         |$vcellCte,
+         |t AS (SELECT cell, unnest(range(len(embedding))) AS i, embedding FROM vcell),
+         |x AS (SELECT cell, i, embedding[i + 1] AS x FROM t)
+         |SELECT cell, CAST(i AS BIGINT) AS i, count(*) AS n,
+         |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $CentScale) AS BIGINT)) AS DOUBLE)
+         |          / CAST(count(*) AS DOUBLE)) / ${CentScale}e0 AS centroid_new
+         |FROM x GROUP BY cell, i""".stripMargin,
     "ann_pq_topk" ->
       s"""WITH $vecCte, $pqCodebookCte,
          |sdots AS (

@@ -995,7 +995,29 @@ object TextOps {
       .select("doc_id", "nhash", "n_norm_chars", "is_canonical")
   }
 
+  /** Vocabulary COVERAGE report: per source, the fraction of token
+    * occurrences covered by the GLOBAL top-K vocabulary — the
+    * evaluation a tokenizer/vocab fit is judged by (a domain whose
+    * coverage lags the corpus average will fragment into rare tokens
+    * at training time). Composes [[vocabTopk]]'s distributed top-K
+    * with a vocabulary-semi-join over the exploded term scan (the
+    * K-term side is broadcast-sized by construction) + one partial-agg
+    * groupBy(source); covered/total is int/int engine-exact. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val top = vocabTopk(s, d).select(col("term"), lit(1L).as("in_vocab"))
+    docs(s, d).select(col("source"), explode(col("tk")).as("term"))
+      .join(broadcast(top), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("covered_tokens"))
+      .select(col("source"), col("total_tokens"),
+        col("covered_tokens").cast("long").as("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "vocab_coverage" -> (vocabCoverage _),
     "dedup_normalized" -> (dedupNormalized _),
     "token_histogram" -> (tokenHistogram _),
     "dedup_cross_source" -> (dedupCrossSource _),
@@ -1099,6 +1121,24 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest($tkSql) AS term FROM documents),
+         |dtoks AS (
+         |  SELECT doc_id, unnest($tkSql) AS term FROM documents),
+         |stats AS (
+         |  SELECT term, count(*) AS tf FROM dtoks GROUP BY term),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rnk
+         |    FROM stats) WHERE rnk <= $VocabK)
+         |SELECT t.source, count(*) AS total_tokens,
+         |       CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS covered_tokens,
+         |       CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS coverage
+         |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+         |GROUP BY t.source""".stripMargin,
     "dedup_normalized" ->
       s"""WITH n AS (
          |  SELECT doc_id,

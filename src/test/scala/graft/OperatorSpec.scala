@@ -1382,6 +1382,53 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == batch, "changelog after replay must equal batch keep-last")
   }
 
+  test("kmeans_step moves centroids toward their assigned mass") {
+    import org.apache.spark.sql.functions._
+    val updated = AnnOps.kmeansStep(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(updated.nonEmpty)
+    // every populated cell carries a full 64-dim centroid with one
+    // consistent count, and the fixed-point mean is within quantization
+    // of the true float mean of its members
+    val cells = updated.keys.map(_._1).toSet
+    for (c <- cells) {
+      val dims = updated.keys.filter(_._1 == c).map(_._2)
+      assert(dims == (0L until 64L).toSet, s"cell $c dims incomplete")
+      assert(updated.filter(_._1._1 == c).values.map(_._1).toSet.size == 1,
+        s"cell $c inconsistent counts")
+    }
+    val eps = 1.0 / AnnOps.CentScale.toDouble
+    val members = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cellOf(v: Array[Double]): Int =
+      (0 until AnnOps.NCells).maxBy { c =>
+        ((0 until AnnOps.Dim).map(i => v(i) * AnnOps.centroidCoef(c, i).toDouble).sum, -c)
+      }
+    val byCell = members.groupBy(m => cellOf(m._2))
+    for ((c, ms) <- byCell; i <- 0 until AnnOps.Dim) {
+      val mean = ms.map(_._2(i)).sum / ms.length
+      val got = updated((c, i.toLong))._2
+      assert(math.abs(got - mean) <= eps, s"cell $c dim $i mean off by ${got - mean}")
+      assert(updated((c, i.toLong))._1 == ms.length.toLong, s"cell $c count")
+    }
+  }
+
+  test("vocab_coverage is consistent with vocab_topk membership") {
+    import org.apache.spark.sql.functions._
+    val vocab = TextOps.vocabTopk(spark, Sf).collect().map(_.getString(1)).toSet
+    val toks = graft.sources.Tables.documents(spark, Sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => if (r.isNullAt(1)) Nil
+        else r.getString(1).split(" ", -1).toSeq.map(t => (r.getString(0), t)))
+    val expected = toks.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong, xs.count(x => vocab(x._2)).toLong)
+    }
+    val got = TextOps.vocabCoverage(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "coverage counts differ from vocab-membership recompute")
+  }
+
   test("epoch_plan allocation is an exact integer recompute") {
     import org.apache.spark.sql.functions._
     val rows = MixOps.epochPlan(spark, Sf).collect()
