@@ -633,10 +633,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // table / 128-row codebook broadcasts. ann_recall_report nests the
     // brute-force baseline by definition. bm25_topk carries the
     // one-row corpus-stats scalar join.
+    // kmeans_step and epoch_plan inherit the same shapes: the IVF
+    // centroid-table assignment and the one-row totals scalar join.
     val allowedNestedLoop =
       Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
         "pack_mix_sequences", "ann_ivf_topk", "semdedup",
-        "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk")
+        "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk",
+        "kmeans_step", "epoch_plan")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
