@@ -256,7 +256,39 @@ object EventOps {
         col("n_events"), col("sum_cents").cast("long").as("sum_cents"))
   }
 
+  val AttributionUs: Long = graft.streaming.StreamingIntervalJoin.AttributionUs
+
+  /** Batch event-time INTERVAL JOIN: every (click, purchase) pair of
+    * the same user with the purchase inside the click's 1-hour
+    * attribution window — the batch twin of
+    * [[graft.streaming.StreamingIntervalJoin]]. The naive spelling
+    * (`user equi-join` + range filter) is an equi-join Spark handles,
+    * but its per-user work is quadratic in that user's event count —
+    * a power user with 10^6 events is a 10^12-pair hot key no AQE
+    * skew-split fixes (splitting an equi-key does not shrink the
+    * cross product). The scalable formulation BANDS TIME like the
+    * distance operators band space: bucket both sides by the
+    * window-sized time bin, fan the click side out to (bin, bin+1),
+    * and equi-join on (user, bin) — each true pair matches in exactly
+    * one bin (the purchase's), so no dedup, and per-key work is
+    * bounded by events-per-user-per-hour, not events-per-user. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("c_us"))
+      .select(col("click_id"), col("user_id"), col("c_us"),
+        explode(array(expr(s"c_us div $AttributionUs"),
+          expr(s"c_us div $AttributionUs + 1"))).as("bin"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_us"),
+        expr(s"ts_us div $AttributionUs").as("bin"))
+    clicks.join(purchases, Seq("user_id", "bin"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + AttributionUs)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "interval_join"       -> (intervalJoin _),
     "session_window_agg"  -> (sessionWindowAgg _),
     "sliding_window_counts" -> (slidingWindowCounts _),
     "event_cube"          -> (eventCube _),
@@ -278,6 +310,7 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "interval_join" -> graft.streaming.StreamingIntervalJoin.oracle,
     // boundary at >= gap (session_window's half-open [start, prev+gap)
     // rule) where the lag-formulated `sessionize` uses strictly >
     "session_window_agg" ->

@@ -1385,6 +1385,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == batch, "changelog after replay must equal batch keep-last")
   }
 
+  test("interval_join banding equals the naive range formulation") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val us = EventOps.tsUs(ev.schema("ts").dataType)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), us.as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), us.as("p_us"))
+    val naive = c.join(p, col("cu") === col("pu") &&
+        col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + EventOps.AttributionUs)
+      .select(col("click_id"), col("purchase_id"), col("cu").as("user_id"))
+    val banded = EventOps.intervalJoin(spark, Sf)
+    assert(sortedRows(banded) == sortedRows(naive),
+      "banded interval join must equal the range formulation")
+    // each pair must match exactly once (no dedup in the plan)
+    val n = banded.count()
+    assert(banded.distinct().count() == n, "banding produced duplicate pairs")
+  }
+
+  test("saltedJoin equals the plain equi-join row-for-row") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val srcStats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_docs"))
+    val plain = docs.join(srcStats, Seq("source"))
+    val salted = graft.operators.Joins.saltedJoin(
+      docs, srcStats, "source", col("doc_id"), salts = 5)
+    assert(sortedRows(salted) == sortedRows(plain),
+      "salted join must be row-identical to the plain join")
+  }
+
   test("kmeans_step moves centroids toward their assigned mass") {
     import org.apache.spark.sql.functions._
     val updated = AnnOps.kmeansStep(spark, Sf).collect()
