@@ -1016,7 +1016,43 @@ object TextOps {
           .as("coverage"))
   }
 
+  /** Language-ID CONFUSION MATRIX: counts per (label, guess) cell with
+    * per-label row shares — the evaluation report for the `lang_id`
+    * heuristic (and the report shape any classifier-based quality
+    * filter publishes per release). One partial-aggregable groupBy
+    * over the scored scan; the per-label total rides a window over the
+    * cell table (label-cardinality-sized), int/int shares. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = langId(s, d)
+      .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+    val labelW = Window.partitionBy(col("lang"))
+    cells
+      .withColumn("label_total", sum(col("n")).over(labelW))
+      .select(col("lang"), col("guess"), col("n"),
+        col("label_total").cast("long").as("label_total"),
+        (col("n").cast("double") / col("label_total").cast("double")).as("share"))
+  }
+
+  /** Per-document near-dup DEGREE: how many verified near-dup partners
+    * each doc has (0 for docs outside every pair) — the per-doc view
+    * the cluster-size histogram aggregates away, used to rank worst
+    * boilerplate offenders and audit the bucket caps. One groupBy over
+    * the symmetrized banded pair table + a left join back to keep
+    * zero-degree docs. */
+  def dupDegree(s: SparkSession, d: String): DataFrame = {
+    val pairs = pairJaccard(s, d).filter(col("jacc") >= JaccT)
+    val deg = pairs.select(col("ida").as("doc_id"))
+      .unionByName(pairs.select(col("idb").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .withColumn("is_duplicated", col("degree") > 0)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "lang_confusion" -> (langConfusion _),
+    "dup_degree" -> (dupDegree _),
     "vocab_coverage" -> (vocabCoverage _),
     "dedup_normalized" -> (dedupNormalized _),
     "token_histogram" -> (tokenHistogram _),
@@ -1121,6 +1157,27 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "lang_confusion" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $tkSql AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(tk, t -> list_contains($stopListSql, t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS stop_ratio
+         |  FROM toks),
+         |g AS (SELECT lang, CASE WHEN stop_ratio >= 2e-2 THEN 'en' ELSE 'unk' END AS guess FROM sc),
+         |cells AS (SELECT lang, guess, count(*) AS n FROM g GROUP BY lang, guess)
+         |SELECT lang, guess, n,
+         |       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS label_total,
+         |       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+         |FROM cells""".stripMargin,
+    "dup_degree" ->
+      s"""WITH $minhashCtes,
+         |vp AS (SELECT ida, idb FROM pj WHERE jacc >= ${JaccT}e0),
+         |deg AS (
+         |  SELECT doc_id, count(*) AS degree FROM (
+         |    SELECT ida AS doc_id FROM vp UNION ALL SELECT idb AS doc_id FROM vp)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(deg.degree, 0) AS degree,
+         |       coalesce(deg.degree, 0) > 0 AS is_duplicated
+         |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id""".stripMargin,
     "vocab_coverage" ->
       s"""WITH toks AS (
          |  SELECT source, unnest($tkSql) AS term FROM documents),

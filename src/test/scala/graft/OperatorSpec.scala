@@ -1385,6 +1385,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == batch, "changelog after replay must equal batch keep-last")
   }
 
+  test("lang_confusion cells sum to the scored corpus") {
+    val scored = TextOps.langId(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = scored.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextOps.langConfusion(spark, Sf).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "confusion cells differ from a lang_id recompute")
+    for (r <- rows) {
+      val labelCount = scored.count(_._1 == r.getString(0)).toLong
+      assert(r.getLong(3) == labelCount, s"label_total for ${r.getString(0)}")
+    }
+  }
+
+  test("dup_degree is the exact degree of the verified pair graph") {
+    import org.apache.spark.sql.functions._
+    val pairs = TextOps.ngramJaccard(spark, Sf)
+      .filter(col("jacc") >= TextOps.JaccT)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = graft.sources.Tables.documents(spark, Sf).count()
+    val got = TextOps.dupDegree(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    assert(got.length == n, "every doc keeps a degree row")
+    for ((id, (d, flag)) <- got) {
+      assert(d == deg.getOrElse(id, 0L), s"doc $id degree")
+      assert(flag == (d > 0))
+    }
+  }
+
   test("interval_join banding equals the naive range formulation") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, Sf)
