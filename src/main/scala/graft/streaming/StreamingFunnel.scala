@@ -60,10 +60,10 @@ object StreamingFunnel {
 
   private val runSeq = new AtomicInteger(0)
 
-  def run(s: SparkSession, dir: String): DataFrame = {
+  private def funnelStream(s: SparkSession, srcGlob: String,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import s.implicits._
-    val schema = StreamingSessionize.eventsSchema(s, dir)
-    val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+    s.readStream.schema(schema).parquet(srcGlob)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("event_id"), col("user_id"),
         EventOps.tsUs(schema("ts").dataType).as("ts_us"),
@@ -73,8 +73,30 @@ object StreamingFunnel {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
+      .toDF()
+  }
+
+  /** Durable-sink variant for the restart-recovery spec: a restarted
+    * stream resumes the offset log and rehydrates every user's funnel
+    * stage, so a user whose view arrived before the restart still
+    * converts on a click after it. */
+  def runFileSink(s: SparkSession, srcGlob: String, sinkDir: String,
+                  ckptDir: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val q = funnelStream(s, srcGlob, schema).writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    val schema = StreamingSessionize.eventsSchema(s, dir)
+    val stream = funnelStream(s, s"$dir/[e]vents.parquet", schema)
     val name = s"stream_funnel_${runSeq.incrementAndGet()}"
-    val q = stream.toDF().writeStream
+    val q = stream.writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()

@@ -1385,6 +1385,58 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == batch, "changelog after replay must equal batch keep-last")
   }
 
+  /** Funnel state survives a restart: a user who viewed before the
+    * restart must still convert on a click delivered after it (stage
+    * rehydrated from the checkpoint), and already-emitted transitions
+    * must not re-emit. Time-wise split → the union of both runs'
+    * emissions equals the batch funnel's transition unpivot. */
+  test("streaming funnel survives a restart: checkpoint carries stage state") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val schema = ev.schema
+    val withUs = ev.withColumn("us", EventOps.tsUs(schema("ts").dataType))
+    // split EARLY (10% quantile): most stage advancements land in run
+    // 2, so conversions that depend on run-1 state actually occur
+    val Array(mid) = withUs.stat.approxQuantile("us", Array(0.1), 0.0)
+    withUs.filter(col("us") <= mid).drop("us").write.parquet(s"$src/part1.parquet")
+    graft.streaming.StreamingFunnel.runFileSink(
+      spark, s"$src/*.parquet", sink, ckpt, schema)
+    val run1 = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("stage"))))
+    assert(run1.nonEmpty)
+    withUs.filter(col("us") > mid).drop("us").write.parquet(s"$src/part2.parquet")
+    graft.streaming.StreamingFunnel.runFileSink(
+      spark, s"$src/*.parquet", sink, ckpt, schema)
+    val streamed = sortedRows(spark.read.parquet(sink))
+    val batch = EventOps.eventFunnel(spark, Sf).collect().flatMap { r =>
+      val u = r.getLong(r.fieldIndex("user_id"))
+      def at(c: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+      at("first_view_us").map(t => Seq[Any](u, 1L, t)) ++
+        at("first_click_us").map(t => Seq[Any](u, 2L, t)) ++
+        at("first_purchase_us").map(t => Seq[Any](u, 3L, t))
+    }
+    // sink columns sorted by name: at_us, stage, user_id
+    val batchSorted = batch.map(x => Seq(x(2), x(1), x(0)))
+      .sortBy(_.mkString("|")).toSeq
+    assert(streamed == batchSorted,
+      "restarted funnel emissions must equal the batch transition unpivot")
+    // true cross-restart dependence: some user advanced PAST a stage
+    // reached before the restart — only possible if run 2 rehydrated
+    // run 1's stage state
+    val all = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("stage"))))
+    val run1Set = run1.toSet
+    // (user, stage) is unique per emission, so set-diff isolates run 2
+    val run2 = all.toSet -- run1Set
+    val continued = run2.exists { case (u, st) =>
+      st > 1 && run1Set.contains((u, st - 1))
+    }
+    assert(continued, "no conversion built on pre-restart stage state")
+  }
+
   test("lang_confusion cells sum to the scored corpus") {
     val scored = TextOps.langId(spark, Sf).collect()
       .map(r => (r.getString(1), r.getString(2)))
