@@ -33,7 +33,8 @@ object SparkEntry {
         "streaming_asof_join" -> ((s, d) => graft.streaming.StreamingAsofJoin.run(s, d)),
         "streaming_trailing_counts" -> ((s, d) => graft.streaming.StreamingTrailingCounts.run(s, d)),
         "streaming_funnel" -> ((s, d) => graft.streaming.StreamingFunnel.run(s, d)),
-        "streaming_db_upsert" -> ((s, d) => graft.streaming.StreamingUpsert.run(s, d)))
+        "streaming_db_upsert" -> ((s, d) => graft.streaming.StreamingUpsert.run(s, d)),
+        "streaming_sliding_counts" -> ((s, d) => graft.streaming.StreamingSlidingCounts.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
         "streaming_asof_join" -> EventOps.oracles("asof_join"),
         "streaming_trailing_counts" -> EventOps.oracles("trailing_window_counts"),
         "streaming_funnel" -> graft.streaming.StreamingFunnel.oracle,
-        "streaming_db_upsert" -> MergeOps.oracles("db_upsert"))
+        "streaming_db_upsert" -> MergeOps.oracles("db_upsert"),
+        "streaming_sliding_counts" -> EventOps.oracles("sliding_window_counts"))
 }

@@ -1604,6 +1604,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming sliding counts equal the batch sliding windows") {
+    val batch = sortedRows(EventOps.slidingWindowCounts(spark, Sf))
+    val stream = sortedRows(graft.streaming.StreamingSlidingCounts.run(spark, Sf))
+    assert(stream == batch, "streaming sliding windows differ from batch")
+  }
+
   test("streaming db_upsert equals the batch keep-last table") {
     val batch = MergeOps.dbUpsert(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1),
