@@ -538,7 +538,51 @@ object AnnOps {
         ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
           .as("centroid_new"))
 
+  val SemClusterCosT = 0.25 // edge-keep threshold for semantic clusters
+  val MaxCcRounds    = 50
+
+  /** SEMANTIC CLUSTERS: connected components of the kNN similarity
+    * graph above a cosine threshold — the graph-clustering consumer of
+    * [[annKnnGraph]] (agglomerative semantic grouping for diversity
+    * sampling / topic-balanced mixes; SemDeDup's cluster step without
+    * a fixed cell count). Same scale shape as the text-side
+    * `dup_clusters`: iterative min-label propagation over the
+    * (already symmetric) thresholded edge list, checkpointed per
+    * round, rounds ≈ component diameter; every vector gets the
+    * minimum vec_id of its component (singletons keep their own).
+    * The DuckDB twin is a recursive-CTE transitive closure over the
+    * same kNN-graph SQL. */
+  def semanticClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = annKnnGraph(s, d).filter(col("cosine") >= SemClusterCosT)
+      .select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("vec_id").as("cluster_id")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    try {
+      while (!converged && rounds < MaxCcRounds) {
+        rounds += 1
+        val neighborMin = edges
+          .join(labels.select(col("vec_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+        val next = labels
+          .join(neighborMin.select(col("src").as("vec_id"), col("nmin")), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("vec_id"))
+          .filter(col("cluster_id") =!= col("old")).isEmpty
+        labels = next
+      }
+      require(converged, s"semantic-cluster propagation did not converge in $MaxCcRounds rounds")
+      labels
+    } finally edges.unpersist()
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "semantic_clusters"  -> (semanticClusters _),
     "kmeans_step"        -> (kmeansStep _),
     "ann_pq_topk"        -> (annPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
@@ -678,6 +722,14 @@ object AnnOps {
       ") t(m, c, cent))"
 
   val oracles: Map[String, String] = Map(
+    "semantic_clusters" ->
+      s"""WITH RECURSIVE g AS ($knnGraphSql),
+         |e AS (SELECT src AS a, dst AS b FROM g WHERE cosine >= ${SemClusterCosT}e0),
+         |reach(a, b) AS (
+         |  SELECT vec_id AS a, vec_id AS b FROM embeddings
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
     "kmeans_step" ->
       s"""WITH $vecCte, $centroidsCte,
          |$vcellCte,

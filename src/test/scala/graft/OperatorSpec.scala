@@ -1500,6 +1500,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "salted join must be row-identical to the plain join")
   }
 
+  test("semantic_clusters equals a union-find over the thresholded kNN graph") {
+    import org.apache.spark.sql.functions._
+    val edges = AnnOps.annKnnGraph(spark, Sf)
+      .filter(col("cosine") >= AnnOps.SemClusterCosT)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val byRoot = ids.groupBy(find)
+    val expected = byRoot.values.flatMap(c => { val m = c.min; c.map(_ -> m) }).toMap
+    val got = AnnOps.semanticClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "cluster labels differ from the union-find recompute")
+    assert(got.values.groupBy(identity).values.exists(_.size > 1),
+      "threshold produced only singletons — no clustering exercised")
+  }
+
   test("kmeans_step moves centroids toward their assigned mass") {
     import org.apache.spark.sql.functions._
     val updated = AnnOps.kmeansStep(spark, Sf).collect()
