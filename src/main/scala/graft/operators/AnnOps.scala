@@ -547,15 +547,26 @@ object AnnOps {
     * sampling / topic-balanced mixes; SemDeDup's cluster step without
     * a fixed cell count). Same scale shape as the text-side
     * `dup_clusters`: iterative min-label propagation over the
-    * (already symmetric) thresholded edge list, checkpointed per
-    * round, rounds ≈ component diameter; every vector gets the
-    * minimum vec_id of its component (singletons keep their own).
-    * The DuckDB twin is a recursive-CTE transitive closure over the
-    * same kNN-graph SQL. */
+    * thresholded edge list, checkpointed per round; every vector gets
+    * the minimum vec_id of its component (singletons keep their own).
+    * The kNN edge list is NOT symmetric — [[annKnnGraph]] rank-caps
+    * per direction, so an edge can survive the top-K cut in only one
+    * direction — and connected components are an undirected notion,
+    * so the edges are symmetrized (both directions unioned) before
+    * propagation. Each round also POINTER-JUMPS
+    * (label := label(label), every label is itself a vec_id), so
+    * convergence is O(log diameter) rounds instead of O(diameter) —
+    * a 50-round cap covers any component a real corpus can produce
+    * (diameter up to 2^49 hops) rather than aborting on a long
+    * near-dup chain. The DuckDB twin is a recursive-CTE transitive
+    * closure over the same kNN-graph SQL, symmetrized the same way. */
   def semanticClusters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = annKnnGraph(s, d).filter(col("cosine") >= SemClusterCosT)
-      .select(col("src"), col("dst")).distinct()
+    val dirEdges = annKnnGraph(s, d).filter(col("cosine") >= SemClusterCosT)
+      .select(col("src"), col("dst"))
+    val edges = dirEdges
+      .union(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = Tables.embeddings(s, d)
       .select(col("vec_id"), col("vec_id").as("cluster_id")).localCheckpoint(true)
@@ -567,10 +578,18 @@ object AnnOps {
         val neighborMin = edges
           .join(labels.select(col("vec_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
-        val next = labels
+        val propagated = labels
           .join(neighborMin.select(col("src").as("vec_id"), col("nmin")), Seq("vec_id"), "left")
           .select(col("vec_id"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        // Pointer jump: label := label(label). Every label is the
+        // vec_id of some row of `propagated`, so the self-join always
+        // hits; this halves the remaining label-chain depth each
+        // round (O(log diameter) total rounds).
+        val next = propagated.as("a")
+          .join(propagated.select(col("vec_id").as("cluster_id"),
+            col("cluster_id").as("jump")).as("b"), Seq("cluster_id"))
+          .select(col("vec_id"), least(col("cluster_id"), col("jump")).as("cluster_id"))
           .localCheckpoint(true)
         converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("vec_id"))
           .filter(col("cluster_id") =!= col("old")).isEmpty
@@ -724,7 +743,8 @@ object AnnOps {
   val oracles: Map[String, String] = Map(
     "semantic_clusters" ->
       s"""WITH RECURSIVE g AS ($knnGraphSql),
-         |e AS (SELECT src AS a, dst AS b FROM g WHERE cosine >= ${SemClusterCosT}e0),
+         |e0 AS (SELECT src AS a, dst AS b FROM g WHERE cosine >= ${SemClusterCosT}e0),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
          |reach(a, b) AS (
          |  SELECT vec_id AS a, vec_id AS b FROM embeddings
          |  UNION

@@ -27,12 +27,18 @@ object Joins {
     * `skewed.join(other, Seq(key))` row-for-row (spec-pinned). The
     * salt derives from a hash of the skewed side's whole row id
     * expression `rowId` so it is deterministic and
-    * partitioning-independent. */
+    * partitioning-independent. The salt column name is generated to
+    * miss every column of BOTH inputs — `withColumn` silently
+    * REPLACES an existing column of the same name, which would
+    * corrupt the join with no error if a caller's frame already
+    * carried a column named like the salt. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  rowId: Column, salts: Int): DataFrame = {
-    val salted = skewed.withColumn("__salt", pmod(hash(rowId), lit(salts)))
-    val replicated = other.withColumn("__salt",
+    val taken = (skewed.columns ++ other.columns).toSet
+    val saltCol = Iterator.from(0).map(i => s"__salt$i").find(!taken(_)).get
+    val salted = skewed.withColumn(saltCol, pmod(hash(rowId), lit(salts)))
+    val replicated = other.withColumn(saltCol,
       explode(array((0 until salts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

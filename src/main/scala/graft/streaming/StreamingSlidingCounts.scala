@@ -14,12 +14,20 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Structurally the sliding window multiplies STATE, not just rows:
   * every event belongs to window/slide = 4 open windows, so the state
-  * store holds 4× the window rows of the tumbling variant, and the
-  * watermark is what keeps that bounded (windows whose end is older
-  * than the watermark close and drop). Same Complete-mode memory sink
-  * for the exact-compare harness; the batch sliding oracle (epoch
-  * bucket arithmetic) is reused verbatim — Spark's window() is
-  * epoch-aligned, which is exactly what the oracle computes. */
+  * store holds 4× the window rows of the tumbling variant. In the
+  * production (append-mode) deployment the watermark is what keeps
+  * that bounded — windows whose end is older than the watermark
+  * close, emit, and drop from the store; that bounded path, including
+  * survival across a restart, is what
+  * [[StreamingWindowCounts.runFileSink]] pins for the tumbling twin
+  * and the same eviction rule applies per-window here. THIS entry
+  * point, however, runs Complete mode into a memory sink for the
+  * driver's exact-compare harness, and in Complete mode Spark retains
+  * every window indefinitely (the watermark evicts nothing) — it is a
+  * harness surface, not the bounded deployment shape. The batch
+  * sliding oracle (epoch bucket arithmetic) is reused verbatim —
+  * Spark's window() is epoch-aligned, which is exactly what the
+  * oracle computes. */
 object StreamingSlidingCounts {
 
   private val runSeq = new AtomicInteger(0)
