@@ -540,6 +540,13 @@ object AnnOps {
 
   val SemClusterCosT = 0.25 // edge-keep threshold for semantic clusters
   val MaxCcRounds    = 50
+  // Driver-tail threshold (thresholded-edge rows; two longs each, so
+  // 4M edges ≈ 64 MB driver state) — the same bounded-tail pattern as
+  // the ABWD aftershock loop: below it the component structure is
+  // driver-sized and a union-find beats ~log(diameter) distributed
+  // rounds of per-round job latency; above it the distributed loop
+  // runs. Both paths are pinned equivalent by the spec.
+  val SemEdgeTailMax = 4000000L
 
   /** SEMANTIC CLUSTERS: connected components of the kNN similarity
     * graph above a cosine threshold — the graph-clustering consumer of
@@ -553,22 +560,66 @@ object AnnOps {
     * per direction, so an edge can survive the top-K cut in only one
     * direction — and connected components are an undirected notion,
     * so the edges are symmetrized (both directions unioned) before
-    * propagation. Each round also POINTER-JUMPS
-    * (label := label(label), every label is itself a vec_id), so
-    * convergence is O(log diameter) rounds instead of O(diameter) —
-    * a 50-round cap covers any component a real corpus can produce
-    * (diameter up to 2^49 hops) rather than aborting on a long
+    * propagation. Two execution paths behind one result: a bounded
+    * DRIVER union-find tail when the thresholded edge list fits
+    * [[SemEdgeTailMax]] (distributed rounds are pure job latency at
+    * that size), and the distributed min-label loop with per-round
+    * POINTER JUMPS (label := label(label), every label is itself a
+    * vec_id) above it — O(log diameter) rounds, so the 50-round cap
+    * covers diameters up to 2^49 hops rather than aborting on a long
     * near-dup chain. The DuckDB twin is a recursive-CTE transitive
     * closure over the same kNN-graph SQL, symmetrized the same way. */
-  def semanticClusters(s: SparkSession, d: String): DataFrame = {
+  def semanticClusters(s: SparkSession, d: String): DataFrame =
+    semanticClusters(s, d, SemEdgeTailMax)
+
+  /** Implementation with an explicit driver-tail threshold so the spec
+    * can force the distributed path (`tailMax = -1`) and pin it
+    * equivalent to the union-find tail. */
+  def semanticClusters(s: SparkSession, d: String, tailMax: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val dirEdges = annKnnGraph(s, d).filter(col("cosine") >= SemClusterCosT)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = Tables.embeddings(s, d).select(col("vec_id"))
+      if (dirEdges.count() <= tailMax) semanticClustersTail(s, ids, dirEdges)
+      else semanticClustersDistributed(s, ids, dirEdges)
+    } finally dirEdges.unpersist()
+  }
+
+  /** Driver union-find tail (the ABWD-tail pattern): collect the
+    * deduplicated DIRECTED edge list — bounded by `SemEdgeTailMax`
+    * rows of two longs — union-find on the driver, and ship back ONE
+    * label row per non-singleton VERTEX (≤ 2·edges rows, so the
+    * shipped state is edge-bounded too; the unbounded id table never
+    * leaves the cluster — singletons keep their own label via the
+    * left join). */
+  private def semanticClustersTail(s: SparkSession, ids: DataFrame, dirEdges: DataFrame): DataFrame = {
+    val es = dirEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- es) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
+    val rows = verts.map(v => (v, minOf(find(v))))
+    val lbl = s.createDataFrame(rows.toSeq).toDF("vec_id", "cl")
+    ids.join(lbl, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cl"), col("vec_id")).as("cluster_id"))
+  }
+
+  /** The 100 TB path: checkpointed min-label propagation with
+    * per-round pointer jumping — O(log diameter) rounds, every step
+    * an equi-join. */
+  private def semanticClustersDistributed(s: SparkSession, ids: DataFrame, dirEdges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = dirEdges
       .union(dirEdges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.embeddings(s, d)
+    var labels = ids
       .select(col("vec_id"), col("vec_id").as("cluster_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -578,22 +629,31 @@ object AnnOps {
         val neighborMin = edges
           .join(labels.select(col("vec_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+        // Checkpointed before the self-join: the jump shuffles its two
+        // sides on DIFFERENT keys (cluster_id vs vec_id), so exchange
+        // reuse cannot dedupe them — without the checkpoint the whole
+        // neighborMin subtree would execute twice per round.
         val propagated = labels
           .join(neighborMin.select(col("src").as("vec_id"), col("nmin")), Seq("vec_id"), "left")
-          .select(col("vec_id"),
+          .select(col("vec_id"), col("cluster_id").as("prev"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          .localCheckpoint(true)
         // Pointer jump: label := label(label). Every label is the
         // vec_id of some row of `propagated`, so the self-join always
         // hits; this halves the remaining label-chain depth each
-        // round (O(log diameter) total rounds).
+        // round (O(log diameter) total rounds). The `changed` flag
+        // rides the checkpointed frame so the convergence test is a
+        // filter over already-materialized rows, not a per-round
+        // extra join job.
         val next = propagated.as("a")
           .join(propagated.select(col("vec_id").as("cluster_id"),
             col("cluster_id").as("jump")).as("b"), Seq("cluster_id"))
-          .select(col("vec_id"), least(col("cluster_id"), col("jump")).as("cluster_id"))
+          .select(col("vec_id"),
+            least(col("cluster_id"), col("jump")).as("cluster_id"),
+            (least(col("cluster_id"), col("jump")) =!= col("prev")).as("changed"))
           .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("vec_id"))
-          .filter(col("cluster_id") =!= col("old")).isEmpty
-        labels = next
+        converged = next.filter(col("changed")).isEmpty
+        labels = next.select(col("vec_id"), col("cluster_id"))
       }
       require(converged, s"semantic-cluster propagation did not converge in $MaxCcRounds rounds")
       labels

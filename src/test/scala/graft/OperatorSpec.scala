@@ -1517,6 +1517,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, "cluster labels differ from the union-find recompute")
     assert(got.values.groupBy(identity).values.exists(_.size > 1),
       "threshold produced only singletons — no clustering exercised")
+    // The 100 TB distributed path (forced past the driver-tail
+    // threshold) must produce identical labels.
+    val distributed = AnnOps.semanticClusters(spark, Sf, tailMax = -1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected,
+      "distributed propagation labels differ from the union-find tail")
   }
 
   test("kmeans_step moves centroids toward their assigned mass") {
