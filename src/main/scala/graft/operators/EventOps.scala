@@ -287,7 +287,88 @@ object EventOps {
       .select(col("click_id"), col("purchase_id"), col("user_id"))
   }
 
+  val DayUs: Long = 86400L * 1000000L
+
+  /** Retention-cohort matrix: users grouped by FIRST-SEEN day (the
+    * cohort), counted on each later active day by day offset — the
+    * standard product-retention triangle. Shape: one partial-agg
+    * groupBy for the per-user first day, a distinct over (user, day)
+    * for activity, and an equi-join of the two on `user_id` — every
+    * exchange hash-partitions on the user key, and the final count is
+    * a plain count (a user has exactly one cohort, so distinct
+    * (user, day) rows are already distinct (cohort, offset, user)
+    * contributions). All integer day arithmetic on epoch micros. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix of event types: per-user
+    * event sequences (one window shuffle on `user_id`), each adjacent
+    * (type → next type) pair counted, with an integer parts-per-million
+    * share of the source type's outgoing transitions (float-free —
+    * ratios over integer counts are engine-exact). The behavioral
+    * transition model a sessionized product corpus feeds into. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val shareW = Window.partitionBy(col("src_type"))
+    events(s, d)
+      .withColumn("dst_type", lead(col("event_type"), 1).over(userW))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(shareW))
+      .select(col("src_type"), col("dst_type"), col("n"),
+        expr("(n * 1000000) div tot").cast("long").as("ppm"))
+  }
+
+  /** Session path report: each gap-rule session rendered as its
+    * ordered event-type string (view>click>purchase…), counted across
+    * the corpus — the navigation-pattern rollup product analytics
+    * builds on sessionization. Path assembly is deterministic: the
+    * per-session event list is collected as (ts, event_id, type)
+    * structs and `sort_array`-ed (total order, unique event_id
+    * tiebreak) before joining — never an unordered collect_list
+    * concatenation, which would be partition-order-dependent. One
+    * window shuffle (session assignment), one groupBy per session
+    * (same user key prefix, no extra repartition), one final count
+    * shuffle on the path string. */
+  def sessionPaths(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(userW))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("boundary")).over(userRunW))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">", expr("transform(evs, x -> x.event_type)")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+
+  /** SCD-2 dimension build from an event changelog: each user's event
+    * stream becomes versioned dimension rows with
+    * `[valid_from, valid_to)` micro-second validity and a current-row
+    * flag — the slowly-changing-dimension shape every warehouse ingest
+    * needs from CDC input. Pure window formulation: `row_number` for
+    * the version index and `lead` for the closing timestamp, one
+    * window shuffle on the natural key, no self-join. The open
+    * version carries NULL `valid_to_us`. */
+  def scd2Build(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("cents"))
+      .withColumn("version_idx", row_number().over(userW).cast("long"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(userW))
+      .select(col("user_id"), col("event_id"), col("version_idx"), col("cents"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+
   val queries: Map[String, QueryFn] = Map(
+    "retention_cohorts"   -> (retentionCohorts _),
+    "markov_transitions"  -> (markovTransitions _),
+    "session_paths"       -> (sessionPaths _),
+    "scd2_build"          -> (scd2Build _),
     "interval_join"       -> (intervalJoin _),
     "session_window_agg"  -> (sessionWindowAgg _),
     "sliding_window_counts" -> (slidingWindowCounts _),
@@ -310,6 +391,54 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "retention_cohorts" ->
+      s"""WITH $evCte,
+         |days AS (SELECT DISTINCT user_id, ts_us // $DayUs AS day FROM ev),
+         |first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+         |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+         |       count(*) AS n_users
+         |FROM days d JOIN first f ON d.user_id = f.user_id
+         |GROUP BY 1, 2""".stripMargin,
+    "markov_transitions" ->
+      s"""WITH $evCte,
+         |seq AS (
+         |  SELECT event_type AS src_type,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dst_type
+         |  FROM ev),
+         |cnt AS (
+         |  SELECT src_type, dst_type, count(*) AS n
+         |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT src_type, dst_type, n,
+         |       CAST((n * 1000000) // sum(n) OVER (PARTITION BY src_type) AS BIGINT) AS ppm
+         |FROM cnt""".stripMargin,
+    "session_paths" ->
+      s"""WITH $evCte,
+         |lagd AS (
+         |  SELECT event_id, user_id, event_type, ts_us,
+         |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+         |  FROM ev),
+         |b AS (
+         |  SELECT event_id, user_id, event_type, ts_us,
+         |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > $GapUs THEN 1 ELSE 0 END AS boundary
+         |  FROM lagd),
+         |sess AS (
+         |  SELECT event_id, user_id, event_type, ts_us,
+         |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM b),
+         |paths AS (
+         |  SELECT string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+         |  FROM sess GROUP BY user_id, sid)
+         |SELECT path, count(*) AS n_sessions FROM paths GROUP BY path""".stripMargin,
+    "scd2_build" ->
+      s"""WITH $evCte
+         |SELECT user_id, event_id,
+         |       CAST(row_number() OVER w AS BIGINT) AS version_idx, cents,
+         |       ts_us AS valid_from_us,
+         |       lead(ts_us) OVER w AS valid_to_us,
+         |       (lead(ts_us) OVER w IS NULL) AS is_current
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
     "interval_join" -> graft.streaming.StreamingIntervalJoin.oracle,
     // boundary at >= gap (session_window's half-open [start, prev+gap)
     // rule) where the lag-formulated `sessionize` uses strictly >

@@ -1989,4 +1989,87 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(k >= 0 && k <= n, s"n_rare out of bounds: $k / $n")
     }
   }
+
+  /** Shared plain-Scala replica of the events projection the four
+    * round-11 event reports run on. */
+  private def plainEvents(): Array[(Long, Long, String, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, Sf)
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        EventOps.tsUs(ev.schema("ts").dataType).as("ts_us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+  }
+
+  test("retention_cohorts matches a plain-Scala first-day recomputation") {
+    val evs = plainEvents()
+    val days = evs.map(e => (e._2, e._4 / EventOps.DayUs)).distinct
+    val first = days.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val expected = days.groupBy { case (u, d) => (first(u), d - first(u)) }
+      .map { case (k, vs) => k -> vs.length.toLong }
+    val got = EventOps.retentionCohorts(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "cohort matrix differs from recompute")
+    // every user shows up at offset 0 of their own cohort
+    assert(expected.keys.forall(_._2 >= 0), "negative day offset")
+  }
+
+  test("markov_transitions matches a plain-Scala recomputation, ppm sums near 1e6") {
+    val evs = plainEvents()
+    val pairs = evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._4, e._1)).map(_._3)
+      o.zip(o.drop(1))
+    }
+    val n = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val totals = n.groupBy(_._1._1).map { case (src, m) => src -> m.values.sum }
+    val expected = n.map { case ((a, b), c) => (a, b) -> (c, c * 1000000L / totals(a)) }
+    val got = EventOps.markovTransitions(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, "transition matrix differs from recompute")
+    // integer-floor ppm shares must sum to within n_dst of 1e6 per source
+    for ((src, m) <- got.groupBy(_._1._1)) {
+      val s = m.values.map(_._2).sum
+      assert(s <= 1000000L && s > 1000000L - m.size, s"$src ppm sum $s out of range")
+    }
+  }
+
+  test("session_paths matches a plain-Scala gap-rule path recomputation") {
+    val evs = plainEvents()
+    val paths = evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._4, e._1))
+      val sess = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]; var last = Long.MinValue
+      for ((_, _, t, ts, _) <- o) {
+        if (last != Long.MinValue && ts - last > EventOps.GapUs) { sess += cur.reverse; cur = Nil }
+        cur = t :: cur; last = ts
+      }
+      if (cur.nonEmpty) sess += cur.reverse
+      sess.map(_.mkString(">"))
+    }
+    val expected = paths.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = EventOps.sessionPaths(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, "path histogram differs from recompute")
+  }
+
+  test("scd2_build versions partition each user timeline half-open") {
+    val got = EventOps.scd2Build(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6)))
+    val evs = plainEvents()
+    assert(got.length == evs.length, "one version row per changelog event")
+    for ((_, vs) <- got.groupBy(_._1)) {
+      val o = vs.sortBy(_._3)
+      assert(o.map(_._3).toSeq == (1L to o.length).toSeq, "version_idx not contiguous from 1")
+      for (Array(a, b) <- o.sliding(2).map(_.toArray) if o.length > 1) {
+        assert(a._6.contains(b._5), "valid_to must equal the next version's valid_from")
+        assert(!a._7, "only the last version may be current")
+      }
+      assert(o.last._6.isEmpty && o.last._7, "last version must be open and current")
+    }
+    // exact values: each version row carries its own event's cents
+    val cents = evs.map(e => e._1 -> e._5).toMap
+    assert(got.forall(v => cents(v._2) == v._4), "cents mismatch vs changelog")
+  }
 }
