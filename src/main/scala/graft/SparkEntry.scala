@@ -22,7 +22,7 @@ object SparkEntry {
     Quality.queries ++ MergeOps.queries ++ TextOps.queries ++
       GeoOps.queries ++ SignalOps.queries ++ CcldOps.queries ++
       EventOps.queries ++ AnnOps.queries ++ MultiModalOps.queries ++
-      MixOps.queries ++
+      MixOps.queries ++ GraphOps.queries ++ SketchOps.queries ++
       Map(
         "streaming_sessionize" -> ((s, d) => graft.streaming.StreamingSessionize.run(s, d)),
         "streaming_window_counts" -> ((s, d) => graft.streaming.StreamingWindowCounts.run(s, d)),
@@ -42,7 +42,7 @@ object SparkEntry {
     Quality.oracles ++ MergeOps.oracles ++ TextOps.oracles ++
       GeoOps.oracles ++ SignalOps.oracles ++ CcldOps.oracles ++
       EventOps.oracles ++ AnnOps.oracles ++ MultiModalOps.oracles ++
-      MixOps.oracles ++
+      MixOps.oracles ++ GraphOps.oracles ++ SketchOps.oracles ++
       // the streaming variants are deterministic under AvailableNow
       // (bounded input), so batch SQL oracles can check them
       Map(

@@ -538,6 +538,36 @@ object AnnOps {
         ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
           .as("centroid_new"))
 
+  val PowScale = 65536L // 2^16: power-iteration fixed-point scale
+
+  /** One POWER-ITERATION step toward the corpus's top principal
+    * direction: w = Xᵀ(X·v₀) over the embedding matrix — the
+    * distributed matrix-vector product at the core of PCA
+    * whitening / spectral centering of an embedding corpus. Start
+    * vector v₀ = all-ones (any fixed v₀ substitutes). Both the
+    * per-vector projection d = ⟨x, v₀⟩ and the per-dimension products
+    * run in FIXED-POINT int64 (the `label_centroids` rule — float
+    * sums are shuffle-order-sensitive, integer sums are not), so the
+    * iterated direction is bit-identical on any partitioning; a full
+    * solve loops this query, renormalizing v between rounds. 2^16
+    * scale keeps Σ round(x_i·S)·round(⟨x,v₀⟩·S) < 2^63 up to ~10^9
+    * unit-scale vectors; a larger corpus drops one scale bit per 4×
+    * rows. One scan: projection + posexplode + one partial-agg
+    * groupBy (Dim rows out). */
+  def powerIteration(s: SparkSession, d: String): DataFrame = {
+    val ones = (0 until Dim).map(_ => "1.0D").mkString("array(", ",", ")")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"cast(round(vec_dot(cast(embedding as array<double>), $ones) * $PowScale) as bigint)").as("dd"))
+      .select(col("dd"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"cast(round(cast(x as double) * $PowScale) as bigint) * dd")).as("w_scaled"))
+      .select(col("i").cast("long").as("i"), col("n"), col("w_scaled"),
+        ((col("w_scaled").cast("double") / (PowScale * PowScale).toDouble) / col("n").cast("double"))
+          .as("w_mean"))
+  }
+
   val SemClusterCosT = 0.25 // edge-keep threshold for semantic clusters
   val MaxCcRounds    = 50
   // Driver-tail threshold (thresholded-edge rows; two longs each, so
@@ -663,6 +693,7 @@ object AnnOps {
   val queries: Map[String, QueryFn] = Map(
     "semantic_clusters"  -> (semanticClusters _),
     "kmeans_step"        -> (kmeansStep _),
+    "power_iteration"    -> (powerIteration _),
     "ann_pq_topk"        -> (annPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
     "ann_recall_report"  -> (annRecallReport _),
@@ -717,7 +748,7 @@ object AnnOps {
 
   /** The kNN-graph query as standalone SQL — `ann_knn_graph`'s oracle
     * and the inner table of `knn_label_purity`'s. */
-  private lazy val knnGraphSql: String =
+  private[operators] lazy val knnGraphSql: String =
     s"""WITH $vecCte, ${planesCteFor(DedupTables * DedupPlanes)},
        |vb0 AS (
        |  ${(0 until DedupTables).map(t =>
@@ -819,6 +850,19 @@ object AnnOps {
          |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $CentScale) AS BIGINT)) AS DOUBLE)
          |          / CAST(count(*) AS DOUBLE)) / ${CentScale}e0 AS centroid_new
          |FROM x GROUP BY cell, i""".stripMargin,
+    "power_iteration" ->
+      s"""WITH ones AS (SELECT ${(0 until Dim).map(_ => "1.0").mkString("[", ",", "]")}::DOUBLE[] AS o),
+         |v AS (
+         |  SELECT embedding,
+         |         CAST(round(${Portable.dotSql("embedding", "o")} * $PowScale) AS BIGINT) AS dd
+         |  FROM embeddings, ones),
+         |t AS (SELECT dd, unnest(range(len(embedding))) AS i, embedding FROM v),
+         |x AS (SELECT dd, i, embedding[i + 1] AS x FROM t)
+         |SELECT CAST(i AS BIGINT) AS i, count(*) AS n,
+         |       CAST(sum(CAST(round(CAST(x AS DOUBLE) * $PowScale) AS BIGINT) * dd) AS BIGINT) AS w_scaled,
+         |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $PowScale) AS BIGINT) * dd) AS DOUBLE)
+         |          / ${PowScale * PowScale}e0) / CAST(count(*) AS DOUBLE) AS w_mean
+         |FROM x GROUP BY i""".stripMargin,
     "ann_pq_topk" ->
       s"""WITH $vecCte, $pqCodebookCte,
          |sdots AS (

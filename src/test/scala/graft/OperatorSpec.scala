@@ -2072,4 +2072,104 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cents = evs.map(e => e._1 -> e._5).toMap
     assert(got.forall(v => cents(v._2) == v._4), "cents mismatch vs changelog")
   }
+
+  test("triangle_count matches a plain-Scala wedge-closure recomputation") {
+    import org.apache.spark.sql.functions.col
+    val edges = AnnOps.annKnnGraph(spark, Sf)
+      .filter(col("cosine") >= AnnOps.SemClusterCosT)
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val eset = edges.toSet
+    val byU = edges.groupBy(_._1)
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; (_, c) <- byU.getOrElse(b, Array.empty[(Long, Long)])
+         if eset((a, c))) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val ids = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val expected = ids.map(v => v -> triCount(v)).toMap
+    val got = graft.operators.GraphOps.triangleCount(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "per-vertex triangle counts differ from recompute")
+    assert(got.values.sum > 0, "graph produced no triangles — nothing exercised")
+  }
+
+  test("pagerank_knn matches a plain-Scala fixed-point recomputation") {
+    import org.apache.spark.sql.functions.col
+    val dir = AnnOps.annKnnGraph(spark, Sf)
+      .filter(col("cosine") >= AnnOps.SemClusterCosT)
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val se = (dir ++ dir.map(e => (e._2, e._1))).toSeq
+    val deg = se.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ids = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    def iter(r: Map[Long, Long]): Map[Long, Long] = {
+      val in = se.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      ids.map(v => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val r1 = iter(ids.map(_ -> 1000000L).toMap)
+    val r2 = iter(r1)
+    val got = graft.operators.GraphOps.pagerankKnn(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == ids.map(v => v -> (r1(v), r2(v))).toMap,
+      "fixed-point pagerank differs from recompute")
+    assert(got.values.map(_._2).toSet.size > 1, "all ranks equal — no structure exercised")
+  }
+
+  test("distinct_kmv: exact path below K, sketch kth-min exact, estimate sane") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the k-th smallest distinct hash with the engine's own
+    // portable hash column (the spec pins selection, the oracle pins
+    // the hash function itself)
+    val hashes = ev.select(col("event_type"),
+        graft.functions.Portable.h60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.SketchOps.distinctKmv(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == exact.keySet)
+    for ((t, nKept, kth, est) <- got) {
+      val hs = hashes.filter(_._1 == t).map(_._2).sorted
+      val k = math.min(graft.operators.SketchOps.KmvK, hs.length).toLong
+      assert(nKept == k, s"$t kept $nKept of expected $k")
+      assert(kth == hs(k.toInt - 1), s"$t kth-min hash mismatch")
+      if (exact(t) < graft.operators.SketchOps.KmvK)
+        assert(est == exact(t).toDouble, s"$t small-group path must be exact")
+      else
+        assert(est > exact(t) * 0.5 && est < exact(t) * 2.0,
+          s"$t estimate $est implausible vs exact ${exact(t)}")
+    }
+  }
+
+  test("power_iteration matches a plain-Scala fixed-point Gram product") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def rnd(x: Double, s: Long): Long =
+      new JBD(x).multiply(new JBD(s)).setScale(0, RoundingMode.HALF_UP).longValueExact()
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val S = AnnOps.PowScale
+    val exp = Array.fill(64)(0L)
+    for (x <- vecs) {
+      val d = rnd(x.foldLeft(0.0)(_ + _), S) // dot with all-ones = sequential sum
+      for (i <- x.indices) exp(i) += rnd(x(i), S) * d
+    }
+    val got = AnnOps.powerIteration(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.length == 64)
+    for ((i, n, w, wm) <- got) {
+      assert(n == vecs.length.toLong)
+      assert(w == exp(i.toInt), s"dim $i scaled sum mismatch")
+      assert(wm == (w.toDouble / (S * S).toDouble) / n.toDouble)
+    }
+  }
 }
