@@ -364,7 +364,34 @@ object EventOps {
         col("ts_us").as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current"))
 
+  /** Statistical outlier flags: events whose cent value sits more than
+    * 3 population standard deviations from their event_type's mean —
+    * the data-quality screen (fat-finger values, unit-confused
+    * ingests) run before monetary aggregates are trusted. The z-score
+    * rule is evaluated WITHOUT division or sqrt by cross-multiplying:
+    * |x−μ| > 3σ  ⇔  (n·x − S)² > 9·(n·Q − S²)  with S = Σx, Q = Σx²
+    * kept as EXACT integer aggregates (order-independent), converted
+    * to double only for the two final products — the identical
+    * operation sequence on both engines makes even the boundary
+    * comparison deterministic. One partial-agg groupBy over the tiny
+    * type dimension + an AQE-broadcast join back; no window, no
+    * second scan. */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"), col("cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum(col("cents") * col("cents")).as("sq"))
+    ev.join(stats, Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        expr("""(cast(n as double) * cast(cents as double) - cast(sc as double))
+                 * (cast(n as double) * cast(cents as double) - cast(sc as double))
+               > 9.0D * (cast(n as double) * cast(sq as double)
+                          - cast(sc as double) * cast(sc as double))""")
+          .as("is_outlier"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "anomaly_zscore"      -> (anomalyZscore _),
     "retention_cohorts"   -> (retentionCohorts _),
     "markov_transitions"  -> (markovTransitions _),
     "session_paths"       -> (sessionPaths _),
@@ -391,6 +418,18 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "anomaly_zscore" ->
+      s"""WITH $evCte,
+         |st AS (
+         |  SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc,
+         |         CAST(sum(cents * cents) AS BIGINT) AS sq
+         |  FROM ev GROUP BY event_type)
+         |SELECT ev.event_id, ev.event_type, ev.cents,
+         |       (CAST(n AS DOUBLE) * CAST(cents AS DOUBLE) - CAST(sc AS DOUBLE))
+         |         * (CAST(n AS DOUBLE) * CAST(cents AS DOUBLE) - CAST(sc AS DOUBLE))
+         |       > 9.0 * (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+         |                 - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) AS is_outlier
+         |FROM ev JOIN st ON ev.event_type = st.event_type""".stripMargin,
     "retention_cohorts" ->
       s"""WITH $evCte,
          |days AS (SELECT DISTINCT user_id, ts_us // $DayUs AS day FROM ev),

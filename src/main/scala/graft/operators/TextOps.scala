@@ -1050,7 +1050,22 @@ object TextOps {
       .withColumn("is_duplicated", col("degree") > 0)
   }
 
+  /** Equi-depth length deciles per source: each document's decile bin
+    * by character length — the balanced-bucket view used for
+    * curriculum schedules and per-bin sampling quotas (where
+    * `token_histogram` buckets by VALUE, this buckets by RANK).
+    * `ntile` has identical remainder semantics on both engines
+    * (earlier buckets take the extra rows); the order key carries the
+    * unique doc_id tiebreak, so bin assignment is deterministic under
+    * any partitioning. One window shuffle on source. */
+  def quantileBins(s: SparkSession, d: String): DataFrame = {
+    val binW = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(binW).cast("long"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "quantile_bins" -> (quantileBins _),
     "lang_confusion" -> (langConfusion _),
     "dup_degree" -> (dupDegree _),
     "vocab_coverage" -> (vocabCoverage _),
@@ -1157,6 +1172,10 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "quantile_bins" ->
+      """SELECT doc_id, source, n_chars,
+        |       CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents""".stripMargin,
     "lang_confusion" ->
       s"""WITH toks AS (SELECT doc_id, lang, $tkSql AS tk FROM documents),
          |sc AS (SELECT doc_id, lang,

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.operators.SketchOps
+
+/** Streaming distinct-count sketch — the continuously-maintained twin
+  * of [[graft.operators.SketchOps.distinctKmv]]: per event_type the K
+  * smallest distinct `h60` hashes survive across micro-batches, and
+  * each batch emits the group's refreshed estimate. The sixth stateful
+  * pattern in the streaming family: a BOUNDED MERGEABLE SKETCH —
+  * state is ≤ K longs per key regardless of stream length, and the
+  * fold (merge, dedup, keep K smallest) is associative and
+  * commutative, which is exactly why the result is deterministic under
+  * ANY micro-batch split of the input (the batch-equivalence spec pins
+  * this on a forced multi-batch run). Under `Trigger.AvailableNow` on
+  * the bounded input each key's final emission is the full-corpus
+  * sketch, so the batch `distinct_kmv` DuckDB oracle checks it
+  * verbatim. */
+object StreamingDistinctKmv {
+
+  final case class Hashed(event_type: String, h: Long)
+  final case class KmvState(hashes: Seq[Long]) // ascending, distinct, ≤ K
+  final case class Out(event_type: String, n_kept: Long, kth_min: Long,
+                       est_distinct: Double)
+
+  def fold(key: String, rows: Iterator[Hashed],
+           state: GroupState[KmvState]): Iterator[Out] = {
+    val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+    val merged = (prev.iterator ++ rows.map(_.h)).toSeq
+      .distinct.sorted.take(SketchOps.KmvK)
+    state.update(KmvState(merged))
+    val n = merged.length
+    val est =
+      if (n < SketchOps.KmvK) n.toDouble
+      else ((SketchOps.KmvK - 1).toDouble * SketchOps.KmvDomain) / merged.last.toDouble
+    Iterator.single(Out(key, n.toLong, merged.last, est))
+  }
+
+  private val runSeq = new AtomicInteger(0)
+
+  def sketchStream(s: SparkSession, srcGlob: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import s.implicits._
+    s.readStream.schema(schema).parquet(srcGlob)
+      .select(col("event_type"),
+        graft.functions.Portable.h60(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .as[Hashed]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_kmv_${runSeq.incrementAndGet()}"
+    val q = sketchStream(s, s"$dir/[e]vents.parquet", schema).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}

@@ -2172,4 +2172,78 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(wm == (w.toDouble / (S * S).toDouble) / n.toDouble)
     }
   }
+
+  test("quantile_bins matches a plain-Scala ntile recomputation") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.toSeq.groupBy(_._2).flatMap { case (_, ds) =>
+      val o = ds.sortBy(d => (d._3, d._1))
+      val n = o.length; val q = n / 10; val r = n % 10
+      // SQL ntile: first r buckets get q+1 rows, the rest q
+      o.zipWithIndex.map { case (d, i) =>
+        val bucket =
+          if (i < r * (q + 1)) i / (q + 1) + 1
+          else r + (i - r * (q + 1)) / math.max(q, 1) + 1
+        d._1 -> bucket.toLong
+      }
+    }.toMap
+    val got = TextOps.quantileBins(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected, "decile assignment differs from ntile recompute")
+  }
+
+  test("anomaly_zscore matches recompute and flags a planted outlier") {
+    import org.apache.spark.sql.functions._
+    // synthetic events dir with a planted fat-finger value
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    val base = graft.sources.Tables.events(spark, Sf)
+    val spike = base.limit(1).select(lit(999999L).as("event_id"), col("ts"),
+      col("user_id"), lit("purchase").as("event_type"),
+      lit(1.0e6).as("value"), col("props"))
+    base.unionByName(spike).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.anomalyZscore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // exact recompute with integer stats + identical double comparison
+    val stats = out.groupBy(_._2).map { case (t, es) =>
+      t -> (es.length.toLong, es.map(_._3).sum, es.map(e => e._3 * e._3).sum)
+    }
+    for ((_, t, x, flag) <- out) {
+      val (n, sc, sq) = stats(t)
+      val lhs = (n.toDouble * x.toDouble - sc.toDouble) * (n.toDouble * x.toDouble - sc.toDouble)
+      val rhs = 9.0 * (n.toDouble * sq.toDouble - sc.toDouble * sc.toDouble)
+      assert(flag == (lhs > rhs), s"flag mismatch for event type $t value $x")
+    }
+    assert(out.exists(e => e._1 == 999999L && e._4), "planted outlier not flagged")
+    assert(out.count(_._4) < out.length / 10, "outliers must be rare")
+  }
+
+  test("streaming_distinct_kmv equals the batch sketch and survives a forced multi-batch split") {
+    import org.apache.spark.sql.functions.col
+    val batch = sortedRows(graft.operators.SketchOps.distinctKmv(spark, Sf))
+    val stream = sortedRows(graft.streaming.StreamingDistinctKmv.run(spark, Sf))
+    assert(stream == batch, "single-batch streaming sketch differs from batch")
+    // force >1 micro-batch: two source files + maxFilesPerTrigger=1;
+    // the FINAL emission per key (min kth_min — the sketch only
+    // tightens) must still equal the batch sketch, which is the
+    // associative-merge property the operator claims
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/src/b.parquet")
+    val q = graft.streaming.StreamingDistinctKmv
+      .sketchStream(spark, s"$dir/src/*.parquet", ev.schema)
+      .writeStream.format("memory").queryName("kmv_multi")
+      .option("maxFilesPerTrigger", 1)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = spark.table("kmv_multi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (_, rows) => rows.minBy(_._3) }
+    val expect = graft.operators.SketchOps.distinctKmv(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fin.toSet == expect, "final multi-batch sketch differs from batch sketch")
+  }
 }
