@@ -272,7 +272,11 @@ object EventOps {
     * and equi-join on (user, bin) — each true pair matches in exactly
     * one bin (the purchase's), so no dedup, and per-key work is
     * bounded by events-per-user-per-hour, not events-per-user. */
-  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+  /** The banded (click, purchase) pair frame [[intervalJoin]] projects
+    * and [[attributionLinear]] weights: every same-user pair with the
+    * purchase inside the click's attribution window, timestamps
+    * retained. */
+  private def clickPurchasePairs(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("c_us"))
@@ -284,7 +288,74 @@ object EventOps {
         expr(s"ts_us div $AttributionUs").as("bin"))
     clicks.join(purchases, Seq("user_id", "bin"))
       .filter(col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + AttributionUs)
-      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
+  def intervalJoin(s: SparkSession, d: String): DataFrame =
+    clickPurchasePairs(s, d).select(col("click_id"), col("purchase_id"), col("user_id"))
+
+  /** LINEAR multi-touch attribution: each purchase's credit split
+    * equally (in integer parts-per-million) over every click in its
+    * attribution window — the multi-touch complement of `asof_join`'s
+    * last-touch rule. The ppm split is exact integer arithmetic; the
+    * division remainder goes to the EARLIEST click (ties by click_id),
+    * so per-purchase credits sum to exactly 1e6 on any engine and any
+    * partitioning. Rides the banded pair frame (work bounded per
+    * (user, hour) like `interval_join`) plus one window over the
+    * purchase key — fan-in per purchase is window-bounded, so the
+    * window partition is too. */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val pw = Window.partitionBy(col("purchase_id"))
+    val rankW = pw.orderBy(col("c_us"), col("click_id"))
+    clickPurchasePairs(s, d)
+      .withColumn("n_clicks", count(lit(1)).over(pw))
+      .withColumn("rn", row_number().over(rankW))
+      .select(col("purchase_id"), col("click_id"), col("user_id"), col("n_clicks"),
+        (expr("1000000 div n_clicks") +
+          when(col("rn") === 1, expr("1000000 % n_clicks")).otherwise(0L))
+          .cast("long").as("credit_ppm"))
+  }
+
+  val NearestUs: Long = AttributionUs // ±1-hour nearest-click horizon
+
+  /** NEAREST-event as-of join: each purchase matched to the CLOSEST
+    * same-user click within ±1 hour, either direction — the
+    * sensor-alignment flavor of as-of matching (`asof_join` is the
+    * strictly-backward flavor). Same merged-scan shape, two frames:
+    * the nearest preceding click is `last(click)` over the preceding
+    * frame, the nearest following is `first(click)` over the following
+    * frame (clicks sort before purchases at equal ts, so an equal-ts
+    * click counts as preceding at distance 0); the closer side wins,
+    * ties to the preceding click. ONE window shuffle on user_id, no
+    * join, cost linear in events regardless of click density. The
+    * DuckDB twin is the opposite formulation (±window range join +
+    * per-purchase argmin with the same tie chain), so agreement pins
+    * both the distance rule and every tie rule. */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+    val ordW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+    val prevW = ordW.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = ordW.rowsBetween(1, Window.unboundedFollowing)
+    val clickStruct = when(col("is_p") === 0, struct(col("ts_us"), col("event_id")))
+    ev
+      .withColumn("pc", last(clickStruct, ignoreNulls = true).over(prevW))
+      .withColumn("nc", first(clickStruct, ignoreNulls = true).over(nextW))
+      .filter(col("is_p") === 1)
+      .withColumn("pd", col("ts_us") - col("pc.ts_us"))
+      .withColumn("nd", col("nc.ts_us") - col("ts_us"))
+      .withColumn("use_prev",
+        col("pc").isNotNull && (col("nc").isNull || col("pd") <= col("nd")))
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        when(col("use_prev"), col("pc.event_id")).otherwise(col("nc.event_id")).as("click_id"),
+        when(col("use_prev"), col("pc.ts_us")).otherwise(col("nc.ts_us")).as("click_us"),
+        when(col("use_prev"), col("pd")).otherwise(col("nd")).as("dist_us"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        when(col("dist_us") <= NearestUs, col("click_id")).as("click_id"),
+        when(col("dist_us") <= NearestUs, col("click_us")).as("click_us"),
+        when(col("dist_us") <= NearestUs, col("dist_us")).as("dist_us"))
   }
 
   val DayUs: Long = 86400L * 1000000L
@@ -391,6 +462,8 @@ object EventOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "attribution_linear"  -> (attributionLinear _),
+    "asof_nearest"        -> (asofNearest _),
     "anomaly_zscore"      -> (anomalyZscore _),
     "retention_cohorts"   -> (retentionCohorts _),
     "markov_transitions"  -> (markovTransitions _),
@@ -418,6 +491,45 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "attribution_linear" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id AS click_id, user_id, ts_us AS c_us
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_us
+         |      FROM ev WHERE event_type = 'purchase'),
+         |pairs AS (
+         |  SELECT p.purchase_id, c.click_id, p.user_id, c.c_us
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND p.p_us >= c.c_us AND p.p_us <= c.c_us + $AttributionUs),
+         |w AS (
+         |  SELECT purchase_id, click_id, user_id,
+         |         count(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+         |         row_number() OVER (PARTITION BY purchase_id ORDER BY c_us, click_id) AS rn
+         |  FROM pairs)
+         |SELECT purchase_id, click_id, user_id, n_clicks,
+         |       CAST(1000000 // n_clicks
+         |            + CASE WHEN rn = 1 THEN 1000000 % n_clicks ELSE 0 END AS BIGINT) AS credit_ppm
+         |FROM w""".stripMargin,
+    "asof_nearest" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us
+         |      FROM ev WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT p.purchase_id, c.click_id, c.click_us,
+         |         abs(c.click_us - p.purchase_us) AS dist_us,
+         |         row_number() OVER (PARTITION BY p.purchase_id ORDER BY
+         |           abs(c.click_us - p.purchase_us),
+         |           CASE WHEN c.click_us <= p.purchase_us THEN 0 ELSE 1 END,
+         |           CASE WHEN c.click_us <= p.purchase_us THEN -c.click_id ELSE c.click_id END) AS rn
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |    AND c.click_us >= p.purchase_us - $NearestUs
+         |    AND c.click_us <= p.purchase_us + $NearestUs)
+         |SELECT p.purchase_id, p.user_id, p.purchase_us,
+         |       j.click_id, j.click_us, j.dist_us
+         |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON p.purchase_id = j.purchase_id""".stripMargin,
     "anomaly_zscore" ->
       s"""WITH $evCte,
          |st AS (

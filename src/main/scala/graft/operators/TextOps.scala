@@ -1050,6 +1050,33 @@ object TextOps {
       .withColumn("is_duplicated", col("degree") > 0)
   }
 
+  /** Cross-document duplicated-n-gram coverage (the Lee et al. 2021
+    * "Deduplicating Training Data" span statistic at shingle
+    * granularity): per document, the fraction of its DISTINCT word
+    * n-grams that also occur in at least one other document — high
+    * coverage marks templated/boilerplate text that exact and
+    * near-dup document matching both miss (no single pair is similar,
+    * but every span is shared). Where `quality_gopher` measures
+    * repetition WITHIN a document, this measures it ACROSS the
+    * corpus. Rides the persisted signature table's distinct-shingle
+    * sets; one vocabulary-keyed partial-agg groupBy + a join back on
+    * the just-shuffled key (the `rare_token_ratio` shape). NULL-text /
+    * too-short docs keep a zero row with NULL ratio. */
+  def dupNgramCoverage(s: SparkSession, d: String): DataFrame = {
+    val e = hashed(s, d).select(col("doc_id"), explode_outer(col("shset")).as("sh"))
+    val cnt = e.filter(col("sh").isNotNull)
+      .groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+    e.join(cnt, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("sh")).as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"),
+        col("n_dup").cast("long").as("n_dup"),
+        when(col("n_shingles") > 0,
+          col("n_dup").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_ratio"))
+  }
+
   /** Equi-depth length deciles per source: each document's decile bin
     * by character length — the balanced-bucket view used for
     * curriculum schedules and per-bin sampling quotas (where
@@ -1065,6 +1092,7 @@ object TextOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "dup_ngram_coverage" -> (dupNgramCoverage _),
     "quantile_bins" -> (quantileBins _),
     "lang_confusion" -> (langConfusion _),
     "dup_degree" -> (dupDegree _),
@@ -1172,6 +1200,21 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "dup_ngram_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |shd AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+         |e AS (SELECT doc_id, unnest(list_distinct(shl)) AS sh FROM shd),
+         |c AS (SELECT sh, count(*) AS ndocs FROM e GROUP BY sh),
+         |p AS (
+         |  SELECT e.doc_id, count(*) AS n_shingles,
+         |         sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM e JOIN c ON e.sh = c.sh GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(p.n_shingles, 0) AS n_shingles,
+         |       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+         |       CASE WHEN p.n_shingles > 0
+         |            THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) END AS dup_ratio
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
     "quantile_bins" ->
       """SELECT doc_id, source, n_chars,
         |       CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile

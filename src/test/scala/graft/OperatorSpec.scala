@@ -2246,4 +2246,66 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(fin.toSet == expect, "final multi-batch sketch differs from batch sketch")
   }
+
+  test("dup_ngram_coverage matches a plain-Scala cross-doc shingle recomputation") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    def shingles(t: String): Set[String] =
+      if (t == null) Set.empty
+      else {
+        val tk = t.split(" ", -1)
+        if (tk.length < TextOps.ShingleN) Set.empty
+        else tk.sliding(TextOps.ShingleN).map(_.mkString(" ")).toSet
+      }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val ndocs = sets.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length }
+    val got = TextOps.dupNgramCoverage(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.size == docs.length)
+    for ((id, sh) <- sets) {
+      val (n, dup, ratio) = got(id)
+      assert(n == sh.size.toLong, s"doc $id shingle count")
+      val expDup = sh.count(x => ndocs(x) >= 2).toLong
+      assert(dup == expDup, s"doc $id dup count")
+      if (sh.isEmpty) assert(ratio.isEmpty, s"doc $id must carry NULL ratio")
+      else assert(ratio.contains(expDup.toDouble / sh.size.toDouble), s"doc $id ratio")
+    }
+    assert(got.values.exists(_._2 > 0), "no cross-doc duplicated shingles exercised")
+  }
+
+  test("attribution_linear: per-purchase credits sum to exactly 1e6, count matches interval_join") {
+    val rows = EventOps.attributionLinear(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val ij = EventOps.intervalJoin(spark, Sf).count()
+    assert(rows.length.toLong == ij, "one credit row per interval-join pair")
+    for ((pid, g) <- rows.groupBy(_._1)) {
+      assert(g.map(_._4).sum == 1000000L, s"purchase $pid credits must sum to 1e6")
+      assert(g.head._3 == g.length.toLong, s"purchase $pid n_clicks mismatch")
+      assert(g.map(_._4).toSet.size <= 2, s"purchase $pid more than base+remainder credit values")
+    }
+  }
+
+  test("asof_nearest matches a plain-Scala nearest-click recomputation") {
+    val evs = plainEvents().filter(e => e._3 == "click" || e._3 == "purchase")
+    val byUser = evs.groupBy(_._2)
+    val got = EventOps.asofNearest(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getLong(5)))))
+      .toMap
+    var matchedSome = false
+    for ((u, es) <- byUser; (pid, _, t, pts, _) <- es if t == "purchase") {
+      val clicks = es.filter(_._3 == "click")
+        .filter(c => math.abs(c._4 - pts) <= EventOps.NearestUs)
+      val best =
+        if (clicks.isEmpty) None
+        else Some(clicks.minBy(c => (math.abs(c._4 - pts),
+          if (c._4 <= pts) 0 else 1,
+          if (c._4 <= pts) -c._1 else c._1)))
+      val exp = best.map(c => (c._1, c._4, math.abs(c._4 - pts)))
+      assert(got(pid) == exp, s"purchase $pid nearest-click mismatch")
+      if (exp.nonEmpty) matchedSome = true
+    }
+    assert(matchedSome, "no purchase matched any click — nothing exercised")
+  }
 }
