@@ -461,7 +461,36 @@ object EventOps {
           .as("is_outlier"))
   }
 
+  /** Gap-filled hourly time series with LOCF: the regular
+    * (event_type × hour) grid over the corpus's time span, missing
+    * hours explicit as zero rows plus a last-observation-carried-
+    * forward cent volume — the resample-to-regular-grid operator every
+    * monitoring/feature pipeline needs before windowed models (a
+    * groupBy alone silently OMITS empty buckets). Grid generation is
+    * a one-row bounds aggregate exploded through `sequence` crossed
+    * with the tiny type dimension (both broadcast-sized at any corpus
+    * scale — the grid is time-span-bounded, not row-bounded); one
+    * left join on (type, hour) + one LOCF window per type. */
+  def timeseriesFill(s: SparkSession, d: String): DataFrame = {
+    val h = events(s, d)
+      .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour"), col("cents"))
+    val agg = h.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("cents")).as("sc_obs"))
+    val grid = h.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hour"))
+      .crossJoin(h.select(col("event_type")).distinct())
+    val locfW = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "hour"), "left")
+      .withColumn("locf_cents", last(col("sc_obs"), ignoreNulls = true).over(locfW))
+      .select(col("event_type"), (col("hour") * HourUs).as("hour_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        coalesce(col("sc_obs"), lit(0L)).cast("long").as("sum_cents"),
+        col("locf_cents").cast("long").as("locf_cents"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_fill"     -> (timeseriesFill _),
     "attribution_linear"  -> (attributionLinear _),
     "asof_nearest"        -> (asofNearest _),
     "anomaly_zscore"      -> (anomalyZscore _),
@@ -491,6 +520,26 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "timeseries_fill" ->
+      s"""WITH $evCte,
+         |h AS (SELECT event_type, ts_us // $HourUs AS hour, cents FROM ev),
+         |agg AS (
+         |  SELECT event_type, hour, count(*) AS n_obs,
+         |         CAST(sum(cents) AS BIGINT) AS sc_obs
+         |  FROM h GROUP BY 1, 2),
+         |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM h),
+         |grid AS (
+         |  SELECT t.event_type, g.hour
+         |  FROM (SELECT DISTINCT event_type FROM h) t,
+         |       (SELECT unnest(range(mn, mx + 1)) AS hour FROM b) g)
+         |SELECT grid.event_type, grid.hour * $HourUs AS hour_us,
+         |       coalesce(agg.n_obs, 0) AS n_events,
+         |       CAST(coalesce(agg.sc_obs, 0) AS BIGINT) AS sum_cents,
+         |       CAST(last_value(agg.sc_obs IGNORE NULLS) OVER (
+         |         PARTITION BY grid.event_type ORDER BY grid.hour
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS locf_cents
+         |FROM grid LEFT JOIN agg
+         |  ON grid.event_type = agg.event_type AND grid.hour = agg.hour""".stripMargin,
     "attribution_linear" ->
       s"""WITH $evCte,
          |c AS (SELECT event_id AS click_id, user_id, ts_us AS c_us

@@ -165,7 +165,25 @@ object MergeOps {
       .select("record_id", "evid", "sta", "lnum")
   }
 
+  /** Referential-integrity audit across the text/embedding modality
+    * pair: every corpus id classified as carried by both tables, text
+    * only, or embedding only — the reconcile report run before any
+    * join-dependent stage (a silent id drift between modalities
+    * otherwise surfaces as quietly shrunken inner joins). One
+    * FULL OUTER equi-join projected to a 3-row report; both sides
+    * shuffle-partition on the id, counts partial-aggregate. */
+  def integrityAudit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(Tables.embeddings(s, d).select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, "both")
+          .when(col("doc_id").isNotNull, "doc_only")
+          .otherwise("vec_only").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
   val queries: Map[String, QueryFn] = Map(
+    "integrity_audit" -> (integrityAudit _),
     "merge_flatfile"      -> (mergeFlatfile _),
     "ground_level_argmin" -> (groundLevelArgmin _),
     "im_pivot"            -> (imPivot _),
@@ -178,6 +196,13 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "integrity_audit" ->
+      """SELECT status, count(*) AS n FROM (
+        |  SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'both'
+        |              WHEN d.doc_id IS NOT NULL THEN 'doc_only'
+        |              ELSE 'vec_only' END AS status
+        |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+        |GROUP BY status""".stripMargin,
     "merge_flatfile" -> Catalog.oracle {
       import graft.functions.Sdof
       s"""SELECT r.record_id, r.evid, r.sta, r.chan,

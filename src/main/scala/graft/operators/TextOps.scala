@@ -1077,6 +1077,28 @@ object TextOps {
           .as("dup_ratio"))
   }
 
+  val WTargetLen = 400L // length-proportional sampling pivot (tokens)
+  val WSalt      = "w1"
+
+  /** Length-proportional (size-biased) deterministic sampling: each
+    * document kept with probability min(1, n_tokens / WTargetLen) —
+    * the draw that makes a TOKEN budget sample uniformly over tokens
+    * instead of documents (short-doc-heavy sources are otherwise
+    * over-represented per token; the packing stage's input wants the
+    * opposite). Same counter-hash machinery as `sample_stratified`
+    * (u = h60(doc_id:salt), replayable on any partitioning), but the
+    * threshold is the document's own length: keep iff
+    * u_ppm · T < n_tokens · 1e6 — all-integer, engine-exact, and docs
+    * at or above the pivot length are kept with certainty. NULL-text
+    * docs have zero tokens and are never kept. One scan, no shuffle. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        when(col("text").isNull, 0L).otherwise(size(col("tk")).cast("long")).as("n_tokens"),
+        (Portable.h60(concat(col("doc_id").cast("string"), lit(":" + WSalt))) % 1000000L)
+          .as("u_ppm"))
+      .withColumn("kept", col("u_ppm") * WTargetLen < col("n_tokens") * 1000000L)
+
   /** Equi-depth length deciles per source: each document's decile bin
     * by character length — the balanced-bucket view used for
     * curriculum schedules and per-bin sampling quotas (where
@@ -1092,6 +1114,7 @@ object TextOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_coverage" -> (dupNgramCoverage _),
     "quantile_bins" -> (quantileBins _),
     "lang_confusion" -> (langConfusion _),
@@ -1200,6 +1223,17 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN text IS NULL THEN 0
+         |              ELSE len($tkSql) END AS n_tokens,
+         |         ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$WSalt'")} % 1000000 AS u_ppm
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(u_ppm AS BIGINT) AS u_ppm,
+         |       u_ppm * $WTargetLen < n_tokens * 1000000 AS kept
+         |FROM t""".stripMargin,
     "dup_ngram_coverage" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |shd AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),

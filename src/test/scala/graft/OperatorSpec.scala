@@ -2342,4 +2342,58 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(back.select(docs.columns.map(col): _*)) ==
       sortedRows(docs), "partitioned round-trip lost or changed rows")
   }
+
+  test("timeseries_fill: dense grid, zero-filled gaps, correct LOCF") {
+    val evs = plainEvents()
+    val hours = evs.map(e => (e._3, e._4 / EventOps.HourUs, e._5))
+    val mn = hours.map(_._2).min; val mx = hours.map(_._2).max
+    val types = hours.map(_._1).distinct
+    val agg = hours.groupBy(h => (h._1, h._2))
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).sum) }
+    val got = EventOps.timeseriesFill(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1) / EventOps.HourUs) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got.size == types.length * (mx - mn + 1).toInt, "grid not dense")
+    for (t <- types) {
+      var locf: Option[Long] = None
+      for (hr <- mn to mx) {
+        val (n, sc) = agg.getOrElse((t, hr), (0L, 0L))
+        if (agg.contains((t, hr))) locf = Some(sc)
+        assert(got((t, hr)) == ((n, sc, locf)), s"cell ($t, $hr) mismatch")
+      }
+    }
+    assert(got.values.exists(_._1 == 0L), "no gap hours — fill not exercised")
+  }
+
+  test("integrity_audit classifies planted orphans on both sides") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_integ").toString
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+    // plant one doc without a vector and one vector without a doc
+    docs.unionByName(docs.limit(1).withColumn("doc_id", lit(77000001L)))
+      .write.parquet(s"$dir/documents.parquet")
+    vecs.unionByName(vecs.limit(1).withColumn("vec_id", lit(88000001L)))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.MergeOps.integrityAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBoth = docs.join(vecs, col("doc_id") === col("vec_id")).count()
+    assert(got == Map("both" -> nBoth, "doc_only" -> (docs.count() - nBoth + 1),
+      "vec_only" -> (vecs.count() - nBoth + 1)), s"audit wrong: $got")
+  }
+
+  test("sample_weighted: keep rule replayable, certainty above pivot, zero-token never kept") {
+    val rows = TextOps.sampleWeighted(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    for ((id, n, u, kept) <- rows) {
+      assert(kept == (u * TextOps.WTargetLen < n * 1000000L), s"doc $id keep rule mismatch")
+      if (n >= TextOps.WTargetLen) assert(kept, s"doc $id at/above pivot must be certain")
+      if (n == 0) assert(!kept, s"zero-token doc $id must never be kept")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "sampling not exercised both ways")
+    // replay: second run identical (hash draw, no RNG state)
+    val again = TextOps.sampleWeighted(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
