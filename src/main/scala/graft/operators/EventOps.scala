@@ -489,7 +489,26 @@ object EventOps {
         col("locf_cents").cast("long").as("locf_cents"))
   }
 
+  val HotK = 20
+
+  /** Hot-key audit: the K heaviest `user_id` join keys with their
+    * event counts and integer-ppm share of the corpus — the skew
+    * report that DECIDES when `Joins.saltedJoin` (or an AQE skew
+    * threshold) is worth its replication cost. Distributed top-K
+    * (orderBy+limit plans as TakeOrderedAndProject: per-partition
+    * heaps + a K-row driver merge, never a global sort); the one-row
+    * total joins by broadcast. */
+  def hotKeys(s: SparkSession, d: String): DataFrame = {
+    val cnt = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = events(s, d).agg(count(lit(1)).as("total"))
+    cnt.orderBy(col("n").desc, col("user_id")).limit(HotK)
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"),
+        expr("(n * 1000000) div total").cast("long").as("share_ppm"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "hot_keys"            -> (hotKeys _),
     "timeseries_fill"     -> (timeseriesFill _),
     "attribution_linear"  -> (attributionLinear _),
     "asof_nearest"        -> (asofNearest _),
@@ -520,6 +539,12 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "hot_keys" ->
+      s"""WITH $evCte,
+         |cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY user_id),
+         |tot AS (SELECT count(*) AS total FROM ev)
+         |SELECT user_id, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+         |FROM cnt, tot ORDER BY n DESC, user_id LIMIT $HotK""".stripMargin,
     "timeseries_fill" ->
       s"""WITH $evCte,
          |h AS (SELECT event_type, ts_us // $HourUs AS hour, cents FROM ev),

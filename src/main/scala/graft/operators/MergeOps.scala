@@ -182,7 +182,34 @@ object MergeOps {
           .otherwise("vec_only").as("status"))
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
 
+  /** CDC APPLY with deletes — the missing half of `db_upsert`'s
+    * keep-last story: a changelog of upserts AND delete markers
+    * applied to produce the live snapshot. Keep-last picks each key's
+    * final operation; keys whose final op is a DELETE leave the
+    * snapshot entirely (a delete is position-sensitive: an earlier
+    * delete is overridden by a later upsert, which the keep-last
+    * window gets right for free). Same single window shuffle on the
+    * key as `db_upsert`; the op column costs nothing extra. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val r = Catalog.records(s, dir)
+    val v1 = r.filter(col("lnum") <= 4)
+      .select(col("record_id"), lit(1L).as("version"), lit("U").as("op"),
+        col("im_val").as("im"))
+    val v2 = r.filter(col("lnum") >= 3)
+      .select(col("record_id"), lit(2L).as("version"), lit("U").as("op"),
+        (col("im_val") * 2).as("im"))
+    val v3 = r.filter(col("lnum") === 4)
+      .select(col("record_id"), lit(3L).as("version"), lit("D").as("op"),
+        lit(null).cast("double").as("im"))
+    val w = Window.partitionBy(col("record_id")).orderBy(col("version").desc)
+    v1.unionByName(v2).unionByName(v3)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("op") =!= "D")
+      .select("record_id", "version", "im")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "cdc_apply" -> (cdcApply _),
     "integrity_audit" -> (integrityAudit _),
     "merge_flatfile"      -> (mergeFlatfile _),
     "ground_level_argmin" -> (groundLevelArgmin _),
@@ -196,6 +223,21 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_apply" -> Catalog.oracle(
+      """SELECT record_id, version, im FROM (
+        |  SELECT record_id, version, op, im,
+        |         row_number() OVER (PARTITION BY record_id ORDER BY version DESC) AS rn
+        |  FROM (
+        |    SELECT record_id, CAST(1 AS BIGINT) AS version, 'U' AS op, im_val AS im
+        |    FROM gm_records WHERE lnum <= 4
+        |    UNION ALL
+        |    SELECT record_id, CAST(2 AS BIGINT) AS version, 'U' AS op, im_val * 2 AS im
+        |    FROM gm_records WHERE lnum >= 3
+        |    UNION ALL
+        |    SELECT record_id, CAST(3 AS BIGINT) AS version, 'D' AS op, NULL AS im
+        |    FROM gm_records WHERE lnum = 4
+        |  )
+        |) WHERE rn = 1 AND op <> 'D'""".stripMargin),
     "integrity_audit" ->
       """SELECT status, count(*) AS n FROM (
         |  SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'both'

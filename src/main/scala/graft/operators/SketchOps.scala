@@ -57,11 +57,80 @@ object SketchOps {
           .as("est_distinct"))
   }
 
+  val BloomBits  = 1024 // m: filter size (32 words x 32 bits)
+  val BloomWords = 32
+  val BloomK     = 3    // hash functions
+
+  /** Deterministic BLOOM-FILTER semi-join — the runtime-filter pattern
+    * made explicit and checkable: build a 1024-bit Bloom filter over
+    * the purchaser user set (one partial-agg `bit_or` into 32 words —
+    * broadcast-sized at ANY member count, which is the whole point:
+    * the filter's size is fixed while the set it summarizes grows),
+    * then probe every user against it with `BloomK` h60-derived bit
+    * positions. Output carries both the filter's verdict and the exact
+    * membership flag, so the false-positive rate is itself part of the
+    * checked result — no false NEGATIVES is the Bloom guarantee the
+    * spec asserts. In production the probe side never joins the member
+    * set at all (the exact flag here is the audit); this is how a scan
+    * pre-filters against a huge dimension before paying the real
+    * join. Bits use 32-bit words in int64 so no shift ever reaches the
+    * sign bit — identical two's-complement semantics on both
+    * engines. */
+  def bloomSemiFilter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val users = ev.select(col("user_id")).distinct()
+    val purchasers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val js = explode(array((0 until BloomK).map(lit): _*)).as("j")
+    def positions(df: DataFrame): DataFrame =
+      df.select(col("user_id"), js)
+        .select(col("user_id"), col("j"),
+          (Portable.h60(concat(lit("bf"), col("j").cast("string"), lit(":"),
+            col("user_id").cast("string"))) % BloomBits).as("pos"))
+    val bloom = positions(purchasers)
+      .select((col("pos") / BloomWords).cast("long").as("w"),
+        expr(s"shiftleft(1L, cast(pos % $BloomWords as int))").as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bw"))
+    val probe = positions(users)
+      .withColumn("w", (col("pos") / BloomWords).cast("long"))
+      .join(broadcast(bloom), Seq("w"), "left")
+      .select(col("user_id"),
+        (expr(s"coalesce(bw, 0L) & shiftleft(1L, cast(pos % $BloomWords as int))") =!= 0L)
+          .as("hit"))
+      .groupBy(col("user_id")).agg(expr("bool_and(hit)").as("might_purchaser"))
+    probe.join(purchasers.withColumn("isp", lit(true)), Seq("user_id"), "left")
+      .select(col("user_id"), col("might_purchaser"),
+        coalesce(col("isp"), lit(false)).as("is_purchaser"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
-    "distinct_kmv" -> (distinctKmv _)
+    "distinct_kmv" -> (distinctKmv _),
+    "bloom_semi_filter" -> (bloomSemiFilter _)
   )
 
   val oracles: Map[String, String] = Map(
+    "bloom_semi_filter" ->
+      s"""WITH pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         |us AS (SELECT DISTINCT user_id FROM events),
+         |jx AS (SELECT unnest(range(0, $BloomK)) AS j),
+         |bp AS (
+         |  SELECT ${Portable.h60Sql("'bf' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $BloomBits AS pos
+         |  FROM pu, jx),
+         |bw AS (
+         |  SELECT pos // $BloomWords AS w,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomWords AS INTEGER)) AS bw
+         |  FROM bp GROUP BY 1),
+         |qp AS (
+         |  SELECT user_id,
+         |         ${Portable.h60Sql("'bf' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $BloomBits AS pos
+         |  FROM us, jx),
+         |hits AS (
+         |  SELECT qp.user_id,
+         |         (coalesce(bw.bw, 0) & (CAST(1 AS BIGINT) << CAST(qp.pos % $BloomWords AS INTEGER))) <> 0 AS hit
+         |  FROM qp LEFT JOIN bw ON qp.pos // $BloomWords = bw.w),
+         |m AS (SELECT user_id, bool_and(hit) AS might_purchaser FROM hits GROUP BY user_id)
+         |SELECT m.user_id, m.might_purchaser, (pu.user_id IS NOT NULL) AS is_purchaser
+         |FROM m LEFT JOIN pu ON m.user_id = pu.user_id""".stripMargin,
     "distinct_kmv" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

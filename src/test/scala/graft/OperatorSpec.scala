@@ -2396,4 +2396,51 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("cdc_apply equals db_upsert minus the delete-marked keys") {
+    import org.apache.spark.sql.functions.col
+    val deleted = graft.model.Catalog.records(spark, Sf)
+      .filter(col("lnum") === 4).select("record_id").collect()
+      .map(_.getString(0)).toSet
+    assert(deleted.nonEmpty, "fixture must exercise deletes")
+    val upsert = MergeOps.dbUpsert(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val applied = MergeOps.cdcApply(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(applied.keySet == upsert.keySet -- deleted,
+      "cdc_apply must drop exactly the delete-marked keys")
+    for ((k, v) <- applied) assert(upsert(k) == v,
+      s"surviving key $k differs from keep-last upsert")
+  }
+
+  test("hot_keys matches a plain-Scala top-K recomputation") {
+    val evs = plainEvents()
+    val cnt = evs.groupBy(_._2).map { case (u, es) => u -> es.length.toLong }
+    val top = cnt.toSeq.sortBy { case (u, n) => (-n, u) }.take(EventOps.HotK)
+    val total = evs.length.toLong
+    val expected = top.map { case (u, n) => (u, n, n * 1000000L / total) }
+    val got = EventOps.hotKeys(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy { case (u, n, _) => (-n, u) }
+    assert(got == expected, "hot-key report differs from recompute")
+  }
+
+  test("bloom_semi_filter: zero false negatives, sane false-positive rate") {
+    import org.apache.spark.sql.functions.col
+    // fixture: strip purchases from a third of users so non-members exist
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    graft.sources.Tables.events(spark, Sf)
+      .filter(!(col("user_id") % 3 === 0 && col("event_type") === "purchase"))
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.operators.SketchOps.bloomSemiFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    for ((u, might, is) <- rows if is)
+      assert(might, s"user $u is a member but the filter said no — Bloom guarantee broken")
+    val nonMembers = rows.filter(!_._3)
+    assert(nonMembers.nonEmpty, "fixture needs non-members to measure fp")
+    val fp = nonMembers.count(_._2).toDouble / nonMembers.length
+    // m=1024, k=3: even at hundreds of members fp stays well under 0.5
+    assert(fp < 0.5, s"false-positive rate $fp implausibly high")
+  }
 }
