@@ -507,7 +507,52 @@ object EventOps {
         expr("(n * 1000000) div total").cast("long").as("share_ppm"))
   }
 
+  /** Dwell-time distribution: per event_type, the nearest-rank
+    * p50/p90 (and min/max) of the time to the SAME USER's next event —
+    * the engagement statistic (and the session-gap calibration input:
+    * `GapUs` should sit far above p90 dwell). One lead window on
+    * user_id, then the `corpus_quantiles` exact nearest-rank selection
+    * per type (all-integer ranks, engine-exact where interpolation
+    * would float-drift). Deltas attribute to the EARLIER event's
+    * type. */
+  def dwellTimes(s: SparkSession, d: String): DataFrame = {
+    val deltas = events(s, d)
+      .withColumn("nxt", lead(col("ts_us"), 1).over(userW))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"), col("event_id"), (col("nxt") - col("ts_us")).as("dwell_us"))
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("dwell_us"), col("event_id"))
+    val cw = Window.partitionBy(col("event_type"))
+    def pick(pct: Int): Column =
+      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("dwell_us")))
+    deltas
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_dwells"), min(col("dwell_us")).as("min_us"),
+        pick(50).as("p50_us"), pick(90).as("p90_us"), max(col("dwell_us")).as("max_us"))
+  }
+
+  /** Cumulative distinct-count window: per event, how many DISTINCT
+    * event types the user has produced so far — the running-novelty
+    * feature (`r_count` counts events; this counts kinds). COUNT
+    * (DISTINCT) OVER is not a computable window on either engine at
+    * scale; the scalable formulation marks each (user, type)'s FIRST
+    * occurrence with one row_number window and running-sums the 0/1
+    * flag with a second — both windows hash-partition on user_id, so
+    * the second reuses the first's clustering. */
+  def runningDistinctTypes(s: SparkSession, d: String): DataFrame = {
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .withColumn("is_first",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_types", sum(col("is_first")).over(userRunW))
+      .select("event_id", "user_id", "ts_us", "n_types")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "dwell_times"         -> (dwellTimes _),
+    "running_distinct_types" -> (runningDistinctTypes _),
     "hot_keys"            -> (hotKeys _),
     "timeseries_fill"     -> (timeseriesFill _),
     "attribution_linear"  -> (attributionLinear _),
@@ -539,6 +584,34 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dwell_times" ->
+      s"""WITH $evCte,
+         |dl AS (
+         |  SELECT event_type, event_id,
+         |         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dwell_us
+         |  FROM ev),
+         |d2 AS (SELECT * FROM dl WHERE dwell_us IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, dwell_us,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY dwell_us, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM d2)
+         |SELECT event_type, max(cnt) AS n_dwells, min(dwell_us) AS min_us,
+         |       max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN dwell_us END) AS p50_us,
+         |       max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN dwell_us END) AS p90_us,
+         |       max(dwell_us) AS max_us
+         |FROM r GROUP BY event_type""".stripMargin,
+    "running_distinct_types" ->
+      s"""WITH $evCte,
+         |f AS (
+         |  SELECT event_id, user_id, ts_us,
+         |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+         |           ORDER BY ts_us, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+         |  FROM ev)
+         |SELECT event_id, user_id, ts_us,
+         |       CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
+         |FROM f""".stripMargin,
     "hot_keys" ->
       s"""WITH $evCte,
          |cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY user_id),

@@ -1077,6 +1077,28 @@ object TextOps {
           .as("dup_ratio"))
   }
 
+  /** MinHash calibration report: for every verified candidate pair,
+    * the SIGNATURE-estimated Jaccard (matching permutations / K)
+    * beside the exact n-gram Jaccard — the QA query that justifies
+    * the MinhashK/band sizing (E[est] = true Jaccard; a drifting gap
+    * means broken permutations or skewed shingles, caught here before
+    * it silently mis-tunes the dedup threshold). Rides the persisted
+    * signature table and the existing capped candidate generation —
+    * both similarity columns are one scan + bounded-bucket work, no
+    * all-pairs anywhere. */
+  def minhashEstError(s: SparkSession, d: String): DataFrame = {
+    val sigs = hashed(s, d).withColumn("sig", sigCol).select(col("doc_id"), col("sig"))
+    pairJaccard(s, d)
+      .join(sigs.withColumnRenamed("doc_id", "ida").withColumnRenamed("sig", "siga"), Seq("ida"))
+      .join(sigs.withColumnRenamed("doc_id", "idb").withColumnRenamed("sig", "sigb"), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b))")
+          .cast("long").as("n_match"),
+        col("jacc"))
+      .withColumn("jacc_est", col("n_match").cast("double") / MinhashK.toDouble)
+      .select("ida", "idb", "n_match", "jacc_est", "jacc")
+  }
+
   val WTargetLen = 400L // length-proportional sampling pivot (tokens)
   val WSalt      = "w1"
 
@@ -1114,6 +1136,7 @@ object TextOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "minhash_est_error" -> (minhashEstError _),
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_coverage" -> (dupNgramCoverage _),
     "quantile_bins" -> (quantileBins _),
@@ -1223,6 +1246,14 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "minhash_est_error" ->
+      s"""WITH $minhashCtes
+         |SELECT p.ida, p.idb,
+         |       CAST(len(list_filter(range(1, $MinhashK + 1), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS n_match,
+         |       CAST(len(list_filter(range(1, $MinhashK + 1), i -> x.sig[i] = y.sig[i])) AS DOUBLE)
+         |         / ${MinhashK}e0 AS jacc_est,
+         |       p.jacc
+         |FROM pj p JOIN sig x ON p.ida = x.doc_id JOIN sig y ON p.idb = y.doc_id""".stripMargin,
     "sample_weighted" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

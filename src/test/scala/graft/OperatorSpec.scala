@@ -635,11 +635,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one-row corpus-stats scalar join.
     // kmeans_step and epoch_plan inherit the same shapes: the IVF
     // centroid-table assignment and the one-row totals scalar join.
+    // timeseries_fill crosses the ONE-ROW bounds row (exploded to the
+    // hour grid) with the type dimension — both time-span/dimension-
+    // bounded, never data-bounded; hot_keys carries the one-row total
+    // scalar join onto a K-row top-K result.
     val allowedNestedLoop =
       Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
         "pack_mix_sequences", "ann_ivf_topk", "semdedup",
         "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk",
-        "kmeans_step", "epoch_plan")
+        "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -2442,5 +2446,51 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fp = nonMembers.count(_._2).toDouble / nonMembers.length
     // m=1024, k=3: even at hundreds of members fp stays well under 0.5
     assert(fp < 0.5, s"false-positive rate $fp implausibly high")
+  }
+
+  test("dwell_times matches a plain-Scala nearest-rank recomputation") {
+    val evs = plainEvents()
+    val deltas = evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._4, e._1))
+      o.zip(o.drop(1)).map { case (a, b) => (a._3, a._1, b._4 - a._4) }
+    }
+    def rank(sorted: Seq[Long], pct: Int): Long =
+      sorted((sorted.length * pct + 99) / 100 - 1)
+    val expected = deltas.groupBy(_._1).map { case (t, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      t -> ((ds.length.toLong, sorted.min, rank(sorted, 50), rank(sorted, 90), sorted.max))
+    }
+    val got = EventOps.dwellTimes(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "dwell distribution differs from recompute")
+  }
+
+  test("running_distinct_types: monotone per user, ends at the user's distinct type count") {
+    val evs = plainEvents()
+    val got = EventOps.runningDistinctTypes(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((u, es) <- got.groupBy(_._2)) {
+      val o = es.sortBy(e => (e._3, e._1))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val types = evs.filter(_._2 == u).map(e => e._1 -> e._3).toMap
+      for (((id, _, _, n), i) <- o.zipWithIndex) {
+        seen += types(id)
+        assert(n == seen.size.toLong, s"user $u event $id running distinct mismatch")
+        if (i > 0) assert(n >= o(i - 1)._4, s"user $u non-monotone")
+      }
+    }
+  }
+
+  test("minhash_est_error: estimator exact on identical pairs, n_match bounded by K") {
+    val rows = TextOps.minhashEstError(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty, "no candidate pairs — nothing exercised")
+    for ((a, b, m, est, jacc) <- rows) {
+      assert(m >= 0 && m <= TextOps.MinhashK, s"pair ($a,$b) match count out of range")
+      assert(est == m.toDouble / TextOps.MinhashK, s"pair ($a,$b) estimate arithmetic")
+      if (jacc == 1.0) assert(m == TextOps.MinhashK.toLong,
+        s"identical shingle sets ($a,$b) must agree on every permutation")
+    }
   }
 }
