@@ -568,6 +568,31 @@ object AnnOps {
           .as("w_mean"))
   }
 
+  /** Embedding-norm distribution per label: n, min, nearest-rank
+    * p50/p99, max of the L2 norm — the embedding-health QA view
+    * (norm collapse / explosion is the first symptom of a broken
+    * encoder or a bad quantizer input, and per-label deltas expose
+    * class-conditional drift). Norms are the portable sequential fold
+    * (bit-exact cross-engine); the percentiles are RANK SELECTION of
+    * existing values, never arithmetic over doubles — the
+    * `corpus_quantiles` rule applied to a float column. One window
+    * shuffle on label + one partial-agg groupBy. */
+  def embeddingNormStats(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d).select(col("label"), col("vec_id"),
+      sqrt(vecDot("embedding", "embedding")).as("nrm"))
+    val w  = Window.partitionBy(col("label")).orderBy(col("nrm"), col("vec_id"))
+    val cw = Window.partitionBy(col("label"))
+    def pick(pct: Int) =
+      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("nrm")))
+    v.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("label"))
+      .agg(max(col("cnt")).as("n"), min(col("nrm")).as("min_nrm"),
+        pick(50).as("p50_nrm"), pick(99).as("p99_nrm"), max(col("nrm")).as("max_nrm"))
+      .select(col("label").cast("long").as("label"), col("n"), col("min_nrm"),
+        col("p50_nrm"), col("p99_nrm"), col("max_nrm"))
+  }
+
   val SemClusterCosT = 0.25 // edge-keep threshold for semantic clusters
   val MaxCcRounds    = 50
   // Driver-tail threshold (thresholded-edge rows; two longs each, so
@@ -694,6 +719,7 @@ object AnnOps {
     "semantic_clusters"  -> (semanticClusters _),
     "kmeans_step"        -> (kmeansStep _),
     "power_iteration"    -> (powerIteration _),
+    "embedding_norm_stats" -> (embeddingNormStats _),
     "ann_pq_topk"        -> (annPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
     "ann_recall_report"  -> (annRecallReport _),
@@ -832,6 +858,19 @@ object AnnOps {
       ") t(m, c, cent))"
 
   val oracles: Map[String, String] = Map(
+    "embedding_norm_stats" ->
+      s"""WITH v AS (
+         |  SELECT label, vec_id, ${Portable.normSql("embedding")} AS nrm FROM embeddings),
+         |r AS (
+         |  SELECT label, nrm,
+         |         row_number() OVER (PARTITION BY label ORDER BY nrm, vec_id) AS rn,
+         |         count(*) OVER (PARTITION BY label) AS cnt
+         |  FROM v)
+         |SELECT CAST(label AS BIGINT) AS label, max(cnt) AS n, min(nrm) AS min_nrm,
+         |       max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN nrm END) AS p50_nrm,
+         |       max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN nrm END) AS p99_nrm,
+         |       max(nrm) AS max_nrm
+         |FROM r GROUP BY label""".stripMargin,
     "semantic_clusters" ->
       s"""WITH RECURSIVE g AS ($knnGraphSql),
          |e0 AS (SELECT src AS a, dst AS b FROM g WHERE cosine >= ${SemClusterCosT}e0),

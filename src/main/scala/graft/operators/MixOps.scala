@@ -242,7 +242,29 @@ object MixOps {
         col("weight"), col("desired_tokens"), col("epochs"), col("served_tokens"))
   }
 
+  /** Packing-efficiency report: per source, the context windows the
+    * packer consumes and the integer-ppm fill ratio — the yield
+    * metric that says whether `CtxTokens`/`PackShards` sizing wastes
+    * budget (each shard's final partial window is the only slack, so
+    * fill approaches 1e6 as shards fill; a low number means
+    * over-sharding for the corpus size). Windows per (source, shard)
+    * = ceil(shard tokens / window) — exactly what the packer's
+    * running-sum consumes — aggregated per source from the same
+    * persisted token projection, one partial-agg groupBy chain. */
+  def packEfficiency(s: SparkSession, d: String): DataFrame =
+    docTokens(s, d)
+      .filter(col("n_tokens").isNotNull)
+      .withColumn("shard", Portable.h60(col("doc_id").cast("string")) % PackShards)
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(expr(s"(toks + ${CtxTokens - 1}) div $CtxTokens")).as("n_windows"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_windows"),
+        expr(s"(n_tokens * 1000000) div (n_windows * $CtxTokens)").cast("long").as("fill_ppm"))
+
   val queries: Map[String, QueryFn] = Map(
+    "pack_efficiency" -> (packEfficiency _),
     "epoch_plan"        -> (epochPlan _),
     "token_budget_mix"  -> (tokenBudgetMix _),
     "corpus_mix_sample" -> (corpusMixSample _),
@@ -267,6 +289,19 @@ object MixOps {
        |  FROM ps, tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pack_efficiency" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+         |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
+         |       FROM toks WHERE tk IS NOT NULL),
+         |sh AS (SELECT source, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+         |       FROM tt GROUP BY source, shard)
+         |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum((toks + ${CtxTokens - 1}) // $CtxTokens) AS BIGINT) AS n_windows,
+         |       CAST((CAST(sum(toks) AS BIGINT) * 1000000)
+         |            // (CAST(sum((toks + ${CtxTokens - 1}) // $CtxTokens) AS BIGINT) * $CtxTokens) AS BIGINT) AS fill_ppm
+         |FROM sh GROUP BY source""".stripMargin,
     "epoch_plan" ->
       s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
          |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens,

@@ -1099,6 +1099,28 @@ object TextOps {
       .select("ida", "idb", "n_match", "jacc_est", "jacc")
   }
 
+  /** Ingest-drift report: the per-source document share of two corpus
+    * slices (even vs odd doc_id — standing in for yesterday's ingest
+    * vs today's) side by side in integer ppm, with the delta — the
+    * monitoring query that catches a source silently growing or
+    * vanishing between pipeline runs before it skews the training
+    * mix. One partial-agg groupBy with conditional sums + a
+    * source-cardinality window for the slice totals; all-integer. */
+  def corpusDrift(s: SparkSession, d: String): DataFrame = {
+    val tot = Window.partitionBy(lit(1))
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("ta", sum(col("n_a")).over(tot))
+      .withColumn("tb", sum(col("n_b")).over(tot))
+      .select(col("source"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div ta").cast("long").as("share_a_ppm"),
+        expr("(n_b * 1000000) div tb").cast("long").as("share_b_ppm"),
+        (expr("(n_a * 1000000) div ta") - expr("(n_b * 1000000) div tb"))
+          .cast("long").as("delta_ppm"))
+  }
+
   val WTargetLen = 400L // length-proportional sampling pivot (tokens)
   val WSalt      = "w1"
 
@@ -1136,6 +1158,7 @@ object TextOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "corpus_drift" -> (corpusDrift _),
     "minhash_est_error" -> (minhashEstError _),
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_coverage" -> (dupNgramCoverage _),
@@ -1246,6 +1269,18 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "corpus_drift" ->
+      """WITH g AS (
+        |  SELECT source,
+        |         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |         sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM g)
+        |SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST((n_a * 1000000) // ta AS BIGINT) AS share_a_ppm,
+        |       CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_ppm,
+        |       CAST((n_a * 1000000) // ta - (n_b * 1000000) // tb AS BIGINT) AS delta_ppm
+        |FROM g, t""".stripMargin,
     "minhash_est_error" ->
       s"""WITH $minhashCtes
          |SELECT p.ida, p.idb,

@@ -2493,4 +2493,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"identical shingle sets ($a,$b) must agree on every permutation")
     }
   }
+
+  test("pack_efficiency is consistent with pack_sequences' window consumption") {
+    import org.apache.spark.sql.functions.col
+    val packed = graft.operators.MixOps.packSequences(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))
+    // windows a (source, shard) consumes = max(seq_id + n_seqs) over its docs
+    val consumed = packed.groupBy(p => (p._1, p._2)).map { case (k, ds) =>
+      k -> ds.map(d => d._4 + d._5).max
+    }
+    val got = graft.operators.MixOps.packEfficiency(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for ((src, (nDocs, nToks, nWin, fill)) <- got) {
+      val expWin = consumed.filter(_._1._1 == src).values.sum
+      assert(nWin == expWin, s"$src window count differs from the packer's consumption")
+      assert(fill == nToks * 1000000L / (nWin * graft.operators.MixOps.CtxTokens),
+        s"$src fill arithmetic")
+      assert(fill > 0 && fill <= 1000000L, s"$src fill out of range")
+      assert(nDocs == packed.count(_._1 == src).toLong, s"$src doc count")
+    }
+  }
+
+  test("embedding_norm_stats matches a plain-Scala rank selection") {
+    val vs = graft.sources.Tables.embeddings(spark, Sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1),
+        math.sqrt(r.getSeq[Float](2).map(_.toDouble).foldLeft(0.0)((a, x) => a + x * x))))
+    def rank(sorted: Seq[Double], pct: Int): Double =
+      sorted((sorted.length * pct + 99) / 100 - 1)
+    val expected = vs.groupBy(_._1).map { case (l, xs) =>
+      val sorted = xs.sortBy(v => (v._3, v._2)).map(_._3).toSeq
+      l -> ((xs.length.toLong, sorted.min, rank(sorted, 50), rank(sorted, 99), sorted.max))
+    }
+    val got = AnnOps.embeddingNormStats(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == expected, "norm stats differ from recompute")
+  }
+
+  test("corpus_drift: slice counts partition the corpus, shares sum near 1e6") {
+    val rows = TextOps.corpusDrift(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nDocs = graft.sources.Tables.documents(spark, Sf).count()
+    assert(rows.map(r => r._2 + r._3).sum == nDocs, "slices must partition the corpus")
+    val sa = rows.map(_._4).sum; val sb = rows.map(_._5).sum
+    assert(sa <= 1000000L && sa > 1000000L - rows.length, s"slice-a shares sum $sa")
+    assert(sb <= 1000000L && sb > 1000000L - rows.length, s"slice-b shares sum $sb")
+    for (r <- rows) assert(r._6 == r._4 - r._5, s"${r._1} delta arithmetic")
+  }
 }
