@@ -263,9 +263,46 @@ object TextOps {
     * checkpointed per round like the ABWD loop. The DuckDB twin is a
     * recursive-CTE transitive closure — exact same fixpoint. */
   val MaxCcRounds = 50
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
+  // Driver-tail threshold (verified pair rows) — the AnnOps
+  // `semantic_clusters` pattern: below it the component structure is
+  // driver-sized and a union-find beats per-round distributed job
+  // latency; above it the checkpointed loop runs. Both paths pinned
+  // equivalent by the spec.
+  val DupEdgeTailMax = 4000000L
+
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    dupClusters(s, d, DupEdgeTailMax)
+
+  def dupClusters(s: SparkSession, d: String, tailMax: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = pairJaccard(s, d).filter(col("jacc") >= JaccT).select("ida", "idb")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (pairs.count() <= tailMax) {
+        // Bounded driver union-find tail: ≤ tailMax two-long rows
+        // collected; one label row shipped back per non-singleton doc
+        // (≤ 2·pairs rows — the unbounded doc table never leaves the
+        // cluster; singletons keep their own label via the left join).
+        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        for ((a, b) <- es) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+        val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
+        val rows = verts.map(v => (v, minOf(find(v))))
+        val lbl = s.createDataFrame(rows.toSeq).toDF("doc_id", "cl")
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(lbl, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+      } else dupClustersDistributed(s, d, pairs)
+    } finally pairs.unpersist()
+  }
+
+  private def dupClustersDistributed(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .unionByName(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -2541,4 +2541,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sb <= 1000000L && sb > 1000000L - rows.length, s"slice-b shares sum $sb")
     for (r <- rows) assert(r._6 == r._4 - r._5, s"${r._1} delta arithmetic")
   }
+
+  test("dup_clusters: driver union-find tail equals the distributed propagation loop") {
+    val tail = TextOps.dupClusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = TextOps.dupClusters(spark, Sf, tailMax = -1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tail == distributed, "tail and distributed cluster labels differ")
+    assert(tail.exists { case (k, v) => k != v }, "no non-trivial clusters exercised")
+  }
 }
