@@ -715,7 +715,27 @@ object AnnOps {
     } finally edges.unpersist()
   }
 
+  val DivPerCluster = 3 // diversity cap: kept members per semantic cluster
+
+  /** DIVERSITY SAMPLING over the semantic clusters: keep at most
+    * [[DivPerCluster]] members of every connected component of the
+    * thresholded kNN graph — the topic-balancing downsample that
+    * follows clustering in a SemDeDup-style pipeline (a dominant
+    * near-dup family contributes a bounded number of examples instead
+    * of its full mass). Selection is the deterministic id-rank within
+    * the cluster (the gate rule; a production caller can swap the
+    * rank key for a quality score — the shape is one window over the
+    * cluster label either way). Composes [[semanticClusters]]' label
+    * table + one window shuffle on cluster_id. */
+  def diversitySample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("vec_id"))
+    semanticClusters(s, d)
+      .withColumn("rank_in_cluster", row_number().over(w).cast("long"))
+      .filter(col("rank_in_cluster") <= DivPerCluster)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "diversity_sample"   -> (diversitySample _),
     "semantic_clusters"  -> (semanticClusters _),
     "kmeans_step"        -> (kmeansStep _),
     "power_iteration"    -> (powerIteration _),
@@ -858,6 +878,22 @@ object AnnOps {
       ") t(m, c, cent))"
 
   val oracles: Map[String, String] = Map(
+    "diversity_sample" ->
+      s"""WITH RECURSIVE g AS ($knnGraphSql),
+         |e0 AS (SELECT src AS a, dst AS b FROM g WHERE cosine >= ${SemClusterCosT}e0),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |reach(a, b) AS (
+         |  SELECT vec_id AS a, vec_id AS b FROM embeddings
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |lbl AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |rk AS (
+         |  SELECT vec_id, cluster_id,
+         |         CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS BIGINT)
+         |           AS rank_in_cluster
+         |  FROM lbl)
+         |SELECT vec_id, cluster_id, rank_in_cluster
+         |FROM rk WHERE rank_in_cluster <= $DivPerCluster""".stripMargin,
     "embedding_norm_stats" ->
       s"""WITH v AS (
          |  SELECT label, vec_id, ${Portable.normSql("embedding")} AS nrm FROM embeddings),

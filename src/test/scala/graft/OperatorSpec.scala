@@ -2550,4 +2550,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tail == distributed, "tail and distributed cluster labels differ")
     assert(tail.exists { case (k, v) => k != v }, "no non-trivial clusters exercised")
   }
+
+  test("diversity_sample keeps the K lowest ids of every semantic cluster") {
+    val labels = AnnOps.semanticClusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = labels.toSeq.groupBy(_._2).flatMap { case (c, ms) =>
+      ms.map(_._1).sorted.take(AnnOps.DivPerCluster)
+        .zipWithIndex.map { case (v, i) => (v, c, i.toLong + 1) }
+    }.toSet
+    val got = AnnOps.diversitySample(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "diversity sample differs from per-cluster id-rank recompute")
+    assert(labels.groupBy(_._2).values.exists(_.size > AnnOps.DivPerCluster),
+      "no cluster exceeds the cap — the cap was not exercised")
+  }
 }
