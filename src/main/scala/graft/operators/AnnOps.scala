@@ -347,6 +347,30 @@ object AnnOps {
         (col("n_same").cast("double") / col("n_edges").cast("double")).as("purity"))
   }
 
+  /** kNN CLASSIFIER evaluation: predict every vector's label by
+    * majority vote of its kNN-graph neighbors (ties → smallest label)
+    * and compare to the true label — the node-level companion of
+    * [[knnLabelPurity]]'s edge-level statistic, and the standard
+    * leave-one-out eval of a label-propagation quality filter.
+    * Composes the bounded kNN edges with one label lookup, a
+    * partial-agg vote count, and an argmax window over the (≤ #labels)
+    * vote rows per vector; vectors whose buckets produced no
+    * neighbors keep a NULL prediction row (visible, not dropped). */
+  def knnPredict(s: SparkSession, d: String): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = annKnnGraph(s, d)
+      .join(labels.select(col("vec_id").as("dst"), col("label").as("nl")), Seq("dst"))
+      .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("nv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("nv").desc, col("nl"))))
+      .filter(col("rn") === 1)
+      .select(col("src").as("vec_id"), col("nl").as("pred_label"), col("nv").as("n_votes"))
+    labels.join(votes, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("pred_label"), col("n_votes"),
+        when(col("pred_label").isNotNull, col("pred_label") === col("label")).as("correct"))
+  }
+
   // ---- SemDeDup (cluster-then-dedup semantic dedup) --------------
 
   val SemCells = 16   // k-means cell count (N/targetCell in production)
@@ -751,7 +775,8 @@ object AnnOps {
     "semdedup"           -> (semDedup _),
     "ann_knn_graph"      -> (annKnnGraph _),
     "label_centroids"    -> (labelCentroids _),
-    "knn_label_purity"   -> (knnLabelPurity _)
+    "knn_label_purity"   -> (knnLabelPurity _),
+    "knn_predict"        -> (knnPredict _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -894,6 +919,19 @@ object AnnOps {
          |  FROM lbl)
          |SELECT vec_id, cluster_id, rank_in_cluster
          |FROM rk WHERE rank_in_cluster <= $DivPerCluster""".stripMargin,
+    "knn_predict" ->
+      s"""WITH g AS ($knnGraphSql),
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |v AS (
+         |  SELECT g.src, lb.label AS nl, count(*) AS nv
+         |  FROM g JOIN lb ON g.dst = lb.vec_id GROUP BY g.src, lb.label),
+         |p AS (
+         |  SELECT src AS vec_id, nl AS pred_label, nv AS n_votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src ORDER BY nv DESC, nl) AS rn FROM v)
+         |  WHERE rn = 1)
+         |SELECT lb.vec_id, lb.label AS true_label, p.pred_label, p.n_votes,
+         |       CASE WHEN p.pred_label IS NOT NULL THEN p.pred_label = lb.label END AS correct
+         |FROM lb LEFT JOIN p ON lb.vec_id = p.vec_id""".stripMargin,
     "embedding_norm_stats" ->
       s"""WITH v AS (
          |  SELECT label, vec_id, ${Portable.normSql("embedding")} AS nrm FROM embeddings),

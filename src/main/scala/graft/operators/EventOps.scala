@@ -500,7 +500,10 @@ object EventOps {
     * total joins by broadcast. */
   def hotKeys(s: SparkSession, d: String): DataFrame = {
     val cnt = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val tot = events(s, d).agg(count(lit(1)).as("total"))
+    // total derived from the per-key counts, not a second corpus scan:
+    // the aggregate subtree is canonical-identical, so the second use
+    // reuses the first's exchange (one scan total at any scale).
+    val tot = cnt.agg(sum(col("n")).as("total"))
     cnt.orderBy(col("n").desc, col("user_id")).limit(HotK)
       .crossJoin(broadcast(tot))
       .select(col("user_id"), col("n"),

@@ -250,6 +250,40 @@ object TextOps {
     q.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Filter-funnel report: how many documents each quality rule of
+    * [[corpusClean]] drops, applied in SEQUENCE (the release report
+    * that says which rule is doing the work — a rule dropping 40% of
+    * the corpus gets its threshold re-examined; a rule dropping
+    * nothing is dead weight). One conditional-aggregation pass over
+    * the same quality frame + the near-dup flag (no per-rule rescan),
+    * unpivoted to one row per stage with `stack`. NULL-text docs fail
+    * the first rule (coalesce to false), matching corpusClean's
+    * filter semantics. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val dupIds = pairJaccard(s, d).filter(col("jacc") >= JaccT)
+      .select(col("idb").as("doc_id")).distinct().withColumn("isdup", lit(true))
+    val q = textQuality(s, d).join(dupIds, Seq("doc_id"), "left")
+      .select(
+        coalesce(col("n_words") >= MinWords, lit(false)).as("f1"),
+        coalesce(col("mean_word_len") <= MaxMeanWord, lit(false)).as("f2"),
+        coalesce(col("stop_ratio") >= MinStopRatio, lit(false)).as("f3"),
+        coalesce(col("isdup"), lit(false)).as("isdup"))
+    q.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("f1") && col("f2") && col("f3") && !col("isdup"), 1L).otherwise(0L)).as("n4"))
+      .select(expr(
+        """stack(4,
+          |  1L, 'min_words',     n0, n1,
+          |  2L, 'mean_word_len', n1, n2,
+          |  3L, 'stop_ratio',    n2, n3,
+          |  4L, 'near_dup',      n3, n4) AS (stage, rule, n_in, n_out)""".stripMargin))
+      .select(col("stage"), col("rule"), col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("n_dropped"))
+  }
+
   /** Near-duplicate CLUSTER assignment — the transitive closure the
     * pairwise dedup operators stop short of: every document gets the
     * minimum doc_id of its connected component in the verified
@@ -1195,6 +1229,7 @@ object TextOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "filter_funnel" -> (filterFunnel _),
     "corpus_drift" -> (corpusDrift _),
     "minhash_est_error" -> (minhashEstError _),
     "sample_weighted" -> (sampleWeighted _),
@@ -1306,6 +1341,36 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "filter_funnel" ->
+      s"""WITH $minhashCtes,
+         |tq AS (
+         |  SELECT doc_id,
+         |    len($tkSql) AS n_words,
+         |    CAST(length(text) - (len($tkSql) - 1) AS DOUBLE) / CAST(len($tkSql) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(list_filter($tkSql, t -> list_contains($stopListSql, t))) AS DOUBLE)
+         |      / CAST(len($tkSql) AS DOUBLE) AS stop_ratio
+         |  FROM documents),
+         |dup AS (SELECT DISTINCT idb AS doc_id FROM pj WHERE jacc >= ${JaccT}e0),
+         |fl AS (
+         |  SELECT coalesce(tq.n_words >= $MinWords, false) AS f1,
+         |         coalesce(tq.mean_word_len <= ${Portable.dl(MaxMeanWord)}, false) AS f2,
+         |         coalesce(tq.stop_ratio >= ${Portable.dl(MinStopRatio)}, false) AS f3,
+         |         (dup.doc_id IS NOT NULL) AS isdup
+         |  FROM tq LEFT JOIN dup ON tq.doc_id = dup.doc_id),
+         |ag AS (
+         |  SELECT count(*) AS n0,
+         |         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+         |         sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+         |         sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+         |         sum(CASE WHEN f1 AND f2 AND f3 AND NOT isdup THEN 1 ELSE 0 END) AS n4
+         |  FROM fl)
+         |SELECT stage, rule, CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |       CAST(n_in - n_out AS BIGINT) AS n_dropped
+         |FROM (
+         |  SELECT 1 AS stage, 'min_words' AS rule, n0 AS n_in, n1 AS n_out FROM ag
+         |  UNION ALL SELECT 2, 'mean_word_len', n1, n2 FROM ag
+         |  UNION ALL SELECT 3, 'stop_ratio', n2, n3 FROM ag
+         |  UNION ALL SELECT 4, 'near_dup', n3, n4 FROM ag)""".stripMargin,
     "corpus_drift" ->
       """WITH g AS (
         |  SELECT source,

@@ -2564,4 +2564,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.groupBy(_._2).values.exists(_.size > AnnOps.DivPerCluster),
       "no cluster exceeds the cap — the cap was not exercised")
   }
+
+  test("filter_funnel: chained stages, final survivors equal corpus_clean") {
+    val rows = TextOps.filterFunnel(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("min_words", "mean_word_len", "stop_ratio", "near_dup"))
+    val nDocs = graft.sources.Tables.documents(spark, Sf).count()
+    assert(rows.head._3 == nDocs, "stage 1 must start from the whole corpus")
+    for (w <- rows.sliding(2); Array(a, b) = w)
+      assert(a._4 == b._3, s"stage ${b._1} n_in must chain from stage ${a._1} n_out")
+    for (r <- rows) {
+      assert(r._4 <= r._3, s"stage ${r._1} gained rows")
+      assert(r._5 == r._3 - r._4, s"stage ${r._1} drop arithmetic")
+    }
+    assert(rows.last._4 == TextOps.corpusClean(spark, Sf).count(),
+      "funnel survivors must equal corpus_clean's output")
+  }
+
+  test("knn_predict matches a plain-Scala majority vote over the kNN graph") {
+    val edges = AnnOps.annKnnGraph(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val expected = edges.toSeq.groupBy(_._1).map { case (src, es) =>
+      val votes = es.map(e => labels(e._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.length.toLong) }
+      val (pl, nv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      src -> ((pl, nv))
+    }
+    val got = AnnOps.knnPredict(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+    assert(got.size == labels.size, "every vector must keep a row")
+    for ((v, (tl, pl, nv, correct)) <- got) {
+      assert(tl == labels(v), s"vec $v true label")
+      expected.get(v) match {
+        case Some((epl, env)) =>
+          assert(pl.contains(epl) && nv.contains(env), s"vec $v vote mismatch")
+          assert(correct.contains(epl == tl), s"vec $v correct flag")
+        case None =>
+          assert(pl.isEmpty && correct.isEmpty, s"isolated vec $v must carry NULLs")
+      }
+    }
+    assert(got.values.exists(_._4.contains(true)), "no correct prediction — suspicious")
+  }
 }
