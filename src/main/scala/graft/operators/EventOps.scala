@@ -553,7 +553,25 @@ object EventOps {
       .select("event_id", "user_id", "ts_us", "n_types")
   }
 
+  /** Value-rank spend features: per event, the `percent_rank` and
+    * `cume_dist` of its cent value within its event_type — the
+    * normalized-position features a model consumes instead of raw
+    * monetary values. Both functions are VALUE-determined (ties share
+    * the value, so the result is identical under any row order and
+    * needs no pk tiebreak — the `trailing_window_counts` RANGE-frame
+    * argument applied to rank functions); the single division each
+    * performs is the same IEEE op on both engines. One window shuffle
+    * on the type key. */
+  def spendPercentile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "spend_percentile"    -> (spendPercentile _),
     "dwell_times"         -> (dwellTimes _),
     "running_distinct_types" -> (runningDistinctTypes _),
     "hot_keys"            -> (hotKeys _),
@@ -587,6 +605,13 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "spend_percentile" ->
+      s"""WITH $evCte
+         |SELECT event_id, event_type, cents,
+         |       percent_rank() OVER w AS pr,
+         |       cume_dist() OVER w AS cd
+         |FROM ev
+         |WINDOW w AS (PARTITION BY event_type ORDER BY cents)""".stripMargin,
     "dwell_times" ->
       s"""WITH $evCte,
          |dl AS (

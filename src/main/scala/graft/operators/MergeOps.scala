@@ -208,7 +208,32 @@ object MergeOps {
       .select("record_id", "version", "im")
   }
 
+  val FuzzyBlockLen = 3 // blocking prefix for the fuzzy self-join
+  val FuzzyMaxLev   = 1 // edit-distance match threshold
+
+  /** Fuzzy RECORD LINKAGE over source names: every pair of distinct
+    * source labels within edit distance [[FuzzyMaxLev]] — the
+    * catalog-reconciliation shape (two ingests of the same registry
+    * with typos/renames) that exact joins miss entirely. The scale
+    * rule is BLOCKING: candidates come from an equi-join on a cheap
+    * block key (here the length-[[FuzzyBlockLen]] prefix), so the
+    * quadratic edit-distance verify runs only inside blocks — the
+    * same never-all-pairs discipline as the LSH dedup family, with
+    * the block key playing the band bucket. `levenshtein` is the
+    * classic DP metric, integer-identical on both engines. */
+  def fuzzySourcePairs(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.documents(s, d).select(col("source")).distinct()
+      .withColumn("blk", substring(col("source"), 1, FuzzyBlockLen))
+    names.select(col("blk"), col("source").as("a"))
+      .join(names.select(col("blk"), col("source").as("b")), Seq("blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("lev", levenshtein(col("a"), col("b")))
+      .filter(col("lev") <= FuzzyMaxLev)
+      .select(col("a"), col("b"), col("lev").cast("long").as("lev"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "fuzzy_source_pairs" -> (fuzzySourcePairs _),
     "cdc_apply" -> (cdcApply _),
     "integrity_audit" -> (integrityAudit _),
     "merge_flatfile"      -> (mergeFlatfile _),
@@ -223,6 +248,14 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_source_pairs" ->
+      s"""WITH n AS (
+         |  SELECT DISTINCT source, substring(source, 1, $FuzzyBlockLen) AS blk
+         |  FROM documents)
+         |SELECT a.source AS a, b.source AS b,
+         |       CAST(levenshtein(a.source, b.source) AS BIGINT) AS lev
+         |FROM n a JOIN n b ON a.blk = b.blk AND a.source < b.source
+         |WHERE levenshtein(a.source, b.source) <= $FuzzyMaxLev""".stripMargin,
     "cdc_apply" -> Catalog.oracle(
       """SELECT record_id, version, im FROM (
         |  SELECT record_id, version, op, im,

@@ -2612,4 +2612,43 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got.values.exists(_._4.contains(true)), "no correct prediction — suspicious")
   }
+
+  test("fuzzy_source_pairs matches a plain-Scala blocked edit-distance recompute") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.documents(spark, Sf)
+      .select("source").distinct().collect().map(_.getString(0))
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.take(MergeOps.FuzzyBlockLen) == b.take(MergeOps.FuzzyBlockLen)
+      l = lev(a, b) if l <= MergeOps.FuzzyMaxLev
+    } yield (a, b, l.toLong)).toSet
+    val got = MergeOps.fuzzySourcePairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, "fuzzy pairs differ from recompute")
+    assert(got.nonEmpty, "no fuzzy matches — nothing exercised")
+  }
+
+  test("spend_percentile: value-determined ranks, bounds, tie symmetry") {
+    val rows = EventOps.spendPercentile(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    for ((t, es) <- rows.groupBy(_._2)) {
+      val n = es.length
+      val byCents = es.groupBy(_._3)
+      for ((c, g) <- byCents) {
+        // ties must share identical pr and cd (value-determined)
+        assert(g.map(_._4).toSet.size == 1 && g.map(_._5).toSet.size == 1,
+          s"$t cents=$c ties disagree")
+        val below = es.count(_._3 < c); val atOrBelow = es.count(_._3 <= c)
+        assert(g.head._4 == below.toDouble / (n - 1).toDouble, s"$t cents=$c pr formula")
+        assert(g.head._5 == atOrBelow.toDouble / n.toDouble, s"$t cents=$c cd formula")
+      }
+      assert(es.map(_._4).min == 0.0 && es.map(_._5).max == 1.0)
+    }
+  }
 }
