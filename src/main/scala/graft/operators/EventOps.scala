@@ -570,7 +570,41 @@ object EventOps {
         cume_dist().over(w).as("cd"))
   }
 
+  /** Market-basket co-occurrence over sessions: for every unordered
+    * event-type pair, the number of gap-rule sessions containing both,
+    * each alone, and the integer-ppm LIFT
+    * (n_ab·n_sessions·1e6 div (n_a·n_b) — >1e6 means the pair
+    * co-occurs more than independence predicts) — the association
+    * statistic behind next-action suggestions. The pair generation is
+    * a self-join INSIDE the session key on the distinct (session,
+    * type) table, so fan-out is bounded by the type cardinality
+    * squared per session, never by events; counts partial-aggregate
+    * and the one-row session total broadcasts. */
+  def sessionCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val st = events(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(userW))
+      .withColumn("boundary",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("boundary")).over(userRunW))
+      .select(col("user_id"), col("session_idx"), col("event_type")).distinct()
+    val nAb = st.select(col("user_id"), col("session_idx"), col("event_type").as("ta"))
+      .join(st.select(col("user_id"), col("session_idx"), col("event_type").as("tb")),
+        Seq("user_id", "session_idx"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+    val nX = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nS = st.select(col("user_id"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    nAb
+      .join(nX.select(col("event_type").as("ta"), col("n").as("n_a")), Seq("ta"))
+      .join(nX.select(col("event_type").as("tb"), col("n").as("n_b")), Seq("tb"))
+      .crossJoin(broadcast(nS))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"), col("n_sessions"),
+        expr("(n_ab * n_sessions * 1000000) div (n_a * n_b)").cast("long").as("lift_ppm"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "session_cooccurrence" -> (sessionCooccurrence _),
     "spend_percentile"    -> (spendPercentile _),
     "dwell_times"         -> (dwellTimes _),
     "running_distinct_types" -> (runningDistinctTypes _),
@@ -605,6 +639,34 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "session_cooccurrence" ->
+      s"""WITH $evCte,
+         |lagd AS (
+         |  SELECT user_id, event_type, ts_us,
+         |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us,
+         |         event_id
+         |  FROM ev),
+         |b AS (
+         |  SELECT user_id, event_type, ts_us, event_id,
+         |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > $GapUs THEN 1 ELSE 0 END AS boundary
+         |  FROM lagd),
+         |st AS (
+         |  SELECT DISTINCT user_id,
+         |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+         |         event_type
+         |  FROM b),
+         |ab AS (
+         |  SELECT a.event_type AS ta, b2.event_type AS tb, count(*) AS n_ab
+         |  FROM st a JOIN st b2 ON a.user_id = b2.user_id AND a.sid = b2.sid
+         |    AND a.event_type < b2.event_type
+         |  GROUP BY 1, 2),
+         |nx AS (SELECT event_type, count(*) AS n FROM st GROUP BY event_type),
+         |ns AS (SELECT count(*) AS n_sessions FROM (SELECT DISTINCT user_id, sid FROM st))
+         |SELECT ab.ta, ab.tb, ab.n_ab, na.n AS n_a, nb.n AS n_b, ns.n_sessions,
+         |       CAST((ab.n_ab * ns.n_sessions * 1000000) // (na.n * nb.n) AS BIGINT) AS lift_ppm
+         |FROM ab JOIN nx na ON ab.ta = na.event_type
+         |        JOIN nx nb ON ab.tb = nb.event_type, ns""".stripMargin,
     "spend_percentile" ->
       s"""WITH $evCte
          |SELECT event_id, event_type, cents,

@@ -268,12 +268,14 @@ object TextOps {
         coalesce(col("mean_word_len") <= MaxMeanWord, lit(false)).as("f2"),
         coalesce(col("stop_ratio") >= MinStopRatio, lit(false)).as("f3"),
         coalesce(col("isdup"), lit(false)).as("isdup"))
+    // coalesce: SUM over zero rows is NULL — an empty ingest must
+    // report zeros, not a NULL-riddled funnel
     q.agg(
         count(lit(1)).as("n0"),
-        sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
-        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"),
-        sum(when(col("f1") && col("f2") && col("f3") && !col("isdup"), 1L).otherwise(0L)).as("n4"))
+        coalesce(sum(when(col("f1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("f1") && col("f2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)), lit(0L)).as("n3"),
+        coalesce(sum(when(col("f1") && col("f2") && col("f3") && !col("isdup"), 1L).otherwise(0L)), lit(0L)).as("n4"))
       .select(expr(
         """stack(4,
           |  1L, 'min_words',     n0, n1,
@@ -1359,10 +1361,10 @@ object TextOps {
          |  FROM tq LEFT JOIN dup ON tq.doc_id = dup.doc_id),
          |ag AS (
          |  SELECT count(*) AS n0,
-         |         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
-         |         sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
-         |         sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
-         |         sum(CASE WHEN f1 AND f2 AND f3 AND NOT isdup THEN 1 ELSE 0 END) AS n4
+         |         coalesce(sum(CASE WHEN f1 THEN 1 ELSE 0 END), 0) AS n1,
+         |         coalesce(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END), 0) AS n2,
+         |         coalesce(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END), 0) AS n3,
+         |         coalesce(sum(CASE WHEN f1 AND f2 AND f3 AND NOT isdup THEN 1 ELSE 0 END), 0) AS n4
          |  FROM fl)
          |SELECT stage, rule, CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
          |       CAST(n_in - n_out AS BIGINT) AS n_dropped

@@ -129,11 +129,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = (operators.TextOps.queries.keys ++ operators.MixOps.queries.keys ++
       operators.AnnOps.queries.keys).toSeq.sorted
     for (n <- names) {
-      val c = try SparkEntry.queries(n)(spark, dir).count()
+      val df = try { val d = SparkEntry.queries(n)(spark, dir); d.collect(); d }
       catch { case e: Throwable => fail(s"$n threw on empty input: $e") }
-      // token_budget_mix legitimately emits per-source rows (none here);
-      // everything else must be empty
-      assert(c == 0, s"$n returned $c rows on empty input")
+      if (n == "filter_funnel") {
+        // the funnel is a TOTALS report: on empty input it must still
+        // emit its 4 stages, every count zero (a vanished report would
+        // hide an empty-ingest incident)
+        val rows = df.collect()
+        assert(rows.length == 4 && rows.forall(r =>
+          r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L),
+          s"filter_funnel empty-input report malformed")
+      } else
+        assert(df.count() == 0, s"$n returned rows on empty input")
     }
   }
 
@@ -643,7 +650,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
         "pack_mix_sequences", "ann_ivf_topk", "semdedup",
         "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk",
-        "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys")
+        "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys",
+        // session_cooccurrence: the one-row session-total scalar join
+        // onto a type-pair-cardinality result
+        "session_cooccurrence")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -2650,5 +2660,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(es.map(_._4).min == 0.0 && es.map(_._5).max == 1.0)
     }
+  }
+
+  test("session_cooccurrence matches a plain-Scala basket recompute, lift arithmetic exact") {
+    val evs = plainEvents()
+    val sessions = evs.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+      val o = es.sortBy(e => (e._4, e._1))
+      var sid = 0L; var last = Long.MinValue
+      o.map { e =>
+        if (last == Long.MinValue || e._4 - last > EventOps.GapUs) sid += 1
+        last = e._4
+        ((u, sid), e._3)
+      }
+    }
+    val types = sessions.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nS = types.size.toLong
+    val nX = types.values.toSeq.flatten.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val allT = nX.keys.toSeq.sorted
+    val expected = (for {
+      i <- allT.indices; j <- (i + 1) until allT.length
+      a = allT(i); b = allT(j)
+      nab = types.values.count(st => st(a) && st(b)).toLong if nab > 0
+    } yield (a, b) -> ((nab, nX(a), nX(b), nS, nab * nS * 1000000L / (nX(a) * nX(b))))).toMap
+    val got = EventOps.sessionCooccurrence(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, "co-occurrence differs from basket recompute")
+    assert(got.nonEmpty, "no co-occurring pairs — nothing exercised")
   }
 }
