@@ -603,7 +603,51 @@ object EventOps {
         expr("(n_ab * n_sessions * 1000000) div (n_a * n_b)").cast("long").as("lift_ppm"))
   }
 
+  val ChurnDays = 7L
+
+  /** Churn screening: each user's last activity against the corpus
+    * watermark (max event time), with integer days-inactive and the
+    * churn flag at [[ChurnDays]] — the retention counterpart of
+    * `retention_cohorts`' acquisition view. One partial-agg groupBy
+    * per user + the one-row watermark broadcast; all-integer day
+    * arithmetic. */
+  def churnFlags(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d).groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("n_events"))
+    val wm = perUser.agg(max(col("last_us")).as("max_us"))
+    perUser.crossJoin(broadcast(wm))
+      .select(col("user_id"), col("last_us"), col("n_events"),
+        expr(s"(max_us - last_us) div $DayUs").cast("long").as("days_inactive"),
+        (expr(s"(max_us - last_us) div $DayUs") > ChurnDays).as("is_churned"))
+  }
+
+  /** FIRST-touch attribution: each purchase matched to the EARLIEST
+    * same-user click at or before it — the acquisition-credit rule
+    * where [[asofJoin]] is the last-touch one. Identical merged-scan
+    * shape (one window shuffle, no join); only the frame aggregate
+    * changes: `first(click)` over the preceding rows instead of
+    * `last`. The DuckDB twin is again the opposite formulation
+    * (range join + argmin on click time). */
+  def asofFirstTouch(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+    val mergeW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("c",
+        first(when(col("is_p") === 0, struct(col("ts_us"), col("event_id"))),
+          ignoreNulls = true).over(mergeW))
+      .filter(col("is_p") === 1)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("c.event_id").as("click_id"), col("c.ts_us").as("click_us"),
+        (col("ts_us") - col("c.ts_us")).as("lag_us"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "churn_flags"         -> (churnFlags _),
+    "asof_first_touch"    -> (asofFirstTouch _),
     "session_cooccurrence" -> (sessionCooccurrence _),
     "spend_percentile"    -> (spendPercentile _),
     "dwell_times"         -> (dwellTimes _),
@@ -639,6 +683,30 @@ object EventOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "churn_flags" ->
+      s"""WITH $evCte,
+         |pu AS (SELECT user_id, max(ts_us) AS last_us, count(*) AS n_events
+         |       FROM ev GROUP BY user_id),
+         |wm AS (SELECT max(last_us) AS max_us FROM pu)
+         |SELECT user_id, last_us, n_events,
+         |       CAST((max_us - last_us) // $DayUs AS BIGINT) AS days_inactive,
+         |       (max_us - last_us) // $DayUs > $ChurnDays AS is_churned
+         |FROM pu, wm""".stripMargin,
+    "asof_first_touch" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS purchase_us
+         |      FROM ev WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us,
+         |         row_number() OVER (PARTITION BY p.purchase_id
+         |           ORDER BY c.click_us ASC, c.click_id ASC) AS rn
+         |  FROM p LEFT JOIN c
+         |    ON c.user_id = p.user_id AND c.click_us <= p.purchase_us)
+         |SELECT purchase_id, user_id, purchase_us, click_id, click_us,
+         |       purchase_us - click_us AS lag_us
+         |FROM j WHERE rn = 1""".stripMargin,
     "session_cooccurrence" ->
       s"""WITH $evCte,
          |lagd AS (

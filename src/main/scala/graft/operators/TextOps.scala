@@ -1230,7 +1230,32 @@ object TextOps {
       .withColumn("decile", ntile(10).over(binW).cast("long"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve per source: documents in
+    * ingest (doc_id) order, each with its count of NEVER-BEFORE-SEEN
+    * terms and the running vocabulary size — the statistic that says
+    * whether a source keeps contributing novel language or has gone
+    * repetitive (its curve flattens), read directly against tokenizer
+    * sizing. A term's first document is one vocabulary-keyed
+    * partial-agg groupBy (min doc_id); the curve is one running-sum
+    * window per source; docs introducing nothing keep explicit zero
+    * rows. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val firstDoc = docs(s, d)
+      .select(col("source"), col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("source"), col("term")).agg(min(col("doc_id")).as("fdoc"))
+      .groupBy(col("source"), col("fdoc").as("doc_id"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val growW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d).select(col("source"), col("doc_id"))
+      .join(firstDoc, Seq("source", "doc_id"), "left")
+      .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
+      .withColumn("vocab_size", sum(col("n_new_terms")).over(growW).cast("long"))
+      .select("source", "doc_id", "n_new_terms", "vocab_size")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "vocab_growth" -> (vocabGrowth _),
     "filter_funnel" -> (filterFunnel _),
     "corpus_drift" -> (corpusDrift _),
     "minhash_est_error" -> (minhashEstError _),
@@ -1343,6 +1368,18 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "vocab_growth" ->
+      s"""WITH toks AS (SELECT source, doc_id, unnest($tkSql) AS term FROM documents),
+         |fd AS (SELECT source, term, min(doc_id) AS fdoc FROM toks GROUP BY source, term),
+         |nn AS (SELECT source, fdoc AS doc_id, count(*) AS n_new_terms
+         |       FROM fd GROUP BY source, fdoc)
+         |SELECT d.source, d.doc_id,
+         |       CAST(coalesce(nn.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+         |       CAST(sum(coalesce(nn.n_new_terms, 0)) OVER (
+         |         PARTITION BY d.source ORDER BY d.doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+         |FROM documents d LEFT JOIN nn
+         |  ON d.source = nn.source AND d.doc_id = nn.doc_id""".stripMargin,
     "filter_funnel" ->
       s"""WITH $minhashCtes,
          |tq AS (

@@ -651,9 +651,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         "pack_mix_sequences", "ann_ivf_topk", "semdedup",
         "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk",
         "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys",
-        // session_cooccurrence: the one-row session-total scalar join
-        // onto a type-pair-cardinality result
-        "session_cooccurrence")
+        // session_cooccurrence / churn_flags: one-row scalar joins
+        // (session total / activity watermark) onto bounded results
+        "session_cooccurrence", "churn_flags")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -2687,5 +2687,56 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got == expected, "co-occurrence differs from basket recompute")
     assert(got.nonEmpty, "no co-occurring pairs — nothing exercised")
+  }
+
+  test("churn_flags matches a plain-Scala watermark recompute") {
+    val evs = plainEvents()
+    val last = evs.groupBy(_._2).map { case (u, es) => u -> ((es.map(_._4).max, es.length.toLong)) }
+    val wm = last.values.map(_._1).max
+    val got = EventOps.churnFlags(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == last.keySet)
+    for ((u, (lu, n)) <- last) {
+      val di = (wm - lu) / EventOps.DayUs
+      assert(got(u) == ((lu, n, di, di > EventOps.ChurnDays)), s"user $u churn row mismatch")
+    }
+  }
+
+  test("asof_first_touch picks the earliest preceding click (vs asof_join's latest)") {
+    val evs = plainEvents().filter(e => e._3 == "click" || e._3 == "purchase")
+    val got = EventOps.asofFirstTouch(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+      .toMap
+    val lastTouch = EventOps.asofJoin(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(4)))).toMap
+    for ((u, es) <- evs.groupBy(_._2); (pid, _, t, pts, _) <- es if t == "purchase") {
+      val clicks = es.filter(c => c._3 == "click" && c._4 <= pts)
+      val exp =
+        if (clicks.isEmpty) None
+        else Some(clicks.minBy(c => (c._4, c._1))).map(c => (c._1, c._4))
+      assert(got(pid) == exp, s"purchase $pid first-touch mismatch")
+      // first-touch time <= last-touch time whenever both exist
+      for (ft <- got(pid); lt <- lastTouch(pid)) assert(ft._2 <= lt)
+    }
+  }
+
+  test("vocab_growth: running vocabulary is the distinct-term prefix count") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    val got = TextOps.vocabGrowth(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == docs.length)
+    for ((src, ds) <- docs.toSeq.groupBy(_._1)) {
+      val o = ds.sortBy(_._2)
+      val seen = scala.collection.mutable.Set.empty[String]
+      for ((_, id, text) <- o) {
+        val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
+        val fresh = toks.distinct.count(t => !seen(t))
+        seen ++= toks
+        assert(got((src, id)) == ((fresh.toLong, seen.size.toLong)),
+          s"doc ($src, $id) growth mismatch")
+      }
+    }
   }
 }
