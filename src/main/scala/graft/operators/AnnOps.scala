@@ -457,6 +457,37 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "qcosine")
   }
 
+  /** SQ8 QUANTIZATION-ERROR report: per label, the distribution
+    * (nearest-rank p50/p99, max) of each vector's worst per-dimension
+    * reconstruction error under the `ann_sq_topk` quantizer — the QA
+    * beside `ann_recall_report`'s behavioral gate: recall says the
+    * index still finds neighbors, this says how much geometry the
+    * codes gave up (and per-label deltas expose classes living in a
+    * badly-scaled region). Per-vector max|err| is order-free (a max,
+    * not a sum), then the `corpus_quantiles` rank selection — no
+    * float aggregation anywhere. One broadcast of the per-dim scale
+    * row + one window + one partial-agg groupBy. */
+  def quantizeError(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .crossJoin(broadcast(sqScales(s, d)))
+      .withColumn("recon",
+        zip_with(col("embedding").cast("array<double>"), col("scales"),
+          (x, sc) => when(sc > 0,
+            round(x / sc * SqLevels) * sc / SqLevels.toDouble).otherwise(0.0)))
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        expr("array_max(zip_with(cast(embedding as array<double>), recon, (a, b) -> abs(a - b)))")
+          .as("maxerr"))
+    val w  = Window.partitionBy(col("label")).orderBy(col("maxerr"), col("vec_id"))
+    val cw = Window.partitionBy(col("label"))
+    def pick(pct: Int) =
+      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("maxerr")))
+    base.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy(col("label"))
+      .agg(max(col("cnt")).as("n"),
+        pick(50).as("p50_err"), pick(99).as("p99_err"), max(col("maxerr")).as("max_err"))
+  }
+
   /** Recall@K report: per query, how many of the brute-force top-K
     * each approximate index (hyperplane-LSH, IVF) recovered — the ANN
     * quality gate operationalized as a checked query (SURVEY §5's
@@ -776,7 +807,8 @@ object AnnOps {
     "ann_knn_graph"      -> (annKnnGraph _),
     "label_centroids"    -> (labelCentroids _),
     "knn_label_purity"   -> (knnLabelPurity _),
-    "knn_predict"        -> (knnPredict _)
+    "knn_predict"        -> (knnPredict _),
+    "quantize_error"     -> (quantizeError _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -919,6 +951,29 @@ object AnnOps {
          |  FROM lbl)
          |SELECT vec_id, cluster_id, rank_in_cluster
          |FROM rk WHERE rank_in_cluster <= $DivPerCluster""".stripMargin,
+    "quantize_error" ->
+      s"""WITH dims AS (SELECT unnest(range(len(embedding))) AS i, embedding FROM embeddings),
+         |sc0 AS (SELECT i, max(abs(CAST(embedding[i + 1] AS DOUBLE))) AS s
+         |        FROM dims GROUP BY i),
+         |sc AS (SELECT list(s ORDER BY i) AS scales FROM sc0),
+         |me AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+         |    list_max(list_transform(range(1, len(embedding) + 1),
+         |      i -> abs(CAST(embedding[i] AS DOUBLE) -
+         |             CASE WHEN scales[i] > 0
+         |                  THEN round(CAST(embedding[i] AS DOUBLE) / scales[i] * $SqLevels)
+         |                         * scales[i] / ${SqLevels}.0
+         |                  ELSE 0.0 END))) AS maxerr
+         |  FROM embeddings, sc),
+         |r AS (
+         |  SELECT label, maxerr,
+         |         row_number() OVER (PARTITION BY label ORDER BY maxerr, vec_id) AS rn,
+         |         count(*) OVER (PARTITION BY label) AS cnt
+         |  FROM me)
+         |SELECT label, max(cnt) AS n,
+         |       max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN maxerr END) AS p50_err,
+         |       max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN maxerr END) AS p99_err,
+         |       max(maxerr) AS max_err
+         |FROM r GROUP BY label""".stripMargin,
     "knn_predict" ->
       s"""WITH g AS ($knnGraphSql),
          |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),

@@ -1254,7 +1254,27 @@ object TextOps {
       .select("source", "doc_id", "n_new_terms", "vocab_size")
   }
 
+  /** Language-diversity index per source: Gini–Simpson
+    * 1 − Σ pᵢ² of the language distribution, in integer ppm — the
+    * log-free diversity metric (a Shannon entropy would need `ln`,
+    * which is not bit-portable cross-engine; Gini–Simpson carries the
+    * same monitoring signal in pure rational arithmetic). Exact while
+    * N² · 1e6 fits int64 (N ≤ ~3M docs per source); beyond that the
+    * production caller computes it over a fixed-rate counter-hash
+    * sample, which leaves the index unbiased. One partial-agg groupBy
+    * chain, no window. */
+  def langDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("ni"))
+      .groupBy(col("source"))
+      .agg(sum(col("ni")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("ni") * col("ni")).as("ssq"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"), col("n_langs"),
+        expr("((n_docs * n_docs - ssq) * 1000000) div (n_docs * n_docs)")
+          .cast("long").as("simpson_ppm"))
+
   val queries: Map[String, QueryFn] = Map(
+    "lang_diversity" -> (langDiversity _),
     "vocab_growth" -> (vocabGrowth _),
     "filter_funnel" -> (filterFunnel _),
     "corpus_drift" -> (corpusDrift _),
@@ -1368,6 +1388,13 @@ object TextOps {
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
   val oracles: Map[String, String] = Map(
+    "lang_diversity" ->
+      """WITH g AS (SELECT source, lang, count(*) AS ni FROM documents GROUP BY source, lang),
+        |a AS (SELECT source, CAST(sum(ni) AS BIGINT) AS n_docs, count(*) AS n_langs,
+        |       CAST(sum(ni * ni) AS BIGINT) AS ssq FROM g GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |       CAST(((n_docs * n_docs - ssq) * 1000000) // (n_docs * n_docs) AS BIGINT) AS simpson_ppm
+        |FROM a""".stripMargin,
     "vocab_growth" ->
       s"""WITH toks AS (SELECT source, doc_id, unnest($tkSql) AS term FROM documents),
          |fd AS (SELECT source, term, min(doc_id) AS fdoc FROM toks GROUP BY source, term),

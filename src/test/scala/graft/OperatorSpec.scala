@@ -653,7 +653,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys",
         // session_cooccurrence / churn_flags: one-row scalar joins
         // (session total / activity watermark) onto bounded results
-        "session_cooccurrence", "churn_flags")
+        "session_cooccurrence", "churn_flags",
+        // quantize_error: the ann_sq_topk one-row per-dim scale
+        // broadcast, reused for the error report
+        "quantize_error")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -2737,6 +2740,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(got((src, id)) == ((fresh.toLong, seen.size.toLong)),
           s"doc ($src, $id) growth mismatch")
       }
+    }
+  }
+
+  test("quantize_error matches a plain-Scala SQ8 reconstruction recompute") {
+    val vs = graft.sources.Tables.embeddings(spark, Sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val dim = vs.head._3.length
+    val scales = (0 until dim).map(i => vs.map(_._3(i).abs).max)
+    def rnd(x: Double): Double = { // Spark round(): HALF_UP via BigDecimal
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val maxerr = vs.map { case (l, id, x) =>
+      val errs = (0 until dim).map { i =>
+        val sc = scales(i)
+        val rec = if (sc > 0) rnd(x(i) / sc * AnnOps.SqLevels) * sc / AnnOps.SqLevels.toDouble else 0.0
+        math.abs(x(i) - rec)
+      }
+      (l, id, errs.max)
+    }
+    def rank(sorted: Seq[Double], pct: Int): Double =
+      sorted((sorted.length * pct + 99) / 100 - 1)
+    val expected = maxerr.groupBy(_._1).map { case (l, xs) =>
+      val sorted = xs.sortBy(v => (v._3, v._2)).map(_._3).toSeq
+      l -> ((xs.length.toLong, rank(sorted, 50), rank(sorted, 99), sorted.max))
+    }
+    val got = AnnOps.quantizeError(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected, "quantization-error stats differ from recompute")
+    assert(got.values.exists(_._4 > 0.0), "zero error everywhere — quantization not exercised")
+  }
+
+  test("lang_diversity: Simpson index exact and bounded") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("source", "lang").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val ssq = ds.groupBy(_._2).values.map(v => v.length.toLong * v.length).sum
+      src -> ((n, ds.map(_._2).distinct.length.toLong, (n * n - ssq) * 1000000L / (n * n)))
+    }
+    val got = TextOps.langDiversity(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "diversity index differs from recompute")
+    for ((src, (_, nl, sp)) <- got) {
+      assert(sp >= 0 && sp < 1000000L, s"$src index out of range")
+      if (nl == 1) assert(sp == 0L, s"$src single-language source must score 0")
     }
   }
 }
