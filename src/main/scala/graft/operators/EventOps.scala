@@ -645,7 +645,53 @@ object EventOps {
         (col("ts_us") - col("c.ts_us")).as("lag_us"))
   }
 
+  /** Spend-concentration (Gini) index per event_type, in integer ppm:
+    * G = Σ(2i−n−1)·xᵢ / (n·Σx) over rank-sorted cent values — the
+    * whale-dominance metric for monetary streams. The numerator is an
+    * EXACT integer sum (rank weights × integer cents), and tied
+    * values are rank-order-invariant (a tie block contributes the
+    * same total weight whatever its internal order), so the index is
+    * partition-proof with no float anywhere until never — one rank
+    * window + one partial-agg groupBy. Zero-volume groups report
+    * NULL, not a 0/0. */
+  def spendGini(s: SparkSession, d: String): DataFrame = {
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val cw = Window.partitionBy(col("event_type"))
+    events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("cents")).as("sum_cents"),
+        sum((lit(2L) * col("rn") - col("n") - 1L) * col("cents")).as("num"))
+      .select(col("event_type"), col("n"), col("sum_cents").cast("long").as("sum_cents"),
+        when(col("sum_cents") > 0,
+          expr("(num * 1000000) div (n * sum_cents)")).cast("long").as("gini_ppm"))
+  }
+
+  val ActHistMaxPow = 20
+
+  /** Power-of-2 user-activity histogram: users bucketed by their
+    * event count — the fan-in distribution that sizes window-state
+    * and flags when `saltedJoin`-grade skew appears (the `hot_keys`
+    * report shows the head; this shows the whole shape). Same
+    * generated bucket CASE fold as `token_histogram` (largest power
+    * outermost), one per-user partial-agg groupBy + one bucket
+    * groupBy. */
+  def userActivityHistogram(s: SparkSession, d: String): DataFrame = {
+    val fold = (ActHistMaxPow to 0 by -1).foldRight(lit(-1L): Column) {
+      (b, acc) => when(col("cnt") >= (1L << b), lit(b.toLong)).otherwise(acc)
+    }
+    events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", fold)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("sum_events"))
+      .select(col("bucket"), expr("shiftleft(1L, cast(bucket as int))").as("bucket_lo"),
+        col("n_users"), col("sum_events").cast("long").as("sum_events"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "spend_gini"          -> (spendGini _),
+    "user_activity_histogram" -> (userActivityHistogram _),
     "churn_flags"         -> (churnFlags _),
     "asof_first_touch"    -> (asofFirstTouch _),
     "session_cooccurrence" -> (sessionCooccurrence _),
@@ -682,7 +728,34 @@ object EventOps {
       |  FROM events
       |)""".stripMargin
 
+  private val actChain = (ActHistMaxPow to 0 by -1)
+    .map(b => s"WHEN cnt >= ${1L << b} THEN $b").mkString("\n    ")
+
   val oracles: Map[String, String] = Map(
+    "spend_gini" ->
+      s"""WITH $evCte,
+         |r AS (
+         |  SELECT event_type, cents,
+         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev),
+         |a AS (
+         |  SELECT event_type, max(n) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |         CAST(sum((2 * rn - n - 1) * cents) AS BIGINT) AS num
+         |  FROM r GROUP BY event_type)
+         |SELECT event_type, n, sum_cents,
+         |       CASE WHEN sum_cents > 0
+         |            THEN CAST((num * 1000000) // (n * sum_cents) AS BIGINT) END AS gini_ppm
+         |FROM a""".stripMargin,
+    "user_activity_histogram" ->
+      s"""WITH $evCte,
+         |pu AS (SELECT user_id, count(*) AS cnt FROM ev GROUP BY user_id),
+         |b AS (SELECT cnt, CAST(CASE
+         |    $actChain
+         |    ELSE -1 END AS BIGINT) AS bucket FROM pu)
+         |SELECT bucket, CAST(1 AS BIGINT) << CAST(bucket AS INTEGER) AS bucket_lo,
+         |       count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS sum_events
+         |FROM b GROUP BY bucket""".stripMargin,
     "churn_flags" ->
       s"""WITH $evCte,
          |pu AS (SELECT user_id, max(ts_us) AS last_us, count(*) AS n_events

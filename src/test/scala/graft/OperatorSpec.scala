@@ -2788,4 +2788,41 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (nl == 1) assert(sp == 0L, s"$src single-language source must score 0")
     }
   }
+
+  test("spend_gini matches a plain-Scala sorted-weights recompute, tie-invariant") {
+    val evs = plainEvents()
+    val expected = evs.groupBy(_._3).map { case (t, es) =>
+      val xs = es.sortBy(e => (e._5, e._1)).map(_._5)
+      val n = xs.length.toLong; val sum = xs.sum
+      val num = xs.zipWithIndex.map { case (x, i) => (2L * (i + 1) - n - 1) * x }.sum
+      t -> ((n, sum, if (sum > 0) Some(num * 1000000L / (n * sum)) else None))
+    }
+    val got = EventOps.spendGini(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got == expected, "gini differs from recompute")
+    // tie-invariance: recompute with the OPPOSITE tie order must agree
+    for ((t, es) <- evs.groupBy(_._3)) {
+      val xs2 = es.sortBy(e => (e._5, -e._1)).map(_._5)
+      val n = xs2.length.toLong; val sum = xs2.sum
+      val num2 = xs2.zipWithIndex.map { case (x, i) => (2L * (i + 1) - n - 1) * x }.sum
+      if (sum > 0) assert(got(t)._3.contains(num2 * 1000000L / (n * sum)),
+        s"$t gini depends on tie order — formula broken")
+    }
+    assert(got.values.flatMap(_._3).forall(g => g >= 0 && g < 1000000L))
+  }
+
+  test("user_activity_histogram buckets partition the user base") {
+    val evs = plainEvents()
+    val perUser = evs.groupBy(_._2).map { case (_, es) => es.length.toLong }
+    val got = EventOps.userActivityHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._3).sum == perUser.size.toLong, "bucket users must sum to the user base")
+    assert(got.map(_._4).sum == evs.length.toLong, "bucket events must sum to the corpus")
+    for ((b, lo, _, _) <- got) {
+      assert(lo == (1L << b), s"bucket_lo mismatch at $b")
+      val inBucket = perUser.filter(c => c >= lo && c < (lo << 1))
+      assert(got.find(_._1 == b).get._3 == inBucket.size.toLong, s"bucket $b count")
+    }
+  }
 }
