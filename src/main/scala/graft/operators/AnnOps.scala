@@ -697,25 +697,17 @@ object AnnOps {
     } finally dirEdges.unpersist()
   }
 
-  /** Driver union-find tail (the ABWD-tail pattern): collect the
+  /** Driver union-find tail (the ABWD-tail pattern): stream the
     * deduplicated DIRECTED edge list — bounded by `SemEdgeTailMax`
-    * rows of two longs — union-find on the driver, and ship back ONE
-    * label row per non-singleton VERTEX (≤ 2·edges rows, so the
-    * shipped state is edge-bounded too; the unbounded id table never
-    * leaves the cluster — singletons keep their own label via the
-    * left join). */
+    * rows, held as primitive longs (16 B/edge) — through the shared
+    * iterative [[UnionFind]] (union-by-size, two-pass compression; no
+    * recursion, so a multi-million-link chain cannot overflow the
+    * driver stack), and ship back ONE label row per non-singleton
+    * VERTEX (≤ 2·edges rows, so the shipped state is edge-bounded
+    * too; the unbounded id table never leaves the cluster —
+    * singletons keep their own label via the left join). */
   private def semanticClustersTail(s: SparkSession, ids: DataFrame, dirEdges: DataFrame): DataFrame = {
-    val es = dirEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    for ((a, b) <- es) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
-    val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-    val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
-    val rows = verts.map(v => (v, minOf(find(v))))
-    val lbl = s.createDataFrame(rows.toSeq).toDF("vec_id", "cl")
+    val lbl = s.createDataFrame(UnionFind.minLabels(dirEdges)).toDF("vec_id", "cl")
     ids.join(lbl, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("cl"), col("vec_id")).as("cluster_id"))
   }

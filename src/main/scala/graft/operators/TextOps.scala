@@ -315,21 +315,14 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (pairs.count() <= tailMax) {
-        // Bounded driver union-find tail: ≤ tailMax two-long rows
-        // collected; one label row shipped back per non-singleton doc
-        // (≤ 2·pairs rows — the unbounded doc table never leaves the
-        // cluster; singletons keep their own label via the left join).
-        val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        for ((a, b) <- es) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
-        val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-        val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
-        val rows = verts.map(v => (v, minOf(find(v))))
-        val lbl = s.createDataFrame(rows.toSeq).toDF("doc_id", "cl")
+        // Bounded driver union-find tail: ≤ tailMax two-long rows,
+        // streamed into primitive arrays and unioned by the shared
+        // iterative UnionFind (no recursion — a long dup chain cannot
+        // blow the driver stack); one label row shipped back per
+        // non-singleton doc (≤ 2·pairs rows — the unbounded doc table
+        // never leaves the cluster; singletons keep their own label
+        // via the left join).
+        val lbl = s.createDataFrame(UnionFind.minLabels(pairs)).toDF("doc_id", "cl")
         Tables.documents(s, d).select(col("doc_id"))
           .join(lbl, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))

@@ -2241,9 +2241,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = sortedRows(graft.streaming.StreamingDistinctKmv.run(spark, Sf))
     assert(stream == batch, "single-batch streaming sketch differs from batch")
     // force >1 micro-batch: two source files + maxFilesPerTrigger=1;
-    // the FINAL emission per key (min kth_min — the sketch only
-    // tightens) must still equal the batch sketch, which is the
-    // associative-merge property the operator claims
+    // the FINAL emission per key must still equal the batch sketch,
+    // which is the associative-merge property the operator claims.
+    // "Final" = max n_kept, then min kth_min: kth_min only tightens
+    // monotonically AFTER n_kept saturates at K, so a key unsaturated
+    // in its first micro-batch can emit a smaller kth_min there — the
+    // old minBy(kth_min) would pick that non-final row on a smaller
+    // fixture.
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
     val ev = spark.read.parquet(s"$Sf/events.parquet")
     ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
@@ -2258,7 +2262,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination()
     val fin = spark.table("kmv_multi").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .groupBy(_._1).map { case (_, rows) => rows.minBy(_._3) }
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(r => (r._2, -r._3)) }
     val expect = graft.operators.SketchOps.distinctKmv(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(fin.toSet == expect, "final multi-batch sketch differs from batch sketch")
@@ -2562,6 +2566,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tail == distributed, "tail and distributed cluster labels differ")
     assert(tail.exists { case (k, v) => k != v }, "no non-trivial clusters exercised")
+  }
+
+  test("union-find tail survives a 100k-edge path graph (no driver stack overflow)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // One single chain 0-1-2-...-100000: the worst case for a recursive
+    // find (depth = chain length). The iterative, union-by-size
+    // UnionFind must label every vertex 0 without recursing.
+    val edges = spark.range(100000L)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    val labels = UnionFind.minLabels(edges)
+    assert(labels.length == 100001, "every chain vertex gets a label row")
+    assert(labels.forall(_._2 == 0L), "whole chain must collapse to min id 0")
+    // and in reversed insertion order (root chains grow the other way)
+    val rev = spark.range(100000L)
+      .select((lit(100000L) - col("id")).as("src"), (lit(99999L) - col("id")).as("dst"))
+    val labels2 = UnionFind.minLabels(rev)
+    assert(labels2.length == 100001 && labels2.forall(_._2 == 0L))
   }
 
   test("diversity_sample keeps the K lowest ids of every semantic cluster") {
