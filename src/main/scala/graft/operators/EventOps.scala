@@ -444,14 +444,20 @@ object EventOps {
     * kept as EXACT integer aggregates (order-independent), converted
     * to double only for the two final products — the identical
     * operation sequence on both engines makes even the boundary
-    * comparison deterministic. One partial-agg groupBy over the tiny
-    * type dimension + an AQE-broadcast join back; no window, no
-    * second scan. */
+    * comparison deterministic. S and Q accumulate in decimal:
+    * cents² reaches ~1e16 per row, so a BIGINT Q wraps silently
+    * within ~1e3 high-value rows per type while DuckDB promotes to
+    * HUGEINT — decimal(38,0) keeps Spark exact (and matching) up to
+    * Σx² ≤ 1e38, i.e. ~1e22 rows/group at 1e8-cent values, far past
+    * the 100 TB point. One partial-agg groupBy over the tiny type
+    * dimension + an AQE-broadcast join back; no window, no second
+    * scan. */
   def anomalyZscore(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("event_id"), col("event_type"), col("cents"))
     val stats = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
-        sum(col("cents") * col("cents")).as("sq"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(19,0)")).as("sc"),
+        sum(col("cents").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)")).as("sq"))
     ev.join(stats, Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("cents"),
         expr("""(cast(n as double) * cast(cents as double) - cast(sc as double))
@@ -652,8 +658,13 @@ object EventOps {
     * values are rank-order-invariant (a tie block contributes the
     * same total weight whatever its internal order), so the index is
     * partition-proof with no float anywhere until never — one rank
-    * window + one partial-agg groupBy. Zero-volume groups report
-    * NULL, not a 0/0. */
+    * window + one partial-agg groupBy. The rank-weighted numerator
+    * accumulates in decimal(38,0): per-row (2i−n−1)·x reaches
+    * n·max_cents (~1e20 at 1e12 rows × 1e8 cents), past int64, and a
+    * BIGINT sum would wrap silently where DuckDB promotes — decimal
+    * keeps the sum exact (and the ×1e6 ppm scale in range) up to
+    * Σ ≤ 1e32, i.e. n²·cents ≤ 1e32 per group, far past the 100 TB
+    * point. Zero-volume groups report NULL, not a 0/0. */
   def spendGini(s: SparkSession, d: String): DataFrame = {
     val w  = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
     val cw = Window.partitionBy(col("event_type"))
@@ -661,11 +672,14 @@ object EventOps {
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(cw))
       .groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"), sum(col("cents")).as("sum_cents"),
-        sum((lit(2L) * col("rn") - col("n") - 1L) * col("cents")).as("num"))
+      .agg(max(col("n")).as("n"),
+        sum(col("cents").cast("decimal(19,0)")).as("sum_cents"),
+        sum((lit(2L) * col("rn") - col("n") - 1L).cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).as("num"))
       .select(col("event_type"), col("n"), col("sum_cents").cast("long").as("sum_cents"),
         when(col("sum_cents") > 0,
-          expr("(num * 1000000) div (n * sum_cents)")).cast("long").as("gini_ppm"))
+          expr("(num * 1000000) div (cast(n as decimal(19,0)) * sum_cents)")
+        ).cast("long").as("gini_ppm"))
   }
 
   val ActHistMaxPow = 20

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.QueryFn
 import graft.functions.Portable
 import graft.sources.Tables
@@ -36,21 +35,35 @@ object SketchOps {
 
   /** Distinct users per event_type, sketched. `n_kept` < K means the
     * group had fewer distinct values than the sketch size and the
-    * count is exact. One distinct on (type, hash) + a per-type top-K
-    * window (at production scale the window input is prefiltered by a
-    * corpus-sized hash threshold, same trick as `sample_reservoir` —
-    * the result is unchanged because only the K smallest survive
-    * either way). */
+    * count is exact.
+    *
+    * The sketch's merge property lives in the PHYSICAL plan: the
+    * custom [[graft.functions.KmvKSmallest]] TypedImperativeAggregate
+    * keeps a bounded (≤K longs) buffer per group, partial-aggregates
+    * map-side and merges associatively — so the only shuffle is ≤K
+    * longs per (group × input partition), with dedup riding the
+    * sketch state for free. The previous formulation (hash-distinct
+    * on (type, hash), then a per-type Window sort to rank-filter K)
+    * shuffled EVERY distinct hash and sorted whole groups to keep 64
+    * rows — O(n log n) per group where the sketch is O(n log K);
+    * that shape survives at 100 TB only with a pre-filter, this one
+    * needs none. It is also the exact associative fold the streaming
+    * twin ([[graft.streaming.StreamingDistinctKmv]]) applies per
+    * micro-batch, so batch and streaming now share one merge
+    * semantics (the spec's multi-batch split pins them equal). */
   def distinctKmv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val h = Tables.events(s, d)
       .select(col("event_type"),
         Portable.h60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
-      .distinct()
-    val rankW = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    h.withColumn("rn", row_number().over(rankW))
-      .filter(col("rn") <= KmvK)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+    val sketch = ColumnBridge.column(
+      graft.functions.KmvKSmallest(ColumnBridge.expression(col("h")), KmvK)
+        .toAggregateExpression())
+    h.groupBy(col("event_type"))
+      .agg(sketch.as("sk"))
+      .select(col("event_type"),
+        size(col("sk")).cast("long").as("n_kept"),
+        element_at(col("sk"), -1).as("kth_min"))
       .select(col("event_type"), col("n_kept"), col("kth_min"),
         when(col("n_kept") < KmvK, col("n_kept").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble * KmvDomain) / col("kth_min").cast("double"))

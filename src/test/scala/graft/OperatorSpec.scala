@@ -2235,6 +2235,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._4) < out.length / 10, "outliers must be rare")
   }
 
+  test("distinct_kmv plans as a partial-aggregable sketch (no Window rank, no pre-distinct)") {
+    val qe = graft.operators.SketchOps.distinctKmv(spark, Sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("partial_kmv_sketch"),
+      "map-side partial kmv_sketch missing — the sketch is not partial-aggregable")
+    assert(!plan.contains("Window"),
+      "sketch must not rank through a Window sort over the whole group")
+    // the TreeSet state dedups, so the old distinct's extra
+    // aggregate must be gone: exactly one grouping key pair of
+    // hash aggregates (the sketch partial+final)
+    assert(!qe.optimizedPlan.toString.contains("Deduplicate"),
+      "sketch state dedups; a pre-distinct is a wasted shuffle")
+  }
+
   test("streaming_distinct_kmv equals the batch sketch and survives a forced multi-batch split") {
     import org.apache.spark.sql.functions.col
     val batch = sortedRows(graft.operators.SketchOps.distinctKmv(spark, Sf))
