@@ -390,6 +390,21 @@ object TextOps {
     * warm across the dedup family; a long-lived service should call
     * this between corpus versions instead of letting entries
     * accumulate. */
+  /** Materialize the session-cached signature and segment tables for
+    * `d` — the bench's named SETUP step. The persisted
+    * tokenize→shingle→md5 projection is the shared kernel of the whole
+    * dedup family; materializing it here (and charging the cost to an
+    * explicit `setup_sec`) means no per-query timing silently absorbs
+    * the one-off build under whatever run ordering the harness uses —
+    * the round-11 `filter_funnel` driver-vs-local divergence was
+    * unattributable precisely because materialization cost landed on
+    * whichever consumer ran first. */
+  def warmCaches(s: SparkSession, d: String): Unit = {
+    hashed(s, d).queryExecution.toRdd.count()
+    segmentRows(s, d).queryExecution.toRdd.count()
+    ()
+  }
+
   def clearSignatureCache(): Unit = {
     sigCache.values.forEach(df => { df.unpersist(); () })
     sigCache.clear()
