@@ -673,6 +673,24 @@ object GeoOps {
     val lastEvid = events.orderBy(col("mag").asc, col("evid").desc).limit(1)
       .select("evid").collect().headOption.map(_.getLong(0)).getOrElse(Long.MinValue)
 
+    val dbg = sys.env.contains("GRAFT_DEBUG")
+    val t0 = System.nanoTime()
+    def dt = f"${(System.nanoTime() - t0) / 1e9}%6.2fs"
+
+    var mains = events.select(col("evid")).limit(0).localCheckpoint(true)
+    var undecided = events.select(col("evid"), col("mag")).localCheckpoint(true)
+    var uCount = undecided.count()
+    // The sequential driver finish processes AbwdTailChunks chunks of
+    // tailThreshold events each, so distributed rounds only need to
+    // shrink the undecided set to the chunk budget — and their static
+    // dependency table (the dep3 pairs self-join is its dominant
+    // cost) is built only if a round actually runs.
+    val chunkBudget =
+      if (tailThreshold >= Long.MaxValue / AbwdTailChunks) Long.MaxValue
+      else tailThreshold * AbwdTailChunks
+    var rounds = 0
+    if (uCount > chunkBudget) {
+
     // Dependency edges e ← d (main(d) must be decided before main(e);
     // every d is order-earlier than e by construction):
     //   dep1 — d is a container of e          (arrival-claim check)
@@ -692,15 +710,9 @@ object GeoOps {
     val deps = dep1.unionByName(dep2).unionByName(dep3).distinct().localCheckpoint(true)
     if (dbg0) System.err.println(
       f"ABWD deps built [${(System.nanoTime() - tEntry) / 1e9}%5.2fs]")
-
-    val dbg = sys.env.contains("GRAFT_DEBUG")
-    val t0 = System.nanoTime()
-    def dt = f"${(System.nanoTime() - t0) / 1e9}%6.2fs"
     if (dbg)
       System.err.println(s"ABWD static [$dt]: pairs=${pairs.count()} deps=${deps.count()}")
 
-    var mains = events.select(col("evid")).limit(0).localCheckpoint(true)
-    var undecided = events.select(col("evid"), col("mag")).localCheckpoint(true)
     // fmc: each event's order-FIRST decided-main container (max mag,
     // then min evid). One broadcast-sized row per claimed-or-claimable
     // event, merged incrementally each round from only the NEW mains'
@@ -712,9 +724,7 @@ object GeoOps {
     // main container IS the claimer.
     var fmc = events.select(col("evid"), col("mag").as("fm_mag"),
       col("evid").as("fm_evid")).limit(0).localCheckpoint(true)
-    var uCount = undecided.count()
-    var rounds = 0
-    while (uCount > tailThreshold && rounds < MaxAbwdRounds) {
+    while (uCount > chunkBudget && rounds < MaxAbwdRounds) {
       rounds += 1
       if (dbg)
         System.err.println(s"ABWD round $rounds [$dt]: undecided=$uCount")
@@ -784,33 +794,51 @@ object GeoOps {
       lap("undecided")
       uCount = undecided.count()
     }
-    require(uCount <= tailThreshold,
+    } // deps/fmc scope — rounds only run above the chunk budget
+    require(uCount <= chunkBudget,
       s"ABWD greedy did not shrink to the driver tail in $MaxAbwdRounds rounds")
     if (dbg)
       System.err.println(s"ABWD tail [$dt]: undecided=$uCount after $rounds rounds")
-    // Sequential driver tail: once the undecided set is dimension-
-    // sized, per-round fixed job overhead dominates (the last 7 of 15
-    // rounds at sf0.1 processed <9k of 150k events), and no cluster
-    // size shrinks it — so finish the greedy exactly, sequentially.
-    // main(e) depends only on main() of order-earlier events, so one
-    // in-order pass over the residual with the decided main bits in
-    // hand IS the reference greedy. Collected state is bounded by
-    // tailThreshold × window occupancy (the pair rows touching a tail
-    // event), not catalogue size; main-bit membership is computed
-    // distributed (joins against `mains`) BEFORE the collect, so the
-    // full mains set never reaches the driver.
-    val allMains =
-      if (uCount == 0) mains
-      else {
-        val tail = abwdDriverTail(undecided, pairs, mains, lastEvid)
-        if (dbg) System.err.println(s"ABWD tail done [$dt]: tailMains=${tail.size}")
-        if (tail.isEmpty) mains
-        else {
-          val sp = events.sparkSession
-          import sp.implicits._
-          mains.unionByName(tail.toDF("evid"))
-        }
+    // Sequential driver finish, in processing-order CHUNKS of
+    // tailThreshold events: once the undecided set is a small multiple
+    // of the chunk size, per-round distributed cost (the deps build +
+    // three ~1M-row static scans and 5 checkpoint jobs per round,
+    // ~4.5 s/round at sf0.1) stops paying for itself — the profiled
+    // rounds decide a shrinking fraction each while one in-order
+    // driver pass over a chunk costs well under a round. Chunks are
+    // processing-order PREFIXES of the residual (mag DESC, evid ASC),
+    // so every main() bit a chunk event consults belongs to an
+    // order-earlier event — in an earlier chunk (decided, joined in as
+    // `mains` before the collect) or earlier in this chunk (just
+    // decided in-pass): exactly the sequential greedy's invariant,
+    // chunk by chunk. Collected state per chunk is bounded by
+    // tailThreshold × window occupancy — the SAME constant driver
+    // bound as a single tail, never catalogue-sized; the full mains
+    // set never reaches the driver (membership bits are joined
+    // distributed).
+    var allMains = mains
+    if (uCount > 0) {
+      val sp = events.sparkSession
+      import sp.implicits._
+      val ranked = undecided
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mag").desc, col("evid").asc)).cast("long"))
+        .localCheckpoint(true)
+      val step = math.max(tailThreshold, 1L)
+      val nChunks = (uCount - 1) / step + 1
+      var k = 0L
+      while (k < nChunks) {
+        val chunk = ranked
+          .filter(col("rk") > k * step && col("rk") <= (k + 1) * step)
+          .select("evid", "mag")
+        val tail = abwdDriverTail(chunk, pairs, allMains, lastEvid)
+        if (dbg) System.err.println(
+          s"ABWD tail chunk ${k + 1}/$nChunks done [$dt]: tailMains=${tail.size}")
+        if (tail.nonEmpty)
+          allMains = allMains.unionByName(tail.toDF("evid")).localCheckpoint(true)
+        k += 1
       }
+    }
     // each non-main event's cluster is its order-first main container
     val wOrd = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
     val claims = pairs
@@ -826,17 +854,26 @@ object GeoOps {
         coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
   }
 
-  /** Default undecided-set size at which [[abwdLabel]] switches from
-    * distributed rounds to the sequential driver tail. A CONSTANT, so
-    * the driver collect stays bounded at any catalogue size: the
-    * collected state is O(threshold × window occupancy) pair rows
-    * (tens of MB at 50k×~7) regardless of how many distributed rounds
-    * it took to shrink there. Chosen where the per-round distributed
-    * cost (three ~1M-row static-table scans + 5 checkpoint jobs,
-    * ~2 s/round at sf0.1) stops paying for itself: the late rounds
-    * decide a few-percent tail each, while one in-order driver pass
-    * finishes it in well under a round's cost. */
+  /** Driver-tail CHUNK size for [[abwdLabel]]'s sequential finish. A
+    * CONSTANT, so each driver collect stays bounded at any catalogue
+    * size: the collected state is O(threshold × window occupancy)
+    * pair rows (tens of MB at 50k×~7) per chunk regardless of
+    * catalogue size or how many distributed rounds preceded it. */
   val AbwdTailThreshold = 50000L
+
+  /** How many sequential chunks the driver finish may take directly —
+    * i.e. distributed rounds only run while the undecided set exceeds
+    * `AbwdTailThreshold × AbwdTailChunks`. Profiled at sf0.1 (150k
+    * events, 969k pairs): a distributed round costs ~4.5 s (three
+    * ~1M-row static scans + 5 checkpoint jobs) and decides a
+    * SHRINKING fraction (150k→146k→99k→68k→45k over 4 rounds = 18.6 s,
+    * plus the 6.7 s dep3 pairs self-join the rounds need), while one
+    * in-order driver chunk pass costs ~1-2 s including its bounded
+    * collects — so a small multiple of the chunk size is the
+    * crossover. At catalogue densities where the undecided set dwarfs
+    * the budget, rounds still shrink it multiplicatively first; the
+    * driver bound is unchanged (per-chunk, not total). */
+  val AbwdTailChunks = 4L
 
   /** The in-order sequential finish of the ABWD greedy over the
     * residual `undecided` set. Exact by the same argument as the

@@ -868,6 +868,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tail = sortedRows(GeoOps.abwdLabel(ev, pr, Long.MaxValue)) // pure driver tail
     assert(dist.nonEmpty && dist == tail,
       "batched distributed greedy and sequential driver tail must decide identically")
+    // tiny chunk size → the driver finish runs MANY processing-order
+    // chunks (and, below the chunk budget, no distributed round at
+    // all for the first prefix): chunk boundaries must be invisible
+    val chunked = sortedRows(GeoOps.abwdLabel(ev, pr, 37L))
+    assert(chunked == dist,
+      "chunked sequential driver finish must decide identically to the distributed rounds")
   }
 
   test("training-data ops: segment dedup, gopher quality, sampling, tfidf invariants") {
