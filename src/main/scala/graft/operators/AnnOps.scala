@@ -255,6 +255,46 @@ object AnnOps {
       .select("q_id", "vec_id", "rnk", "cosine")
   }
 
+  /** IVF index-health report: per-cell occupancy with exact integer
+    * share and load factor (1e6 ppm = perfectly balanced). The
+    * operational gate behind `ann_ivf_topk`: a cell holding 5× its
+    * fair share is the scan-cost skew an IVF probe pays at query
+    * time, and an EMPTY cell (reported via the centroid-table left
+    * join, not dropped) is a wasted partition of the codebook — both
+    * are re-train triggers for `kmeans_step`. Shape: the broadcast
+    * centroid-table assignment already used by the index + ONE
+    * partial-agg groupBy over cell ids + a one-row total broadcast —
+    * nothing here scales with anything but the cell count. */
+  def ivfBalanceReport(s: SparkSession, d: String): DataFrame = {
+    val counts = assignCells(vectors(s, d), centroidTable(s, NCells))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("total"))
+    centroidTable(s, NCells).select(col("c").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"), col("total"))
+      .withColumn("share_ppm", expr("(n_vecs * 1000000) div total"))
+      .withColumn("load_ppm", expr(s"(n_vecs * $NCells * 1000000) div total"))
+      .drop("total")
+  }
+
+  /** kNN-graph in-degree histogram — the index-QA twin of
+    * `ivf_balance_report` for the graph index: how many vectors have
+    * each in-degree, INCLUDING degree-0 (vectors no other vector
+    * points at — unreachable under greedy graph search, the metric
+    * that decides whether the LSH bucketing needs more tables). One
+    * partial-agg groupBy over the bounded (≤ KnnK·N) edge list + a
+    * left join from the id table for the zeros + one groupBy over
+    * degrees. */
+  def knnDegreeStats(s: SparkSession, d: String): DataFrame = {
+    val indeg = annKnnGraph(s, d)
+      .groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("deg"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   // ---- kNN graph -------------------------------------------------
 
   val KnnK = 4 // neighbors per vector in the graph
@@ -800,7 +840,9 @@ object AnnOps {
     "label_centroids"    -> (labelCentroids _),
     "knn_label_purity"   -> (knnLabelPurity _),
     "knn_predict"        -> (knnPredict _),
-    "quantize_error"     -> (quantizeError _)
+    "quantize_error"     -> (quantizeError _),
+    "ivf_balance_report" -> (ivfBalanceReport _),
+    "knn_degree_stats"   -> (knnDegreeStats _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -1102,6 +1144,22 @@ object AnnOps {
          |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $CentScale) AS BIGINT)) AS DOUBLE)
          |          / CAST(count(*) AS DOUBLE)) / ${CentScale}e0 AS centroid
          |FROM x GROUP BY label, i""".stripMargin,
+    "ivf_balance_report" ->
+      s"""WITH $vecCte, $centroidsCte,
+         |$vcellCte,
+         |counts AS (SELECT cell, count(*) AS n_vecs FROM vcell GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM counts)
+         |SELECT c.c AS cell, coalesce(k.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+         |       CAST((coalesce(k.n_vecs, CAST(0 AS BIGINT)) * 1000000) // tot.total AS BIGINT) AS share_ppm,
+         |       CAST((coalesce(k.n_vecs, CAST(0 AS BIGINT)) * $NCells * 1000000) // tot.total AS BIGINT) AS load_ppm
+         |FROM cells c LEFT JOIN counts k ON c.c = k.cell, tot""".stripMargin,
+    "knn_degree_stats" ->
+      s"""WITH g AS ($knnGraphSql),
+         |indeg AS (SELECT dst AS vec_id, count(*) AS deg FROM g GROUP BY dst)
+         |SELECT coalesce(i.deg, CAST(0 AS BIGINT)) AS in_degree,
+         |       count(*) AS n_vectors
+         |FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.vec_id
+         |GROUP BY 1""".stripMargin,
     "knn_label_purity" ->
       s"""WITH g AS ($knnGraphSql)
          |SELECT e1.label, count(*) AS n_edges,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryFn
 import graft.functions.Portable
 import graft.sources.Tables
@@ -70,6 +71,68 @@ object SketchOps {
           .as("est_distinct"))
   }
 
+  /** Per-type KMV sketch state as ROWS (event_type, h): the bounded
+    * (≤K per type) exploded form the sketch-ALGEBRA operators merge
+    * relationally — the same rows a production pipeline would persist
+    * as its per-segment sketch table. */
+  private def sketchRows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val h = Tables.events(s, d)
+      .select(col("event_type"),
+        Portable.h60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+    val sketch = ColumnBridge.column(
+      graft.functions.KmvKSmallest(ColumnBridge.expression(col("h")), KmvK)
+        .toAggregateExpression())
+    h.groupBy(col("event_type")).agg(sketch.as("sk"))
+      .select(col("event_type"), explode(col("sk")).as("h"))
+  }
+
+  /** KMV sketch INTERSECTION (theta-sketch-style set algebra): for
+    * every unordered pair of event_types, estimate the overlap of
+    * their user sets FROM THE SKETCHES ALONE — the segment-overlap
+    * question ("how many purchase users also click?") answered
+    * without ever joining the raw user sets. Union sketch = K
+    * smallest of the merged states (the associative KMV merge);
+    * θ = its K-th value; Jaccard = |A ∩ B ∩ union-sketch| / K_union
+    * (exact integer ppm); intersection estimate = Jaccard × the
+    * union's KMV cardinality estimate. Everything up to the final two
+    * float ops is integer state over ≤ K·|types| rows — the pair
+    * "join" is a type-dimension² cross (bounded by event-type
+    * cardinality², the `session_cooccurrence` fan-out bound), and the
+    * sketch rows it fans out are ≤ K per type REGARDLESS of corpus
+    * size: this is the whole point of sketch algebra at 100 TB. */
+  def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val rows = sketchRows(s, d)
+    val types = rows.select(col("event_type")).distinct()
+    val tp = broadcast(types.select(col("event_type").as("type_a")))
+      .join(broadcast(types.select(col("event_type").as("type_b"))),
+        col("type_a") < col("type_b"))
+    val aRows = rows.select(col("event_type").as("type_a"), col("h"))
+    val bRows = rows.select(col("event_type").as("type_b"), col("h"))
+    // merged union sketch per pair: K smallest distinct of A ∪ B
+    val unioned = tp.join(aRows, Seq("type_a")).select(col("type_a"), col("type_b"), col("h"))
+      .unionByName(tp.join(bRows, Seq("type_b")).select(col("type_a"), col("type_b"), col("h")))
+      .distinct()
+    val mw = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val merged = unioned.withColumn("rn", row_number().over(mw)).filter(col("rn") <= KmvK)
+    val mstats = merged.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("theta"))
+    // common hashes inside the union sketch's accepted region (≤ θ)
+    val common = aRows.join(bRows, Seq("h")).filter(col("type_a") < col("type_b"))
+      .join(mstats, Seq("type_a", "type_b"))
+      .filter(col("h") <= col("theta"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_common"))
+    mstats.join(common, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("k_union"), col("theta"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jacc_ppm", expr("(n_common * 1000000) div k_union"))
+      .withColumn("est_union",
+        when(col("k_union") < KmvK, col("k_union").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * KmvDomain) / col("theta").cast("double")))
+      .withColumn("est_intersection",
+        col("jacc_ppm").cast("double") * col("est_union") / lit(1000000.0))
+  }
+
   val BloomBits  = 1024 // m: filter size (32 words x 32 bits)
   val BloomWords = 32
   val BloomK     = 3    // hash functions
@@ -118,6 +181,7 @@ object SketchOps {
 
   val queries: Map[String, QueryFn] = Map(
     "distinct_kmv" -> (distinctKmv _),
+    "kmv_intersect" -> (kmvIntersect _),
     "bloom_semi_filter" -> (bloomSemiFilter _)
   )
 
@@ -160,6 +224,50 @@ object SketchOps {
          |       CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS DOUBLE)
          |            ELSE ${Portable.dl((KmvK - 1).toDouble * KmvDomain)} / CAST(kth_min AS DOUBLE) END
          |         AS est_distinct
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+    "kmv_intersect" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |         ${Portable.h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+         |ty AS (SELECT DISTINCT event_type FROM sk),
+         |tps AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |un AS (
+         |  SELECT DISTINCT type_a, type_b, h FROM (
+         |    SELECT t.type_a, t.type_b, s.h FROM tps t JOIN sk s ON s.event_type = t.type_a
+         |    UNION ALL
+         |    SELECT t.type_a, t.type_b, s.h FROM tps t JOIN sk s ON s.event_type = t.type_b)),
+         |mg AS (
+         |  SELECT type_a, type_b, h,
+         |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+         |  FROM un),
+         |ms AS (
+         |  SELECT type_a, type_b, count(*) AS k_union, max(h) AS theta
+         |  FROM mg WHERE rn <= $KmvK GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_common
+         |  FROM sk a
+         |  JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+         |  JOIN ms ON ms.type_a = a.event_type AND ms.type_b = b.event_type
+         |         AND a.h <= ms.theta
+         |  GROUP BY 1, 2),
+         |base AS (
+         |  SELECT ms.type_a, ms.type_b, ms.k_union, ms.theta,
+         |         coalesce(cm.n_common, CAST(0 AS BIGINT)) AS n_common,
+         |         (coalesce(cm.n_common, CAST(0 AS BIGINT)) * 1000000) // ms.k_union AS jacc_ppm,
+         |         CASE WHEN ms.k_union < $KmvK THEN CAST(ms.k_union AS DOUBLE)
+         |              ELSE ${Portable.dl((KmvK - 1).toDouble * KmvDomain)} / CAST(ms.theta AS DOUBLE) END
+         |           AS est_union
+         |  FROM ms LEFT JOIN cm ON ms.type_a = cm.type_a AND ms.type_b = cm.type_b)
+         |SELECT type_a, type_b, k_union, theta, n_common, jacc_ppm, est_union,
+         |       CAST(jacc_ppm AS DOUBLE) * est_union / 1000000.0 AS est_intersection
+         |FROM base""".stripMargin
   )
 }

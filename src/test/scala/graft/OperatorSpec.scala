@@ -2241,6 +2241,56 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._4) < out.length / 10, "outliers must be rare")
   }
 
+  test("kmv_intersect matches a plain-Scala sketch-algebra recompute") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val K = graft.operators.SketchOps.KmvK
+    // exact per-type distinct hash sets, recomputed with the same h60
+    val hs = graft.sources.Tables.events(spark, Sf)
+      .select(col("event_type"),
+        graft.functions.Portable.h60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = hs.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val got = graft.operators.SketchOps.kmvIntersect(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val types = byType.keys.toSeq.sorted
+    val expPairs = for (a <- types; b <- types if a < b) yield (a, b)
+    assert(got.keySet == expPairs.toSet, "one row per unordered type pair")
+    for ((a, b) <- expPairs) {
+      val ka = byType(a).toSeq.sorted.take(K).toSet
+      val kb = byType(b).toSeq.sorted.take(K).toSet
+      val mergedAll = (ka ++ kb).toSeq.sorted
+      val merged = mergedAll.take(K)
+      val theta = merged.last
+      val nCommon = (ka & kb).count(_ <= theta).toLong
+      val (kUnion, gTheta, gCommon, gJacc) = got((a, b))
+      assert(kUnion == merged.size.toLong, s"($a,$b) k_union")
+      assert(gTheta == theta, s"($a,$b) theta")
+      assert(gCommon == nCommon, s"($a,$b) n_common")
+      assert(gJacc == nCommon * 1000000L / merged.size, s"($a,$b) jacc_ppm")
+    }
+  }
+
+  test("ivf_balance_report and knn_degree_stats tie out against their index tables") {
+    import org.apache.spark.sql.functions.col
+    val bal = AnnOps.ivfBalanceReport(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nVec = graft.sources.Tables.embeddings(spark, Sf).count()
+    assert(bal.length == AnnOps.NCells, "one row per cell, empty cells included")
+    assert(bal.map(_._2).sum == nVec, "cell occupancies partition the vectors")
+    val shareSum = bal.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - AnnOps.NCells,
+      s"share ppm sums to ~1e6, got $shareSum")
+    for ((c, n, share, load) <- bal)
+      assert(load == n * AnnOps.NCells * 1000000L / nVec, s"cell $c load_ppm arithmetic")
+    val deg = AnnOps.knnDegreeStats(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(deg.map(_._2).sum == nVec, "degree histogram partitions the vectors")
+    val edges = AnnOps.annKnnGraph(spark, Sf).count()
+    assert(deg.map { case (d, n) => d * n }.sum == edges,
+      "sum of in-degrees equals the kNN edge count")
+  }
+
   test("distinct_kmv plans as a partial-aggregable sketch (no Window rank, no pre-distinct)") {
     val qe = graft.operators.SketchOps.distinctKmv(spark, Sf).queryExecution
     val plan = qe.executedPlan.toString
