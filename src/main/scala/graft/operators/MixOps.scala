@@ -263,7 +263,34 @@ object MixOps {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_windows"),
         expr(s"(n_tokens * 1000000) div (n_windows * $CtxTokens)").cast("long").as("fill_ppm"))
 
+  /** Target-vs-achieved mix audit: per source, the token count the
+    * weight table ASKED for (its share of the budget) against what
+    * the capped rates DELIVER, with the shortfall in tokens and ppm —
+    * the report that says which sources cannot fill their target
+    * share (rate capped at 1 because the source is smaller than its
+    * allocation), i.e. where the published mix silently re-normalizes.
+    * Pure integer arithmetic over [[tokenBudgetMix]]'s own rates (the
+    * same budget/weight divisions, so target and achieved are
+    * commensurable exactly); one-row totals broadcast back. */
+  def mixDeficitReport(s: SparkSession, d: String): DataFrame = {
+    val mix = tokenBudgetMix(s, d)
+    val totals = mix.agg(
+      sum(col("tokens")).as("total_tokens"), sum(col("weight")).as("wsum"))
+    mix.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr(s"(total_tokens div $BudgetDiv) * weight div wsum"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") - col("expected_tokens")))
+      .withColumn("deficit_ppm",
+        when(col("target_tokens") > 0,
+          expr("(deficit_tokens * 1000000) div target_tokens")).otherwise(lit(0L)))
+      .select(col("source"), col("tokens"), col("weight"),
+        col("target_tokens"), col("expected_tokens").as("achieved_tokens"),
+        col("deficit_tokens"), col("deficit_ppm"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "mix_deficit_report" -> (mixDeficitReport _),
     "pack_efficiency" -> (packEfficiency _),
     "epoch_plan"        -> (epochPlan _),
     "token_budget_mix"  -> (tokenBudgetMix _),
@@ -359,6 +386,26 @@ object MixOps {
          |SELECT source, n_docs, tokens, weight, rate_ppm,
          |  tokens * rate_ppm // 1000000 AS expected_tokens
          |FROM rates""".stripMargin,
+    "mix_deficit_report" ->
+      s"""WITH $budgetCtes,
+         |r2 AS (
+         |  SELECT source, tokens, weight,
+         |         tokens * rate_ppm // 1000000 AS achieved_tokens
+         |  FROM rates),
+         |t2 AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |              CAST(sum(weight) AS BIGINT) AS wsum FROM r2),
+         |b AS (
+         |  SELECT source, tokens, weight, achieved_tokens,
+         |         (total_tokens // $BudgetDiv) * weight // wsum AS target_tokens
+         |  FROM r2, t2),
+         |c AS (
+         |  SELECT source, tokens, weight, target_tokens, achieved_tokens,
+         |         greatest(CAST(0 AS BIGINT), target_tokens - achieved_tokens) AS deficit_tokens
+         |  FROM b)
+         |SELECT source, tokens, weight, target_tokens, achieved_tokens, deficit_tokens,
+         |  CASE WHEN target_tokens > 0 THEN (deficit_tokens * 1000000) // target_tokens
+         |       ELSE CAST(0 AS BIGINT) END AS deficit_ppm
+         |FROM c""".stripMargin,
     "corpus_mix_sample" ->
       s"""WITH $budgetCtes
          |SELECT doc_id, source, n_tokens, rate_ppm, u_ppm FROM (

@@ -882,6 +882,64 @@ object TextOps {
       .select("rnk", "pair", "cnt", "df")
   }
 
+  /** Tokenizer-fertility report per (source, lang): whitespace words
+    * vs BPE-ish regex tokens vs characters, with the per-corpus-slice
+    * ratios in integer ppm — the statistic that sizes a tokenizer
+    * (tokens-per-word ≫ 1e6 ppm on a slice means the tokenizer
+    * shatters that language/source and its documents pay more context
+    * budget per word). One partial-aggregable groupBy; ratios are
+    * exact integer division over the integer sums, so the report is
+    * bit-identical on any partitioning. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk"))).as("ws_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))).as("re_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("ws_tokens").cast("long").as("ws_tokens"),
+        col("re_tokens").cast("long").as("re_tokens"),
+        col("n_chars").cast("long").as("n_chars"))
+      .withColumn("re_per_ws_ppm",
+        when(col("ws_tokens") > 0, expr("(re_tokens * 1000000) div ws_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("chars_per_re_ppm",
+        when(col("re_tokens") > 0, expr("(n_chars * 1000000) div re_tokens"))
+          .otherwise(lit(0L)))
+
+  val LmK = 200 // bigram LM-table report size
+
+  /** Bigram language-model count table — the exact-count statistics a
+    * Kneser-Ney/Stupid-Backoff n-gram LM (or a tokenizer-merge
+    * scorer) is estimated from, for the corpus's top-K bigrams: the
+    * bigram count, the left-context unigram count, the left fan-out
+    * |{w₂ : c(w₁,w₂)>0}| (KN's denominator statistic) and the right
+    * CONTINUATION count |{w₁ : c(w₁,w₂)>0}| (KN's numerator — how
+    * many distinct contexts a word continues). Everything is an
+    * exact integer count: four partial-aggregable groupBys off one
+    * exploded pass (the fan-out/continuation tables aggregate the
+    * already-grouped bigram table, not the corpus), then the
+    * distributed top-K (`orderBy.limit` → TakeOrderedAndProject) with
+    * the three count tables joined onto the K survivors (broadcast-
+    * sized probe side). */
+  def ngramLmCounts(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .select(explode(Portable.shingles(col("tk"), 2)).as("pair"))
+      .select(expr("split_part(pair, ' ', 1)").as("w1"),
+        expr("split_part(pair, ' ', 2)").as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val uni = docs(s, d).select(explode(col("tk")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    val fan = big.groupBy(col("w1")).agg(count(lit(1)).as("fanout_w1"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("cont_w2"))
+    val top = big.orderBy(col("c_bigram").desc, col("w1"), col("w2")).limit(LmK)
+    top.join(uni, Seq("w1")).join(fan, Seq("w1")).join(cont, Seq("w2"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("c_bigram").desc, col("w1"), col("w2"))))
+      .select(col("rnk"), col("w1"), col("w2"), col("c_bigram"),
+        col("c_w1"), col("fanout_w1"), col("cont_w2"))
+  }
+
   val ReservoirK    = 10   // sample size per source stratum (< the
                            // sf0.01 per-source doc count, so the gate
                            // exercises real selection, not identity)
@@ -1299,6 +1357,8 @@ object TextOps {
     "dup_cluster_sizes" -> (dupClusterSizes _),
     "bm25_topk" -> (bm25Topk _),
     "bpe_pair_counts" -> (bpePairCounts _),
+    "tokenizer_fertility" -> (tokenizerFertility _),
+    "ngram_lm_counts" -> (ngramLmCounts _),
     "sample_reservoir" -> (sampleReservoir _),
     "rare_token_ratio" -> (rareTokenRatio _),
     "corpus_rollup" -> (corpusRollup _),
@@ -1919,6 +1979,44 @@ object TextOps {
          |  FROM toks),
          |g AS (SELECT doc_id, lang, CASE WHEN stop_ratio >= 2e-2 THEN 'en' ELSE 'unk' END AS guess FROM sc)
          |SELECT doc_id, lang, guess, guess = lang AS correct FROM g""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, len($tkSql) AS ws,
+         |         len(regexp_extract_all(text, '[a-z0-9]+')) AS re,
+         |         length(text) AS ch
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |         CAST(sum(re) AS BIGINT) AS re_tokens,
+         |         CAST(sum(ch) AS BIGINT) AS n_chars
+         |  FROM t GROUP BY 1, 2)
+         |SELECT source, lang, n_docs, ws_tokens, re_tokens, n_chars,
+         |  CASE WHEN ws_tokens > 0 THEN (re_tokens * 1000000) // ws_tokens
+         |       ELSE CAST(0 AS BIGINT) END AS re_per_ws_ppm,
+         |  CASE WHEN re_tokens > 0 THEN (n_chars * 1000000) // re_tokens
+         |       ELSE CAST(0 AS BIGINT) END AS chars_per_re_ppm
+         |FROM g""".stripMargin,
+    "ngram_lm_counts" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT split_part(p, ' ', 1) AS w1, split_part(p, ' ', 2) AS w2
+         |  FROM (SELECT unnest(${Portable.shinglesSql("tk", 2)}) AS p FROM toks)),
+         |big AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+         |uc AS (SELECT w1, count(*) AS c_w1
+         |       FROM (SELECT unnest(tk) AS w1 FROM toks) GROUP BY 1),
+         |fan AS (SELECT w1, count(*) AS fanout_w1 FROM big GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS cont_w2 FROM big GROUP BY 1),
+         |top AS (
+         |  SELECT w1, w2, c_bigram,
+         |         row_number() OVER (ORDER BY c_bigram DESC, w1, w2) AS rnk
+         |  FROM big)
+         |SELECT t.rnk, t.w1, t.w2, t.c_bigram, uc.c_w1, fan.fanout_w1, cont.cont_w2
+         |FROM top t
+         |JOIN uc ON t.w1 = uc.w1
+         |JOIN fan ON t.w1 = fan.w1
+         |JOIN cont ON t.w2 = cont.w2
+         |WHERE t.rnk <= $LmK""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($tkSql) AS BIGINT) AS ws_tokens,
