@@ -703,7 +703,70 @@ object EventOps {
         col("n_users"), col("sum_events").cast("long").as("sum_events"))
   }
 
+  /** RFM (recency / frequency / monetary) quartile segmentation — the
+    * classic customer-value grid, as integer quartile codes: per user
+    * the days since last activity (vs the corpus watermark, the
+    * `churn_flags` convention), event count and exact cent spend,
+    * each mapped to its quartile 1-4 and packed into `rfm_code`.
+    * Quartiles use the rank formula q = ((rn−1)·4) div n + 1 over a
+    * (metric, user_id) row_number — value-deterministic on both
+    * engines where `ntile` boundary conventions could differ, and
+    * tie-broken on the unique key per the window rule. The per-user
+    * table is corpus-compressing (events → users); the three rank
+    * windows are the same global-order shape as `quantile_bins`
+    * (single-partition at gate scale; range-partitioned sort at
+    * production scale), and the watermark/count are one-row
+    * broadcasts. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d).groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+    val tot = per.agg(max(col("last_us")).as("wm_us"), count(lit(1)).as("n_users"))
+    def rn(metric: Column): Column =
+      row_number().over(Window.orderBy(metric, col("user_id"))).cast("long")
+    per.crossJoin(broadcast(tot))
+      .withColumn("recency_days", expr(s"(wm_us - last_us) div $DayUs"))
+      .withColumn("rn_r", rn(col("recency_days")))
+      .withColumn("rn_f", rn(col("frequency")))
+      .withColumn("rn_m", rn(col("monetary_cents")))
+      .withColumn("r_quartile", expr("((rn_r - 1) * 4) div n_users + 1"))
+      .withColumn("f_quartile", expr("((rn_f - 1) * 4) div n_users + 1"))
+      .withColumn("m_quartile", expr("((rn_m - 1) * 4) div n_users + 1"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents").cast("long").as("monetary_cents"),
+        col("r_quartile"), col("f_quartile"), col("m_quartile"),
+        (col("r_quartile") * 100L + col("f_quartile") * 10L + col("m_quartile"))
+          .as("rfm_code"))
+  }
+
+  /** Morton (Z-order) layout key over the (user, hour) plane — the
+    * multi-dimensional clustering key a 100 TB table is REWRITTEN on
+    * so that range predicates on EITHER dimension prune files (the
+    * Delta/Iceberg OPTIMIZE ZORDER primitive, as a checkable
+    * expression): low 16 bits of the user id interleaved with the low
+    * 16 bits of the hour bucket via the standard mask-spread ladder
+    * (x|x≪8 &… — four steps per dimension, pure int64 bit ops, no
+    * bit ever near the sign). Pure projection: no shuffle here; the
+    * shuffle is the `repartitionByRange(z_key)` a layout job adds. */
+  def zorderKey(s: SparkSession, d: String): DataFrame = {
+    def spread(x: Column): Column = {
+      val a = x.bitwiseAND(lit(0xFFFFL))
+      val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val e = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+      e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    events(s, d)
+      .withColumn("user_bucket", col("user_id").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("time_bucket", expr(s"ts_us div $HourUs").bitwiseAND(lit(0xFFFFL)))
+      .select(col("event_id"), col("user_bucket"), col("time_bucket"),
+        spread(col("user_bucket"))
+          .bitwiseOR(shiftleft(spread(col("time_bucket")), 1)).as("z_key"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "rfm_segments" -> (rfmSegments _),
+    "zorder_key" -> (zorderKey _),
     "spend_gini"          -> (spendGini _),
     "user_activity_histogram" -> (userActivityHistogram _),
     "churn_flags"         -> (churnFlags _),
@@ -745,7 +808,51 @@ object EventOps {
   private val actChain = (ActHistMaxPow to 0 by -1)
     .map(b => s"WHEN cnt >= ${1L << b} THEN $b").mkString("\n    ")
 
+  /** The Z-order bit-spread ladder as SQL text — kept line-for-line
+    * parallel with [[zorderKey]]'s Column form. */
+  private def spreadSql(x: String): String = {
+    val a = s"($x & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val c = s"(($b | ($b << 4)) & 252645135)"
+    val e = s"(($c | ($c << 2)) & 858993459)"
+    s"(($e | ($e << 1)) & 1431655765)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "rfm_segments" ->
+      s"""WITH $evCte,
+         |per AS (
+         |  SELECT user_id, max(ts_us) AS last_us, count(*) AS frequency,
+         |         CAST(sum(cents) AS BIGINT) AS monetary_cents
+         |  FROM ev GROUP BY user_id),
+         |tot AS (SELECT max(last_us) AS wm_us, count(*) AS n_users FROM per),
+         |b AS (
+         |  SELECT p.user_id, (tot.wm_us - p.last_us) // $DayUs AS recency_days,
+         |         p.frequency, p.monetary_cents, tot.n_users
+         |  FROM per p, tot),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY recency_days, user_id) AS rn_r,
+         |    row_number() OVER (ORDER BY frequency, user_id) AS rn_f,
+         |    row_number() OVER (ORDER BY monetary_cents, user_id) AS rn_m
+         |  FROM b)
+         |SELECT user_id, recency_days, frequency, monetary_cents,
+         |  ((rn_r - 1) * 4) // n_users + 1 AS r_quartile,
+         |  ((rn_f - 1) * 4) // n_users + 1 AS f_quartile,
+         |  ((rn_m - 1) * 4) // n_users + 1 AS m_quartile,
+         |  (((rn_r - 1) * 4) // n_users + 1) * 100
+         |    + (((rn_f - 1) * 4) // n_users + 1) * 10
+         |    + (((rn_m - 1) * 4) // n_users + 1) AS rfm_code
+         |FROM r""".stripMargin,
+    "zorder_key" ->
+      s"""WITH $evCte,
+         |b AS (
+         |  SELECT event_id, user_id & 65535 AS user_bucket,
+         |         (ts_us // $HourUs) & 65535 AS time_bucket
+         |  FROM ev)
+         |SELECT event_id, user_bucket, time_bucket,
+         |  ${spreadSql("user_bucket")} | (${spreadSql("time_bucket")} << 1) AS z_key
+         |FROM b""".stripMargin,
     "spend_gini" ->
       s"""WITH $evCte,
          |r AS (

@@ -2241,6 +2241,116 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._4) < out.length / 10, "outliers must be rare")
   }
 
+  test("tokenizer_fertility sums tie out against token_count; ratios are exact div") {
+    val per = TextOps.tokenCount(spark, Sf).collect()
+    val expWs = per.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+    val expRe = per.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+    val got = TextOps.tokenizerFertility(spark, Sf).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(3)).sum == expWs, "ws token totals")
+    assert(got.map(_.getLong(4)).sum == expRe, "re token totals")
+    for (r <- got) {
+      val (ws, re, ch) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getLong(6) == (if (ws > 0) re * 1000000L / ws else 0L))
+      assert(r.getLong(7) == (if (re > 0) ch * 1000000L / re else 0L))
+    }
+  }
+
+  test("ngram_lm_counts matches a plain-Scala bigram recompute") {
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .select("text").collect().flatMap(r => Option(r.getString(0)))
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val bigrams = toks.flatMap(t => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+    val cBig = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cUni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val fan = cBig.keys.groupBy(_._1).map { case (w, ks) => w -> ks.size.toLong }
+    val cont = cBig.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val got = TextOps.ngramLmCounts(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == math.min(TextOps.LmK, cBig.size))
+    val expOrder = cBig.toSeq.sortBy { case ((w1, w2), c) => (-c, w1, w2) }
+      .take(TextOps.LmK)
+    for (((r, ((w1, w2), c)), i) <- got.sortBy(_._1).zip(expOrder).zipWithIndex) {
+      assert(r._1 == i + 1 && r._2 == w1 && r._3 == w2 && r._4 == c,
+        s"rank ${i + 1} bigram")
+      assert(r._5 == cUni(w1) && r._6 == fan(w1) && r._7 == cont(w2),
+        s"rank ${i + 1} context stats")
+    }
+  }
+
+  test("mix_deficit_report is consistent with token_budget_mix arithmetic") {
+    val mix = graft.operators.MixOps.tokenBudgetMix(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    val totTokens = mix.values.map(_._1).sum
+    val wsum = mix.values.map(_._2).sum
+    val got = graft.operators.MixOps.mixDeficitReport(spark, Sf).collect()
+    assert(got.map(_.getString(0)).toSet == mix.keySet)
+    for (r <- got) {
+      val (tokens, weight, achieved) = mix(r.getString(0))
+      val target = totTokens / graft.operators.MixOps.BudgetDiv * weight / wsum
+      assert(r.getLong(3) == target, s"${r.getString(0)} target")
+      assert(r.getLong(4) == achieved, s"${r.getString(0)} achieved")
+      assert(r.getLong(5) == math.max(0L, target - achieved))
+      assert(r.getLong(6) == (if (target > 0) r.getLong(5) * 1000000L / target else 0L))
+    }
+    assert(got.exists(_.getLong(5) > 0L),
+      "fixture exercises no capped source — deficit path untested")
+  }
+
+  test("rfm_segments quartiles partition users; code packs digits") {
+    val rows = EventOps.rfmSegments(spark, Sf).collect()
+    val n = rows.length
+    assert(n > 4)
+    for (q <- Seq(4, 5, 6)) { // r/f/m quartile columns
+      val by = rows.groupBy(_.getLong(q)).view.mapValues(_.length).toMap
+      assert(by.keySet.subsetOf(Set(1L, 2L, 3L, 4L)), s"col $q quartile range")
+      // rank-formula quartiles: every quartile holds floor/ceil(n/4)
+      assert(by.values.forall(c => c >= n / 4 && c <= n / 4 + 1), s"col $q balance $by")
+    }
+    for (r <- rows)
+      assert(r.getLong(7) == r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+  }
+
+  test("zorder_key interleave is invertible and bounded") {
+    val rows = EventOps.zorderKey(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def unspread(z: Long): Long = {
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      x
+    }
+    for ((ub, tb, z) <- rows) {
+      assert(z >= 0L && z < (1L << 32), "z_key fits 32 bits")
+      assert(unspread(z) == ub, "even bits recover the user bucket")
+      assert(unspread(z >> 1) == tb, "odd bits recover the time bucket")
+    }
+  }
+
+  test("streaming_hot_keys equals batch hot_keys and survives a forced multi-batch split") {
+    import org.apache.spark.sql.functions.col
+    val batch = sortedRows(EventOps.hotKeys(spark, Sf))
+    assert(sortedRows(graft.streaming.StreamingHotKeys.run(spark, Sf)) == batch)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/src/b.parquet")
+    val q = graft.streaming.StreamingHotKeys
+      .countStream(spark, s"$dir/src/*.parquet", ev.schema)
+      .writeStream.format("memory").queryName("hot_multi")
+      .option("maxFilesPerTrigger", 1)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val multi = sortedRows(graft.streaming.StreamingHotKeys.select(spark.table("hot_multi")))
+    assert(multi == batch, "multi-batch counter merge differs from batch hot_keys")
+  }
+
   test("kmv_intersect matches a plain-Scala sketch-algebra recompute") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val K = graft.operators.SketchOps.KmvK
