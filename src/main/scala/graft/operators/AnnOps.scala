@@ -273,8 +273,12 @@ object AnnOps {
       .join(counts, Seq("cell"), "left")
       .crossJoin(broadcast(total))
       .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"), col("total"))
-      .withColumn("share_ppm", expr("(n_vecs * 1000000) div total"))
-      .withColumn("load_ppm", expr(s"(n_vecs * $NCells * 1000000) div total"))
+      // empty-index guard: an empty ingest reports 0-ppm rows, not a
+      // NULL-riddled (or divide-by-zero) report
+      .withColumn("share_ppm",
+        when(col("total") > 0, expr("(n_vecs * 1000000) div total")).otherwise(lit(0L)))
+      .withColumn("load_ppm",
+        when(col("total") > 0, expr(s"(n_vecs * $NCells * 1000000) div total")).otherwise(lit(0L)))
       .drop("total")
   }
 
@@ -586,7 +590,11 @@ object AnnOps {
     * broadcast-queries + window top-k as every ANN baseline here.
     * Compose with the IVF cells for the probe structure; this checked
     * query pins the quantize→ADC arithmetic end-to-end. */
-  def annPqTopk(s: SparkSession, d: String): DataFrame = {
+  /** PQ encode + reconstruct: (vec_id, recon, rnrm) — the quantized
+    * representation both PQ variants score against (assignment via the
+    * broadcast codebook, per-(vec, subspace) partial-agg max_by, one
+    * per-vec sorted-collect; zero-norm reconstructions dropped). */
+  private def pqRecon(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val assigned = e.crossJoin(broadcast(pqCodebook(s)))
@@ -594,15 +602,46 @@ object AnnOps {
       .withColumn("dd", expr("vec_dot(sub, cent)"))
       .groupBy(col("vec_id"), col("m"))
       .agg(max_by(col("cent"), struct(col("dd"), (-col("c")).as("nc"))).as("bcent"))
-    val recon = assigned
+    assigned
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("m"), col("bcent")))).as("xs"))
       .select(col("vec_id"),
         flatten(transform(col("xs"), x => x.getField("bcent"))).as("recon"))
       .withColumn("rnrm", sqrt(vecDot("recon", "recon")))
       .filter(col("rnrm") > 0)
-    recon
+  }
+
+  def annPqTopk(s: SparkSession, d: String): DataFrame = {
+    pqRecon(s, d)
       .crossJoin(broadcast(queriesSide(s, d)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qcosine", vecDot("qe", "recon") / (col("qn") * col("rnrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "qcosine")
+  }
+
+  /** IVF + PQ / ADC — the production large-scale ANN index shape
+    * (FAISS's `IVFxx,PQyy`, Jégou et al. 2011 §V): vectors live in
+    * coarse-quantizer cells AND are stored product-quantized, so a
+    * query (a) prunes to its nProbe closest cells and (b) scores the
+    * survivors against their PQ reconstructions instead of raw
+    * floats. This is the variant that actually holds at 100 TB: the
+    * IVF side makes scan cost ~nProbe/nCells of the corpus and the PQ
+    * side shrinks what's scanned ~32× (8 sub-codes vs 64 floats) —
+    * the two baselines (`ann_ivf_topk`, `ann_pq_topk`) pin each
+    * half's arithmetic, this pins their composition. Shape: the same
+    * broadcast centroid assignment + the shared [[pqRecon]] encode,
+    * joined per-vec (equi-join on vec_id, co-keyed groupBy outputs),
+    * then the broadcast probed-queries equi-join on cell + per-query
+    * window top-k — no new shuffle class vs either half. */
+  def annIvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val cents = centroidTable(s, NCells)
+    val cells = assignCells(vectors(s, d), cents).select(col("vec_id"), col("cell"))
+    val indexed = pqRecon(s, d).join(cells, Seq("vec_id"))
+    val q = probeCellsTable(queriesSide(s, d), cents, NProbe)
+    indexed.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("qcosine", vecDot("qe", "recon") / (col("qn") * col("rnrm")))
       .withColumn("rnk", row_number().over(
@@ -828,6 +867,7 @@ object AnnOps {
     "power_iteration"    -> (powerIteration _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "ann_pq_topk"        -> (annPqTopk _),
+    "ann_ivf_pq_topk"    -> (annIvfPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
     "ann_recall_report"  -> (annRecallReport _),
     "ann_cosine_topk"    -> (annCosineTopk _),
@@ -1065,6 +1105,41 @@ object AnnOps {
          |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $PowScale) AS BIGINT) * dd) AS DOUBLE)
          |          / ${PowScale * PowScale}e0) / CAST(count(*) AS DOUBLE) AS w_mean
          |FROM x GROUP BY i""".stripMargin,
+    "ann_ivf_pq_topk" ->
+      s"""WITH $vecCte, $centroidsCte, $pqCodebookCte,
+         |$vcellCte,
+         |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
+         |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
+         |qcell AS (SELECT q_id, qe, qn, cell FROM (
+         |    SELECT q_id, qe, qn, c AS cell,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
+         |    FROM qdots) WHERE rn <= $NProbe),
+         |sdots AS (
+         |  SELECT v.vec_id, p.m, p.c, p.cent,
+         |         ${Portable.dotSql(s"list_slice(v.embedding, p.m * $PqDsub + 1, p.m * $PqDsub + $PqDsub)", "p.cent")} AS dd
+         |  FROM vecs v, pqc p),
+         |chosen AS (
+         |  SELECT vec_id, m, cent FROM (
+         |    SELECT vec_id, m, cent,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd DESC, c ASC) AS rn
+         |    FROM sdots) WHERE rn = 1),
+         |rec AS (
+         |  SELECT vec_id, flatten(list(cent ORDER BY m)) AS recon
+         |  FROM chosen GROUP BY vec_id),
+         |rn AS (SELECT * FROM (
+         |    SELECT vec_id, recon, ${Portable.normSql("recon")} AS rnrm FROM rec)
+         |  WHERE rnrm > 0),
+         |scored AS (
+         |  SELECT q.q_id, r.vec_id,
+         |         ${Portable.dotSql("qe", "recon")} / (qn * rnrm) AS qcosine
+         |  FROM rn r JOIN vcell v ON r.vec_id = v.vec_id
+         |            JOIN qcell q ON v.cell = q.cell
+         |  WHERE r.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, qcosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
     "ann_pq_topk" ->
       s"""WITH $vecCte, $pqCodebookCte,
          |sdots AS (

@@ -467,6 +467,38 @@ object EventOps {
           .as("is_outlier"))
   }
 
+  /** Winsorized spend statistics per event_type: the exact
+    * nearest-rank p01/p99 cent bounds and the mean AFTER clamping
+    * every value into [p01, p99] — the robust location estimate
+    * monetary reports use once `anomaly_zscore` has shown the tails
+    * are fat (a plain mean moves arbitrarily far on one unit-confused
+    * ingest; the winsorized mean is bounded by construction).
+    * Rank selection over ONE (cents, event_id) window; the clamp
+    * bounds come back as two more window aggregates over the SAME
+    * partitioning, so the whole operator is one shuffle on event_type
+    * + one partial-agg groupBy — and everything before the single
+    * final division is integer (clamped sum ≤ 1e8-cent cap × rows,
+    * inside int64 to ~1e10 rows/group), so the mean is one
+    * deterministic float op on both engines. */
+  def robustSpendStats(s: SparkSession, d: String): DataFrame = {
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val cw = Window.partitionBy(col("event_type"))
+    def pick(pct: Int): Column =
+      max(when(col("rn") === expr(s"(n * $pct + 99) div 100"), col("cents"))).over(cw)
+    events(s, d)
+      .select(col("event_type"), col("event_id"), col("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("p01", pick(1))
+      .withColumn("p99", pick(99))
+      .withColumn("wc", least(greatest(col("cents"), col("p01")), col("p99")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+        sum(col("wc")).as("wins_sum"))
+      .withColumn("wins_mean",
+        col("wins_sum").cast("double") / col("n").cast("double"))
+  }
+
   /** Gap-filled hourly time series with LOCF: the regular
     * (event_type × hour) grid over the corpus's time span, missing
     * hours explicit as zero rows plus a last-observation-carried-
@@ -765,6 +797,7 @@ object EventOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "robust_spend_stats" -> (robustSpendStats _),
     "rfm_segments" -> (rfmSegments _),
     "zorder_key" -> (zorderKey _),
     "spend_gini"          -> (spendGini _),
@@ -1029,6 +1062,24 @@ object EventOps {
          |       j.click_id, j.click_us, j.dist_us
          |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
          |  ON p.purchase_id = j.purchase_id""".stripMargin,
+    "robust_spend_stats" ->
+      s"""WITH $evCte,
+         |r AS (
+         |  SELECT event_type, cents,
+         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev),
+         |b AS (
+         |  SELECT event_type, max(n) AS n,
+         |         max(CASE WHEN rn = (n * 1 + 99) // 100 THEN cents END) AS p01,
+         |         max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99
+         |  FROM r GROUP BY event_type)
+         |SELECT ev.event_type, b.n, b.p01, b.p99,
+         |       CAST(sum(least(greatest(ev.cents, b.p01), b.p99)) AS BIGINT) AS wins_sum,
+         |       CAST(CAST(sum(least(greatest(ev.cents, b.p01), b.p99)) AS BIGINT) AS DOUBLE)
+         |         / CAST(b.n AS DOUBLE) AS wins_mean
+         |FROM ev JOIN b ON ev.event_type = b.event_type
+         |GROUP BY ev.event_type, b.n, b.p01, b.p99""".stripMargin,
     "anomaly_zscore" ->
       s"""WITH $evCte,
          |st AS (

@@ -289,7 +289,32 @@ object MixOps {
         col("deficit_tokens"), col("deficit_ppm"))
   }
 
+  val SplitMod = 100L
+  val TestPct  = 5L  // bucket < 5        → test  (5%)
+  val ValPct   = 10L // bucket ∈ [5, 10)  → val   (5%)
+  val SplitSalt = "split1"
+
+  /** Deterministic train/val/test assignment — the split every
+    * training pipeline needs FROZEN across reruns and incremental
+    * ingests: membership is a pure function of doc_id (salted h60 mod
+    * [[SplitMod]]), so re-running after new data arrives never moves
+    * an old document between splits (a random split resampled per run
+    * leaks eval docs into training history). A pure projection — no
+    * shuffle, no state, pushdown-friendly — and the same bucket
+    * arithmetic replays in any engine; holdout fraction changes are a
+    * threshold edit, not a reshuffle. */
+  def dataSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (Portable.h60(concat(col("doc_id").cast("string"), lit(":" + SplitSalt)))
+          % SplitMod).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TestPct, lit("test"))
+          .when(col("bucket") < ValPct, lit("val"))
+          .otherwise(lit("train")))
+
   val queries: Map[String, QueryFn] = Map(
+    "data_split" -> (dataSplit _),
     "mix_deficit_report" -> (mixDeficitReport _),
     "pack_efficiency" -> (packEfficiency _),
     "epoch_plan"        -> (epochPlan _),
@@ -316,6 +341,14 @@ object MixOps {
        |  FROM ps, tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "data_split" ->
+      s"""SELECT doc_id, source, bucket,
+         |  CASE WHEN bucket < $TestPct THEN 'test'
+         |       WHEN bucket < $ValPct THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT doc_id, source,
+         |        ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$SplitSalt'")} % $SplitMod AS bucket
+         |      FROM documents)""".stripMargin,
     "pack_efficiency" ->
       s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
          |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,

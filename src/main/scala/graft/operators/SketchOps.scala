@@ -133,6 +133,46 @@ object SketchOps {
         col("jacc_ppm").cast("double") * col("est_union") / lit(1000000.0))
   }
 
+  val HistQs = Seq(50, 90, 99)
+  val HistMaxPow = 62
+
+  /** Mergeable log₂-histogram QUANTILE sketch: per event_type the
+    * approximate p50/p90/p99 of cent values from a bounded power-of-2
+    * bucket histogram — the fixed-state answer where
+    * `corpus_quantiles`' exact nearest-rank selection needs the full
+    * per-group shuffle. The sketch state is ≤ 64 (bucket, count)
+    * pairs per key, merged by plain addition (partial-aggregable
+    * groupBy — Spark's map-side combine IS the sketch merge), and
+    * every reported quantile is the bucket LOWER BOUND at the exact
+    * ceil(q·n/100) rank — a one-sided bound with ≤ 2× value error by
+    * construction, bit-identical on any partitioning because
+    * everything is integer. Non-positive cents land in bucket −1
+    * (lower bound 0). */
+  /** The Spark-SQL log₂-bucket CASE chain over a `cents` column —
+    * shared with the streaming twin
+    * ([[graft.streaming.StreamingQuantileHist]]) so batch and stream
+    * bucket identically. */
+  private[graft] def histBucketChain: String = (HistMaxPow to 0 by -1)
+    .map(b => s"WHEN cents >= ${1L << b}L THEN ${b}L").mkString("CASE ", " ", " ELSE -1L END")
+
+  def quantileHistSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    val hist = ev.withColumn("bucket", expr(histBucketChain))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val qAggs = HistQs.map(q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bucket"))).as(s"b$q"))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), qAggs: _*)
+      .select(col("event_type") +: col("n") +: HistQs.map(q =>
+        expr(s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE shiftleft(CAST(1 AS BIGINT), CAST(b$q AS INT)) END").as(s"p${q}_lo")): _*)
+  }
+
   val BloomBits  = 1024 // m: filter size (32 words x 32 bits)
   val BloomWords = 32
   val BloomK     = 3    // hash functions
@@ -182,6 +222,7 @@ object SketchOps {
   val queries: Map[String, QueryFn] = Map(
     "distinct_kmv" -> (distinctKmv _),
     "kmv_intersect" -> (kmvIntersect _),
+    "quantile_hist_sketch" -> (quantileHistSketch _),
     "bloom_semi_filter" -> (bloomSemiFilter _)
   )
 
@@ -225,6 +266,34 @@ object SketchOps {
          |            ELSE ${Portable.dl((KmvK - 1).toDouble * KmvDomain)} / CAST(kth_min AS DOUBLE) END
          |         AS est_distinct
          |FROM k""".stripMargin,
+    "quantile_hist_sketch" -> {
+      val chain = (HistMaxPow to 0 by -1)
+        .map(b => s"WHEN cents >= ${1L << b} THEN $b").mkString("\n    ")
+      val qSel = HistQs.map(q =>
+        s"min(CASE WHEN cum >= (n * $q + 99) // 100 THEN bucket END) AS b$q").mkString(",\n  ")
+      val qOut = HistQs.map(q =>
+        s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(b$q AS INTEGER) END AS p${q}_lo")
+        .mkString(",\n  ")
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |bk AS (
+         |  SELECT event_type, CAST(CASE
+         |    $chain
+         |    ELSE -1 END AS BIGINT) AS bucket FROM ev),
+         |h AS (SELECT event_type, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, bucket, cnt,
+         |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         |         sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM h),
+         |q AS (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |  $qSel
+         |  FROM c GROUP BY 1)
+         |SELECT event_type, n,
+         |  $qOut
+         |FROM q""".stripMargin
+    },
     "kmv_intersect" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

@@ -940,6 +940,102 @@ object TextOps {
         col("c_w1"), col("fanout_w1"), col("cont_w2"))
   }
 
+  /** Bigram association LIFT for the top-[[LmK]] bigrams:
+    * P(w1,w2) / (P(w1)·P(w2)) over the bigram space in integer ppm —
+    * the collocation statistic (PMI's ratio argument, kept rational
+    * where the log would float-drift) that separates true
+    * collocations (lift ≫ 1e6) from bigrams frequent only because
+    * both words are (lift ≈ 1e6). Marginals aggregate the
+    * already-grouped bigram table, not the corpus; the lift numerator
+    * c·N·1e6 runs in decimal(38,0) (c·N alone passes int64 around
+    * ~3e9 bigrams/corpus — DuckDB promotes to HUGEINT, Spark would
+    * wrap silently); distributed top-K, K-row broadcast joins. */
+  def bigramLift(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .select(explode(Portable.shingles(col("tk"), 2)).as("pair"))
+      .select(expr("split_part(pair, ' ', 1)").as("w1"),
+        expr("split_part(pair, ' ', 2)").as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val left  = big.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_left"))
+    val right = big.groupBy(col("w2")).agg(sum(col("c_bigram")).as("c_right"))
+    val tot   = big.agg(sum(col("c_bigram")).as("n_bigrams"))
+    val top = big.orderBy(col("c_bigram").desc, col("w1"), col("w2")).limit(LmK)
+    top.join(left, Seq("w1")).join(right, Seq("w2")).crossJoin(broadcast(tot))
+      .withColumn("lift_ppm",
+        expr("(cast(c_bigram as decimal(38,0)) * n_bigrams * 1000000) div " +
+          "(cast(c_left as decimal(38,0)) * c_right)").cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("c_bigram").desc, col("w1"), col("w2"))))
+      .select(col("rnk"), col("w1"), col("w2"), col("c_bigram"),
+        col("c_left"), col("c_right"), col("lift_ppm"))
+  }
+
+  /** Out-of-vocabulary rate per source against the corpus's own
+    * top-[[VocabK]] vocabulary — the coverage statistic read with
+    * [[vocabTopk]] when sizing a tokenizer's vocab: a source whose
+    * occurrences are mostly OOV pays per-character fallback encoding.
+    * The K-term vocabulary joins as a broadcast flag onto one exploded
+    * pass; counts and the ppm rate are exact integers. */
+  def vocabOovRate(s: SparkSession, d: String): DataFrame = {
+    val vocab = vocabTopk(s, d).select(col("term"), lit(true).as("in_vocab"))
+    docs(s, d).select(col("source"), explode(col("tk")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNull, 1L).otherwise(0L)), lit(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+  }
+
+  /** LSH band-tuning sweep: for r ∈ {1, 2, 4} signature rows per band
+    * (b = K/r bands from the SAME 8-permutation signature), the
+    * candidate-pair volume the banding generates and how many
+    * candidates verify at the Jaccard threshold — the measured
+    * precision curve behind the (b, r) choice every MinHash pipeline
+    * hard-codes (more rows per band → fewer, more precise candidates;
+    * the sweep shows what each step buys AT THIS corpus). Band keys
+    * hash the r-tuple with the portable h60 (uniform for every r — a
+    * base-P pack overflows int64 at r=4); per-config volumes ride the
+    * same capped-bucket in-bucket pair generation as the production
+    * banding, and the verify join reuses the persisted shingle sets.
+    * Output is |configs| rows of exact integer counts + a ppm
+    * precision. */
+  def lshBandSweep(s: SparkSession, d: String): DataFrame = {
+    val sh = hashed(s, d).select(col("doc_id"), col("shset"))
+    val perConfig = LshSweepRs.map { r =>
+      val b = MinhashK / r
+      val bandStructs = (0 until b).map { bi =>
+        struct(lit(bi).as("band"),
+          Portable.h60(concat_ws(",",
+            (0 until r).map(j => col("sig").getItem(bi * r + j).cast("string")): _*)).as("bkey"))
+      }
+      val bands = hashed(s, d).withColumn("sig", sigCol)
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = cappedBands(bands)
+        .groupBy(col("band"), col("bkey"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS ida, b AS idb))))"
+        )).as("p"))
+        .select(col("p.ida"), col("p.idb")).distinct()
+      cand
+        .join(sh.withColumnRenamed("doc_id", "ida").withColumnRenamed("shset", "sha"), Seq("ida"))
+        .join(sh.withColumnRenamed("doc_id", "idb").withColumnRenamed("shset", "shb"), Seq("idb"))
+        .select((size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jacc"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("jacc") >= JaccT, 1L).otherwise(0L)), lit(0L)).as("n_verified"))
+        .select(lit(r.toLong).as("rows_per_band"), lit(b.toLong).as("n_bands"),
+          col("n_candidates"), col("n_verified"))
+    }
+    perConfig.reduce(_ unionByName _)
+      .withColumn("precision_ppm",
+        when(col("n_candidates") > 0, expr("(n_verified * 1000000) div n_candidates"))
+          .otherwise(lit(0L)))
+  }
+
+  val LshSweepRs = Seq(1, 2, 4)
+
   val ReservoirK    = 10   // sample size per source stratum (< the
                            // sf0.01 per-source doc count, so the gate
                            // exercises real selection, not identity)
@@ -1363,6 +1459,9 @@ object TextOps {
     "rare_token_ratio" -> (rareTokenRatio _),
     "corpus_rollup" -> (corpusRollup _),
     "vocab_topk" -> (vocabTopk _),
+    "vocab_oov_rate" -> (vocabOovRate _),
+    "bigram_lift" -> (bigramLift _),
+    "lsh_band_sweep" -> (lshBandSweep _),
     "minhash_containment" -> (minhashContainment _),
     "corpus_quantiles" -> (corpusQuantiles _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1393,19 +1492,26 @@ object TextOps {
   private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** CTE chain shared by the minhash-family oracles. */
-  private def minhashCtes: String = {
+  /** toks→shingles→hashes→signature CTE chain — the SQL twin of
+    * [[hashed]]+[[sigCol]], shared by the minhash family oracles and
+    * the band-sweep oracle. */
+  private def sigCtesSql: String = {
     val sigElems = (0 until MinhashK).map { j =>
       s"coalesce(list_min(list_transform(hs, h -> (h * ${Portable.permA(j)} + ${Portable.permB(j)}) % $P)), $P)"
     }.mkString("[", ",\n      ", "]")
-    val bandSelects = (0 until nBands).map { b =>
-      s"SELECT doc_id, $b AS band, sig[${MinhashR * b + 1}] * $P + sig[${MinhashR * b + 2}] AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
     s"""toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
        |sh AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
        |hsh AS (SELECT doc_id,
        |    list_transform(shl, x -> ${Portable.hmodSql("x")}) AS hs,
        |    list_distinct(shl) AS shset FROM sh),
-       |sig AS (SELECT doc_id, shset, $sigElems AS sig FROM hsh),
+       |sig AS (SELECT doc_id, shset, $sigElems AS sig FROM hsh)""".stripMargin
+  }
+
+  private def minhashCtes: String = {
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, $b AS band, sig[${MinhashR * b + 1}] * $P + sig[${MinhashR * b + 2}] AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$sigCtesSql,
        |bands0 AS (
        |  $bandSelects),
        |bands AS (
@@ -1722,6 +1828,57 @@ object TextOps {
          |       CAST(sum(CASE WHEN ntok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |       CAST(sum(ntok) AS BIGINT) AS sum_tokens
          |FROM t GROUP BY ROLLUP (source, lang)""".stripMargin,
+    "vocab_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tkSql) AS term FROM documents),
+         |st AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rnk FROM st)
+         |  WHERE rnk <= $VocabK),
+         |src AS (SELECT source, unnest($tkSql) AS term FROM documents),
+         |g AS (
+         |  SELECT s.source, count(*) AS n_tokens,
+         |         CAST(coalesce(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oov
+         |  FROM src s LEFT JOIN vocab v ON s.term = v.term
+         |  GROUP BY s.source)
+         |SELECT source, n_tokens, n_oov, (n_oov * 1000000) // n_tokens AS oov_ppm
+         |FROM g""".stripMargin,
+    "lsh_band_sweep" -> {
+      val cfg = LshSweepRs.map { r =>
+        val b = MinhashK / r
+        val bandSelects = (0 until b).map { bi =>
+          val key = (0 until r).map(j => s"CAST(sig[${bi * r + j + 1}] AS VARCHAR)")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, $bi AS band, ${Portable.h60Sql(key)} AS bkey FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""b0_$r AS (
+           |  $bandSelects),
+           |b_$r AS (
+           |  SELECT doc_id, band, bkey FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM b0_$r)
+           |  WHERE bn <= $MaxBucket),
+           |c_$r AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM b_$r a JOIN b_$r b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |s_$r AS (
+           |  SELECT CAST($r AS BIGINT) AS rows_per_band, CAST($b AS BIGINT) AS n_bands,
+           |         count(*) AS n_candidates,
+           |         CAST(coalesce(sum(CASE WHEN
+           |             CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) /
+           |             CAST(len(list_distinct(list_concat(x.shset, y.shset))) AS DOUBLE) >= ${JaccT}e0
+           |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+           |  FROM c_$r c JOIN sig x ON c.ida = x.doc_id JOIN sig y ON c.idb = y.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val sel = LshSweepRs.map(r => s"SELECT * FROM s_$r").mkString("\n  UNION ALL ")
+      s"""WITH $sigCtesSql,
+         |$cfg,
+         |allcfg AS (
+         |  $sel)
+         |SELECT rows_per_band, n_bands, n_candidates, n_verified,
+         |  CASE WHEN n_candidates > 0 THEN (n_verified * 1000000) // n_candidates
+         |       ELSE CAST(0 AS BIGINT) END AS precision_ppm
+         |FROM allcfg""".stripMargin
+    },
     "vocab_topk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($tkSql) AS term FROM documents),
@@ -1997,6 +2154,26 @@ object TextOps {
          |  CASE WHEN re_tokens > 0 THEN (n_chars * 1000000) // re_tokens
          |       ELSE CAST(0 AS BIGINT) END AS chars_per_re_ppm
          |FROM g""".stripMargin,
+    "bigram_lift" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT split_part(p, ' ', 1) AS w1, split_part(p, ' ', 2) AS w2
+         |  FROM (SELECT unnest(${Portable.shinglesSql("tk", 2)}) AS p FROM toks)),
+         |big AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left FROM big GROUP BY 1),
+         |r AS (SELECT w2, CAST(sum(c_bigram) AS BIGINT) AS c_right FROM big GROUP BY 1),
+         |t AS (SELECT CAST(sum(c_bigram) AS BIGINT) AS n_bigrams FROM big),
+         |top AS (
+         |  SELECT w1, w2, c_bigram,
+         |         row_number() OVER (ORDER BY c_bigram DESC, w1, w2) AS rnk
+         |  FROM big)
+         |SELECT p.rnk, p.w1, p.w2, p.c_bigram, l.c_left, r.c_right,
+         |       CAST((CAST(p.c_bigram AS HUGEINT) * t.n_bigrams * 1000000)
+         |            // (CAST(l.c_left AS HUGEINT) * r.c_right) AS BIGINT) AS lift_ppm
+         |FROM top p
+         |JOIN l ON p.w1 = l.w1
+         |JOIN r ON p.w2 = r.w2, t
+         |WHERE p.rnk <= $LmK""".stripMargin,
     "ngram_lm_counts" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |bg AS (

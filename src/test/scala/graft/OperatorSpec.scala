@@ -139,6 +139,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(rows.length == 4 && rows.forall(r =>
           r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L),
           s"filter_funnel empty-input report malformed")
+      } else if (n == "ivf_balance_report") {
+        // an empty INDEX still has its cells: the report must show
+        // every cell at 0 occupancy, 0 ppm (the all-empty state is
+        // itself the re-train signal)
+        val rows = df.collect()
+        assert(rows.length == AnnOps.NCells && rows.forall(r =>
+          r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L),
+          s"ivf_balance_report empty-index report malformed")
+      } else if (n == "lsh_band_sweep") {
+        // a TOTALS report per config: 0 candidates / 0 verified rows,
+        // not a vanished sweep
+        val rows = df.collect()
+        assert(rows.length == TextOps.LshSweepRs.size && rows.forall(r =>
+          r.getLong(2) == 0L && r.getLong(3) == 0L),
+          s"lsh_band_sweep empty-input report malformed")
       } else
         assert(df.count() == 0, s"$n returned rows on empty input")
     }
@@ -650,13 +665,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
         "pack_mix_sequences", "ann_ivf_topk", "semdedup",
         "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk",
+        // ann_ivf_pq_topk: composes the IVF centroid-table assignment
+        // + the 128-row PQ codebook broadcast (both dimension-sized)
+        "ann_ivf_pq_topk",
+        // bigram_lift: one-row bigram-total scalar join onto the
+        // K-row top list
+        "bigram_lift",
         "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys",
         // session_cooccurrence / churn_flags: one-row scalar joins
         // (session total / activity watermark) onto bounded results
         "session_cooccurrence", "churn_flags",
         // quantize_error: the ann_sq_topk one-row per-dim scale
         // broadcast, reused for the error report
-        "quantize_error")
+        "quantize_error",
+        // kmv_intersect: the type-dimension² pair cross — two
+        // broadcast-sized DISTINCT-type dims (the session_cooccurrence
+        // fan-out bound), onto ≤K-row sketch states
+        "kmv_intersect",
+        // ivf_balance_report / mix_deficit_report / rfm_segments:
+        // one-row totals/watermark scalar joins onto bounded results
+        "ivf_balance_report", "mix_deficit_report", "rfm_segments")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -1910,6 +1938,54 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length).toSeq, s"q=$q ranks")
   }
 
+  test("ann_ivf_pq_topk equals the plain-Scala IVF-pruned ADC recompute") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.sources.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    def cent(c: Int): Array[Double] =
+      (0 until AnnOps.Dim).map(i => AnnOps.centroidCoef(c, i).toDouble).toArray
+    // argmax-dot cell, tie lowest cell
+    def cellOf(v: Array[Double]): Int =
+      (0 until AnnOps.NCells).maxBy(c => (dot(v, cent(c)), -c))
+    // probed cells: top NProbe by (dot desc, c desc)
+    def probed(q: Array[Double]): Set[Int] =
+      (0 until AnnOps.NCells).sortBy(c => (-dot(q, cent(c)), -c))
+        .take(AnnOps.NProbe).toSet
+    def recon(v: Array[Double]): Array[Double] =
+      (0 until AnnOps.PqM).flatMap { m =>
+        val sub = v.slice(m * AnnOps.PqDsub, (m + 1) * AnnOps.PqDsub)
+        val best = (0 until AnnOps.PqK).maxBy { c =>
+          (dot(sub, (0 until AnnOps.PqDsub).map(i => AnnOps.pqCoef(m, c, i).toDouble).toArray), -c)
+        }
+        (0 until AnnOps.PqDsub).map(i => AnnOps.pqCoef(m, best, i).toDouble)
+      }.toArray
+    val cells = embs.map { case (id, v) => id -> cellOf(v) }
+    val recons = embs.map { case (id, v) => id -> recon(v) }
+    val expected = embs.keys.filter(_ % AnnOps.QMod == 0).flatMap { q =>
+      val pc = probed(embs(q))
+      val qn = nrm(embs(q))
+      embs.keys.toSeq
+        .filter(v => v != q && pc.contains(cells(v)) && nrm(recons(v)) > 0)
+        .map(v => (v, dot(embs(q), recons(v)) / (qn * nrm(recons(v)))))
+        .sortBy { case (v, sc) => (-sc, v) }
+        .take(AnnOps.TopK).zipWithIndex
+        .map { case ((v, sc), i) => (q, v, i + 1, sc) }
+    }.toSet
+    val got = AnnOps.annIvfPqTopk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val gotKeys = got.map(t => (t._1, t._2, t._3)).toSet
+    val expKeys = expected.map(t => (t._1, t._2, t._3))
+    assert(gotKeys == expKeys, "IVF-pruned ADC (q, vec, rnk) set differs from recompute")
+    val expScore = expected.map(t => (t._1, t._2) -> t._4).toMap
+    for ((q, v, _, sc) <- got)
+      assert(math.abs(sc - expScore((q, v))) < 1e-9, s"q=$q v=$v ADC score mismatch")
+  }
+
   test("ann_sq_topk quantization is within the SQ8 half-step bound") {
     import org.apache.spark.sql.functions._
     // recompute the per-dim scales and check every reconstructed
@@ -2239,6 +2315,166 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(out.exists(e => e._1 == 999999L && e._4), "planted outlier not flagged")
     assert(out.count(_._4) < out.length / 10, "outliers must be rare")
+  }
+
+  test("vocab_oov_rate ties out against vocab_topk membership") {
+    val vocab = TextOps.vocabTopk(spark, Sf).collect().map(_.getString(1)).toSet
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("source", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => r.getString(0) -> t))
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2.split(" ", -1))
+      src -> ((toks.length.toLong, toks.count(t => !vocab.contains(t)).toLong))
+    }
+    val got = TextOps.vocabOovRate(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    for ((src, (n, oov)) <- exp) {
+      val (gn, goov, gppm) = got(src)
+      assert(gn == n && goov == oov, s"$src counts")
+      assert(gppm == oov * 1000000L / n, s"$src ppm")
+    }
+  }
+
+  test("lsh_band_sweep precision rises with rows per band; r=2 verified ties to dup pairs") {
+    val rows = TextOps.lshBandSweep(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == TextOps.LshSweepRs.map(_.toLong).toSet)
+    for ((r, (b, cand, ver, ppm)) <- rows) {
+      assert(b == TextOps.MinhashK / r, s"r=$r band count")
+      assert(ver <= cand, s"r=$r verified bounded by candidates")
+      assert(ppm == (if (cand > 0) ver * 1000000L / cand else 0L), s"r=$r ppm")
+    }
+    // monotonicity of the S-curve: more rows per band -> fewer (or
+    // equal) candidates; precision must not degrade going 1 -> 4
+    assert(rows(1L)._2 >= rows(2L)._2 && rows(2L)._2 >= rows(4L)._2,
+      "candidate volume must shrink as rows-per-band grows")
+    assert(rows(4L)._4 >= rows(1L)._4, "precision must not drop from r=1 to r=4")
+  }
+
+  test("quantile_hist_sketch brackets the exact quantiles from below within 2x") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val cents = graft.sources.Tables.events(spark, Sf)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = cents.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val got = graft.operators.SketchOps.quantileHistSketch(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4)))))
+      .toMap
+    assert(got.keySet == byType.keySet)
+    for ((t, vals) <- byType; ((q, lo)) <- graft.operators.SketchOps.HistQs.zip(got(t)._2)) {
+      val n = vals.length
+      assert(got(t)._1 == n.toLong, s"$t n")
+      val exact = vals((n * q + 99) / 100 - 1) // ceil-rank order statistic
+      if (exact <= 0) assert(lo == 0L, s"$t p$q non-positive bucket")
+      else {
+        assert(lo <= exact, s"$t p$q lower bound ($lo > $exact)")
+        assert(exact < 2L * lo || lo == 0L, s"$t p$q within 2x ($lo vs $exact)")
+      }
+    }
+  }
+
+  test("bigram_lift matches a plain-Scala lift recompute over the bigram space") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("text").collect()
+      .flatMap(r => Option(r.getString(0)))
+    val bigrams = docs.flatMap { t =>
+      val tk = t.split(" ", -1)
+      if (tk.length < 2) Seq.empty else tk.sliding(2).map(w => (w(0), w(1))).toSeq
+    }
+    val big = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val left = big.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val right = big.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val n = big.values.sum
+    val top = big.toSeq.sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(TextOps.LmK)
+    val exp = top.zipWithIndex.map { case (((w1, w2), c), i) =>
+      val lift = (BigInt(c) * n * 1000000 / (BigInt(left(w1)) * right(w2))).toLong
+      (i + 1, w1, w2, c, left(w1), right(w2), lift)
+    }.toSet
+    val got = TextOps.bigramLift(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == exp, "bigram lift table differs from recompute")
+  }
+
+  test("data_split is a frozen pure function of doc_id with the advertised fractions") {
+    def h60(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val got = MixOps.dataSplit(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    for ((id, bucket, split) <- got) {
+      val eb = h60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
+      assert(bucket == eb, s"doc $id bucket")
+      val es = if (eb < MixOps.TestPct) "test" else if (eb < MixOps.ValPct) "val" else "train"
+      assert(split == es, s"doc $id split")
+    }
+    // all three splits materialize and train dominates (loose bound:
+    // binomial noise at the sf0.001 doc count stays well inside it)
+    val bySplit = got.groupBy(_._3).map { case (k, v) => k -> v.length }
+    assert(bySplit.keySet == Set("train", "val", "test"), s"splits seen: ${bySplit.keySet}")
+    assert(bySplit("train") > got.length / 2, "train must dominate")
+    // FROZEN: membership is per-doc, so a corpus subset changes nothing
+    val half = got.filter(_._1 % 2 == 0).map(t => t._1 -> t._3).toMap
+    for ((id, s2) <- half) {
+      val eb = h60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
+      val es = if (eb < MixOps.TestPct) "test" else if (eb < MixOps.ValPct) "val" else "train"
+      assert(s2 == es)
+    }
+  }
+
+  test("robust_spend_stats matches a plain-Scala winsorized recompute") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .selectExpr("event_type", "event_id", "cast(round(value * 100) as bigint) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = EventOps.robustSpendStats(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    for ((t, rows) <- byType) {
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length
+      def pick(pct: Int): Long = sorted((n * pct + 99) / 100 - 1)
+      val (p01, p99) = (pick(1), pick(99))
+      val wsum = rows.map(r => math.min(math.max(r._3, p01), p99)).sum
+      val (gn, gp01, gp99, gsum, gmean) = got(t)
+      assert(gn == n.toLong && gp01 == p01 && gp99 == p99 && gsum == wsum, s"$t stats")
+      assert(gmean == wsum.toDouble / n.toDouble, s"$t mean")
+      assert(gp01 <= gp99, s"$t bound order")
+    }
+  }
+
+  test("streaming_quantile_hist equals the batch sketch and survives a forced multi-batch split") {
+    import org.apache.spark.sql.functions.col
+    val batch = sortedRows(graft.operators.SketchOps.quantileHistSketch(spark, Sf))
+    val stream = sortedRows(graft.streaming.StreamingQuantileHist.run(spark, Sf))
+    assert(stream == batch, "single-batch streaming histogram differs from batch sketch")
+    // the merge is plain per-bucket addition (associative+commutative),
+    // so the FINAL emission per key — the one with the maximal n, which
+    // grows monotonically — must equal the batch report under any split
+    val dir = java.nio.file.Files.createTempDirectory("graft_qhist").toString
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/src/b.parquet")
+    val q = graft.streaming.StreamingQuantileHist
+      .histStream(spark, s"$dir/src/*.parquet", ev.schema)
+      .writeStream.format("memory").queryName("qhist_multi")
+      .option("maxFilesPerTrigger", 1)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = spark.table("qhist_multi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+    val expect = graft.operators.SketchOps.quantileHistSketch(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(fin == expect, "final multi-batch histogram differs from batch sketch")
   }
 
   test("tokenizer_fertility sums tie out against token_count; ratios are exact div") {
