@@ -89,8 +89,10 @@ object Bench {
     // per-query number (round-11 lesson: filter_funnel's driver time
     // was unexplainable because attribution depended on run order).
     val setupT0 = System.nanoTime()
-    try graft.operators.TextOps.warmCaches(spark, sfDir)
-    catch { case e: Throwable =>
+    try {
+      graft.operators.TextOps.warmCaches(spark, sfDir)
+      graft.operators.AnnOps.warmCaches(spark, sfDir)
+    } catch { case e: Throwable =>
       System.err.println(s"SETUP FAILURE: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
     val setupSec = (System.nanoTime() - setupT0) / 1e9

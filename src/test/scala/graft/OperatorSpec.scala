@@ -147,6 +147,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(rows.length == AnnOps.NCells && rows.forall(r =>
           r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L),
           s"ivf_balance_report empty-index report malformed")
+      } else if (n == "minhash_recall_sample") {
+        // a one-row totals report: zero sample docs / zero pairs,
+        // vacuous recall 1e6 — not a vanished report
+        val rows = df.collect()
+        assert(rows.length == 1 && rows.head.getLong(0) == 0L &&
+          rows.head.getLong(1) == 0L && rows.head.getLong(2) == 0L &&
+          rows.head.getLong(3) == 1000000L,
+          s"minhash_recall_sample empty-input report malformed")
       } else if (n == "lsh_band_sweep") {
         // a TOTALS report per config: 0 candidates / 0 verified rows,
         // not a vanished sweep
@@ -671,6 +679,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         // bigram_lift: one-row bigram-total scalar join onto the
         // K-row top list
         "bigram_lift",
+        // minhash_recall_sample: the SAMPLE-bounded ground-truth
+        // cross (deterministic 1/32 slice against itself — the eval
+        // pattern) + three one-row count scalar joins
+        "minhash_recall_sample",
+        // split_balance_report: one-row doc-total scalar join onto
+        // the (split × source) dimension cells
+        "split_balance_report",
         "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys",
         // session_cooccurrence / churn_flags: one-row scalar joins
         // (session total / activity watermark) onto bounded results
@@ -2375,6 +2390,48 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhash_recall_sample ties out against exact sample pairs and the banded verify") {
+    def h60(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    def shset(t: String): Set[String] =
+      if (t == null) Set.empty
+      else {
+        val tk = t.split(" ", -1)
+        if (tk.length < TextOps.ShingleN) Set.empty
+        else tk.sliding(TextOps.ShingleN).map(_.mkString(" ")).toSet
+      }
+    val sample = docs.filter { case (id, _) =>
+      h60(s"$id:${TextOps.RecallSalt}") % TextOps.RecallSampleMod == 0
+    }.map { case (id, t) => id -> shset(t) }
+    def jacc(a: Set[String], b: Set[String]): Double =
+      (a & b).size.toDouble / (a | b).size.toDouble
+    val truePairs = (for {
+      (ia, sa) <- sample; (ib, sb) <- sample
+      if ia < ib && jacc(sa, sb) >= TextOps.JaccT
+    } yield (ia, ib)).toSet
+    val sampleIds = sample.map(_._1).toSet
+    // the banded-candidate verify, via the registered ngram_jaccard op
+    val found = TextOps.ngramJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => t._3 >= TextOps.JaccT &&
+        sampleIds.contains(t._1) && sampleIds.contains(t._2))
+      .map(t => (t._1, t._2)).toSet
+    assert(found.subsetOf(truePairs), "banding can only miss, never invent pairs")
+    val r = TextOps.minhashRecallSample(spark, Sf).collect()
+    assert(r.length == 1)
+    val (gn, gt, gf, gp) = (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+    assert(gn == sample.length.toLong, "sample size")
+    assert(gt == truePairs.size.toLong, "true pair count")
+    assert(gf == found.size.toLong, "found pair count")
+    assert(gp == (if (gt > 0) gf * 1000000L / gt else 1000000L), "recall ppm")
+  }
+
   test("bigram_lift matches a plain-Scala lift recompute over the bigram space") {
     val docs = graft.sources.Tables.documents(spark, Sf)
       .select("text").collect()
@@ -2424,6 +2481,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       val eb = h60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
       val es = if (eb < MixOps.TestPct) "test" else if (eb < MixOps.ValPct) "val" else "train"
       assert(s2 == es)
+    }
+  }
+
+  test("split_balance_report ppm arithmetic ties out against data_split") {
+    val sp = MixOps.dataSplit(spark, Sf).collect()
+      .map(r => (r.getString(3), r.getString(1))) // (split, source)
+    val cells = sp.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val bySplit = sp.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val bySrc = sp.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val total = sp.length.toLong
+    val got = MixOps.splitBalanceReport(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == cells.keySet, "one row per observed (split, source) cell")
+    for (((split, src), n) <- cells) {
+      val (gn, share, global, skew) = got((split, src))
+      assert(gn == n, s"($split,$src) count")
+      assert(share == n * 1000000L / bySplit(split), s"($split,$src) share")
+      assert(global == bySrc(src) * 1000000L / total, s"($split,$src) global")
+      assert(skew == share - global, s"($split,$src) skew")
     }
   }
 
