@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryFn
@@ -173,6 +173,143 @@ object SketchOps {
           s"ELSE shiftleft(CAST(1 AS BIGINT), CAST(b$q AS INT)) END").as(s"p${q}_lo")): _*)
   }
 
+  val HllM = 64      // registers (p = 6 index bits)
+  val HllWBits = 54  // 60-bit h60 minus the 6 index bits
+  /** alpha_m · m² · 2^55 for m = 64 (Flajolet et al. 2007 §4:
+    * alpha_m = 0.7213 / (1 + 1.079/m)) — the whole float part of the
+    * HLL estimate collapsed into ONE literal, so the only float op at
+    * eval time is a single division by the exact integer harmonic
+    * sum. */
+  val HllEstNum: Double = 0.7213 / (1.0 + 1.079 / HllM) * (HllM.toDouble * HllM) *
+    math.pow(2.0, HllWBits + 1)
+
+  /** rho(w) = position of the highest set bit counted from the top of
+    * the 54-bit window (1 = top bit set, 54 = only bit 0 set, 55 =
+    * w = 0) as a portable integer CASE chain — the [[histBucketChain]]
+    * idiom; `sqlLong` spells int64 literals per engine. */
+  private def hllRhoChain(sqlLong: Long => String): String =
+    (HllWBits - 1 to 0 by -1)
+      .map(b => s"WHEN w >= ${sqlLong(1L << b)} THEN ${sqlLong(HllWBits - b)}")
+      .mkString("CASE ", " ", s" ELSE ${sqlLong(HllWBits + 1)} END")
+
+  /** HyperLogLog distinct users per event_type — the CONSTANT-state
+    * counterpart of [[distinctKmv]]: where KMV keeps K hash values,
+    * HLL keeps m = 64 six-bit registers (max leading-zero rank per
+    * register), merged by per-register MAX — associative, commutative,
+    * idempotent, so the same state unions across partitions, days and
+    * datacenters, and duplicates cost nothing. Everything up to the
+    * last division is integer and bit-exact cross-engine: register
+    * index = low 6 hash bits, rho = CASE-chain rank over the top 54
+    * bits, and the harmonic denominator is computed EXACTLY as
+    * harm_sum = Σ 2^(55 − rho_j) ≤ 64·2^55 < 2^62 (empty registers
+    * contribute 2^55), so est = [[HllEstNum]] / harm_sum is one float
+    * division of two exact values. No small/large-range corrections —
+    * n_zero is emitted so a consumer can see when the linear-counting
+    * regime applies (the raw estimate is still deterministic). */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.events(s, d)
+      .select(col("event_type"),
+        Portable.h60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+    val regs = h
+      .select(col("event_type"), (col("h") % HllM).as("reg"),
+        expr(s"h div $HllM").as("w"))
+      .withColumn("rho", expr(hllRhoChain(v => s"${v}L")))
+      .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("mrho"))
+    regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(1L, cast(${HllWBits + 1} - mrho as int))")).as("s_present"))
+      .select(col("event_type"),
+        (lit(HllM.toLong) - col("n_regs")).as("n_zero"),
+        (col("s_present") +
+          (lit(HllM.toLong) - col("n_regs")) * lit(1L << (HllWBits + 1))).as("harm_sum"))
+      .withColumn("est_hll", lit(HllEstNum) / col("harm_sum").cast("double"))
+  }
+
+  // Count-Min sketch sizing. Production sizing is w = ceil(e/eps),
+  // d = ceil(ln(1/delta)); here w is deliberately SMALLER than the
+  // corpus vocabulary (31 terms at any sf — the generator's word
+  // list) so counter collisions actually occur and the overestimate
+  // arithmetic is exercised, not vacuously zero.
+  val CmsD = 3     // hash rows
+  val CmsW = 16    // counters per row
+  val CmsTopK = 20 // error-report size
+  val HhDen = 40   // heavy-hitter threshold: count ≥ n_total / HhDen
+
+  /** Exact per-term occurrence counts — one explode + one
+    * partial-aggregable groupBy(term); the shuffle carries one row per
+    * (partition × distinct term) after map-side combine. */
+  private def cmsTermCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(Portable.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  private def cmsPos(i: Column, term: Column): Column =
+    Portable.h60(concat(lit("cm"), i.cast("string"), lit(":"), term)) % CmsW
+
+  /** The d×w counter table (CmsD · CmsW rows — broadcast-sized at ANY
+    * corpus size, which is the point of the sketch). Built from the
+    * pre-aggregated term counts — identical, by the sketch's own
+    * additivity, to streaming every token through the counters. */
+  private def cmsCounters(tc: DataFrame): DataFrame =
+    tc.select(col("term"), col("cnt"),
+        explode(array((0 until CmsD).map(lit): _*)).as("i"))
+      .select(col("i"), cmsPos(col("i"), col("term")).as("pos"), col("cnt"))
+      .groupBy(col("i"), col("pos")).agg(sum(col("cnt")).as("cw"))
+
+  /** CM point estimate (min over the d counters each term hashes to)
+    * for every term in `probe` — a map-side broadcast join against the
+    * fixed-size counter table; no shuffle beyond the final per-term
+    * min, whose input is exactly d rows per term. */
+  private def cmsEstimate(probe: DataFrame, counters: DataFrame): DataFrame =
+    probe.select(col("term"),
+        explode(array((0 until CmsD).map(lit): _*)).as("i"))
+      .withColumn("pos", cmsPos(col("i"), col("term")))
+      .join(broadcast(counters), Seq("i", "pos"))
+      .groupBy(col("term")).agg(min(col("cw")).as("est"))
+
+  /** Count-Min error report: the exact top-K terms with their CM point
+    * estimates and the overestimate in ppm — the sketch-QA table that
+    * tells an operator whether the configured (d, w) is tight enough
+    * for the corpus at hand. est ≥ cnt ALWAYS (CM never
+    * underestimates — the spec asserts it); the ppm is exact integer
+    * division. Scale shape: exact counts are one partial-agg groupBy,
+    * the top-K is distributed (TakeOrderedAndProject), and the probe
+    * joins a broadcast counter table — nothing here grows with corpus
+    * size except the one term-count shuffle every vocab report already
+    * pays. */
+  def cmsErrorReport(s: SparkSession, d: String): DataFrame = {
+    val tc = cmsTermCounts(s, d)
+    val counters = cmsCounters(tc)
+    val top = tc.orderBy(col("cnt").desc, col("term")).limit(CmsTopK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    cmsEstimate(top.select(col("term")), counters)
+      .join(top, Seq("term"))
+      .select(col("rnk"), col("term"), col("cnt"), col("est"),
+        expr("((est - cnt) * 1000000) div cnt").as("over_ppm"))
+  }
+
+  /** Sketch-guided heavy hitters: candidate terms whose CM ESTIMATE
+    * clears the n/[[HhDen]] threshold, then an exact recount of just
+    * those candidates — the two-pass shape that finds heavy hitters at
+    * 100 TB without ever shuffling the full term distribution twice:
+    * pass 1 streams tokens into the fixed-size counters, pass 2
+    * recounts only the candidate set (CM overestimates, so candidates
+    * ⊇ true heavy hitters — no false negatives, and `is_heavy` marks
+    * the false positives the exact recount disproves). The one-row
+    * total join is broadcast-scalar (allowlisted shape). */
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tc = cmsTermCounts(s, d)
+    val counters = cmsCounters(tc)
+    val total = tc.agg(sum(col("cnt")).as("n_total"))
+    cmsEstimate(tc.select(col("term")), counters)
+      .crossJoin(broadcast(total))
+      .filter(col("est") >= expr(s"n_total div $HhDen"))
+      .join(tc, Seq("term"))
+      .select(col("term"), col("est"), col("cnt"),
+        (col("cnt") >= expr(s"n_total div $HhDen")).as("is_heavy"))
+  }
+
   val BloomBits  = 1024 // m: filter size (32 words x 32 bits)
   val BloomWords = 32
   val BloomK     = 3    // hash functions
@@ -223,10 +360,63 @@ object SketchOps {
     "distinct_kmv" -> (distinctKmv _),
     "kmv_intersect" -> (kmvIntersect _),
     "quantile_hist_sketch" -> (quantileHistSketch _),
-    "bloom_semi_filter" -> (bloomSemiFilter _)
+    "bloom_semi_filter" -> (bloomSemiFilter _),
+    "hll_distinct" -> (hllDistinct _),
+    "cms_error_report" -> (cmsErrorReport _),
+    "cms_heavy_hitters" -> (cmsHeavyHitters _)
   )
 
+  private def cmsCtes: String =
+    s"""toks AS (SELECT unnest(${Portable.tokensSql("text")}) AS term FROM documents),
+       |tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+       |jx AS (SELECT unnest(range(0, $CmsD)) AS i),
+       |cpos AS (
+       |  SELECT i, ${Portable.h60Sql("'cm' || CAST(i AS VARCHAR) || ':' || term")} % $CmsW AS pos,
+       |         term, cnt
+       |  FROM tc, jx),
+       |ctr AS (SELECT i, pos, sum(cnt) AS cw FROM cpos GROUP BY 1, 2),
+       |est AS (
+       |  SELECT p.term, CAST(min(c.cw) AS BIGINT) AS est
+       |  FROM cpos p JOIN ctr c ON p.i = c.i AND p.pos = c.pos
+       |  GROUP BY p.term)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "hll_distinct" -> {
+      val chain = hllRhoChain(v => v.toString)
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         ${Portable.h60Sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |rw AS (SELECT event_type, h % $HllM AS reg, h // $HllM AS w FROM h),
+         |rr AS (SELECT event_type, reg, $chain AS rho FROM rw),
+         |mx AS (SELECT event_type, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT event_type, count(*) AS n_regs,
+         |         sum(CAST(1 AS BIGINT) << CAST(${HllWBits + 1} - mrho AS INTEGER)) AS s_present
+         |  FROM mx GROUP BY 1)
+         |SELECT event_type,
+         |       CAST($HllM - n_regs AS BIGINT) AS n_zero,
+         |       CAST(s_present + ($HllM - n_regs) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS BIGINT) AS harm_sum,
+         |       ${Portable.dl(HllEstNum)} /
+         |         CAST(CAST(s_present + ($HllM - n_regs) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS BIGINT) AS DOUBLE)
+         |         AS est_hll
+         |FROM ag""".stripMargin
+    },
+    "cms_error_report" ->
+      s"""WITH $cmsCtes,
+         |top AS (
+         |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+         |  FROM tc ORDER BY cnt DESC, term LIMIT $CmsTopK)
+         |SELECT t.rnk, t.term, t.cnt, e.est,
+         |       ((e.est - t.cnt) * 1000000) // t.cnt AS over_ppm
+         |FROM top t JOIN est e ON t.term = e.term""".stripMargin,
+    "cms_heavy_hitters" ->
+      s"""WITH $cmsCtes,
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM tc)
+         |SELECT e.term, e.est, t.cnt,
+         |       (t.cnt >= (SELECT n_total FROM tot) // $HhDen) AS is_heavy
+         |FROM est e JOIN tc t ON e.term = t.term
+         |WHERE e.est >= (SELECT n_total FROM tot) // $HhDen""".stripMargin,
     "bloom_semi_filter" ->
       s"""WITH pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
          |us AS (SELECT DISTINCT user_id FROM events),

@@ -2958,6 +2958,71 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp < 0.5, s"false-positive rate $fp implausibly high")
   }
 
+  test("hll_distinct matches a plain-Scala register recompute; estimate within HLL error") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val hs = ev.select(col("event_type"),
+        graft.functions.Portable.h60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val m = SketchOps.HllM
+    val wb = SketchOps.HllWBits
+    def rho(w: Long): Long = if (w == 0) wb + 1 else wb - (63 - java.lang.Long.numberOfLeadingZeros(w))
+    val regs = hs.groupBy(_._1).map { case (t, rows) =>
+      val mx = rows.map { case (_, h) => ((h % m).toInt, rho(h / m)) }
+        .groupBy(_._1).map { case (r, v) => r -> v.map(_._2).max }
+      t -> mx
+    }
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SketchOps.hllDistinct(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == regs.keySet)
+    for ((t, nZero, harm, est) <- got) {
+      val mx = regs(t)
+      assert(nZero == m - mx.size, s"$t n_zero mismatch")
+      val expHarm = mx.values.map(r => 1L << (wb + 1 - r)).sum +
+        (m - mx.size).toLong * (1L << (wb + 1))
+      assert(harm == expHarm, s"$t harmonic sum mismatch: $harm vs $expHarm")
+      assert(est == SketchOps.HllEstNum / expHarm.toDouble)
+      // raw HLL (no linear-counting correction — ln() is not portable
+      // cross-engine): in the small-range regime (n << m) the raw
+      // estimate is known-biased HIGH toward ~m, so the sanity band is
+      // anchored at max(exact, m); in-range groups sit within ~3 sigma
+      // (sigma = 1.04/sqrt(64) = 13%) of exact.
+      val anchor = math.max(exact(t).toDouble, m.toDouble)
+      assert(est > anchor * 0.4 && est < anchor * 4.0,
+        s"$t estimate $est implausible vs exact ${exact(t)} (anchor $anchor)")
+    }
+  }
+
+  test("cms: estimates never underestimate, heavy-hitter candidates are a superset") {
+    val er = SketchOps.cmsErrorReport(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(er.nonEmpty && er.length <= SketchOps.CmsTopK)
+    for ((_, t, cnt, est, over) <- er) {
+      assert(est >= cnt, s"CM underestimated '$t': $est < $cnt — guarantee broken")
+      assert(over == (est - cnt) * 1000000L / cnt, s"'$t' over_ppm arithmetic")
+    }
+    // exact term counts straight off the table (plain Scala)
+    val counts = graft.sources.Tables.documents(spark, Sf)
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1)).toSeq
+      .groupBy(identity).map { case (t, v) => (t, v.size.toLong) }
+    val thresh = counts.values.sum / SketchOps.HhDen
+    val hh = SketchOps.cmsHeavyHitters(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val candidates = hh.map(_._1).toSet
+    for ((t, c) <- counts if c >= thresh)
+      assert(candidates.contains(t),
+        s"true heavy hitter '$t' ($c >= $thresh) missing from candidates — superset broken")
+    for ((t, est, cnt, isHeavy) <- hh) {
+      assert(cnt == counts(t), s"'$t' exact recount mismatch")
+      assert(est >= cnt, s"'$t' CM underestimated")
+      assert(isHeavy == (cnt >= thresh), s"'$t' is_heavy flag wrong")
+    }
+  }
+
   test("dwell_times matches a plain-Scala nearest-rank recomputation") {
     val evs = plainEvents()
     val deltas = evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
