@@ -37,7 +37,8 @@ object SparkEntry {
         "streaming_sliding_counts" -> ((s, d) => graft.streaming.StreamingSlidingCounts.run(s, d)),
         "streaming_distinct_kmv" -> ((s, d) => graft.streaming.StreamingDistinctKmv.run(s, d)),
         "streaming_hot_keys" -> ((s, d) => graft.streaming.StreamingHotKeys.run(s, d)),
-        "streaming_quantile_hist" -> ((s, d) => graft.streaming.StreamingQuantileHist.run(s, d)))
+        "streaming_quantile_hist" -> ((s, d) => graft.streaming.StreamingQuantileHist.run(s, d)),
+        "streaming_hll" -> ((s, d) => graft.streaming.StreamingHll.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,5 +63,6 @@ object SparkEntry {
         "streaming_sliding_counts" -> EventOps.oracles("sliding_window_counts"),
         "streaming_distinct_kmv" -> SketchOps.oracles("distinct_kmv"),
         "streaming_hot_keys" -> EventOps.oracles("hot_keys"),
-        "streaming_quantile_hist" -> SketchOps.oracles("quantile_hist_sketch"))
+        "streaming_quantile_hist" -> SketchOps.oracles("quantile_hist_sketch"),
+        "streaming_hll" -> SketchOps.oracles("hll_distinct"))
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 import graft.QueryFn
+import graft.functions.Portable
 import graft.sources.Tables
 
 /** Clickstream-style operators over the `events` table: gap-rule
@@ -548,6 +549,56 @@ object EventOps {
         expr("(n * 1000000) div total").cast("long").as("share_ppm"))
   }
 
+  val SkewP = 32 // simulated shuffle-partition count for the skew audit
+
+  /** Shuffle-partition SKEW audit: simulate hash-partitioning the
+    * events on `user_id` into [[SkewP]] partitions and report each
+    * partition's row count, distinct-key count, corpus share and
+    * skew ratio (1e6 = perfectly balanced) — the table that tells an
+    * operator whether a planned `groupBy(user_id)`/join will stall on
+    * a straggler partition BEFORE paying the shuffle, and whether the
+    * cause is one hot key ([[hotKeys]] territory: n_keys small, rows
+    * huge) or key-space clumping (n_keys comparable, rows skewed —
+    * fix with a different key or partition count). One partial-agg
+    * groupBy over a pure hash projection + a one-row total broadcast;
+    * the audit costs one scan at any scale. */
+  def shuffleSkewReport(s: SparkSession, d: String): DataFrame = {
+    val parts = events(s, d).select(
+      (Portable.h60(concat(lit("pt:"), col("user_id").cast("string"))) % SkewP)
+        .as("part"),
+      col("user_id"))
+    val agg = parts.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_keys"))
+    val tot = agg.agg(sum(col("n_rows")).as("total"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("part"), col("n_rows"), col("n_keys"),
+        expr("(n_rows * 1000000) div total").as("share_ppm"),
+        expr(s"(n_rows * $SkewP * 1000000) div total").as("skew_ppm"))
+  }
+
+  val SaltTasks = 128L // target parallelism the salt plan sizes against
+
+  /** Salt PLAN for the skewed keys: given a target parallelism of
+    * [[SaltTasks]] ways, every key whose row count exceeds the
+    * balanced per-task share (total/[[SaltTasks]], floor 1) gets a
+    * salt factor ceil(n/target) — the exact replication
+    * `Joins.saltedJoin` (or manual key-salting before a groupBy)
+    * should apply so no single salted bucket exceeds the balanced
+    * share. `post_rows` = ceil(n/salt) is the worst salted-bucket
+    * size the plan guarantees. Keys at or under the share are omitted
+    * (salt 1 — no action). One partial-agg groupBy + a one-row total
+    * broadcast; all-integer ceil-division arithmetic. */
+  def saltPlan(s: SparkSession, d: String): DataFrame = {
+    val cnt = events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("target_rows", greatest(lit(1L), expr(s"total div $SaltTasks")))
+      .withColumn("salt", expr("(n + target_rows - 1) div target_rows"))
+      .filter(col("salt") > 1)
+      .select(col("user_id"), col("n"), col("target_rows"), col("salt"),
+        expr("(n + salt - 1) div salt").as("post_rows"))
+  }
+
   /** Dwell-time distribution: per event_type, the nearest-rank
     * p50/p90 (and min/max) of the time to the SAME USER's next event —
     * the engagement statistic (and the session-gap calibration input:
@@ -809,6 +860,8 @@ object EventOps {
     "dwell_times"         -> (dwellTimes _),
     "running_distinct_types" -> (runningDistinctTypes _),
     "hot_keys"            -> (hotKeys _),
+    "shuffle_skew_report" -> (shuffleSkewReport _),
+    "salt_plan"           -> (saltPlan _),
     "timeseries_fill"     -> (timeseriesFill _),
     "attribution_linear"  -> (attributionLinear _),
     "asof_nearest"        -> (asofNearest _),
@@ -1003,6 +1056,27 @@ object EventOps {
          |tot AS (SELECT count(*) AS total FROM ev)
          |SELECT user_id, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
          |FROM cnt, tot ORDER BY n DESC, user_id LIMIT $HotK""".stripMargin,
+    "shuffle_skew_report" ->
+      s"""WITH p AS (
+         |  SELECT ${Portable.h60Sql("'pt:' || CAST(user_id AS VARCHAR)")} % $SkewP AS part,
+         |         user_id
+         |  FROM events),
+         |a AS (SELECT part, count(*) AS n_rows, count(DISTINCT user_id) AS n_keys
+         |      FROM p GROUP BY part),
+         |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM a)
+         |SELECT part, n_rows, n_keys,
+         |       (n_rows * 1000000) // total AS share_ppm,
+         |       (n_rows * $SkewP * 1000000) // total AS skew_ppm
+         |FROM a, t""".stripMargin,
+    "salt_plan" ->
+      s"""WITH cnt AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+         |pl AS (
+         |  SELECT user_id, n, greatest(1, total // $SaltTasks) AS target_rows,
+         |         (n + greatest(1, total // $SaltTasks) - 1) // greatest(1, total // $SaltTasks) AS salt
+         |  FROM cnt, tot)
+         |SELECT user_id, n, target_rows, salt, (n + salt - 1) // salt AS post_rows
+         |FROM pl WHERE salt > 1""".stripMargin,
     "timeseries_fill" ->
       s"""WITH $evCte,
          |h AS (SELECT event_type, ts_us // $HourUs AS hour, cents FROM ev),

@@ -186,8 +186,10 @@ object SketchOps {
   /** rho(w) = position of the highest set bit counted from the top of
     * the 54-bit window (1 = top bit set, 54 = only bit 0 set, 55 =
     * w = 0) as a portable integer CASE chain — the [[histBucketChain]]
-    * idiom; `sqlLong` spells int64 literals per engine. */
-  private def hllRhoChain(sqlLong: Long => String): String =
+    * idiom; `sqlLong` spells int64 literals per engine. Shared with
+    * the streaming twin ([[graft.streaming.StreamingHll]]) so batch
+    * and stream rank identically. */
+  private[graft] def hllRhoChain(sqlLong: Long => String): String =
     (HllWBits - 1 to 0 by -1)
       .map(b => s"WHEN w >= ${sqlLong(1L << b)} THEN ${sqlLong(HllWBits - b)}")
       .mkString("CASE ", " ", s" ELSE ${sqlLong(HllWBits + 1)} END")
@@ -206,23 +208,75 @@ object SketchOps {
     * division of two exact values. No small/large-range corrections —
     * n_zero is emitted so a consumer can see when the linear-counting
     * regime applies (the raw estimate is still deterministic). */
-  def hllDistinct(s: SparkSession, d: String): DataFrame = {
-    val h = Tables.events(s, d)
+  /** Per-(event_type, register) max rho — the exploded HLL state rows
+    * the estimate aggregates and the set-algebra operator
+    * ([[hllIntersect]]) merges relationally (≤ [[HllM]] rows per type
+    * regardless of corpus size). */
+  private def hllRegs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(col("event_type"),
         Portable.h60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
-    val regs = h
       .select(col("event_type"), (col("h") % HllM).as("reg"),
         expr(s"h div $HllM").as("w"))
       .withColumn("rho", expr(hllRhoChain(v => s"${v}L")))
       .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("mrho"))
-    regs.groupBy(col("event_type"))
+
+  /** (n_zero, harm_sum, est_hll) off grouped register rows — the exact
+    * integer harmonic sum + one float division, shared by
+    * [[hllDistinct]] and [[hllIntersect]]. */
+  private def hllEstimate(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
       .agg(count(lit(1)).as("n_regs"),
         sum(expr(s"shiftleft(1L, cast(${HllWBits + 1} - mrho as int))")).as("s_present"))
-      .select(col("event_type"),
-        (lit(HllM.toLong) - col("n_regs")).as("n_zero"),
-        (col("s_present") +
-          (lit(HllM.toLong) - col("n_regs")) * lit(1L << (HllWBits + 1))).as("harm_sum"))
+      .withColumn("n_zero", lit(HllM.toLong) - col("n_regs"))
+      .withColumn("harm_sum",
+        col("s_present") + col("n_zero") * lit(1L << (HllWBits + 1)))
       .withColumn("est_hll", lit(HllEstNum) / col("harm_sum").cast("double"))
+      .drop("n_regs", "s_present")
+
+  def hllDistinct(s: SparkSession, d: String): DataFrame =
+    hllEstimate(hllRegs(s, d).groupBy(col("event_type")))
+      .select(col("event_type"), col("n_zero"), col("harm_sum"), col("est_hll"))
+
+  /** HLL set algebra — pairwise event_type user-set OVERLAP by
+    * inclusion-exclusion, from the register states alone: the union
+    * sketch of two HLLs is the per-register MAX of their states (the
+    * same associative merge that unions across partitions/days), so
+    * est(A ∩ B) = est(A) + est(B) − est(A ∪ B) without ever joining
+    * the raw user sets — [[kmvIntersect]]'s theta-sketch shape with
+    * CONSTANT (m-register) state per segment. The pair fan-out is
+    * type-cardinality² over ≤ [[HllM]]-row states (broadcast-sized at
+    * ANY corpus size); every register merge is integer; the three
+    * estimates are each one float division of exact integers and the
+    * final subtraction is deterministic IEEE arithmetic on those
+    * three (can go ≤ 0 for disjoint sets — the estimator's known
+    * behavior, reported as-is). */
+  def hllIntersect(s: SparkSession, d: String): DataFrame = {
+    val regs = hllRegs(s, d)
+    val est = hllEstimate(regs.groupBy(col("event_type")))
+      .select(col("event_type"), col("est_hll"))
+    val types = regs.select(col("event_type")).distinct()
+    val tp = broadcast(types.select(col("event_type").as("type_a")))
+      .join(broadcast(types.select(col("event_type").as("type_b"))),
+        col("type_a") < col("type_b"))
+    val aRegs = regs.select(col("event_type").as("type_a"), col("reg"), col("mrho"))
+    val bRegs = regs.select(col("event_type").as("type_b"), col("reg"), col("mrho"))
+    val unionRegs = tp.join(aRegs, Seq("type_a"))
+      .select(col("type_a"), col("type_b"), col("reg"), col("mrho"))
+      .unionByName(tp.join(bRegs, Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("reg"), col("mrho")))
+      .groupBy(col("type_a"), col("type_b"), col("reg"))
+      .agg(max(col("mrho")).as("mrho"))
+    hllEstimate(unionRegs.groupBy(col("type_a"), col("type_b")))
+      .withColumnRenamed("est_hll", "est_union")
+      .drop("n_zero", "harm_sum")
+      .join(broadcast(est.select(col("event_type").as("type_a"),
+        col("est_hll").as("est_a"))), Seq("type_a"))
+      .join(broadcast(est.select(col("event_type").as("type_b"),
+        col("est_hll").as("est_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersection"))
   }
 
   // Count-Min sketch sizing. Production sizing is w = ceil(e/eps),
@@ -362,9 +416,22 @@ object SketchOps {
     "quantile_hist_sketch" -> (quantileHistSketch _),
     "bloom_semi_filter" -> (bloomSemiFilter _),
     "hll_distinct" -> (hllDistinct _),
+    "hll_intersect" -> (hllIntersect _),
     "cms_error_report" -> (cmsErrorReport _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _)
   )
+
+  /** Shared per-type HLL register CTEs for the hll_* oracles. */
+  private def hllRegCtes: String = {
+    val chain = hllRhoChain(v => v.toString)
+    s"""hh AS (
+       |  SELECT event_type,
+       |         ${Portable.h60Sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |rw AS (SELECT event_type, h % $HllM AS reg, h // $HllM AS w FROM hh),
+       |rr AS (SELECT event_type, reg, $chain AS rho FROM rw),
+       |mx AS (SELECT event_type, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2)""".stripMargin
+  }
 
   private def cmsCtes: String =
     s"""toks AS (SELECT unnest(${Portable.tokensSql("text")}) AS term FROM documents),
@@ -402,6 +469,37 @@ object SketchOps {
          |         AS est_hll
          |FROM ag""".stripMargin
     },
+    "hll_intersect" ->
+      s"""WITH $hllRegCtes,
+         |e AS (
+         |  SELECT event_type,
+         |         ${Portable.dl(HllEstNum)} /
+         |           CAST(sum(CAST(1 AS BIGINT) << CAST(${HllWBits + 1} - mrho AS INTEGER))
+         |                + ($HllM - count(*)) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS DOUBLE)
+         |           AS est
+         |  FROM mx GROUP BY event_type),
+         |ty AS (SELECT DISTINCT event_type FROM mx),
+         |tp AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |ur AS (
+         |  SELECT type_a, type_b, reg, max(mrho) AS mrho FROM (
+         |    SELECT t.type_a, t.type_b, m.reg, m.mrho FROM tp t JOIN mx m ON m.event_type = t.type_a
+         |    UNION ALL
+         |    SELECT t.type_a, t.type_b, m.reg, m.mrho FROM tp t JOIN mx m ON m.event_type = t.type_b)
+         |  GROUP BY 1, 2, 3),
+         |ue AS (
+         |  SELECT type_a, type_b,
+         |         ${Portable.dl(HllEstNum)} /
+         |           CAST(sum(CAST(1 AS BIGINT) << CAST(${HllWBits + 1} - mrho AS INTEGER))
+         |                + ($HllM - count(*)) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS DOUBLE)
+         |           AS est_union
+         |  FROM ur GROUP BY 1, 2)
+         |SELECT u.type_a, u.type_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+         |       ea.est + eb.est - u.est_union AS est_intersection
+         |FROM ue u
+         |JOIN e ea ON ea.event_type = u.type_a
+         |JOIN e eb ON eb.event_type = u.type_b""".stripMargin,
     "cms_error_report" ->
       s"""WITH $cmsCtes,
          |top AS (

@@ -986,6 +986,68 @@ object TextOps {
       .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
   }
 
+  /** Bigram LM coverage per source against the corpus's own
+    * top-[[LmK]] bigram table — [[vocabOovRate]]'s statistic lifted
+    * from unigrams to the LM level: the ppm of a source's bigram
+    * occurrences that the estimated LM ([[ngramLmCounts]]'s table)
+    * has counts for, i.e. how much of the source a K-entry bigram
+    * model can score without backing off. The K survivors join as a
+    * broadcast flag onto the one exploded bigram pass; counts and the
+    * ppm rate are exact integers; the top-K plans as
+    * TakeOrderedAndProject (per-partition heaps, K-row driver
+    * merge). */
+  def lmCoverage(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .select(col("source"), explode(Portable.shingles(col("tk"), 2)).as("pair"))
+    val top = bg.groupBy(col("pair")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pair")).limit(LmK)
+      .select(col("pair"), lit(true).as("in_lm"))
+    bg.join(broadcast(top), Seq("pair"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        coalesce(sum(when(col("in_lm"), 1L).otherwise(0L)), lit(0L)).as("n_in_lm"))
+      .withColumn("coverage_ppm", expr("(n_in_lm * 1000000) div n_bigrams"))
+  }
+
+  /** Train→holdout CONTAMINATION audit over the frozen
+    * [[MixOps.dataSplit]] assignment — the eval-integrity twin of
+    * [[decontaminate]] (which screens against an external eval set;
+    * this screens the pipeline's own val/test splits): per holdout
+    * split, how many documents share at least one [[ShingleN]]-gram
+    * shingle with ANY train document, and the shingle-occurrence
+    * leak rate — the number a training run must report before its
+    * held-out loss is believable (near-dups straddling the split
+    * boundary inflate eval performance silently). Scale shape: the
+    * train shingle set is one distinct projection of the persisted
+    * signature table and the probe side is the ~10% holdout, equi-
+    * joined on the 60-bit hash (the `decontaminate` shuffle, never
+    * all-pairs); per-doc then per-split rollups are partial-agg;
+    * exact integers throughout. Zero-shingle holdout docs count as
+    * clean (explode_outer keeps them). */
+  def splitLeakageReport(s: SparkSession, d: String): DataFrame = {
+    val sp = MixOps.dataSplit(s, d).select(col("doc_id"), col("split"))
+    val dh = hashed(s, d).select(col("doc_id"), array_distinct(col("hs")).as("dh"))
+      .join(sp, Seq("doc_id"))
+    val trainSh = dh.filter(col("split") === "train")
+      .select(explode(col("dh")).as("h")).distinct()
+    val perDoc = dh.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), size(col("dh")).as("n_sh"),
+        explode_outer(col("dh")).as("h"))
+      .join(trainSh.withColumn("hit", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(max(col("n_sh")).cast("long").as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    perDoc.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_docs_leaked"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_hits")).as("n_leaked"))
+      .withColumn("doc_leak_ppm", expr("(n_docs_leaked * 1000000) div n_docs"))
+      .withColumn("shingle_leak_ppm",
+        when(col("n_shingles") > 0,
+          expr("(n_leaked * 1000000) div n_shingles")).otherwise(lit(0L)))
+  }
+
   /** LSH band-tuning sweep: for r ∈ {1, 2, 4} signature rows per band
     * (b = K/r bands from the SAME 8-permutation signature), the
     * candidate-pair volume the banding generates and how many
@@ -1500,6 +1562,8 @@ object TextOps {
     "corpus_rollup" -> (corpusRollup _),
     "vocab_topk" -> (vocabTopk _),
     "vocab_oov_rate" -> (vocabOovRate _),
+    "lm_coverage" -> (lmCoverage _),
+    "split_leakage_report" -> (splitLeakageReport _),
     "bigram_lift" -> (bigramLift _),
     "lsh_band_sweep" -> (lshBandSweep _),
     "minhash_recall_sample" -> (minhashRecallSample _),
@@ -2260,6 +2324,50 @@ object TextOps {
          |JOIN fan ON t.w1 = fan.w1
          |JOIN cont ON t.w2 = cont.w2
          |WHERE t.rnk <= $LmK""".stripMargin,
+    "lm_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+         |bg AS (SELECT source, unnest(${Portable.shinglesSql("tk", 2)}) AS pair FROM toks),
+         |top AS (SELECT pair FROM (
+         |  SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+         |  FROM bg GROUP BY pair) WHERE rnk <= $LmK)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN t.pair IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_lm,
+         |  (CAST(sum(CASE WHEN t.pair IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS coverage_ppm
+         |FROM bg b LEFT JOIN top t ON b.pair = t.pair
+         |GROUP BY source""".stripMargin,
+    "split_leakage_report" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |shd AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+         |dht AS (SELECT doc_id, list_distinct(list_transform(shl, x -> ${Portable.hmodSql("x")})) AS dh FROM shd),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < ${MixOps.TestPct} THEN 'test'
+         |         WHEN b < ${MixOps.ValPct} THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':${MixOps.SplitSalt}'")} % ${MixOps.SplitMod} AS b
+         |        FROM documents)),
+         |j AS (SELECT d.doc_id, s.split, d.dh FROM dht d JOIN sp s USING (doc_id)),
+         |tr AS (SELECT DISTINCT unnest(dh) AS h FROM j WHERE split = 'train'),
+         |px AS (SELECT doc_id, split, len(dh) AS n_sh, unnest(dh) AS h FROM j WHERE split <> 'train'),
+         |pd AS (
+         |  SELECT p.doc_id, p.split, CAST(max(p.n_sh) AS BIGINT) AS n_sh,
+         |         CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM px p LEFT JOIN tr t ON p.h = t.h GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, split, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM j WHERE split <> 'train' AND len(dh) = 0)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_leaked,
+         |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(sum(n_hits) AS BIGINT) AS n_leaked,
+         |  (CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS doc_leak_ppm,
+         |  CASE WHEN sum(n_sh) > 0
+         |    THEN (CAST(sum(n_hits) AS BIGINT) * 1000000) // CAST(sum(n_sh) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS shingle_leak_ppm
+         |FROM pd GROUP BY split""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($tkSql) AS BIGINT) AS ws_tokens,

@@ -42,10 +42,14 @@ object StreamingDistinctKmv {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** `srcOptions` go to the file SOURCE (e.g. maxFilesPerTrigger to
+    * force a multi-batch run — a write-side option would be silently
+    * ignored by the source). */
   def sketchStream(s: SparkSession, srcGlob: String,
-                   schema: org.apache.spark.sql.types.StructType): DataFrame = {
+                   schema: org.apache.spark.sql.types.StructType,
+                   srcOptions: Map[String, String] = Map.empty): DataFrame = {
     import s.implicits._
-    s.readStream.schema(schema).parquet(srcGlob)
+    s.readStream.schema(schema).options(srcOptions).parquet(srcGlob)
       .select(col("event_type"),
         graft.functions.Portable.h60(
           concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))

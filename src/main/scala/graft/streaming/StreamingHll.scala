@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.operators.SketchOps
+
+/** Streaming HyperLogLog — the continuously-maintained twin of
+  * [[graft.operators.SketchOps.hllDistinct]]: per event_type the
+  * m = [[SketchOps.HllM]] register maxima survive across
+  * micro-batches and each batch emits the refreshed estimate. A
+  * second instance of the BOUNDED MERGEABLE SKETCH stateful pattern
+  * (alongside KMV and the quantile histogram) with the strongest
+  * merge of the family: per-register MAX is associative, commutative
+  * AND idempotent, so state is a CONSTANT m longs per key, any
+  * micro-batch split of the input yields the identical final state,
+  * and replayed rows (at-least-once sources) cost nothing — the
+  * property that lets production HLL states union across streams,
+  * days and datacenters. Registers/rho reuse the batch operator's
+  * exact CASE-chain arithmetic ([[SketchOps.hllRhoChain]]), so under
+  * `Trigger.AvailableNow` each key's final emission is checked
+  * verbatim by the batch `hll_distinct` DuckDB oracle. */
+object StreamingHll {
+
+  final case class RegRow(event_type: String, reg: Long, rho: Long)
+  /** mrho(reg) for all m registers; 0 = register never hit. */
+  final case class HllState(mrho: Seq[Long])
+  final case class Out(event_type: String, n_zero: Long, harm_sum: Long,
+                       est_hll: Double)
+
+  def fold(key: String, rows: Iterator[RegRow],
+           state: GroupState[HllState]): Iterator[Out] = {
+    val regs = state.getOption.map(_.mrho.toArray)
+      .getOrElse(new Array[Long](SketchOps.HllM))
+    rows.foreach { r =>
+      val i = r.reg.toInt
+      if (r.rho > regs(i)) regs(i) = r.rho
+    }
+    state.update(HllState(regs.toSeq))
+    var nZero = 0L
+    var sPresent = 0L
+    var i = 0
+    while (i < SketchOps.HllM) {
+      if (regs(i) == 0L) nZero += 1
+      else sPresent += 1L << (SketchOps.HllWBits + 1 - regs(i).toInt)
+      i += 1
+    }
+    val harm = sPresent + nZero * (1L << (SketchOps.HllWBits + 1))
+    Iterator.single(Out(key, nZero, harm, SketchOps.HllEstNum / harm.toDouble))
+  }
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** `srcOptions` go to the file SOURCE (e.g. maxFilesPerTrigger to
+    * force a multi-batch run — a write-side option would be silently
+    * ignored by the source). */
+  def sketchStream(s: SparkSession, srcGlob: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   srcOptions: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    s.readStream.schema(schema).options(srcOptions).parquet(srcGlob)
+      .select(col("event_type"),
+        graft.functions.Portable.h60(
+          concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .select(col("event_type"), (col("h") % SketchOps.HllM).as("reg"),
+        expr(s"h div ${SketchOps.HllM}").as("w"))
+      .withColumn("rho", expr(SketchOps.hllRhoChain(v => s"${v}L")))
+      .select(col("event_type"), col("reg"), col("rho"))
+      .as[RegRow]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_hll_${runSeq.incrementAndGet()}"
+    val q = sketchStream(s, s"$dir/[e]vents.parquet", schema).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}

@@ -699,7 +699,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         "kmv_intersect",
         // ivf_balance_report / mix_deficit_report / rfm_segments:
         // one-row totals/watermark scalar joins onto bounded results
-        "ivf_balance_report", "mix_deficit_report", "rfm_segments")
+        "ivf_balance_report", "mix_deficit_report", "rfm_segments",
+        // cms_heavy_hitters: the one-row corpus-total scalar join that
+        // gates the candidate set; shuffle_skew_report / salt_plan:
+        // one-row total scalar joins onto partition-/key-dimension rows
+        "cms_heavy_hitters", "shuffle_skew_report", "salt_plan",
+        // hll_intersect: kmv_intersect's type-dimension² pair cross
+        // over constant m-register states
+        "hll_intersect")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -2746,15 +2753,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
     ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/src/b.parquet")
     val q = graft.streaming.StreamingDistinctKmv
-      .sketchStream(spark, s"$dir/src/*.parquet", ev.schema)
+      .sketchStream(spark, s"$dir/src/*.parquet", ev.schema,
+        Map("maxFilesPerTrigger" -> "1"))
       .writeStream.format("memory").queryName("kmv_multi")
-      .option("maxFilesPerTrigger", 1)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val fin = spark.table("kmv_multi").collect()
+    val finAll = spark.table("kmv_multi").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(finAll.length > finAll.map(_._1).distinct.length,
+      "fixture must actually produce multiple emissions for some key")
+    val fin = finAll
       .groupBy(_._1).map { case (_, rows) => rows.maxBy(r => (r._2, -r._3)) }
     val expect = graft.operators.SketchOps.distinctKmv(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
@@ -3403,5 +3413,169 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       val inBucket = perUser.filter(c => c >= lo && c < (lo << 1))
       assert(got.find(_._1 == b).get._3 == inBucket.size.toLong, s"bucket $b count")
     }
+  }
+
+  /** Scala-side twin of Portable.h60 for recompute specs. */
+  private def scalaH60(sx: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("hll_intersect matches a plain-Scala register-algebra recompute") {
+    val evs = plainEvents()
+    val m = SketchOps.HllM
+    val wb = SketchOps.HllWBits
+    def rho(w: Long): Long = if (w == 0) wb + 1 else wb - (63 - java.lang.Long.numberOfLeadingZeros(w))
+    // per-type register maxima off the raw rows
+    val regs = evs.map { case (_, uid, t, _, _) => (t, scalaH60(s"hll:$uid")) }
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map { case (_, h) => ((h % m).toInt, rho(h / m)) }
+          .groupBy(_._1).map { case (r, v) => r -> v.map(_._2).max }
+      }
+    def est(mx: Map[Int, Long]): Double = {
+      val harm = mx.values.map(r => 1L << (wb + 1 - r)).sum +
+        (m - mx.size).toLong * (1L << (wb + 1))
+      SketchOps.HllEstNum / harm.toDouble
+    }
+    val got = SketchOps.hllIntersect(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val types = regs.keys.toSeq.sorted
+    val pairs = for (a <- types; b <- types if a < b) yield (a, b)
+    assert(got.keySet == pairs.toSet, "one row per unordered type pair")
+    for ((a, b) <- pairs) {
+      val union = (regs(a).keySet ++ regs(b).keySet).map { r =>
+        r -> math.max(regs(a).getOrElse(r, 0L), regs(b).getOrElse(r, 0L))
+      }.toMap
+      val (ea, eb, eu, ei) = got((a, b))
+      assert(ea == est(regs(a)) && eb == est(regs(b)), s"($a,$b) per-type estimates")
+      assert(eu == est(union), s"($a,$b) union estimate")
+      assert(ei == ea + eb - eu, s"($a,$b) inclusion-exclusion arithmetic")
+      // per-register max union can only tighten vs either input
+      assert(eu >= math.max(ea, eb) - 1e-9, s"($a,$b) union below an input")
+    }
+  }
+
+  test("streaming_hll equals batch hll_distinct and survives a forced multi-batch split") {
+    import org.apache.spark.sql.functions.col
+    val batch = sortedRows(SketchOps.hllDistinct(spark, Sf))
+    val stream = sortedRows(graft.streaming.StreamingHll.run(spark, Sf))
+    assert(stream == batch, "single-batch streaming HLL differs from batch")
+    // force >1 micro-batch; registers only grow, so harm_sum is
+    // non-increasing per key and the FINAL emission is min harm_sum.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/src/b.parquet")
+    val q = graft.streaming.StreamingHll
+      .sketchStream(spark, s"$dir/src/*.parquet", ev.schema,
+        Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("hll_multi")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = spark.table("hll_multi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fin.length > fin.map(_._1).distinct.length,
+      "fixture must actually produce multiple emissions for some key")
+    val last = fin.groupBy(_._1).map { case (_, rows) => rows.minBy(_._3) }.toSeq
+    val batchRows = SketchOps.hllDistinct(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(last.toSet == batchRows,
+      "multi-batch final HLL state differs from the batch sketch — merge not associative")
+  }
+
+  test("lm_coverage matches a plain-Scala top-K bigram recompute") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), if (r.isNullAt(2)) null else r.getString(2)))
+    val bgs = docs.flatMap { case (src, t) =>
+      if (t == null) Seq.empty
+      else {
+        val tk = t.split(" ", -1)
+        if (tk.length < 2) Seq.empty
+        else tk.sliding(2).map(p => (src, p.mkString(" "))).toSeq
+      }
+    }
+    val top = bgs.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(TextOps.LmK).map(_._1).toSet
+    val exp = bgs.groupBy(_._1).map { case (src, rows) =>
+      val n = rows.length.toLong
+      val in = rows.count(r => top(r._2)).toLong
+      (src, n, in, in * 1000000L / n)
+    }.toSet
+    val got = TextOps.lmCoverage(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp)
+  }
+
+  test("split_leakage_report matches a plain-Scala shingle-overlap recompute") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    def split(id: Long): String = {
+      val b = scalaH60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
+      if (b < MixOps.TestPct) "test" else if (b < MixOps.ValPct) "val" else "train"
+    }
+    def hset(t: String): Set[Long] =
+      if (t == null) Set.empty
+      else {
+        val tk = t.split(" ", -1)
+        if (tk.length < TextOps.ShingleN) Set.empty
+        else tk.sliding(TextOps.ShingleN)
+          .map(s => scalaH60(s.mkString(" ")) % graft.functions.Portable.P).toSet
+      }
+    val byDoc = docs.map { case (id, t) => (id, split(id), hset(t)) }
+    val train = byDoc.filter(_._2 == "train").flatMap(_._3).toSet
+    val exp = byDoc.filter(_._2 != "train").groupBy(_._2).map { case (sp, ds) =>
+      val nDocs = ds.length.toLong
+      val leakedDocs = ds.count(d => d._3.exists(train)).toLong
+      val nSh = ds.map(_._3.size.toLong).sum
+      val nLeak = ds.map(_._3.count(train).toLong).sum
+      (sp, nDocs, leakedDocs, nSh, nLeak,
+        leakedDocs * 1000000L / nDocs,
+        if (nSh > 0) nLeak * 1000000L / nSh else 0L)
+    }.toSet
+    val got = TextOps.splitLeakageReport(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == exp)
+    // both holdout splits must exist at this sf, else the test is vacuous
+    assert(got.map(_._1) == Set("val", "test"))
+  }
+
+  test("shuffle_skew_report partitions the corpus exactly; skew arithmetic exact") {
+    val evs = plainEvents()
+    val got = EventOps.shuffleSkewReport(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = evs.length.toLong
+    assert(got.map(_._2).sum == total, "partition rows must sum to the corpus")
+    assert(got.map(_._3).sum == evs.map(_._2).distinct.length.toLong,
+      "each key lives in exactly one partition")
+    for ((p, n, _, share, skew) <- got) {
+      assert(p >= 0 && p < EventOps.SkewP)
+      assert(share == n * 1000000L / total)
+      assert(skew == n * EventOps.SkewP * 1000000L / total)
+    }
+  }
+
+  test("salt_plan: exact ceil arithmetic, post-salt buckets within target") {
+    val evs = plainEvents()
+    val counts = evs.groupBy(_._2).map { case (u, es) => (u, es.length.toLong) }
+    val total = evs.length.toLong
+    val target = math.max(1L, total / EventOps.SaltTasks)
+    val exp = counts.collect { case (u, n) if (n + target - 1) / target > 1 =>
+      val salt = (n + target - 1) / target
+      (u, n, target, salt, (n + salt - 1) / salt)
+    }.toSet
+    assert(exp.nonEmpty, "fixture must contain skewed keys or the test is vacuous")
+    val got = EventOps.saltPlan(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == exp)
+    // the plan's whole point: every salted bucket fits the balanced share
+    for ((_, _, tgt, _, post) <- got) assert(post <= tgt)
   }
 }
