@@ -38,7 +38,8 @@ object SparkEntry {
         "streaming_distinct_kmv" -> ((s, d) => graft.streaming.StreamingDistinctKmv.run(s, d)),
         "streaming_hot_keys" -> ((s, d) => graft.streaming.StreamingHotKeys.run(s, d)),
         "streaming_quantile_hist" -> ((s, d) => graft.streaming.StreamingQuantileHist.run(s, d)),
-        "streaming_hll" -> ((s, d) => graft.streaming.StreamingHll.run(s, d)))
+        "streaming_hll" -> ((s, d) => graft.streaming.StreamingHll.run(s, d)),
+        "streaming_cms" -> ((s, d) => graft.streaming.StreamingCms.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +65,6 @@ object SparkEntry {
         "streaming_distinct_kmv" -> SketchOps.oracles("distinct_kmv"),
         "streaming_hot_keys" -> EventOps.oracles("hot_keys"),
         "streaming_quantile_hist" -> SketchOps.oracles("quantile_hist_sketch"),
-        "streaming_hll" -> SketchOps.oracles("hll_distinct"))
+        "streaming_hll" -> SketchOps.oracles("hll_distinct"),
+        "streaming_cms" -> SketchOps.cmsCountersOracle)
 }

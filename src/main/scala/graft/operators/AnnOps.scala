@@ -712,6 +712,47 @@ object AnnOps {
         ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
           .as("centroid_new"))
 
+  /** Embedding ANISOTROPY per label: ‖mean vector‖ / mean ‖vector‖ —
+    * the corpus-geometry QA statistic behind cosine retrieval quality
+    * (a common-direction bias, ratio → 1, makes cosine scores
+    * saturate; well-spread embeddings sit near 0; by the triangle
+    * inequality the ratio is ≤ 1). Read before trusting
+    * `ann_recall_report`'s curves: an anisotropic corpus wants mean-
+    * centering before any of the ANN indexes are built. Cross-row
+    * float sums are shuffle-order-sensitive, so both accumulations
+    * run in [[CentScale]] fixed-point int64 (the `kmeans_step` rule):
+    * per-row norms are each a deterministic sequential fold, QUANTIZED
+    * before the cross-row sum; per-dimension component sums quantize
+    * each component. The centroid norm folds the per-dim means in dim
+    * order (both engines), and the final three float ops (two
+    * divisions + one ratio) act on deterministic values. One scan:
+    * norm projection + posexplode + two partial-agg groupBys (label-
+    * and label×dim-sized). */
+  def embeddingAnisotropy(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"), col("embedding"))
+    val perLabel = e
+      .select(col("label"), Portable.norm(col("embedding")).as("nrm"))
+      .select(col("label"), expr(s"cast(round(nrm * $CentScale) as bigint)").as("qn"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qn")).as("sqn"))
+    val dims = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(expr(s"cast(round(cast(x as double) * $CentScale) as bigint)")).as("sx"))
+    val cent = dims.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("i"), col("sx")))).as("ds"))
+    cent.join(perLabel, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        (col("sqn").cast("double") /
+          (col("n_vecs").cast("double") * lit(CentScale.toDouble))).as("avg_norm"),
+        sqrt(aggregate(col("ds"), lit(0.0), (acc, x) => {
+          val m = x.getField("sx").cast("double") /
+            (col("n_vecs").cast("double") * lit(CentScale.toDouble))
+          acc + m * m
+        })).as("centroid_norm"))
+      .withColumn("anisotropy", col("centroid_norm") / col("avg_norm"))
+  }
+
   val PowScale = 65536L // 2^16: power-iteration fixed-point scale
 
   /** One POWER-ITERATION step toward the corpus's top principal
@@ -908,6 +949,7 @@ object AnnOps {
     "kmeans_step"        -> (kmeansStep _),
     "power_iteration"    -> (powerIteration _),
     "embedding_norm_stats" -> (embeddingNormStats _),
+    "embedding_anisotropy" -> (embeddingAnisotropy _),
     "ann_pq_topk"        -> (annPqTopk _),
     "ann_ivf_pq_topk"    -> (annIvfPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
@@ -1103,6 +1145,32 @@ object AnnOps {
          |SELECT lb.vec_id, lb.label AS true_label, p.pred_label, p.n_votes,
          |       CASE WHEN p.pred_label IS NOT NULL THEN p.pred_label = lb.label END AS correct
          |FROM lb LEFT JOIN p ON lb.vec_id = p.vec_id""".stripMargin,
+    "embedding_anisotropy" -> {
+      val denom = s"(CAST(n_vecs AS DOUBLE) * ${CentScale}.0)"
+      val meanSq = s"(CAST(v AS DOUBLE) / $denom) * (CAST(v AS DOUBLE) / $denom)"
+      val centNorm = "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(ds, v -> $meanSq)), (acc, v) -> acc + v))"
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+         |rq AS (
+         |  SELECT label,
+         |         CAST(round(${Portable.normSql("embedding")} * $CentScale) AS BIGINT) AS qn
+         |  FROM e),
+         |pl AS (SELECT label, count(*) AS n_vecs, CAST(sum(qn) AS BIGINT) AS sqn
+         |       FROM rq GROUP BY 1),
+         |t AS (SELECT label, unnest(range(len(embedding))) AS i, embedding FROM e),
+         |x AS (SELECT label, i, embedding[i + 1] AS x FROM t),
+         |dm AS (
+         |  SELECT label, i,
+         |         CAST(sum(CAST(round(CAST(x AS DOUBLE) * $CentScale) AS BIGINT)) AS BIGINT) AS sx
+         |  FROM x GROUP BY 1, 2),
+         |cl AS (SELECT label, list(sx ORDER BY i) AS ds FROM dm GROUP BY 1),
+         |j AS (SELECT cl.label, pl.n_vecs, pl.sqn, cl.ds FROM cl JOIN pl USING (label))
+         |SELECT label, n_vecs,
+         |       CAST(sqn AS DOUBLE) / $denom AS avg_norm,
+         |       $centNorm AS centroid_norm,
+         |       $centNorm / (CAST(sqn AS DOUBLE) / $denom) AS anisotropy
+         |FROM j""".stripMargin
+    },
     "embedding_norm_stats" ->
       s"""WITH v AS (
          |  SELECT label, vec_id, ${Portable.normSql("embedding")} AS nrm FROM embeddings),

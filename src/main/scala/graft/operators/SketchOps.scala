@@ -133,6 +133,49 @@ object SketchOps {
         col("jacc_ppm").cast("double") * col("est_union") / lit(1000000.0))
   }
 
+  /** KMV sketch DIFFERENCE — the third operation of the theta-style
+    * set algebra ([[kmvIntersect]] covers ∪/∩): est(A \ B) and
+    * est(B \ A) per unordered event_type pair, from the sketches
+    * alone. Every hash in the union sketch sits at or below
+    * θ = min(θ_A, θ_B) (the union's K-th smallest can't exceed either
+    * input's), and below its own θ a KMV sketch contains ALL of its
+    * set's hashes — so membership flags against the two input
+    * sketches are EXACT within the union sketch's accepted region,
+    * and est(A\B) = (|A-only| / K_union) · est(∪). Same bounds as the
+    * intersection: pair fan-out = type-cardinality², sketch rows ≤ K
+    * per type at any corpus size, integer state until the final two
+    * float ops. */
+  def kmvDifference(s: SparkSession, d: String): DataFrame = {
+    val rows = sketchRows(s, d)
+    val types = rows.select(col("event_type")).distinct()
+    val tp = broadcast(types.select(col("event_type").as("type_a")))
+      .join(broadcast(types.select(col("event_type").as("type_b"))),
+        col("type_a") < col("type_b"))
+    val aRows = rows.select(col("event_type").as("type_a"), col("h"))
+    val bRows = rows.select(col("event_type").as("type_b"), col("h"))
+    val unioned = tp.join(aRows, Seq("type_a")).select(col("type_a"), col("type_b"), col("h"))
+      .unionByName(tp.join(bRows, Seq("type_b")).select(col("type_a"), col("type_b"), col("h")))
+      .distinct()
+    val mw = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val merged = unioned.withColumn("rn", row_number().over(mw)).filter(col("rn") <= KmvK)
+    val flagged = merged.select(col("type_a"), col("type_b"), col("h"))
+      .join(aRows.withColumn("in_a", lit(1L)), Seq("type_a", "h"), "left")
+      .join(bRows.withColumn("in_b", lit(1L)), Seq("type_b", "h"), "left")
+    flagged.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("theta"),
+        sum(when(col("in_a") === 1L && col("in_b").isNull, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(col("in_b") === 1L && col("in_a").isNull, 1L).otherwise(0L)).as("n_b_only"))
+      .withColumn("est_union",
+        when(col("k_union") < KmvK, col("k_union").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * KmvDomain) / col("theta").cast("double")))
+      .select(col("type_a"), col("type_b"), col("k_union"), col("theta"),
+        col("n_a_only"), col("n_b_only"), col("est_union"),
+        ((col("n_a_only").cast("double") / col("k_union").cast("double")) * col("est_union"))
+          .as("est_a_minus_b"),
+        ((col("n_b_only").cast("double") / col("k_union").cast("double")) * col("est_union"))
+          .as("est_b_minus_a"))
+  }
+
   val HistQs = Seq(50, 90, 99)
   val HistMaxPow = 62
 
@@ -364,6 +407,60 @@ object SketchOps {
         (col("cnt") >= expr(s"n_total div $HhDen")).as("is_heavy"))
   }
 
+  /** CMS INNER-PRODUCT join-size estimate — the sketch that answers
+    * "how big is A ⋈ B on user_id?" before paying the join (the
+    * classic AMS/CM application a distributed planner uses to choose
+    * broadcast vs shuffle vs salt): for every unordered event_type
+    * pair, |A ⋈ B| = Σ_u c_A(u)·c_B(u) is estimated as
+    * min_i Σ_pos cwA[i,pos]·cwB[i,pos] over the d counter rows. The
+    * estimate NEVER underestimates (every true product lands in some
+    * shared counter; collisions only add — the spec pins
+    * est ≥ true on every pair), and the exact join size is emitted
+    * alongside as the audit. Scale shape: per-type counters are d×w
+    * rows at ANY corpus size; the estimate is a (d·w·types²)-row
+    * equi-join of two broadcast-sized tables; the exact audit is one
+    * partial-agg per-(type,user) count + a user-keyed equi-join —
+    * the one corpus-sized shuffle, which is the thing the estimate
+    * exists to avoid in production (drop the audit columns and
+    * nothing scans the raw keys twice). Products accumulate in
+    * decimal(38,0)/HUGEINT: cw ≤ rows-per-type, so a term of the
+    * inner product reaches ~1e18 at 1e9 rows/type and the 16-term sum
+    * wraps int64 silently where DuckDB would promote. */
+  def cmsJoinEstimate(s: SparkSession, d: String): DataFrame = {
+    val uc = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    val counters = uc
+      .select(col("event_type"), col("cnt"),
+        explode(array((0 until CmsD).map(lit): _*)).as("i"),
+        col("user_id"))
+      .select(col("event_type"), col("i"),
+        (Portable.h60(concat(lit("cj"), col("i").cast("string"), lit(":"),
+          col("user_id").cast("string"))) % CmsW).as("pos"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("i"), col("pos")).agg(sum(col("cnt")).as("cw"))
+    val ca = counters.select(col("event_type").as("type_a"), col("i"), col("pos"),
+      col("cw").as("cwa"))
+    val cb = counters.select(col("event_type").as("type_b"), col("i"), col("pos"),
+      col("cw").as("cwb"))
+    val est = ca.join(cb, Seq("i", "pos")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("i"))
+      .agg(sum(expr("cast(cwa as decimal(38,0)) * cwb")).as("ipd"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(min(col("ipd")).cast("long").as("est_join"))
+    val ua = uc.select(col("event_type").as("type_a"), col("user_id"), col("cnt").as("ca"))
+    val ub = uc.select(col("event_type").as("type_b"), col("user_id"), col("cnt").as("cb"))
+    val exact = ua.join(ub, Seq("user_id")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("cast(ca as decimal(38,0)) * cb")).cast("long").as("true_join"))
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est_join"),
+        coalesce(col("true_join"), lit(0L)).as("true_join"))
+      .withColumn("over_ppm",
+        when(col("true_join") > 0,
+          expr("((est_join - true_join) * 1000000) div true_join"))
+          .otherwise(lit(null).cast("long")))
+  }
+
   val BloomBits  = 1024 // m: filter size (32 words x 32 bits)
   val BloomWords = 32
   val BloomK     = 3    // hash functions
@@ -418,8 +515,17 @@ object SketchOps {
     "hll_distinct" -> (hllDistinct _),
     "hll_intersect" -> (hllIntersect _),
     "cms_error_report" -> (cmsErrorReport _),
-    "cms_heavy_hitters" -> (cmsHeavyHitters _)
+    "cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "kmv_difference" -> (kmvDifference _),
+    "cms_join_estimate" -> (cmsJoinEstimate _)
   )
+
+  /** Batch oracle for the streaming CMS twin: the exact d×w counter
+    * table ([[cmsCounters]]'s additive state) recomputed in SQL. */
+  def cmsCountersOracle: String =
+    s"""WITH $cmsCtes
+       |SELECT CAST(i AS BIGINT) AS i, pos, CAST(sum(cnt) AS BIGINT) AS cw
+       |FROM cpos GROUP BY 1, 2""".stripMargin
 
   /** Shared per-type HLL register CTEs for the hll_* oracles. */
   private def hllRegCtes: String = {
@@ -582,6 +688,81 @@ object SketchOps {
          |  $qOut
          |FROM q""".stripMargin
     },
+    "kmv_difference" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |         ${Portable.h60Sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+         |ty AS (SELECT DISTINCT event_type FROM sk),
+         |tps AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |un AS (
+         |  SELECT DISTINCT type_a, type_b, h FROM (
+         |    SELECT t.type_a, t.type_b, s.h FROM tps t JOIN sk s ON s.event_type = t.type_a
+         |    UNION ALL
+         |    SELECT t.type_a, t.type_b, s.h FROM tps t JOIN sk s ON s.event_type = t.type_b)),
+         |mg AS (
+         |  SELECT type_a, type_b, h,
+         |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+         |  FROM un),
+         |fl AS (
+         |  SELECT m.type_a, m.type_b, m.h,
+         |         (a.h IS NOT NULL) AS in_a, (b.h IS NOT NULL) AS in_b
+         |  FROM mg m
+         |  LEFT JOIN sk a ON a.event_type = m.type_a AND a.h = m.h
+         |  LEFT JOIN sk b ON b.event_type = m.type_b AND b.h = m.h
+         |  WHERE m.rn <= $KmvK),
+         |ag AS (
+         |  SELECT type_a, type_b, count(*) AS k_union, max(h) AS theta,
+         |         CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+         |         CAST(sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+         |  FROM fl GROUP BY 1, 2),
+         |base AS (
+         |  SELECT type_a, type_b, k_union, theta, n_a_only, n_b_only,
+         |         CASE WHEN k_union < $KmvK THEN CAST(k_union AS DOUBLE)
+         |              ELSE ${Portable.dl((KmvK - 1).toDouble * KmvDomain)} / CAST(theta AS DOUBLE) END
+         |           AS est_union
+         |  FROM ag)
+         |SELECT type_a, type_b, k_union, theta, n_a_only, n_b_only, est_union,
+         |       (CAST(n_a_only AS DOUBLE) / CAST(k_union AS DOUBLE)) * est_union AS est_a_minus_b,
+         |       (CAST(n_b_only AS DOUBLE) / CAST(k_union AS DOUBLE)) * est_union AS est_b_minus_a
+         |FROM base""".stripMargin,
+    "cms_join_estimate" ->
+      s"""WITH uc AS (
+         |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+         |jx AS (SELECT unnest(range(0, $CmsD)) AS i),
+         |cp AS (
+         |  SELECT event_type, i,
+         |         ${Portable.h60Sql("'cj' || CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $CmsW AS pos,
+         |         cnt
+         |  FROM uc, jx),
+         |ctr AS (SELECT event_type, i, pos, CAST(sum(cnt) AS BIGINT) AS cw
+         |        FROM cp GROUP BY 1, 2, 3),
+         |ip AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.i,
+         |         sum(CAST(a.cw AS HUGEINT) * b.cw) AS ipd
+         |  FROM ctr a
+         |  JOIN ctr b ON a.i = b.i AND a.pos = b.pos AND a.event_type < b.event_type
+         |  GROUP BY 1, 2, 3),
+         |es AS (SELECT type_a, type_b, CAST(min(ipd) AS BIGINT) AS est_join
+         |       FROM ip GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS BIGINT) AS true_join
+         |  FROM uc a JOIN uc b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT es.type_a, es.type_b, es.est_join,
+         |       coalesce(ex.true_join, CAST(0 AS BIGINT)) AS true_join,
+         |       CASE WHEN coalesce(ex.true_join, 0) > 0
+         |            THEN ((es.est_join - ex.true_join) * 1000000) // ex.true_join
+         |            ELSE CAST(NULL AS BIGINT) END AS over_ppm
+         |FROM es LEFT JOIN ex ON es.type_a = ex.type_a AND es.type_b = ex.type_b""".stripMargin,
     "kmv_intersect" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

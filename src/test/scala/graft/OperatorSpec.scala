@@ -704,9 +704,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         // gates the candidate set; shuffle_skew_report / salt_plan:
         // one-row total scalar joins onto partition-/key-dimension rows
         "cms_heavy_hitters", "shuffle_skew_report", "salt_plan",
-        // hll_intersect: kmv_intersect's type-dimension² pair cross
-        // over constant m-register states
-        "hll_intersect")
+        // hll_intersect / kmv_difference: kmv_intersect's
+        // type-dimension² pair cross over constant sketch states
+        "hll_intersect", "kmv_difference")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -3560,6 +3560,141 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(share == n * 1000000L / total)
       assert(skew == n * EventOps.SkewP * 1000000L / total)
     }
+  }
+
+  test("kmv_difference matches a plain-Scala sketch-algebra recompute") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val K = SketchOps.KmvK
+    val hs = graft.sources.Tables.events(spark, Sf)
+      .select(col("event_type"),
+        graft.functions.Portable.h60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = hs.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val got = SketchOps.kmvDifference(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    val types = byType.keys.toSeq.sorted
+    val expPairs = for (a <- types; b <- types if a < b) yield (a, b)
+    assert(got.keySet == expPairs.toSet)
+    for ((a, b) <- expPairs) {
+      val ka = byType(a).toSeq.sorted.take(K).toSet
+      val kb = byType(b).toSeq.sorted.take(K).toSet
+      val merged = (ka ++ kb).toSeq.sorted.take(K)
+      val theta = merged.last
+      val aOnly = merged.count(h => ka(h) && !kb(h)).toLong
+      val bOnly = merged.count(h => kb(h) && !ka(h)).toLong
+      val (kUnion, gTheta, gaOnly, gbOnly, estU, estAB, estBA) = got((a, b))
+      assert(kUnion == merged.size.toLong && gTheta == theta, s"($a,$b) union sketch")
+      assert(gaOnly == aOnly && gbOnly == bOnly, s"($a,$b) membership counts")
+      // membership below theta is exact: a sketch hash <= theta is in
+      // the set iff it is in the sketch (theta <= both input thetas)
+      val exactAOnly = merged.count(h => byType(a)(h) && !byType(b)(h)).toLong
+      assert(aOnly == exactAOnly, s"($a,$b) sketch membership not exact below theta")
+      val expU = if (merged.size < K) merged.size.toDouble
+        else (K - 1).toDouble * SketchOps.KmvDomain / theta.toDouble
+      assert(estU == expU && estAB == aOnly.toDouble / merged.size * expU &&
+        estBA == bOnly.toDouble / merged.size * expU, s"($a,$b) estimates")
+    }
+  }
+
+  test("cms_join_estimate never underestimates; exact join audit ties out") {
+    val evs = plainEvents()
+    val uc = evs.groupBy(e => (e._3, e._2)).map { case ((t, u), es) => (t, u, es.length.toLong) }
+    val types = uc.map(_._1).toSeq.distinct.sorted
+    val exact = (for (a <- types; b <- types if a < b) yield {
+      val ca = uc.filter(_._1 == a).map(e => e._2 -> e._3).toMap
+      val cb = uc.filter(_._1 == b).map(e => e._2 -> e._3).toMap
+      (a, b) -> ca.keySet.intersect(cb.keySet).toSeq.map(u => ca(u) * cb(u)).sum
+    }).toMap
+    val got = SketchOps.cmsJoinEstimate(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got.keySet == exact.keySet, "one row per unordered type pair")
+    for (((a, b), (est, tru, over)) <- got) {
+      assert(tru == exact((a, b)), s"($a,$b) exact join size")
+      assert(est >= tru, s"($a,$b) CM inner product underestimated: $est < $tru")
+      if (tru > 0) assert(over.contains((est - tru) * 1000000L / tru))
+      // recompute the estimate: d x w counters over the same salt
+      val ests = (0 until SketchOps.CmsD).map { i =>
+        def ctr(t: String): Map[Long, Long] =
+          uc.filter(_._1 == t).groupBy(e => scalaH60(s"cj$i:${e._2}") % SketchOps.CmsW)
+            .map { case (p, es) => p -> es.map(_._3).sum }
+        val (ca, cb) = (ctr(a), ctr(b))
+        ca.keySet.intersect(cb.keySet).toSeq.map(p => ca(p) * cb(p)).sum
+      }
+      assert(est == ests.min, s"($a,$b) estimate arithmetic")
+    }
+  }
+
+  test("embedding_anisotropy matches a quantized recompute; ratio bounded by 1") {
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](2).map(_.toDouble).toArray))
+    val S = AnnOps.CentScale.toDouble
+    val exp = vecs.groupBy(_._1).map { case (l, vs) =>
+      val n = vs.length.toLong
+      val sqn = vs.map { case (_, v) =>
+        math.round(math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x)) * S)
+      }.sum
+      // Spark/DuckDB round() is HALF-AWAY-FROM-ZERO; Scala math.round
+      // is half-toward-+inf, which differs on negative components
+      def roundAz(y: Double): Long = if (y < 0) -math.round(-y) else math.round(y)
+      val dim = vs.head._2.length
+      val sx = Array.tabulate(dim)(i => vs.map(v => roundAz(v._2(i) * S)).sum)
+      val avgNorm = sqn.toDouble / (n.toDouble * S)
+      val centNorm = math.sqrt(sx.foldLeft(0.0) { (acc, sq) =>
+        val m = sq.toDouble / (n.toDouble * S); acc + m * m
+      })
+      l -> ((n, avgNorm, centNorm, centNorm / avgNorm))
+    }
+    val got = AnnOps.embeddingAnisotropy(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == exp.keySet)
+    for ((l, (n, an, cn, ratio)) <- exp) {
+      val (gn, gan, gcn, gratio) = got(l)
+      assert(gn == n, s"label $l count")
+      assert(math.abs(gan - an) < 1e-12 && math.abs(gcn - cn) < 1e-12,
+        s"label $l norms: got ($gan, $gcn) vs ($an, $cn)")
+      assert(math.abs(gratio - ratio) < 1e-12, s"label $l ratio")
+      assert(gratio <= 1.0 + 1e-9, s"label $l anisotropy above 1 — triangle inequality broken")
+    }
+  }
+
+  test("streaming_cms equals the batch counter table and survives a forced multi-batch split") {
+    import org.apache.spark.sql.functions.col
+    // exact counters recomputed in plain Scala off the raw corpus
+    val toks = graft.sources.Tables.documents(spark, Sf)
+      .select("text").collect().iterator
+      .flatMap(r => if (r.isNullAt(0)) Iterator.empty else r.getString(0).split(" ", -1).iterator)
+      .toSeq
+    val exp = (for (i <- 0 until SketchOps.CmsD; t <- toks)
+      yield (i.toLong, scalaH60(s"cm$i:$t") % SketchOps.CmsW))
+      .groupBy(identity).map { case ((i, p), xs) => (i, p, xs.length.toLong) }.toSet
+    val single = graft.streaming.StreamingCms.run(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(single == exp, "single-batch streaming counters differ from exact")
+    // forced multi-batch: counters are monotone, final = max per (i, pos)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$dir/src/b.parquet")
+    val q = graft.streaming.StreamingCms
+      .sketchStream(spark, s"$dir/src/*.parquet", docs.schema,
+        Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("cms_multi")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finAll = spark.table("cms_multi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(finAll.length > finAll.map(t => (t._1, t._2)).distinct.length,
+      "fixture must actually produce multiple emissions for some counter")
+    val fin = finAll.groupBy(t => (t._1, t._2))
+      .map { case ((i, p), xs) => (i, p, xs.map(_._3).max) }.toSet
+    assert(fin == exp, "multi-batch final counters differ — additive merge broken")
   }
 
   test("salt_plan: exact ceil arithmetic, post-salt buckets within target") {
