@@ -39,7 +39,8 @@ object SparkEntry {
         "streaming_hot_keys" -> ((s, d) => graft.streaming.StreamingHotKeys.run(s, d)),
         "streaming_quantile_hist" -> ((s, d) => graft.streaming.StreamingQuantileHist.run(s, d)),
         "streaming_hll" -> ((s, d) => graft.streaming.StreamingHll.run(s, d)),
-        "streaming_cms" -> ((s, d) => graft.streaming.StreamingCms.run(s, d)))
+        "streaming_cms" -> ((s, d) => graft.streaming.StreamingCms.run(s, d)),
+        "streaming_bloom" -> ((s, d) => graft.streaming.StreamingBloom.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +67,6 @@ object SparkEntry {
         "streaming_hot_keys" -> EventOps.oracles("hot_keys"),
         "streaming_quantile_hist" -> SketchOps.oracles("quantile_hist_sketch"),
         "streaming_hll" -> SketchOps.oracles("hll_distinct"),
-        "streaming_cms" -> SketchOps.cmsCountersOracle)
+        "streaming_cms" -> SketchOps.cmsCountersOracle,
+        "streaming_bloom" -> SketchOps.bloomWordsOracle)
 }

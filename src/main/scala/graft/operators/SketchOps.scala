@@ -527,6 +527,18 @@ object SketchOps {
        |SELECT CAST(i AS BIGINT) AS i, pos, CAST(sum(cnt) AS BIGINT) AS cw
        |FROM cpos GROUP BY 1, 2""".stripMargin
 
+  /** Batch oracle for the streaming Bloom twin: the purchaser
+    * filter's word table ([[bloomSemiFilter]]'s build side) in SQL. */
+  def bloomWordsOracle: String =
+    s"""WITH pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       |jx AS (SELECT unnest(range(0, $BloomK)) AS j),
+       |bp AS (
+       |  SELECT ${Portable.h60Sql("'bf' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % $BloomBits AS pos
+       |  FROM pu, jx)
+       |SELECT pos // $BloomWords AS w,
+       |       bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomWords AS INTEGER)) AS bw
+       |FROM bp GROUP BY 1""".stripMargin
+
   /** Shared per-type HLL register CTEs for the hll_* oracles. */
   private def hllRegCtes: String = {
     val chain = hllRhoChain(v => v.toString)

@@ -1436,6 +1436,74 @@ object TextOps {
       .select("ida", "idb", "n_match", "jacc_est", "jacc")
   }
 
+  val BbitB = 2 // low bits kept per signature slot (Li & Koenig 2010)
+
+  /** b-bit MinHash Jaccard estimator on the banded candidate pairs —
+    * the COMPRESSED-signature variant (Li & Koenig, WWW 2010) every
+    * web-scale dedup eventually adopts: storing only the low
+    * [[BbitB]] bits of each of the K minhashes shrinks the signature
+    * table 30x (60-bit → 2-bit slots) at the cost of collision noise,
+    * corrected by E[match] = C + (1−C)·J with C = 2^-b:
+    * Ĵ = (2^b·m − K) / ((2^b − 1)·K), clamped at 0. Emitted next to
+    * the full-signature estimate and the exact Jaccard (both in
+    * integer ppm) so the compression's measured cost at THIS corpus
+    * sits in one row — the sizing evidence for swapping the signature
+    * table's layout. Rides the same persisted signatures and capped
+    * candidate pairs as `minhash_est_error`; everything is integer
+    * (the clamp fires before Spark-div-vs-DuckDB-floor-division could
+    * diverge on a negative numerator — both sides stay negative). */
+  def bbitMinhashEst(s: SparkSession, d: String): DataFrame = {
+    val mask = (1 << BbitB) - 1
+    val w = 1 << BbitB
+    val sigs = hashed(s, d).withColumn("sig", sigCol)
+      .select(col("doc_id"), col("sig"), col("shset"))
+    candidates(s, d)
+      .join(sigs.select(col("doc_id").as("ida"), col("sig").as("siga"),
+        col("shset").as("sha")), Seq("ida"))
+      .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sigb"),
+        col("shset").as("shb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b))")
+          .cast("long").as("n_match"),
+        expr(s"size(filter(zip_with(siga, sigb, (x, y) -> x % $w = y % $w), b -> b))")
+          .cast("long").as("n_match_bbit"),
+        expr("(cast(size(array_intersect(sha, shb)) as bigint) * 1000000) div " +
+          "cast(size(array_union(sha, shb)) as bigint)").as("jacc_ppm"))
+      .withColumn("est_full_ppm", expr(s"(n_match * 1000000) div $MinhashK"))
+      .withColumn("est_bbit_ppm",
+        greatest(lit(0L),
+          expr(s"(($w * n_match_bbit - $MinhashK) * 1000000) div (${w - 1} * $MinhashK)")))
+  }
+
+  val EditPrefix = 200 // chars of text the edit-distance verify reads
+
+  /** Edit-distance VERIFICATION of the banded candidate pairs — the
+    * character-level near-dup check (templated boilerplate with small
+    * substitutions) that shingle Jaccard under-scores: for every LSH
+    * candidate pair, the Levenshtein distance over the first
+    * [[EditPrefix]] chars and the similarity 1 − d/max_len in integer
+    * ppm. The prefix cap is the scale guard: Levenshtein is O(len²)
+    * per pair, so production verifies on a fixed prefix (or falls
+    * back to token-level `fuzzy_source_pairs`-style blocking) — the
+    * cap bounds per-pair work at any document length, and the pair
+    * volume is already bounded by the capped LSH buckets. Both
+    * engines run the identical DP (`fuzzy_source_pairs` proved the
+    * parity); empty-vs-empty scores 1e6 (identical). */
+  def editRatioPairs(s: SparkSession, d: String): DataFrame = {
+    val txt = docs(s, d).select(col("doc_id"),
+      expr(s"substring(coalesce(text, ''), 1, $EditPrefix)").as("tx"))
+    candidates(s, d)
+      .join(txt.select(col("doc_id").as("ida"), col("tx").as("txa")), Seq("ida"))
+      .join(txt.select(col("doc_id").as("idb"), col("tx").as("txb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        levenshtein(col("txa"), col("txb")).cast("long").as("edit_dist"),
+        greatest(length(col("txa")), length(col("txb"))).cast("long").as("max_len"))
+      .withColumn("edit_sim_ppm",
+        when(col("max_len") > 0,
+          expr("((max_len - edit_dist) * 1000000) div max_len")).otherwise(lit(1000000L)))
+      .withColumn("is_near_dup", col("edit_sim_ppm") >= 800000L)
+  }
+
   /** Ingest-drift report: the per-source document share of two corpus
     * slices (even vs odd doc_id — standing in for yesterday's ingest
     * vs today's) side by side in integer ppm, with the delta — the
@@ -1543,6 +1611,8 @@ object TextOps {
     "filter_funnel" -> (filterFunnel _),
     "corpus_drift" -> (corpusDrift _),
     "minhash_est_error" -> (minhashEstError _),
+    "bbit_minhash_est" -> (bbitMinhashEst _),
+    "edit_ratio_pairs" -> (editRatioPairs _),
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_coverage" -> (dupNgramCoverage _),
     "quantile_bins" -> (quantileBins _),
@@ -1728,6 +1798,36 @@ object TextOps {
         |       CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_ppm,
         |       CAST((n_a * 1000000) // ta - (n_b * 1000000) // tb AS BIGINT) AS delta_ppm
         |FROM g, t""".stripMargin,
+    "bbit_minhash_est" -> {
+      val w = 1 << BbitB
+      s"""WITH $minhashCtes,
+         |m AS (
+         |  SELECT c.ida, c.idb,
+         |    CAST(len(list_filter(range(1, $MinhashK + 1), i -> x.sig[i] = y.sig[i])) AS BIGINT) AS n_match,
+         |    CAST(len(list_filter(range(1, $MinhashK + 1), i -> (x.sig[i] % $w) = (y.sig[i] % $w))) AS BIGINT) AS n_match_bbit,
+         |    (CAST(len(list_intersect(x.shset, y.shset)) AS BIGINT) * 1000000)
+         |      // CAST(len(list_distinct(list_concat(x.shset, y.shset))) AS BIGINT) AS jacc_ppm
+         |  FROM cand c JOIN sig x ON c.ida = x.doc_id JOIN sig y ON c.idb = y.doc_id)
+         |SELECT ida, idb, n_match, n_match_bbit, jacc_ppm,
+         |       (n_match * 1000000) // $MinhashK AS est_full_ppm,
+         |       greatest(CAST(0 AS BIGINT),
+         |         (($w * n_match_bbit - $MinhashK) * 1000000) // (${w - 1} * $MinhashK)) AS est_bbit_ppm
+         |FROM m""".stripMargin
+    },
+    "edit_ratio_pairs" ->
+      s"""WITH $minhashCtes,
+         |tx AS (SELECT doc_id, substring(coalesce(text, ''), 1, $EditPrefix) AS tx FROM documents),
+         |e AS (
+         |  SELECT c.ida, c.idb,
+         |         CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS edit_dist,
+         |         CAST(greatest(length(a.tx), length(b.tx)) AS BIGINT) AS max_len
+         |  FROM cand c JOIN tx a ON c.ida = a.doc_id JOIN tx b ON c.idb = b.doc_id)
+         |SELECT ida, idb, edit_dist, max_len,
+         |       CASE WHEN max_len > 0 THEN ((max_len - edit_dist) * 1000000) // max_len
+         |            ELSE CAST(1000000 AS BIGINT) END AS edit_sim_ppm,
+         |       (CASE WHEN max_len > 0 THEN ((max_len - edit_dist) * 1000000) // max_len
+         |             ELSE CAST(1000000 AS BIGINT) END) >= 800000 AS is_near_dup
+         |FROM e""".stripMargin,
     "minhash_est_error" ->
       s"""WITH $minhashCtes
          |SELECT p.ida, p.idb,

@@ -3697,6 +3697,114 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin == exp, "multi-batch final counters differ — additive merge broken")
   }
 
+  test("bbit_minhash_est matches a plain-Scala signature recompute; bbit matches dominate full") {
+    val P = graft.functions.Portable.P
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    def hmods(t: String): Seq[Long] =
+      if (t == null) Seq.empty
+      else {
+        val tk = t.split(" ", -1)
+        if (tk.length < TextOps.ShingleN) Seq.empty
+        else tk.sliding(TextOps.ShingleN).map(s => scalaH60(s.mkString(" ")) % P).toSeq
+      }
+    val sigOf = docs.map { case (id, t) =>
+      val hs = hmods(t)
+      id -> (0 until TextOps.MinhashK).map { j =>
+        if (hs.isEmpty) P
+        else hs.map(h => (h * graft.functions.Portable.permA(j) +
+          graft.functions.Portable.permB(j)) % P).min
+      }
+    }.toMap
+    val shsetOf = docs.map { case (id, t) => id -> hmods(t).toSet }.toMap
+    val w = 1 << TextOps.BbitB
+    val got = TextOps.bbitMinhashEst(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty, "fixture must produce candidate pairs")
+    for ((ida, idb, nm, nmb, jp, efp, ebp) <- got) {
+      val (sa, sb) = (sigOf(ida), sigOf(idb))
+      assert(nm == sa.zip(sb).count { case (x, y) => x == y }, s"($ida,$idb) n_match")
+      assert(nmb == sa.zip(sb).count { case (x, y) => x % w == y % w }, s"($ida,$idb) bbit")
+      assert(nm <= nmb, s"($ida,$idb) a full match must also match in its low bits")
+      val (ha, hb) = (shsetOf(ida), shsetOf(idb))
+      assert(jp == (ha & hb).size.toLong * 1000000L / (ha | hb).size, s"($ida,$idb) jacc_ppm")
+      assert(efp == nm * 1000000L / TextOps.MinhashK)
+      assert(ebp == math.max(0L,
+        (w * nmb - TextOps.MinhashK) * 1000000L / ((w - 1) * TextOps.MinhashK)))
+    }
+  }
+
+  test("edit_ratio_pairs matches a plain-Scala Levenshtein over the capped prefix") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "" else r.getString(1)).take(TextOps.EditPrefix)).toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val got = TextOps.editRatioPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.nonEmpty, "fixture must produce candidate pairs")
+    for ((ida, idb, dist, maxLen, sim, near) <- got) {
+      val (a, b) = (docs(ida), docs(idb))
+      assert(dist == lev(a, b), s"($ida,$idb) levenshtein")
+      assert(maxLen == math.max(a.length, b.length).toLong)
+      val expSim = if (maxLen > 0) (maxLen - dist) * 1000000L / maxLen else 1000000L
+      assert(sim == expSim && near == (expSim >= 800000L), s"($ida,$idb) similarity")
+    }
+  }
+
+  test("streaming_bloom equals the batch filter words and survives a forced multi-batch split") {
+    import org.apache.spark.sql.functions.col
+    val purchasers = plainEvents().filter(_._3 == "purchase").map(_._2).distinct
+    val exp = (for (u <- purchasers; j <- 0 until SketchOps.BloomK)
+      yield scalaH60(s"bf$j:$u") % SketchOps.BloomBits)
+      .groupBy(_ / SketchOps.BloomWords)
+      .map { case (w, ps) =>
+        (w, ps.map(p => 1L << (p % SketchOps.BloomWords).toInt).reduce(_ | _))
+      }.toSet
+    val single = graft.streaming.StreamingBloom.run(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single == exp, "single-batch streaming filter differs from exact recompute")
+    // forced multi-batch: bits only accrete (OR), final = max-popcount
+    // emission per word (later emissions are supersets)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/src/b.parquet")
+    val q = graft.streaming.StreamingBloom
+      .filterStream(spark, s"$dir/src/*.parquet", ev.schema,
+        Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("bloom_multi")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finAll = spark.table("bloom_multi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(finAll.length > finAll.map(_._1).distinct.length,
+      "fixture must actually produce multiple emissions for some word")
+    // monotonicity: every earlier emission is a bit-subset of the final
+    val fin = finAll.groupBy(_._1).map { case (w, xs) =>
+      val last = xs.map(_._2).maxBy(java.lang.Long.bitCount)
+      for ((_, bw) <- xs) assert((bw & ~last) == 0L, s"word $w emission not a subset of final")
+      (w, last)
+    }.toSet
+    assert(fin == exp, "multi-batch final filter differs — OR merge broken")
+  }
+
   test("salt_plan: exact ceil arithmetic, post-salt buckets within target") {
     val evs = plainEvents()
     val counts = evs.groupBy(_._2).map { case (u, es) => (u, es.length.toLong) }
