@@ -712,6 +712,46 @@ object AnnOps {
         ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
           .as("centroid_new"))
 
+  val KppL = 8L         // k-means|| oversampling factor per round
+  val KppSalt = "kpp"   // per-vector uniform-draw salt
+
+  /** One k-means|| INITIALIZATION round (Bahmani et al., VLDB 2012) —
+    * the distributed answer to k-means++'s sequential seeding: from a
+    * deterministic seed centroid (the min-vec_id embedding), every
+    * vector is kept as a centroid CANDIDATE with probability
+    * ℓ·d²(x, seed)/Σd² (oversampling ℓ = [[KppL]]); a full init runs
+    * log(n) such rounds against the growing candidate set, then
+    * reclusters the candidates — this operator is the round kernel,
+    * and with [[kmeansStep]] (Lloyd update) the kmeans training story
+    * is end-to-end. ZERO float comparisons decide membership: d² is a
+    * deterministic per-row sequential fold, QUANTIZED to
+    * [[CentScale]] fixed point before the corpus sum, and the keep
+    * rule u·Σqd² < ℓ·1e6·qd² runs in decimal(38,0)/HUGEINT (u < 1e6
+    * times a corpus-sized sum overflows int64 near ~1e12 quantized
+    * mass) — so the sampled set is bit-identical on any partitioning
+    * and replayable on reruns (the `sample_weighted` property, lifted
+    * to distance-proportional sampling). One scan + two one-row
+    * broadcasts (seed, total). */
+  def kmeansppInit(s: SparkSession, d: String): DataFrame = {
+    val seed = Tables.embeddings(s, d).orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("se"))
+    val q = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("se").cast("array<double>"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .select(col("vec_id"), expr(s"cast(round(d2 * $CentScale) as bigint)").as("qd2"),
+        (Portable.h60(concat(col("vec_id").cast("string"), lit(":" + KppSalt)))
+          % 1000000L).as("u"))
+    val tot = q.agg(sum(col("qd2")).as("tot"))
+    q.crossJoin(broadcast(tot))
+      .select(col("vec_id"), col("qd2"), col("u"),
+        (expr("cast(u as decimal(38,0)) * tot") <
+          expr(s"cast(${KppL * 1000000L} as decimal(38,0)) * qd2")).as("kept"))
+  }
+
   /** Embedding ANISOTROPY per label: ‖mean vector‖ / mean ‖vector‖ —
     * the corpus-geometry QA statistic behind cosine retrieval quality
     * (a common-direction bias, ratio → 1, makes cosine scores
@@ -950,6 +990,7 @@ object AnnOps {
     "power_iteration"    -> (powerIteration _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_anisotropy" -> (embeddingAnisotropy _),
+    "kmeanspp_init" -> (kmeansppInit _),
     "ann_pq_topk"        -> (annPqTopk _),
     "ann_ivf_pq_topk"    -> (annIvfPqTopk _),
     "ann_sq_topk"        -> (annSqTopk _),
@@ -1145,6 +1186,24 @@ object AnnOps {
          |SELECT lb.vec_id, lb.label AS true_label, p.pred_label, p.n_votes,
          |       CASE WHEN p.pred_label IS NOT NULL THEN p.pred_label = lb.label END AS correct
          |FROM lb LEFT JOIN p ON lb.vec_id = p.vec_id""".stripMargin,
+    "kmeanspp_init" -> {
+      val sq = "(embedding[i]::DOUBLE - se[i]::DOUBLE) * (embedding[i]::DOUBLE - se[i]::DOUBLE)"
+      s"""WITH sd AS (SELECT embedding AS se FROM embeddings ORDER BY vec_id LIMIT 1),
+         |v AS (
+         |  SELECT vec_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, len(embedding) + 1), i -> $sq)),
+         |           (acc, v) -> acc + v) AS d2
+         |  FROM embeddings, sd),
+         |q AS (
+         |  SELECT vec_id, CAST(round(d2 * $CentScale) AS BIGINT) AS qd2,
+         |         ${Portable.h60Sql(s"CAST(vec_id AS VARCHAR) || ':$KppSalt'")} % 1000000 AS u
+         |  FROM v),
+         |t AS (SELECT CAST(sum(qd2) AS BIGINT) AS tot FROM q)
+         |SELECT vec_id, qd2, u,
+         |       CAST(u AS HUGEINT) * tot < CAST(${KppL * 1000000L} AS HUGEINT) * qd2 AS kept
+         |FROM q, t""".stripMargin
+    },
     "embedding_anisotropy" -> {
       val denom = s"(CAST(n_vecs AS DOUBLE) * ${CentScale}.0)"
       val meanSq = s"(CAST(v AS DOUBLE) / $denom) * (CAST(v AS DOUBLE) / $denom)"

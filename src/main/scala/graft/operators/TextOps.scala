@@ -1436,6 +1436,37 @@ object TextOps {
       .select("ida", "idb", "n_match", "jacc_est", "jacc")
   }
 
+  /** Source OVERLAP matrix: exact shingle-level Jaccard between every
+    * pair of sources (over the hashed shingle universe) — the
+    * corpus-composition QA that tells a mix designer which sources
+    * are near-copies of each other BEFORE `token_budget_mix` weights
+    * them as if independent (two mirrors of the same crawl at weight
+    * 2 ≠ diversity). Per-source DISTINCT shingle hashes are one
+    * partial-agg distinct off the tokenize pass; the intersection is
+    * an equi-join keyed by the 60-bit hash (source-pair fan-out only
+    * AFTER the hash match, bounded by source-dimension²); union sizes
+    * come from the per-source counts by inclusion-exclusion — no
+    * all-pairs product anywhere. Zero-overlap pairs are kept via the
+    * broadcast source-dimension frame. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val e = docs(s, d)
+      .select(col("source"), explode(Portable.shingles(col("tk"), ShingleN)).as("shg"))
+      .select(col("source"), Portable.hmod(col("shg")).as("h")).distinct()
+    val per = e.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val tp = broadcast(per.select(col("source").as("src_a"), col("n_sh").as("n_a")))
+      .join(broadcast(per.select(col("source").as("src_b"), col("n_sh").as("n_b"))),
+        col("src_a") < col("src_b"))
+    val common = e.select(col("source").as("src_a"), col("h"))
+      .join(e.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+    tp.join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jacc_ppm",
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)"))
+  }
+
   val BbitB = 2 // low bits kept per signature slot (Li & Koenig 2010)
 
   /** b-bit MinHash Jaccard estimator on the banded candidate pairs —
@@ -1613,6 +1644,7 @@ object TextOps {
     "minhash_est_error" -> (minhashEstError _),
     "bbit_minhash_est" -> (bbitMinhashEst _),
     "edit_ratio_pairs" -> (editRatioPairs _),
+    "source_overlap" -> (sourceOverlap _),
     "sample_weighted" -> (sampleWeighted _),
     "dup_ngram_coverage" -> (dupNgramCoverage _),
     "quantile_bins" -> (quantileBins _),
@@ -1798,6 +1830,24 @@ object TextOps {
         |       CAST((n_b * 1000000) // tb AS BIGINT) AS share_b_ppm,
         |       CAST((n_a * 1000000) // ta - (n_b * 1000000) // tb AS BIGINT) AS delta_ppm
         |FROM g, t""".stripMargin,
+    "source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+         |shd AS (SELECT source, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+         |e AS (SELECT DISTINCT source, ${Portable.hmodSql("sh")} AS h
+         |      FROM (SELECT source, unnest(shl) AS sh FROM shd)),
+         |per AS (SELECT source, count(*) AS n_sh FROM e GROUP BY 1),
+         |tp AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, a.n_sh AS n_a, b.n_sh AS n_b
+         |  FROM per a JOIN per b ON a.source < b.source),
+         |cm AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+         |  FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT tp.src_a, tp.src_b, tp.n_a, tp.n_b,
+         |       coalesce(cm.n_common, CAST(0 AS BIGINT)) AS n_common,
+         |       (coalesce(cm.n_common, CAST(0 AS BIGINT)) * 1000000)
+         |         // (tp.n_a + tp.n_b - coalesce(cm.n_common, CAST(0 AS BIGINT))) AS jacc_ppm
+         |FROM tp LEFT JOIN cm ON tp.src_a = cm.src_a AND tp.src_b = cm.src_b""".stripMargin,
     "bbit_minhash_est" -> {
       val w = 1 << BbitB
       s"""WITH $minhashCtes,

@@ -706,7 +706,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         "cms_heavy_hitters", "shuffle_skew_report", "salt_plan",
         // hll_intersect / kmv_difference: kmv_intersect's
         // type-dimension² pair cross over constant sketch states
-        "hll_intersect", "kmv_difference")
+        "hll_intersect", "kmv_difference",
+        // kmeanspp_init: one-row seed + one-row total broadcasts;
+        // source_overlap: source-dimension² pair frame of two
+        // broadcast per-source count dims
+        "kmeanspp_init", "source_overlap")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -3803,6 +3807,60 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (w, last)
     }.toSet
     assert(fin == exp, "multi-batch final filter differs — OR merge broken")
+  }
+
+  test("kmeanspp_init matches an exact-integer recompute; seed never kept") {
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val se = vecs.head._2
+    val S = AnnOps.CentScale.toDouble
+    def roundAz(y: Double): Long = if (y < 0) -math.round(-y) else math.round(y)
+    val qd2s = vecs.map { case (id, v) =>
+      val d2 = v.indices.foldLeft(0.0)((acc, i) => acc + (v(i) - se(i)) * (v(i) - se(i)))
+      id -> roundAz(d2 * S)
+    }
+    val tot = BigInt(qd2s.map(_._2).sum)
+    val exp = qd2s.map { case (id, qd2) =>
+      val u = scalaH60(s"$id:${AnnOps.KppSalt}") % 1000000L
+      (id, qd2, u, BigInt(u) * tot < BigInt(AnnOps.KppL * 1000000L) * BigInt(qd2))
+    }.toSet
+    val got = AnnOps.kmeansppInit(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == exp)
+    val bySeed = got.find(_._1 == vecs.head._1).get
+    assert(bySeed._2 == 0L && !bySeed._4, "seed has d2=0 and must never self-select")
+    val kept = got.count(_._4)
+    assert(kept > 0, "fixture must keep some candidates or the round is vacuous")
+  }
+
+  test("source_overlap matches a plain-Scala per-source shingle-set recompute") {
+    val P = graft.functions.Portable.P
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val bySrc = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        if (t == null) Seq.empty
+        else {
+          val tk = t.split(" ", -1)
+          if (tk.length < TextOps.ShingleN) Seq.empty
+          else tk.sliding(TextOps.ShingleN).map(s => scalaH60(s.mkString(" ")) % P).toSeq
+        }
+      }.toSet
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val exp = (for (a <- srcs; b <- srcs if a < b) yield {
+      val (ha, hb) = (bySrc(a), bySrc(b))
+      val c = (ha & hb).size.toLong
+      (a, b, ha.size.toLong, hb.size.toLong, c,
+        c * 1000000L / (ha.size + hb.size - c))
+    }).toSet
+    val got = TextOps.sourceOverlap(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == exp)
   }
 
   test("salt_plan: exact ceil arithmetic, post-salt buckets within target") {
