@@ -576,6 +576,27 @@ object EventOps {
         expr(s"(n_rows * $SkewP * 1000000) div total").as("skew_ppm"))
   }
 
+  val HourUsL = 3600L * 1000000L // microseconds per hour (local const)
+
+  /** Diurnal SEASONALITY profile: per (event_type, hour-of-day) the
+    * event count and the share of the type's traffic in that hour —
+    * the 24-bucket load curve that sizes streaming triggers, batch
+    * windows and ingest partitioning (a pipeline provisioned for the
+    * mean is 3-5× under peak hour on typical clickstreams). One
+    * partial-agg groupBy over a pure timestamp projection + a
+    * type-dimension window for the per-type totals; exact integers
+    * throughout. */
+  def eventSeasonality(s: SparkSession, d: String): DataFrame = {
+    val typeW = Window.partitionBy(col("event_type"))
+    events(s, d)
+      .select(col("event_type"), expr(s"(ts_us div $HourUsL) % 24").as("hour24"))
+      .groupBy(col("event_type"), col("hour24"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_type", sum(col("n")).over(typeW))
+      .select(col("event_type"), col("hour24"), col("n"),
+        expr("(n * 1000000) div n_type").as("share_ppm"))
+  }
+
   val SaltTasks = 128L // target parallelism the salt plan sizes against
 
   /** Salt PLAN for the skewed keys: given a target parallelism of
@@ -862,6 +883,7 @@ object EventOps {
     "hot_keys"            -> (hotKeys _),
     "shuffle_skew_report" -> (shuffleSkewReport _),
     "salt_plan"           -> (saltPlan _),
+    "event_seasonality"   -> (eventSeasonality _),
     "timeseries_fill"     -> (timeseriesFill _),
     "attribution_linear"  -> (attributionLinear _),
     "asof_nearest"        -> (asofNearest _),
@@ -1056,6 +1078,13 @@ object EventOps {
          |tot AS (SELECT count(*) AS total FROM ev)
          |SELECT user_id, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
          |FROM cnt, tot ORDER BY n DESC, user_id LIMIT $HotK""".stripMargin,
+    "event_seasonality" ->
+      s"""WITH $evCte,
+         |h AS (SELECT event_type, (ts_us // $HourUsL) % 24 AS hour24 FROM ev),
+         |a AS (SELECT event_type, hour24, count(*) AS n FROM h GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM a GROUP BY 1)
+         |SELECT a.event_type, a.hour24, a.n, (a.n * 1000000) // t.n_type AS share_ppm
+         |FROM a JOIN t ON a.event_type = t.event_type""".stripMargin,
     "shuffle_skew_report" ->
       s"""WITH p AS (
          |  SELECT ${Portable.h60Sql("'pt:' || CAST(user_id AS VARCHAR)")} % $SkewP AS part,

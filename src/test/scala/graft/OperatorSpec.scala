@@ -3863,6 +3863,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp)
   }
 
+  test("event_seasonality: hour buckets partition each type; shares exact") {
+    val evs = plainEvents()
+    val exp = evs.groupBy(e => (e._3, (e._4 / EventOps.HourUsL) % 24))
+      .map { case ((t, h), es) => (t, h, es.length.toLong) }
+    val byType = evs.groupBy(_._3).map { case (t, es) => t -> es.length.toLong }
+    val got = EventOps.eventSeasonality(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(x => (x._1, x._2, x._3)).toSet == exp.toSet)
+    for ((t, _, n, share) <- got) {
+      assert(share == n * 1000000L / byType(t))
+      assert(got.filter(_._1 == t).map(_._3).sum == byType(t),
+        s"$t hour buckets must partition the type's events")
+    }
+  }
+
   test("salt_plan: exact ceil arithmetic, post-salt buckets within target") {
     val evs = plainEvents()
     val counts = evs.groupBy(_._2).map { case (u, es) => (u, es.length.toLong) }
