@@ -576,6 +576,59 @@ object EventOps {
         expr(s"(n_rows * $SkewP * 1000000) div total").as("skew_ppm"))
   }
 
+  /** First-touch CONVERSION LAG: across users whose first purchase
+    * follows their first view, the distribution of the view→purchase
+    * delay — the product-funnel latency statistic read beside
+    * `event_funnel`'s conversion COUNTS (how many convert vs how
+    * LONG conversion takes; the attribution-window calibration
+    * input: `asof_first_touch`'s window should sit above p90 lag).
+    * Two partial-agg conditional mins per user + the house exact
+    * nearest-rank selection over (lag, user_id) — all-integer where
+    * percentile interpolation would float-drift. One row out. */
+  def conversionLag(s: SparkSession, d: String): DataFrame = {
+    val fv = events(s, d).groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("first_view"))
+      .filter(col("first_view").isNotNull)
+    val lags = events(s, d).join(fv, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts_us") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("ts_us")).as("first_purchase"))
+      .select(col("user_id"), (col("first_purchase") - col("first_view")).as("lag_us"))
+    val w  = Window.orderBy(col("lag_us"), col("user_id"))
+    val cw = Window.partitionBy(lit(1))
+    def pick(pct: Int): Column =
+      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("lag_us")))
+    lags.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy()
+      .agg(max(col("cnt")).as("n_converted"), min(col("lag_us")).as("min_us"),
+        pick(50).as("p50_us"), pick(90).as("p90_us"), max(col("lag_us")).as("max_us"))
+  }
+
+  /** Session-DURATION histogram: log₂ buckets of (last − first event)
+    * per session with counts and share ppm — the session-length
+    * profile that calibrates `GapUs` (a fat 0-duration bucket means
+    * single-event sessions dominate: the gap is too tight) and sizes
+    * streaming state retention. Composes [[sessionize]]'s boundary
+    * arithmetic: one window pass, one session-keyed partial agg, one
+    * 64-row bucket agg + one-row total broadcast. */
+  def sessionDurationHistogram(s: SparkSession, d: String): DataFrame = {
+    val dur = sessionize(s, d)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg((max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    val chain = (62 to 0 by -1)
+      .map(b => s"WHEN dur_us >= ${1L << b}L THEN ${b}L").mkString("CASE ", " ", " ELSE -1L END")
+    val hist = dur.withColumn("bucket", expr(chain))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_sessions"))
+    val tot = hist.agg(sum(col("n_sessions")).as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) END").as("dur_lo_us"),
+        col("n_sessions"),
+        expr("(n_sessions * 1000000) div total").as("share_ppm"))
+  }
+
   val HourUsL = 3600L * 1000000L // microseconds per hour (local const)
 
   /** Diurnal SEASONALITY profile: per (event_type, hour-of-day) the
@@ -884,6 +937,8 @@ object EventOps {
     "shuffle_skew_report" -> (shuffleSkewReport _),
     "salt_plan"           -> (saltPlan _),
     "event_seasonality"   -> (eventSeasonality _),
+    "conversion_lag"      -> (conversionLag _),
+    "session_duration_histogram" -> (sessionDurationHistogram _),
     "timeseries_fill"     -> (timeseriesFill _),
     "attribution_linear"  -> (attributionLinear _),
     "asof_nearest"        -> (asofNearest _),
@@ -1078,6 +1133,63 @@ object EventOps {
          |tot AS (SELECT count(*) AS total FROM ev)
          |SELECT user_id, n, CAST((n * 1000000) // total AS BIGINT) AS share_ppm
          |FROM cnt, tot ORDER BY n DESC, user_id LIMIT $HotK""".stripMargin,
+    "conversion_lag" ->
+      s"""WITH $evCte,
+         |fv AS (
+         |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view
+         |  FROM ev GROUP BY user_id),
+         |lg AS (
+         |  SELECT e.user_id, min(e.ts_us) - fv.first_view AS lag_us
+         |  FROM ev e JOIN fv ON e.user_id = fv.user_id
+         |  WHERE fv.first_view IS NOT NULL
+         |    AND e.event_type = 'purchase' AND e.ts_us >= fv.first_view
+         |  GROUP BY e.user_id, fv.first_view),
+         |r AS (
+         |  SELECT lag_us,
+         |         row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+         |         count(*) OVER () AS cnt
+         |  FROM lg)
+         |SELECT CAST(max(cnt) AS BIGINT) AS n_converted,
+         |       min(lag_us) AS min_us,
+         |       max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN lag_us END) AS p50_us,
+         |       max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN lag_us END) AS p90_us,
+         |       max(lag_us) AS max_us
+         |FROM r""".stripMargin,
+    "session_duration_histogram" -> {
+      val chain = (62 to 0 by -1)
+        .map(b => s"WHEN dur_us >= ${1L << b} THEN $b").mkString("\n      ")
+      s"""WITH $evCte,
+         |lagd AS (
+         |  SELECT user_id, ts_us,
+         |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us,
+         |         event_id
+         |  FROM ev),
+         |b AS (
+         |  SELECT user_id, ts_us, event_id,
+         |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > $GapUs THEN 1 ELSE 0 END AS boundary
+         |  FROM lagd),
+         |sx AS (
+         |  SELECT user_id, ts_us,
+         |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM b),
+         |du AS (
+         |  SELECT user_id, session_idx, max(ts_us) - min(ts_us) AS dur_us
+         |  FROM sx GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT CAST(CASE
+         |      $chain
+         |      ELSE -1 END AS BIGINT) AS bucket
+         |  FROM du),
+         |h AS (SELECT bucket, count(*) AS n_sessions FROM bk GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM h)
+         |SELECT bucket,
+         |       CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(1 AS BIGINT) << CAST(bucket AS INTEGER) END AS dur_lo_us,
+         |       n_sessions,
+         |       (n_sessions * 1000000) // total AS share_ppm
+         |FROM h, t""".stripMargin
+    },
     "event_seasonality" ->
       s"""WITH $evCte,
          |h AS (SELECT event_type, (ts_us // $HourUsL) % 24 AS hour24 FROM ev),

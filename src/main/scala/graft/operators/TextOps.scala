@@ -940,6 +940,44 @@ object TextOps {
         col("c_w1"), col("fanout_w1"), col("cont_w2"))
   }
 
+  val KnDiscountPpm = 750000L // Kneser-Ney absolute discount d = 0.75
+
+  /** Interpolated Kneser-Ney bigram PROBABILITIES for the top-[[LmK]]
+    * bigrams — the actual LM estimation step over [[ngramLmCounts]]'
+    * count statistics: P(w2|w1) = max(c−d,0)/c(w1•) +
+    * (d·fanout(w1)/c(w1•)) · (cont(w2)/|bigram types|), the formula
+    * (Kneser & Ney 1995; Chen & Goodman 1999) every production n-gram
+    * LM tabulates. Entirely in ppm FIXED POINT (d = [[KnDiscountPpm]]
+    * = 0.75): all four factors are exact-integer ratios, so the
+    * probability table is bit-identical on any partitioning — where a
+    * float evaluation would drift per engine. Same scale shape as the
+    * count table: margins aggregate the already-grouped bigram table,
+    * distributed top-K, K-row broadcast joins, one-row type-count
+    * broadcast. */
+  def ngramKnProbs(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .select(explode(Portable.shingles(col("tk"), 2)).as("pair"))
+      .select(expr("split_part(pair, ' ', 1)").as("w1"),
+        expr("split_part(pair, ' ', 2)").as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val left = big.groupBy(col("w1"))
+      .agg(sum(col("c_bigram")).as("c_left"), count(lit(1)).as("fanout_w1"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("cont_w2"))
+    val types = big.agg(count(lit(1)).as("n_big_types"))
+    val top = big.orderBy(col("c_bigram").desc, col("w1"), col("w2")).limit(LmK)
+    top.join(left, Seq("w1")).join(cont, Seq("w2")).crossJoin(broadcast(types))
+      .withColumn("term1_ppm",
+        expr(s"(c_bigram * 1000000 - $KnDiscountPpm) div c_left"))
+      .withColumn("lambda_ppm", expr(s"($KnDiscountPpm * fanout_w1) div c_left"))
+      .withColumn("pcont_ppm", expr("(cont_w2 * 1000000) div n_big_types"))
+      .withColumn("pkn_ppm",
+        expr("term1_ppm + (lambda_ppm * pcont_ppm) div 1000000"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("c_bigram").desc, col("w1"), col("w2"))))
+      .select(col("rnk"), col("w1"), col("w2"), col("c_bigram"), col("c_left"),
+        col("fanout_w1"), col("cont_w2"), col("pkn_ppm"))
+  }
+
   /** Bigram association LIFT for the top-[[LmK]] bigrams:
     * P(w1,w2) / (P(w1)·P(w2)) over the bigram space in integer ppm —
     * the collocation statistic (PMI's ratio argument, kept rational
@@ -1659,6 +1697,7 @@ object TextOps {
     "bpe_pair_counts" -> (bpePairCounts _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "ngram_lm_counts" -> (ngramLmCounts _),
+    "ngram_kn_probs" -> (ngramKnProbs _),
     "sample_reservoir" -> (sampleReservoir _),
     "rare_token_ratio" -> (rareTokenRatio _),
     "corpus_rollup" -> (corpusRollup _),
@@ -2454,6 +2493,32 @@ object TextOps {
          |JOIN l ON p.w1 = l.w1
          |JOIN r ON p.w2 = r.w2, t
          |WHERE p.rnk <= $LmK""".stripMargin,
+    "ngram_kn_probs" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT split_part(p, ' ', 1) AS w1, split_part(p, ' ', 2) AS w2
+         |  FROM (SELECT unnest(${Portable.shinglesSql("tk", 2)}) AS p FROM toks)),
+         |big AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+         |lf AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left,
+         |              count(*) AS fanout_w1 FROM big GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS cont_w2 FROM big GROUP BY 1),
+         |ty AS (SELECT count(*) AS n_big_types FROM big),
+         |top AS (
+         |  SELECT w1, w2, c_bigram,
+         |         row_number() OVER (ORDER BY c_bigram DESC, w1, w2) AS rnk
+         |  FROM big),
+         |j AS (
+         |  SELECT t.rnk, t.w1, t.w2, t.c_bigram, lf.c_left, lf.fanout_w1, cont.cont_w2,
+         |         (t.c_bigram * 1000000 - $KnDiscountPpm) // lf.c_left AS term1_ppm,
+         |         ($KnDiscountPpm * lf.fanout_w1) // lf.c_left AS lambda_ppm,
+         |         (cont.cont_w2 * 1000000) // (SELECT n_big_types FROM ty) AS pcont_ppm
+         |  FROM top t
+         |  JOIN lf ON t.w1 = lf.w1
+         |  JOIN cont ON t.w2 = cont.w2
+         |  WHERE t.rnk <= $LmK)
+         |SELECT rnk, w1, w2, c_bigram, c_left, fanout_w1, cont_w2,
+         |       term1_ppm + (lambda_ppm * pcont_ppm) // 1000000 AS pkn_ppm
+         |FROM j""".stripMargin,
     "ngram_lm_counts" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |bg AS (

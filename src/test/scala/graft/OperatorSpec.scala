@@ -710,7 +710,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         // kmeanspp_init: one-row seed + one-row total broadcasts;
         // source_overlap: source-dimension² pair frame of two
         // broadcast per-source count dims
-        "kmeanspp_init", "source_overlap")
+        "kmeanspp_init", "source_overlap",
+        // ngram_kn_probs / session_duration_histogram: one-row
+        // bigram-type-count / session-total scalar joins
+        "ngram_kn_probs", "session_duration_histogram")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -3875,6 +3878,79 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(share == n * 1000000L / byType(t))
       assert(got.filter(_._1 == t).map(_._3).sum == byType(t),
         s"$t hour buckets must partition the type's events")
+    }
+  }
+
+  test("conversion_lag matches a plain-Scala first-touch recompute") {
+    val evs = plainEvents()
+    val lags = evs.groupBy(_._2).flatMap { case (u, es) =>
+      val fv = es.filter(_._3 == "view").map(_._4).minOption
+      fv.flatMap { v =>
+        es.filter(e => e._3 == "purchase" && e._4 >= v).map(_._4).minOption
+          .map(p => (u, p - v))
+      }
+    }.toSeq
+    assert(lags.nonEmpty, "fixture must contain converting users")
+    val sorted = lags.sortBy(l => (l._2, l._1))
+    val n = sorted.length
+    def pick(p: Int) = sorted((n * p + 99) / 100 - 1)._2
+    val got = EventOps.conversionLag(spark, Sf).collect().head
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getLong(1) == sorted.head._2 && got.getLong(4) == sorted.map(_._2).max)
+    assert(got.getLong(2) == pick(50) && got.getLong(3) == pick(90))
+  }
+
+  test("session_duration_histogram: buckets partition the session count") {
+    val evs = plainEvents()
+    val durs = evs.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._1))
+      val bounds = sorted.indices.filter(i =>
+        i == 0 || sorted(i)._4 - sorted(i - 1)._4 > EventOps.GapUs)
+      (bounds :+ sorted.length).sliding(2).map { w =>
+        sorted(w(1) - 1)._4 - sorted(w(0))._4
+      }.toSeq
+    }
+    def bucket(d: Long): Long =
+      if (d <= 0) -1L else (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong
+    val exp = durs.groupBy(bucket).map { case (b, xs) => (b, xs.length.toLong) }
+    val got = EventOps.sessionDurationHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(x => (x._1, x._3)).toMap == exp)
+    assert(got.map(_._3).sum == durs.length.toLong, "buckets must partition sessions")
+    for ((b, lo, n, share) <- got) {
+      assert(lo == (if (b < 0) 0L else 1L << b.toInt))
+      assert(share == n * 1000000L / durs.length)
+    }
+  }
+
+  test("ngram_kn_probs matches a plain-Scala Kneser-Ney recompute; probabilities bounded") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("text").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val bigrams = docs.flatMap { t =>
+      if (t == null) Seq.empty
+      else {
+        val tk = t.split(" ", -1)
+        if (tk.length < 2) Seq.empty else tk.sliding(2).map(p => (p(0), p(1))).toSeq
+      }
+    }
+    val big = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cLeft = big.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val fan = big.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val cont = big.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val nTypes = big.size.toLong
+    val d = TextOps.KnDiscountPpm
+    val got = TextOps.ngramKnProbs(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.nonEmpty && got.size <= TextOps.LmK)
+    for (((w1, w2), (c, cl, fo, cw2, pkn)) <- got) {
+      assert(c == big((w1, w2)) && cl == cLeft(w1) && fo == fan(w1) && cw2 == cont(w2))
+      val term1 = (c * 1000000L - d) / cl
+      val lambda = (d * fo) / cl
+      val pcont = (cw2 * 1000000L) / nTypes
+      assert(pkn == term1 + lambda * pcont / 1000000L, s"($w1,$w2) KN arithmetic")
+      assert(pkn > 0 && pkn <= 1000000L, s"($w1,$w2) probability out of (0,1]")
     }
   }
 
