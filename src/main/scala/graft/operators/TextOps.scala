@@ -940,6 +940,50 @@ object TextOps {
         col("c_w1"), col("fanout_w1"), col("cont_w2"))
   }
 
+  /** Sparse TF-IDF COSINE over the banded candidate pairs — the
+    * lexical similarity score (term-frequency weighted, rare terms
+    * dominant) that complements shingle Jaccard (`minhash_est_error`)
+    * and character edits (`edit_ratio_pairs`): boilerplate with
+    * different rare content scores LOW here even when Jaccard is
+    * high. Weights are INTEGER fixed point — w = tf · ((N·1000) div
+    * df), so the pairwise dot product and the per-doc squared norms
+    * are exact integer sums in decimal(38,0)/HUGEINT, bit-identical
+    * on any partitioning (a float Σ tf·idf drifts with shuffle
+    * order); bound: tf ≤ 1e4 and N ≤ 1e9 keep w ≤ 1e16, Σw² ≤ 1e36 <
+    * 10^38. The only floats are the two per-doc sqrt's and one final
+    * division — each deterministic on deterministic integers. Shape:
+    * one tf groupBy, one df groupBy, a one-row N broadcast, then the
+    * pair dot as two term-keyed equi-joins bounded by candidate
+    * volume × doc length — never all-pairs. */
+  def tfidfCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d).select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        expr("tf * ((n_docs * 1000) div df)").as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(expr("cast(w as decimal(38,0)) * w")).as("sumsq"))
+      .select(col("doc_id"), sqrt(col("sumsq").cast("double")).as("nrm"))
+    val dot = candidates(s, d)
+      .join(w.select(col("doc_id").as("ida"), col("term"), col("w").as("wa")), Seq("ida"))
+      .join(w.select(col("doc_id").as("idb"), col("term"), col("w").as("wb")),
+        Seq("idb", "term"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(expr("cast(wa as decimal(38,0)) * wb")).as("dt"))
+    candidates(s, d)
+      .join(dot, Seq("ida", "idb"), "left")
+      .join(norms.select(col("doc_id").as("ida"), col("nrm").as("nrm_a")), Seq("ida"))
+      .join(norms.select(col("doc_id").as("idb"), col("nrm").as("nrm_b")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        coalesce(col("dt").cast("double"), lit(0.0)).as("dot_w"),
+        (coalesce(col("dt").cast("double"), lit(0.0)) /
+          (col("nrm_a") * col("nrm_b"))).as("cosine_tfidf"))
+  }
+
   val KnDiscountPpm = 750000L // Kneser-Ney absolute discount d = 0.75
 
   /** Interpolated Kneser-Ney bigram PROBABILITIES for the top-[[LmK]]
@@ -1698,6 +1742,7 @@ object TextOps {
     "tokenizer_fertility" -> (tokenizerFertility _),
     "ngram_lm_counts" -> (ngramLmCounts _),
     "ngram_kn_probs" -> (ngramKnProbs _),
+    "tfidf_cosine_pairs" -> (tfidfCosinePairs _),
     "sample_reservoir" -> (sampleReservoir _),
     "rare_token_ratio" -> (rareTokenRatio _),
     "corpus_rollup" -> (corpusRollup _),
@@ -2493,6 +2538,37 @@ object TextOps {
          |JOIN l ON p.w1 = l.w1
          |JOIN r ON p.w2 = r.w2, t
          |WHERE p.rnk <= $LmK""".stripMargin,
+    "tfidf_cosine_pairs" ->
+      s"""WITH $minhashCtes,
+         |tfq AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($tkSql) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT tfq.doc_id, tfq.term,
+         |         tfq.tf * (((SELECT n_docs FROM nd) * 1000) // dfq.df) AS w
+         |  FROM tfq JOIN dfq ON tfq.term = dfq.term),
+         |nr AS (
+         |  SELECT doc_id, sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm
+         |  FROM w GROUP BY 1),
+         |dt AS (
+         |  SELECT c.ida, c.idb, count(*) AS n_shared_terms,
+         |         sum(CAST(a.w AS HUGEINT) * b.w) AS dt
+         |  FROM cand c
+         |  JOIN w a ON a.doc_id = c.ida
+         |  JOIN w b ON b.doc_id = c.idb AND b.term = a.term
+         |  GROUP BY 1, 2)
+         |SELECT c.ida, c.idb,
+         |       CAST(coalesce(dt.n_shared_terms, 0) AS BIGINT) AS n_shared_terms,
+         |       coalesce(CAST(dt.dt AS DOUBLE), CAST(0.0 AS DOUBLE)) AS dot_w,
+         |       coalesce(CAST(dt.dt AS DOUBLE), CAST(0.0 AS DOUBLE)) / (na.nrm * nb.nrm)
+         |         AS cosine_tfidf
+         |FROM cand c
+         |LEFT JOIN dt ON dt.ida = c.ida AND dt.idb = c.idb
+         |JOIN nr na ON na.doc_id = c.ida
+         |JOIN nr nb ON nb.doc_id = c.idb""".stripMargin,
     "ngram_kn_probs" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |bg AS (

@@ -711,9 +711,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         // source_overlap: source-dimension² pair frame of two
         // broadcast per-source count dims
         "kmeanspp_init", "source_overlap",
-        // ngram_kn_probs / session_duration_histogram: one-row
-        // bigram-type-count / session-total scalar joins
-        "ngram_kn_probs", "session_duration_histogram")
+        // ngram_kn_probs / session_duration_histogram /
+        // tfidf_cosine_pairs: one-row bigram-type-count /
+        // session-total / corpus-size scalar joins
+        "ngram_kn_probs", "session_duration_histogram",
+        "tfidf_cosine_pairs")
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
@@ -3951,6 +3953,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pcont = (cw2 * 1000000L) / nTypes
       assert(pkn == term1 + lambda * pcont / 1000000L, s"($w1,$w2) KN arithmetic")
       assert(pkn > 0 && pkn <= 1000000L, s"($w1,$w2) probability out of (0,1]")
+    }
+  }
+
+  test("tfidf_cosine_pairs matches a BigInt recompute; cosine within [0,1]") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    val tf = docs.collect { case (id, t) if t != null =>
+      id -> t.split(" ", -1).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    }.toMap
+    val dfq = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = docs.length.toLong
+    val wOf = tf.map { case (id, m) =>
+      id -> m.map { case (t, f) => t -> BigInt(f * (n * 1000L / dfq(t))) }
+    }
+    def nrm(id: Long): Double =
+      math.sqrt(wOf(id).values.map(w => w * w).sum.toDouble)
+    val got = TextOps.tfidfCosinePairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    for ((ida, idb, ns, dotW, cos) <- got) {
+      val (wa, wb) = (wOf(ida), wOf(idb))
+      val shared = wa.keySet & wb.keySet
+      assert(ns == shared.size.toLong, s"($ida,$idb) shared-term count")
+      val dot = shared.toSeq.map(t => wa(t) * wb(t)).sum
+      assert(dotW == dot.toDouble, s"($ida,$idb) integer dot product")
+      assert(cos == dot.toDouble / (nrm(ida) * nrm(idb)), s"($ida,$idb) cosine")
+      assert(cos >= 0.0 && cos <= 1.0 + 1e-9, s"($ida,$idb) cosine out of range: $cos")
     }
   }
 
