@@ -28,10 +28,22 @@ object GraphOps {
     * The kNN rank cut is per-direction, so an edge can survive in one
     * direction only — `least/greatest` + distinct canonicalizes. */
   private def canonEdges(s: SparkSession, d: String): DataFrame =
-    AnnOps.annKnnGraph(s, d).filter(col("cosine") >= AnnOps.SemClusterCosT)
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    edgeCache.computeIfAbsent(d, _ =>
+      AnnOps.annKnnGraph(s, d).filter(col("cosine") >= AnnOps.SemClusterCosT)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Canonical-edge table cached per data dir (the sigCache pattern):
+    * the distinct is a shuffle, and `pagerank_knn`'s unrolled
+    * recurrence otherwise re-executes the whole edge pipeline ~6x
+    * (degree table + two contribution passes, with r1's chain
+    * evaluated twice). The edge list is O(N·K) rows — orders of
+    * magnitude smaller than the corpus, exactly what a production
+    * graph job persists as its edge table. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Symmetrized directed edges (both directions) — PageRank's view. */
   private def symEdges(s: SparkSession, d: String): DataFrame = {
