@@ -337,6 +337,8 @@ object AnnOps {
     // labels derive from the graph — drop them together
     clusterCache.values.forEach(df => { df.unpersist(); () })
     clusterCache.clear()
+    // GraphOps' canonical edge table derives from the graph too
+    GraphOps.clearEdgeCache()
   }
 
   /** Cluster labels for the default tail threshold, cached per dir:

@@ -576,9 +576,11 @@ object EventOps {
         expr(s"(n_rows * $SkewP * 1000000) div total").as("skew_ppm"))
   }
 
-  /** First-touch CONVERSION LAG: across users whose first purchase
-    * follows their first view, the distribution of the view→purchase
-    * delay — the product-funnel latency statistic read beside
+  /** First-touch CONVERSION LAG: across users with a view, the delay
+    * from the FIRST VIEW to the first purchase AT-OR-AFTER it (a user
+    * who also purchased before ever viewing still counts — the
+    * statistic measures view→next-purchase latency, not
+    * first-ever-conversion) — the product-funnel latency read beside
     * `event_funnel`'s conversion COUNTS (how many convert vs how
     * LONG conversion takes; the attribution-window calibration
     * input: `asof_first_touch`'s window should sit above p90 lag).

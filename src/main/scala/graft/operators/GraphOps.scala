@@ -45,6 +45,14 @@ object GraphOps {
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Release the per-dir edge tables — called by
+    * [[AnnOps.clearKnnCache]] (the edges derive from the kNN graph,
+    * so the two caches drop together on a corpus refresh). */
+  private[operators] def clearEdgeCache(): Unit = {
+    edgeCache.values.forEach(df => { df.unpersist(); () })
+    edgeCache.clear()
+  }
+
   /** Symmetrized directed edges (both directions) — PageRank's view. */
   private def symEdges(s: SparkSession, d: String): DataFrame = {
     val e = canonEdges(s, d)

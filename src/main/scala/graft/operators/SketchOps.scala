@@ -101,7 +101,14 @@ object SketchOps {
     * cardinality², the `session_cooccurrence` fan-out bound), and the
     * sketch rows it fans out are ≤ K per type REGARDLESS of corpus
     * size: this is the whole point of sketch algebra at 100 TB. */
-  def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+  /** Pair frame + merged UNION sketch shared by the KMV set-algebra
+    * operators: per unordered type pair, the K smallest distinct
+    * hashes of A ∪ B (the associative KMV merge). Returns the two
+    * renamed sketch-row sides and the merged sketch — one definition
+    * of the union construction so [[kmvIntersect]] and
+    * [[kmvDifference]] cannot diverge. */
+  private def kmvPairUnion(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rows = sketchRows(s, d)
     val types = rows.select(col("event_type")).distinct()
     val tp = broadcast(types.select(col("event_type").as("type_a")))
@@ -109,12 +116,16 @@ object SketchOps {
         col("type_a") < col("type_b"))
     val aRows = rows.select(col("event_type").as("type_a"), col("h"))
     val bRows = rows.select(col("event_type").as("type_b"), col("h"))
-    // merged union sketch per pair: K smallest distinct of A ∪ B
     val unioned = tp.join(aRows, Seq("type_a")).select(col("type_a"), col("type_b"), col("h"))
       .unionByName(tp.join(bRows, Seq("type_b")).select(col("type_a"), col("type_b"), col("h")))
       .distinct()
     val mw = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
-    val merged = unioned.withColumn("rn", row_number().over(mw)).filter(col("rn") <= KmvK)
+    (aRows, bRows,
+      unioned.withColumn("rn", row_number().over(mw)).filter(col("rn") <= KmvK))
+  }
+
+  def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val (aRows, bRows, merged) = kmvPairUnion(s, d)
     val mstats = merged.groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("k_union"), max(col("h")).as("theta"))
     // common hashes inside the union sketch's accepted region (≤ θ)
@@ -146,18 +157,7 @@ object SketchOps {
     * per type at any corpus size, integer state until the final two
     * float ops. */
   def kmvDifference(s: SparkSession, d: String): DataFrame = {
-    val rows = sketchRows(s, d)
-    val types = rows.select(col("event_type")).distinct()
-    val tp = broadcast(types.select(col("event_type").as("type_a")))
-      .join(broadcast(types.select(col("event_type").as("type_b"))),
-        col("type_a") < col("type_b"))
-    val aRows = rows.select(col("event_type").as("type_a"), col("h"))
-    val bRows = rows.select(col("event_type").as("type_b"), col("h"))
-    val unioned = tp.join(aRows, Seq("type_a")).select(col("type_a"), col("type_b"), col("h"))
-      .unionByName(tp.join(bRows, Seq("type_b")).select(col("type_a"), col("type_b"), col("h")))
-      .distinct()
-    val mw = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
-    val merged = unioned.withColumn("rn", row_number().over(mw)).filter(col("rn") <= KmvK)
+    val (aRows, bRows, merged) = kmvPairUnion(s, d)
     val flagged = merged.select(col("type_a"), col("type_b"), col("h"))
       .join(aRows.withColumn("in_a", lit(1L)), Seq("type_a", "h"), "left")
       .join(bRows.withColumn("in_b", lit(1L)), Seq("type_b", "h"), "left")
@@ -255,14 +255,24 @@ object SketchOps {
     * the estimate aggregates and the set-algebra operator
     * ([[hllIntersect]]) merges relationally (≤ [[HllM]] rows per type
     * regardless of corpus size). */
+  /** Cached per data dir (the sigCache pattern): [[hllIntersect]]
+    * otherwise re-derives the events scan + register aggregation four
+    * times (per-type estimates, the type dimension, and both arms of
+    * the pair union); the table is ≤ HllM rows per type — constant
+    * memory at any corpus size. */
+  private val hllRegCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def hllRegs(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(col("event_type"),
-        Portable.h60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
-      .select(col("event_type"), (col("h") % HllM).as("reg"),
-        expr(s"h div $HllM").as("w"))
-      .withColumn("rho", expr(hllRhoChain(v => s"${v}L")))
-      .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("mrho"))
+    hllRegCache.computeIfAbsent(d, _ =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          Portable.h60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+        .select(col("event_type"), (col("h") % HllM).as("reg"),
+          expr(s"h div $HllM").as("w"))
+        .withColumn("rho", expr(hllRhoChain(v => s"${v}L")))
+        .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("mrho"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** (n_zero, harm_sum, est_hll) off grouped register rows — the exact
     * integer harmonic sum + one float division, shared by
@@ -452,8 +462,18 @@ object SketchOps {
     val exact = ua.join(ub, Seq("user_id")).filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(sum(expr("cast(ca as decimal(38,0)) * cb")).cast("long").as("true_join"))
-    est.join(exact, Seq("type_a", "type_b"), "left")
-      .select(col("type_a"), col("type_b"), col("est_join"),
+    // every unordered pair, from the broadcast type dimension — a pair
+    // whose counter footprints are fully disjoint (possible for a type
+    // with one or two users) has inner-product 0 on every row and must
+    // report est_join = 0, not vanish
+    val types = uc.select(col("event_type")).distinct()
+    val tp = broadcast(types.select(col("event_type").as("type_a")))
+      .join(broadcast(types.select(col("event_type").as("type_b"))),
+        col("type_a") < col("type_b"))
+    tp.join(est, Seq("type_a", "type_b"), "left")
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("est_join"), lit(0L)).as("est_join"),
         coalesce(col("true_join"), lit(0L)).as("true_join"))
       .withColumn("over_ppm",
         when(col("true_join") > 0,
@@ -524,8 +544,8 @@ object SketchOps {
     * table ([[cmsCounters]]'s additive state) recomputed in SQL. */
   def cmsCountersOracle: String =
     s"""WITH $cmsCtes
-       |SELECT CAST(i AS BIGINT) AS i, pos, CAST(sum(cnt) AS BIGINT) AS cw
-       |FROM cpos GROUP BY 1, 2""".stripMargin
+       |SELECT CAST(i AS BIGINT) AS i, pos, CAST(cw AS BIGINT) AS cw
+       |FROM ctr""".stripMargin
 
   /** Batch oracle for the streaming Bloom twin: the purchaser
     * filter's word table ([[bloomSemiFilter]]'s build side) in SQL. */
@@ -768,13 +788,20 @@ object SketchOps {
          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
          |         CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS BIGINT) AS true_join
          |  FROM uc a JOIN uc b ON a.user_id = b.user_id AND a.event_type < b.event_type
-         |  GROUP BY 1, 2)
-         |SELECT es.type_a, es.type_b, es.est_join,
+         |  GROUP BY 1, 2),
+         |ty AS (SELECT DISTINCT event_type FROM uc),
+         |tp AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ty a JOIN ty b ON a.event_type < b.event_type)
+         |SELECT tp.type_a, tp.type_b,
+         |       coalesce(es.est_join, CAST(0 AS BIGINT)) AS est_join,
          |       coalesce(ex.true_join, CAST(0 AS BIGINT)) AS true_join,
          |       CASE WHEN coalesce(ex.true_join, 0) > 0
-         |            THEN ((es.est_join - ex.true_join) * 1000000) // ex.true_join
+         |            THEN ((coalesce(es.est_join, 0) - ex.true_join) * 1000000) // ex.true_join
          |            ELSE CAST(NULL AS BIGINT) END AS over_ppm
-         |FROM es LEFT JOIN ex ON es.type_a = ex.type_a AND es.type_b = ex.type_b""".stripMargin,
+         |FROM tp
+         |LEFT JOIN es ON tp.type_a = es.type_a AND tp.type_b = es.type_b
+         |LEFT JOIN ex ON tp.type_a = ex.type_a AND tp.type_b = ex.type_b""".stripMargin,
     "kmv_intersect" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

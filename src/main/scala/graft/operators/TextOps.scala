@@ -966,14 +966,19 @@ object TextOps {
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(expr("cast(w as decimal(38,0)) * w")).as("sumsq"))
       .select(col("doc_id"), sqrt(col("sumsq").cast("double")).as("nrm"))
-    val dot = candidates(s, d)
+    // one candidate frame referenced twice: the canonical plans are
+    // identical, so AQE's ReusedExchange serves the second consumer
+    // from the first's shuffle output instead of re-running the LSH
+    // band/pair pipeline
+    val cand = candidates(s, d)
+    val dot = cand
       .join(w.select(col("doc_id").as("ida"), col("term"), col("w").as("wa")), Seq("ida"))
       .join(w.select(col("doc_id").as("idb"), col("term"), col("w").as("wb")),
         Seq("idb", "term"))
       .groupBy(col("ida"), col("idb"))
       .agg(count(lit(1)).as("n_shared_terms"),
         sum(expr("cast(wa as decimal(38,0)) * wb")).as("dt"))
-    candidates(s, d)
+    cand
       .join(dot, Seq("ida", "idb"), "left")
       .join(norms.select(col("doc_id").as("ida"), col("nrm").as("nrm_a")), Seq("ida"))
       .join(norms.select(col("doc_id").as("idb"), col("nrm").as("nrm_b")), Seq("idb"))

@@ -702,8 +702,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         "ivf_balance_report", "mix_deficit_report", "rfm_segments",
         // cms_heavy_hitters: the one-row corpus-total scalar join that
         // gates the candidate set; shuffle_skew_report / salt_plan:
-        // one-row total scalar joins onto partition-/key-dimension rows
+        // one-row total scalar joins onto partition-/key-dimension
+        // rows; cms_join_estimate: the broadcast type-dimension² pair
+        // frame that keeps disjoint-footprint pairs in the output
         "cms_heavy_hitters", "shuffle_skew_report", "salt_plan",
+        "cms_join_estimate",
         // hll_intersect / kmv_difference: kmv_intersect's
         // type-dimension² pair cross over constant sketch states
         "hll_intersect", "kmv_difference",
