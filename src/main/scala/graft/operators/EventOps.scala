@@ -474,28 +474,34 @@ object EventOps {
     * monetary reports use once `anomaly_zscore` has shown the tails
     * are fat (a plain mean moves arbitrarily far on one unit-confused
     * ingest; the winsorized mean is bounded by construction).
-    * Rank selection over ONE (cents, event_id) window; the clamp
-    * bounds come back as two more window aggregates over the SAME
-    * partitioning, so the whole operator is one shuffle on event_type
-    * + one partial-agg groupBy — and everything before the single
-    * final division is integer (clamped sum ≤ 1e8-cent cap × rows,
-    * inside int64 to ~1e10 rows/group), so the mean is one
-    * deterministic float op on both engines. */
+    * Rank selection with NO per-type window (a type key this small
+    * puts ~N/|types| rows through one unsplittable window task): the
+    * input compresses to per-(type, cent-value) counts, a
+    * [[RangeRank.runningSum]] gives inclusive cumulative counts, and
+    * the nearest-rank value at position r is the least value whose
+    * cumulative count reaches r — identical to the row-position pick
+    * because ties share the value. The winsorized sum is then
+    * Σ clamp(v)·c off the same value table (decimal accumulation —
+    * clamp ≤ 1e8 cents × 1e12-row blocks passes int64), so the whole
+    * operator is partial aggregates + two broadcast joins, and the
+    * single final division is the same IEEE op on both engines. */
   def robustSpendStats(s: SparkSession, d: String): DataFrame = {
-    val w  = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
-    val cw = Window.partitionBy(col("event_type"))
-    def pick(pct: Int): Column =
-      max(when(col("rn") === expr(s"(n * $pct + 99) div 100"), col("cents"))).over(cw)
-    events(s, d)
-      .select(col("event_type"), col("event_id"), col("cents"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(cw))
-      .withColumn("p01", pick(1))
-      .withColumn("p99", pick(99))
-      .withColumn("wc", least(greatest(col("cents"), col("p01")), col("p99")))
+    val vc = events(s, d).groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val cum = RangeRank.runningSum(vc, Seq("event_type"), Seq(col("cents")),
+      col("c"), "cum")
+    val n = vc.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val bounds = cum.join(broadcast(n), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n * 1 + 99) div 100"), col("cents"))).as("p01"),
+        min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("cents"))).as("p99"))
+    vc.join(broadcast(bounds), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"), max(col("p01")).as("p01"), max(col("p99")).as("p99"),
-        sum(col("wc")).as("wins_sum"))
+        sum(least(greatest(col("cents"), col("p01")), col("p99"))
+          .cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("long").as("wins_sum"))
       .withColumn("wins_mean",
         col("wins_sum").cast("double") / col("n").cast("double"))
   }
@@ -586,7 +592,10 @@ object EventOps {
     * input: `asof_first_touch`'s window should sit above p90 lag).
     * Two partial-agg conditional mins per user + the house exact
     * nearest-rank selection over (lag, user_id) — all-integer where
-    * percentile interpolation would float-drift. One row out. */
+    * percentile interpolation would float-drift; the global rank is
+    * a [[RangeRank.rowNumber]] (range-partitioned with per-partition
+    * offsets), so no task ever sorts more than ~1/parts of the
+    * converted-user table. One row out. */
   def conversionLag(s: SparkSession, d: String): DataFrame = {
     val fv = events(s, d).groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "view", col("ts_us"))).as("first_view"))
@@ -596,12 +605,11 @@ object EventOps {
       .groupBy(col("user_id"), col("first_view"))
       .agg(min(col("ts_us")).as("first_purchase"))
       .select(col("user_id"), (col("first_purchase") - col("first_view")).as("lag_us"))
-    val w  = Window.orderBy(col("lag_us"), col("user_id"))
-    val cw = Window.partitionBy(lit(1))
+    val ranked = RangeRank.rowNumber(lags, Nil, Seq(col("lag_us"), col("user_id")), "rn")
+    val tot = ranked.agg(max(col("rn")).as("cnt"))
     def pick(pct: Int): Column =
       max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("lag_us")))
-    lags.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
+    ranked.crossJoin(broadcast(tot))
       .groupBy()
       .agg(max(col("cnt")).as("n_converted"), min(col("lag_us")).as("min_us"),
         pick(50).as("p50_us"), pick(90).as("p90_us"), max(col("lag_us")).as("max_us"))
@@ -679,22 +687,25 @@ object EventOps {
     * p50/p90 (and min/max) of the time to the SAME USER's next event —
     * the engagement statistic (and the session-gap calibration input:
     * `GapUs` should sit far above p90 dwell). One lead window on
-    * user_id, then the `corpus_quantiles` exact nearest-rank selection
-    * per type (all-integer ranks, engine-exact where interpolation
-    * would float-drift). Deltas attribute to the EARLIER event's
-    * type. */
+    * user_id, then the exact nearest-rank selection per type off
+    * per-(type, delta-value) counts + a [[RangeRank.runningSum]] —
+    * the value at rank r is the least value whose cumulative count
+    * reaches r (ties share the value, so this equals the row-position
+    * pick), with no per-type window over data-sized input and
+    * all-integer ranks where interpolation would float-drift. Deltas
+    * attribute to the EARLIER event's type. */
   def dwellTimes(s: SparkSession, d: String): DataFrame = {
     val deltas = events(s, d)
       .withColumn("nxt", lead(col("ts_us"), 1).over(userW))
       .filter(col("nxt").isNotNull)
-      .select(col("event_type"), col("event_id"), (col("nxt") - col("ts_us")).as("dwell_us"))
-    val w  = Window.partitionBy(col("event_type")).orderBy(col("dwell_us"), col("event_id"))
-    val cw = Window.partitionBy(col("event_type"))
+      .select(col("event_type"), (col("nxt") - col("ts_us")).as("dwell_us"))
+    val vc = deltas.groupBy(col("event_type"), col("dwell_us"))
+      .agg(count(lit(1)).as("c"))
+    val n = vc.groupBy(col("event_type")).agg(sum(col("c")).as("cnt"))
     def pick(pct: Int): Column =
-      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("dwell_us")))
-    deltas
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
+      min(when(col("cum") >= expr(s"(cnt * $pct + 99) div 100"), col("dwell_us")))
+    RangeRank.runningSum(vc, Seq("event_type"), Seq(col("dwell_us")), col("c"), "cum")
+      .join(broadcast(n), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(max(col("cnt")).as("n_dwells"), min(col("dwell_us")).as("min_us"),
         pick(50).as("p50_us"), pick(90).as("p90_us"), max(col("dwell_us")).as("max_us"))
@@ -725,14 +736,28 @@ object EventOps {
     * the value, so the result is identical under any row order and
     * needs no pk tiebreak — the `trailing_window_counts` RANGE-frame
     * argument applied to rank functions); the single division each
-    * performs is the same IEEE op on both engines. One window shuffle
-    * on the type key. */
+    * performs is the same IEEE op on both engines. VALUE-determined
+    * also means NO per-row window is needed at all: per-(type, value)
+    * counts + a [[RangeRank.runningSum]] give rank = cum−c+1 and
+    * cume = cum for every value block, and one equi-join on
+    * (type, cents) fans the two ratios back onto the events — where
+    * the old per-type window pushed ~N/|types| rows through one
+    * unsplittable task, every stage here is partition-parallel. */
   def spendPercentile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val vc = events(s, d).groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val n = vc.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val ranks = RangeRank.runningSum(vc, Seq("event_type"), Seq(col("cents")),
+        col("c"), "cum")
+      .join(broadcast(n), Seq("event_type"))
+      .select(col("event_type"), col("cents"),
+        when(col("n") > 1L, (col("cum") - col("c")).cast("double")
+          / (col("n") - 1L).cast("double")).otherwise(lit(0.0)).as("pr"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd"))
     events(s, d)
-      .select(col("event_id"), col("event_type"), col("cents"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .join(ranks, Seq("event_type", "cents"))
+      .select(col("event_id"), col("event_type"), col("cents"), col("pr"), col("cd"))
   }
 
   /** Market-basket co-occurrence over sessions: for every unordered
@@ -816,25 +841,32 @@ object EventOps {
     * EXACT integer sum (rank weights × integer cents), and tied
     * values are rank-order-invariant (a tie block contributes the
     * same total weight whatever its internal order), so the index is
-    * partition-proof with no float anywhere until never — one rank
-    * window + one partial-agg groupBy. The rank-weighted numerator
-    * accumulates in decimal(38,0): per-row (2i−n−1)·x reaches
-    * n·max_cents (~1e20 at 1e12 rows × 1e8 cents), past int64, and a
-    * BIGINT sum would wrap silently where DuckDB promotes — decimal
-    * keeps the sum exact (and the ×1e6 ppm scale in range) up to
-    * Σ ≤ 1e32, i.e. n²·cents ≤ 1e32 per group, far past the 100 TB
-    * point. Zero-volume groups report NULL, not a 0/0. */
+    * partition-proof with no float anywhere until never. No row ever
+    * gets an individual rank: the input compresses to per-(type,
+    * cent-value) counts, a [[RangeRank.runningSum]] gives each value
+    * block its inclusive cumulative count, and the block's rank-weight
+    * total has the closed form Σ 2i·v over positions a..b =
+    * v·(2·cum−c+1)·c — so the numerator is
+    * 2Σi·xᵢ − (n+1)Σxᵢ from partial aggregates alone, with NO window
+    * over event-type-sized input (the old per-type rank window put
+    * ~N/|types| rows through one unsplittable task). Products
+    * accumulate in decimal(38,0): v·(2cum−c+1)·c reaches ~2e32 at
+    * 1e12 rows × 1e8 cents — past int64, where a BIGINT sum would
+    * wrap silently and DuckDB would promote. Zero-volume groups
+    * report NULL, not a 0/0. */
   def spendGini(s: SparkSession, d: String): DataFrame = {
-    val w  = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
-    val cw = Window.partitionBy(col("event_type"))
-    events(s, d)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(cw))
+    val vc = events(s, d).groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    RangeRank.runningSum(vc, Seq("event_type"), Seq(col("cents")), col("c"), "cum")
       .groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"),
-        sum(col("cents").cast("decimal(19,0)")).as("sum_cents"),
-        sum((lit(2L) * col("rn") - col("n") - 1L).cast("decimal(19,0)")
-          * col("cents").cast("decimal(19,0)")).as("num"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("cents").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sum_cents"),
+        sum(col("cents").cast("decimal(19,0)")
+          * (lit(2L) * col("cum") - col("c") + 1L).cast("decimal(19,0)")
+          * col("c").cast("decimal(19,0)")).as("srx2"))
+      .withColumn("num", col("srx2")
+        - (col("n").cast("decimal(19,0)") + 1L) * col("sum_cents"))
       .select(col("event_type"), col("n"), col("sum_cents").cast("long").as("sum_cents"),
         when(col("sum_cents") > 0,
           expr("(num * 1000000) div (cast(n as decimal(19,0)) * sum_cents)")
@@ -871,23 +903,28 @@ object EventOps {
     * (metric, user_id) row_number — value-deterministic on both
     * engines where `ntile` boundary conventions could differ, and
     * tie-broken on the unique key per the window rule. The per-user
-    * table is corpus-compressing (events → users); the three rank
-    * windows are the same global-order shape as `quantile_bins`
-    * (single-partition at gate scale; range-partitioned sort at
-    * production scale), and the watermark/count are one-row
-    * broadcasts. */
+    * table is corpus-compressing (events → users); each of the three
+    * global ranks is a [[RangeRank.rowNumber]] (range-partitioned
+    * sort with per-partition offsets — no single task ever holds the
+    * user table), and the watermark/count are one-row broadcasts. */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val per = events(s, d).groupBy(col("user_id"))
       .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("frequency"),
         sum(col("cents")).as("monetary_cents"))
     val tot = per.agg(max(col("last_us")).as("wm_us"), count(lit(1)).as("n_users"))
-    def rn(metric: Column): Column =
-      row_number().over(Window.orderBy(metric, col("user_id"))).cast("long")
-    per.crossJoin(broadcast(tot))
+    val base = per.crossJoin(broadcast(tot))
       .withColumn("recency_days", expr(s"(wm_us - last_us) div $DayUs"))
-      .withColumn("rn_r", rn(col("recency_days")))
-      .withColumn("rn_f", rn(col("frequency")))
-      .withColumn("rn_m", rn(col("monetary_cents")))
+    // each metric ranks a SLIM (user_id, metric) projection joined
+    // back on the user key — chaining the ranks over the full row
+    // would compound the base subtree 2^3 times in the plan
+    def rn(df: DataFrame, metric: String, out: String): DataFrame =
+      RangeRank.rowNumber(df.select(col("user_id"), col(metric)), Nil,
+        Seq(col(metric), col("user_id")), out)
+        .select(col("user_id"), col(out))
+    base
+      .join(rn(base, "recency_days", "rn_r"), Seq("user_id"))
+      .join(rn(per, "frequency", "rn_f"), Seq("user_id"))
+      .join(rn(per, "monetary_cents", "rn_m"), Seq("user_id"))
       .withColumn("r_quartile", expr("((rn_r - 1) * 4) div n_users + 1"))
       .withColumn("f_quartile", expr("((rn_f - 1) * 4) div n_users + 1"))
       .withColumn("m_quartile", expr("((rn_m - 1) * 4) div n_users + 1"))

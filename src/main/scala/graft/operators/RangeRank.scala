@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXACT global ordering primitives: grouped prefix sums
+  * and row numbers computed with NO data-sized single-partition
+  * window — the replacement for `Window.orderBy(...)` (and for
+  * `Window.partitionBy(lowCardKey).orderBy(...)`) wherever the
+  * ordered input is corpus-sized. A plain global window moves ALL
+  * rows through ONE task (Spark's own `WindowExec: No Partition
+  * Defined` warning); partitioning by a handful of event types is the
+  * same failure at N/|types| rows per task, and AQE cannot split a
+  * window partition.
+  *
+  * The construction is the textbook distributed ranking:
+  *   1. `repartitionByRange` on (group ++ order) keys — contiguous,
+  *      balanced ranges, ascending range per ascending partition id
+  *      (AQE may coalesce ADJACENT ranges, which preserves both
+  *      contiguity and id order);
+  *   2. a within-partition running sum, windowed on the
+  *      (partition-id, group) pair — every window partition is
+  *      bounded by the range-partition size ≈ N/parts, never by the
+  *      group's row count;
+  *   3. per-(partition-id, group) totals — at most parts × |groups|
+  *      rows — cumulated into start offsets by a K-BOUNDED window
+  *      (≤ `parts` rows per group) and broadcast back.
+  * The result is bit-identical to the single-partition window
+  * whenever the order key is unique within its group (range bounds
+  * only move rows between partitions; rank arithmetic is
+  * partition-independent), which every call site guarantees with a
+  * primary-key tiebreak. */
+object RangeRank {
+
+  /** Range partitions per ranking. Sized so a partition holds ~1/32
+    * of the input per the session's shuffle width; a production job
+    * raises it with the cluster (offsets stay tiny: parts × |groups|
+    * rows). */
+  val RangeParts = 32
+
+  /** Inclusive grouped prefix sum of `value` over `sort` order within
+    * each `grp` combination: for every input row,
+    * out = Σ value over rows of the same group with sort-key ≤ this
+    * row's (ties resolved by the caller's unique tiebreak column).
+    * Input columns pass through unchanged. */
+  def runningSum(df: DataFrame, grp: Seq[String], sort: Seq[Column],
+                 value: Column, out: String,
+                 parts: Int = RangeParts): DataFrame = {
+    val grpCols = grp.map(col)
+    val parted = df
+      .repartitionByRange(parts, (grpCols ++ sort): _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val keyCols = col("__pid") +: grpCols
+    val inW = Window.partitionBy(keyCols: _*).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a constant partition key when ungrouped: the offset table is
+    // ≤ `parts` rows either way, but an empty partition spec would
+    // fire the WindowExec single-partition warning this object exists
+    // to eliminate — and a FOLDABLE key (lit) is stripped back to
+    // empty by Spark 4's EliminateWindowPartitions, so the constant
+    // must reference a column (`__pid div parts` = 0 for every row:
+    // range partitioning hands out ids below `parts`)
+    val offPart =
+      if (grpCols.isEmpty) Seq(expr(s"__pid div $parts")) else grpCols
+    val offW = Window.partitionBy(offPart: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy(keyCols: _*).agg(sum(value).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(offW))
+      .select((keyCols :+ col("__off")): _*)
+    parted.withColumn("__run", sum(value).over(inW))
+      .join(broadcast(offs), "__pid" +: grp)
+      .withColumn(out, col("__run") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__run", "__off")
+  }
+
+  /** Exact `row_number() OVER (PARTITION BY grp ORDER BY sort)` as a
+    * long column, via [[runningSum]] of 1 — `sort` MUST end in a
+    * unique-within-group tiebreak for a deterministic result. */
+  def rowNumber(df: DataFrame, grp: Seq[String], sort: Seq[Column],
+                out: String, parts: Int = RangeParts): DataFrame =
+    runningSum(df, grp, sort, lit(1L), out, parts)
+}

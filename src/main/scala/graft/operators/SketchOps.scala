@@ -263,6 +263,15 @@ object SketchOps {
   private val hllRegCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Release the per-dir HLL register tables (the sigCache pattern's
+    * release path — [[graft.operators.TextOps.clearSignatureCache]]
+    * is the sibling): call between corpus versions of the SAME dir or
+    * the session serves stale registers and the persisted tables leak. */
+  def clearHllRegCache(): Unit = {
+    hllRegCache.values.forEach(df => { df.unpersist(); () })
+    hllRegCache.clear()
+  }
+
   private def hllRegs(s: SparkSession, d: String): DataFrame =
     hllRegCache.computeIfAbsent(d, _ =>
       Tables.events(s, d)
@@ -452,28 +461,30 @@ object SketchOps {
       col("cw").as("cwa"))
     val cb = counters.select(col("event_type").as("type_b"), col("i"), col("pos"),
       col("cw").as("cwb"))
-    val est = ca.join(cb, Seq("i", "pos")).filter(col("type_a") < col("type_b"))
+    val ipd = ca.join(cb, Seq("i", "pos")).filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"), col("i"))
       .agg(sum(expr("cast(cwa as decimal(38,0)) * cwb")).as("ipd"))
-      .groupBy(col("type_a"), col("type_b"))
-      .agg(min(col("ipd")).cast("long").as("est_join"))
     val ua = uc.select(col("event_type").as("type_a"), col("user_id"), col("cnt").as("ca"))
     val ub = uc.select(col("event_type").as("type_b"), col("user_id"), col("cnt").as("cb"))
     val exact = ua.join(ub, Seq("user_id")).filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(sum(expr("cast(ca as decimal(38,0)) * cb")).cast("long").as("true_join"))
-    // every unordered pair, from the broadcast type dimension — a pair
-    // whose counter footprints are fully disjoint (possible for a type
-    // with one or two users) has inner-product 0 on every row and must
-    // report est_join = 0, not vanish
+    // the min runs over ALL d hash rows of every unordered pair, from
+    // the broadcast type-dimension² × range(d) frame: a hash row whose
+    // footprints are fully disjoint (possible for a type with one or
+    // two users) contributes inner-product 0 — the estimator is then
+    // exactly 0 for the pair, not the min over the overlapping rows
     val types = uc.select(col("event_type")).distinct()
     val tp = broadcast(types.select(col("event_type").as("type_a")))
       .join(broadcast(types.select(col("event_type").as("type_b"))),
         col("type_a") < col("type_b"))
-    tp.join(est, Seq("type_a", "type_b"), "left")
-      .join(exact, Seq("type_a", "type_b"), "left")
-      .select(col("type_a"), col("type_b"),
-        coalesce(col("est_join"), lit(0L)).as("est_join"),
+    val est = tp.select(col("type_a"), col("type_b"),
+        explode(array((0 until CmsD).map(lit): _*)).as("i"))
+      .join(ipd, Seq("type_a", "type_b", "i"), "left")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(min(coalesce(col("ipd"), lit(0).cast("decimal(38,0)"))).cast("long").as("est_join"))
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est_join"),
         coalesce(col("true_join"), lit(0L)).as("true_join"))
       .withColumn("over_ppm",
         when(col("true_join") > 0,
@@ -782,26 +793,29 @@ object SketchOps {
          |  FROM ctr a
          |  JOIN ctr b ON a.i = b.i AND a.pos = b.pos AND a.event_type < b.event_type
          |  GROUP BY 1, 2, 3),
+         |ty AS (SELECT DISTINCT event_type FROM uc),
+         |tp AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |ipx AS (
+         |  SELECT tp.type_a, tp.type_b, coalesce(ip.ipd, 0) AS ipd
+         |  FROM tp CROSS JOIN jx
+         |  LEFT JOIN ip ON ip.type_a = tp.type_a AND ip.type_b = tp.type_b
+         |              AND ip.i = jx.i),
          |es AS (SELECT type_a, type_b, CAST(min(ipd) AS BIGINT) AS est_join
-         |       FROM ip GROUP BY 1, 2),
+         |       FROM ipx GROUP BY 1, 2),
          |ex AS (
          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
          |         CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS BIGINT) AS true_join
          |  FROM uc a JOIN uc b ON a.user_id = b.user_id AND a.event_type < b.event_type
-         |  GROUP BY 1, 2),
-         |ty AS (SELECT DISTINCT event_type FROM uc),
-         |tp AS (
-         |  SELECT a.event_type AS type_a, b.event_type AS type_b
-         |  FROM ty a JOIN ty b ON a.event_type < b.event_type)
-         |SELECT tp.type_a, tp.type_b,
-         |       coalesce(es.est_join, CAST(0 AS BIGINT)) AS est_join,
+         |  GROUP BY 1, 2)
+         |SELECT es.type_a, es.type_b, es.est_join,
          |       coalesce(ex.true_join, CAST(0 AS BIGINT)) AS true_join,
          |       CASE WHEN coalesce(ex.true_join, 0) > 0
-         |            THEN ((coalesce(es.est_join, 0) - ex.true_join) * 1000000) // ex.true_join
+         |            THEN ((es.est_join - ex.true_join) * 1000000) // ex.true_join
          |            ELSE CAST(NULL AS BIGINT) END AS over_ppm
-         |FROM tp
-         |LEFT JOIN es ON tp.type_a = es.type_a AND tp.type_b = es.type_b
-         |LEFT JOIN ex ON tp.type_a = ex.type_a AND tp.type_b = ex.type_b""".stripMargin,
+         |FROM es
+         |LEFT JOIN ex ON es.type_a = ex.type_a AND es.type_b = ex.type_b""".stripMargin,
     "kmv_intersect" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

@@ -1109,11 +1109,14 @@ object TextOps {
     * signature table and the probe side is the ~10% holdout, equi-
     * joined on the 60-bit hash (the `decontaminate` shuffle, never
     * all-pairs); per-doc then per-split rollups are partial-agg;
-    * exact integers throughout. Zero-shingle holdout docs count as
-    * clean (explode_outer keeps them). */
+    * exact integers throughout. Zero-shingle AND null-text holdout
+    * docs count as clean: dh coalesces to the empty array so both
+    * take the same explode_outer path on both engines. */
   def splitLeakageReport(s: SparkSession, d: String): DataFrame = {
     val sp = MixOps.dataSplit(s, d).select(col("doc_id"), col("split"))
-    val dh = hashed(s, d).select(col("doc_id"), array_distinct(col("hs")).as("dh"))
+    val dh = hashed(s, d).select(col("doc_id"),
+        coalesce(array_distinct(col("hs")),
+          array().cast("array<bigint>")).as("dh"))
       .join(sp, Seq("doc_id"))
     val trainSh = dh.filter(col("split") === "train")
       .select(explode(col("dh")).as("h")).distinct()
@@ -2635,7 +2638,7 @@ object TextOps {
     "split_leakage_report" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |shd AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
-         |dht AS (SELECT doc_id, list_distinct(list_transform(shl, x -> ${Portable.hmodSql("x")})) AS dh FROM shd),
+         |dht AS (SELECT doc_id, coalesce(list_distinct(list_transform(shl, x -> ${Portable.hmodSql("x")})), []) AS dh FROM shd),
          |sp AS (
          |  SELECT doc_id,
          |    CASE WHEN b < ${MixOps.TestPct} THEN 'test'

@@ -645,87 +645,70 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("doc_id", "n_bytes", "header0", "header1", "width", "height", "n_frames"))
   }
 
-  test("no plan contains an all-pairs join (except the brute-force ANN baseline)") {
-    // ann_cosine_topk: documented broadcast NL brute-force baseline;
-    // tfidf_topk / token_budget_mix / corpus_mix_sample: a ONE-ROW
-    // broadcast (corpus-size / budget-totals scalar) — a scalar join,
-    // not an all-pairs product; ann_ivf_topk: the coarse-quantizer
-    // assignment scores every vector against the broadcast
-    // DIMENSION-SIZED centroid table (~√N rows) — inherent to IVF,
-    // immediately partial-aggregated back to one row per vector.
-    // pack_mix_sequences composes corpus_mix_sample, inheriting the
-    // same one-row budget-totals scalar join. semdedup shares
-    // ann_ivf_topk's centroid-table assignment (and nothing else
-    // crosses: the in-cell pair kernel is a groupBy).
-    // ann_sq_topk / ann_pq_topk: exhaustive ADC scans against the
-    // broadcast query set (the quantization-arithmetic gates; the
-    // probe structure composes with LSH/IVF) plus their ONE-ROW scale
-    // table / 128-row codebook broadcasts. ann_recall_report nests the
-    // brute-force baseline by definition. bm25_topk carries the
-    // one-row corpus-stats scalar join.
-    // kmeans_step and epoch_plan inherit the same shapes: the IVF
-    // centroid-table assignment and the one-row totals scalar join.
-    // timeseries_fill crosses the ONE-ROW bounds row (exploded to the
-    // hour grid) with the type dimension — both time-span/dimension-
-    // bounded, never data-bounded; hot_keys carries the one-row total
-    // scalar join onto a K-row top-K result.
-    val allowedNestedLoop =
-      Set("ann_cosine_topk", "tfidf_topk", "token_budget_mix", "corpus_mix_sample",
-        "pack_mix_sequences", "ann_ivf_topk", "semdedup",
-        "ann_sq_topk", "ann_pq_topk", "ann_recall_report", "bm25_topk",
-        // ann_ivf_pq_topk: composes the IVF centroid-table assignment
-        // + the 128-row PQ codebook broadcast (both dimension-sized)
-        "ann_ivf_pq_topk",
-        // bigram_lift: one-row bigram-total scalar join onto the
-        // K-row top list
-        "bigram_lift",
-        // minhash_recall_sample: the SAMPLE-bounded ground-truth
-        // cross (deterministic 1/32 slice against itself — the eval
-        // pattern) + three one-row count scalar joins
-        "minhash_recall_sample",
-        // split_balance_report: one-row doc-total scalar join onto
-        // the (split × source) dimension cells
-        "split_balance_report",
-        "kmeans_step", "epoch_plan", "timeseries_fill", "hot_keys",
-        // session_cooccurrence / churn_flags: one-row scalar joins
-        // (session total / activity watermark) onto bounded results
-        "session_cooccurrence", "churn_flags",
-        // quantize_error: the ann_sq_topk one-row per-dim scale
-        // broadcast, reused for the error report
-        "quantize_error",
-        // kmv_intersect: the type-dimension² pair cross — two
-        // broadcast-sized DISTINCT-type dims (the session_cooccurrence
-        // fan-out bound), onto ≤K-row sketch states
-        "kmv_intersect",
-        // ivf_balance_report / mix_deficit_report / rfm_segments:
-        // one-row totals/watermark scalar joins onto bounded results
-        "ivf_balance_report", "mix_deficit_report", "rfm_segments",
-        // cms_heavy_hitters: the one-row corpus-total scalar join that
-        // gates the candidate set; shuffle_skew_report / salt_plan:
-        // one-row total scalar joins onto partition-/key-dimension
-        // rows; cms_join_estimate: the broadcast type-dimension² pair
-        // frame that keeps disjoint-footprint pairs in the output
-        "cms_heavy_hitters", "shuffle_skew_report", "salt_plan",
-        "cms_join_estimate",
-        // hll_intersect / kmv_difference: kmv_intersect's
-        // type-dimension² pair cross over constant sketch states
-        "hll_intersect", "kmv_difference",
-        // kmeanspp_init: one-row seed + one-row total broadcasts;
-        // source_overlap: source-dimension² pair frame of two
-        // broadcast per-source count dims
-        "kmeanspp_init", "source_overlap",
-        // ngram_kn_probs / session_duration_histogram /
-        // tfidf_cosine_pairs: one-row bigram-type-count /
-        // session-total / corpus-size scalar joins
-        "ngram_kn_probs", "session_duration_histogram",
-        "tfidf_cosine_pairs")
+  test("every nested-loop join in every plan is a classified bounded shape") {
+    // Every BroadcastNestedLoopJoin a plan is ALLOWED to contain is
+    // declared here with its boundedness class and a node-count cap —
+    // an unclassified query growing a BNLJ, or a classified query
+    // growing MORE of them, fails. The classes (each broadcast side
+    // is bounded by something other than the corpus size):
+    //  scalar — a ONE-ROW broadcast (corpus totals, budget totals,
+    //    watermarks, time-span bounds, per-dim scale rows) crossed
+    //    onto data or dimension rows; never a pair fan.
+    //  dim2   — the unordered type/source-dimension² pair frame: two
+    //    broadcast DISTINCT-key dims crossed over ≤K-row sketch
+    //    states or per-dim count rows.
+    //  ann    — the ANN gates: broadcast centroid table (~√N rows,
+    //    IVF coarse quantizer), 128-row PQ codebook, the bounded
+    //    query set of the brute-force baseline / exhaustive ADC
+    //    scans, plus their one-row scale/total companions.
+    //  sample — minhash_recall_sample's deliberately sample-bounded
+    //    ground-truth cross (fixed-size hash-rank slice vs itself).
+    val bnlj: Map[String, (String, Int)] = Map(
+      // ann: brute-force baseline, IVF/PQ/SQ assignment + ADC scans,
+      // trainer/QA companions (each also carries scalar totals)
+      "ann_cosine_topk" -> ("ann", 1), "ann_ivf_topk" -> ("ann", 2),
+      "ann_pq_topk" -> ("ann", 2), "ann_sq_topk" -> ("ann", 2),
+      "ann_ivf_pq_topk" -> ("ann", 3), "ann_recall_report" -> ("ann", 3),
+      "semdedup" -> ("ann", 2), "kmeans_step" -> ("ann", 1),
+      "kmeanspp_init" -> ("ann", 3), "quantize_error" -> ("ann", 1),
+      "ivf_balance_report" -> ("ann", 3),
+      // dim2: type/source-dimension² pair frames over sketch states
+      "kmv_intersect" -> ("dim2", 4), "kmv_difference" -> ("dim2", 2),
+      "hll_intersect" -> ("dim2", 2), "cms_join_estimate" -> ("dim2", 1),
+      "source_overlap" -> ("dim2", 1),
+      // sample: the recall ground truth is a fixed-size sample cross
+      "minhash_recall_sample" -> ("sample", 3),
+      // scalar: one-row totals/watermark/bounds broadcasts
+      "tfidf_topk" -> ("scalar", 1), "token_budget_mix" -> ("scalar", 1),
+      "corpus_mix_sample" -> ("scalar", 1), "pack_mix_sequences" -> ("scalar", 1),
+      "bm25_topk" -> ("scalar", 1), "bigram_lift" -> ("scalar", 1),
+      "split_balance_report" -> ("scalar", 1), "epoch_plan" -> ("scalar", 1),
+      "timeseries_fill" -> ("scalar", 1), "hot_keys" -> ("scalar", 1),
+      "session_cooccurrence" -> ("scalar", 1), "churn_flags" -> ("scalar", 1),
+      "mix_deficit_report" -> ("scalar", 3),
+      // rfm_segments: the watermark/user-count scalar appears once in
+      // the output row and twice inside the recency rank's
+      // RangeRank (main + offset passes)
+      "rfm_segments" -> ("scalar", 3),
+      // conversion_lag: the one-row converted-count broadcast that
+      // feeds the nearest-rank pick targets
+      "conversion_lag" -> ("scalar", 1),
+      "cms_heavy_hitters" -> ("scalar", 1), "shuffle_skew_report" -> ("scalar", 1),
+      "salt_plan" -> ("scalar", 1), "ngram_kn_probs" -> ("scalar", 1),
+      "session_duration_histogram" -> ("scalar", 1),
+      "tfidf_cosine_pairs" -> ("scalar", 4))
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val plan = SparkEntry.queries(name)(spark, Sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plan has a CartesianProduct")
-      if (!allowedNestedLoop(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plan has a nested-loop join")
+      val n = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      bnlj.get(name) match {
+        case None => assert(n == 0,
+          s"$name plan has $n UNCLASSIFIED nested-loop join(s) — declare its bounded shape or fix the plan")
+        case Some((shape, cap)) => assert(n <= cap,
+          s"$name ($shape) grew nested-loop joins: $n > declared cap $cap")
+      }
     }
   }
 
@@ -4002,5 +3985,72 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp)
     // the plan's whole point: every salted bucket fits the balanced share
     for ((_, _, tgt, _, post) <- got) assert(post <= tgt)
+  }
+
+  test("RangeRank equals the single-partition window, grouped and ungrouped") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark
+    import sp.implicits._
+    // skewed groups, heavy value ties, out-of-order input, and more
+    // rows than range partitions — every regime the primitive must
+    // survive (parts=4 forces real cross-partition offsets)
+    val rows = (1L to 500L).map(i => ((i * 7919) % 3, (i * 31) % 11, i)) ++
+      (501L to 600L).map(i => (0L, 5L, i)) // one hot (group, value) block
+    val df = rows.toDF("g", "v", "pk")
+    def rows3(d: DataFrame): Set[(Long, Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // grouped row_number
+    val a1 = rows3(RangeRank.rowNumber(df, Seq("g"), Seq(col("v"), col("pk")), "rn",
+      parts = 4).select("g", "pk", "rn"))
+    val e1 = rows3(df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("v"), col("pk"))).cast("long"))
+      .select("g", "pk", "rn"))
+    assert(a1 == e1, "grouped rowNumber diverges from the window")
+    // ungrouped running sum of a value column
+    val a2 = RangeRank.runningSum(df, Nil, Seq(col("v"), col("pk")), col("v"), "cum", parts = 4)
+      .select("pk", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e2 = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(col("v"), col("pk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("pk", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a2 == e2, "ungrouped runningSum diverges from the window")
+    // and the primitive's whole point: its OWN plan has no
+    // single-partition window over the data path
+    val plan = RangeRank.rowNumber(df, Nil, Seq(col("v"), col("pk")), "rn", parts = 4)
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    for (w <- wins) assert(w.partitionSpec.nonEmpty,
+      "RangeRank emitted a single-partition WindowExec")
+  }
+
+  test("rank/quantile operators run no data-sized single-partition window") {
+    // The r12 scale-killer class: a global Window (empty partition
+    // spec = ALL rows through one task) or a Window partitioned only
+    // by the low-cardinality event_type/source keys (~N/|types| rows
+    // through one unsplittable task — AQE cannot split a window
+    // partition). Every window these operators run must partition on
+    // something data-scaled: the RangeRank __pid, a user key, or the
+    // K-bounded offset table's group/constant key ordered by __pid.
+    val names = Seq("conversion_lag", "rfm_segments", "spend_gini",
+      "spend_percentile", "robust_spend_stats", "dwell_times")
+    val lowCard = Set("event_type", "source")
+    for (name <- names) {
+      val plan = SparkEntry.queries(name)(spark, Sf).queryExecution.sparkPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      for (w <- wins) {
+        assert(w.partitionSpec.nonEmpty,
+          s"$name runs a single-partition Window over ${w.child.simpleStringWithNodeId()}")
+        val refs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+        // RangeRank's offset-cumulation window partitions by the
+        // group key alone but ORDERS by __pid over the ≤ parts-row
+        // per-partition totals table — K-bounded, not data-sized
+        val ordRefs = w.orderSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+        assert(!refs.subsetOf(lowCard) || ordRefs.contains("__pid"),
+          s"$name windows only on low-cardinality key(s) $refs — unsplittable data-sized partition")
+      }
+    }
   }
 }
