@@ -92,6 +92,7 @@ object Bench {
     try {
       graft.operators.TextOps.warmCaches(spark, sfDir)
       graft.operators.AnnOps.warmCaches(spark, sfDir)
+      graft.operators.GeoOps.warmCaches(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"SETUP FAILURE: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }

@@ -714,6 +714,48 @@ object AnnOps {
         ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
           .as("centroid_new"))
 
+  val KmFitIters = 3 // fixed Lloyd depth: the gate pins the LOOPED path
+
+  /** The LOOPED Lloyd fit `kmeans_step` documents: [[KmFitIters]]
+    * assign→update rounds with an eager localCheckpoint per round
+    * (the `dup_clusters` pattern), re-deriving the broadcast centroid
+    * table from the previous round's fixed-point sums. The update is
+    * ENGINE-EXACT at any depth: per-cell component sums are int64
+    * fixed point, the mean is the same two-division IEEE chain on
+    * both engines, and the next assignment's argmax-dot uses the
+    * shared deterministic sequential fold — so a DuckDB oracle can
+    * unroll and check the whole loop, not just one step. A cell that
+    * empties drops out of the table (k shrinks), identically on both
+    * engines. Per round: one broadcast-dim assignment + one
+    * partial-agg groupBy; output is the final round's per-(cell, dim)
+    * count and centroid. */
+  def kmeansFit(s: SparkSession, d: String): DataFrame =
+    kmeansFit(s, d, KmFitIters)
+
+  def kmeansFit(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val v = vectors(s, d)
+    var cents = centroidTable(s, NCells)
+    var stats: DataFrame = null
+    for (_ <- 1 to iters) {
+      stats = assignCells(v, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(s"cast(round(cast(x as double) * $CentScale) as bigint)")).as("sx"))
+        .localCheckpoint(true)
+      cents = stats
+        .select(col("cell").as("c"), col("i"),
+          ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
+            .as("m"))
+        .groupBy(col("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+          .as("cent"))
+    }
+    stats.select(col("cell"), col("i").cast("long").as("i"), col("n"),
+      ((col("sx").cast("double") / col("n").cast("double")) / CentScale.toDouble)
+        .as("centroid"))
+  }
+
   val KppL = 8L         // k-means|| oversampling factor per round
   val KppSalt = "kpp"   // per-vector uniform-draw salt
 
@@ -989,6 +1031,7 @@ object AnnOps {
     "diversity_sample"   -> (diversitySample _),
     "semantic_clusters"  -> (semanticClusters _),
     "kmeans_step"        -> (kmeansStep _),
+    "kmeans_fit"         -> (kmeansFit(_, _)),
     "power_iteration"    -> (powerIteration _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_anisotropy" -> (embeddingAnisotropy _),
@@ -1263,6 +1306,36 @@ object AnnOps {
          |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $CentScale) AS BIGINT)) AS DOUBLE)
          |          / CAST(count(*) AS DOUBLE)) / ${CentScale}e0 AS centroid_new
          |FROM x GROUP BY cell, i""".stripMargin,
+    "kmeans_fit" -> {
+      // the Lloyd loop unrolled KmFitIters deep: assign to cl{k-1},
+      // per-(cell,dim) fixed-point sums st{k}, rebuilt centroid list
+      // cl{k} — the engine-exact twin of kmeansFit's checkpointed loop
+      val steps = (1 to KmFitIters).map { k =>
+        val base =
+          s"""vd$k AS (SELECT vec_id, embedding, c,
+             |    ${Portable.dotSql("embedding", "cent")} AS dd FROM vecs, cl${k - 1}),
+             |vc$k AS (SELECT vec_id, embedding, c AS cell FROM (
+             |    SELECT vec_id, embedding, c,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY dd DESC, c ASC) AS rn
+             |    FROM vd$k) WHERE rn = 1),
+             |t$k AS (SELECT cell, unnest(range(len(embedding))) AS i, embedding FROM vc$k),
+             |x$k AS (SELECT cell, i, embedding[i + 1] AS x FROM t$k),
+             |st$k AS (SELECT cell, i, count(*) AS n,
+             |    sum(CAST(round(CAST(x AS DOUBLE) * $CentScale) AS BIGINT)) AS sx
+             |  FROM x$k GROUP BY 1, 2)""".stripMargin
+        if (k == KmFitIters) base
+        else base + s""",
+             |cl$k AS (SELECT cell AS c,
+             |    list((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / ${CentScale}e0 ORDER BY i) AS cent
+             |  FROM st$k GROUP BY cell)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $vecCte, $centroidsCte,
+         |cl0 AS (SELECT c, cent FROM cells),
+         |$steps
+         |SELECT cell, CAST(i AS BIGINT) AS i, n,
+         |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / ${CentScale}e0 AS centroid
+         |FROM st$KmFitIters""".stripMargin
+    },
     "power_iteration" ->
       s"""WITH ones AS (SELECT ${(0 until Dim).map(_ => "1.0").mkString("[", ",", "]")}::DOUBLE[] AS o),
          |v AS (

@@ -626,8 +626,33 @@ object GeoOps {
     * Output: cluster_evid = the claiming mainshock's evid (its own
     * for mainshocks, NULL for events in no cluster — the reference's
     * label-0), is_aftershock flag. */
+  /** The qualifying ABWD pair table, checkpointed and cached per data
+    * dir (the sigCache pattern): ~O(events × window occupancy) narrow
+    * rows, scanned many times per labeling run (dependency build,
+    * per-round claim joins, the chunked tail's fused lookups, final
+    * claim resolution) — and identical across runs on the same dir.
+    * Released by [[clearAbwdPairCache]]. */
+  private val abwdPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clearAbwdPairCache(): Unit = abwdPairCache.clear()
+
+  /** Materialize the per-dir ABWD pair table — the bench's named
+    * SETUP step (the TextOps/AnnOps warmCaches pattern): the build is
+    * charged to an explicit setup_sec, not to whichever
+    * aftershock_clusters run happens first. */
+  def warmCaches(s: SparkSession, d: String): Unit = {
+    abwdPairsCached(s, d)
+    ()
+  }
+
+  private def abwdPairsCached(s: SparkSession, d: String): DataFrame =
+    abwdPairCache.computeIfAbsent(d, _ =>
+      abwdPairs(s, d).select("evid", "mag", "m_evid", "m_mag").localCheckpoint(true))
+
   def aftershockClusters(s: SparkSession, d: String): DataFrame =
-    abwdLabel(Catalog.events(s, d).select(col("evid"), col("mag")), abwdPairs(s, d))
+    abwdLabel(Catalog.events(s, d).select(col("evid"), col("mag")),
+      abwdPairsCached(s, d))
 
   /** The batched greedy itself, factored over explicit (events,
     * pairs) inputs so tests can drive it with hand-computed fixtures.
@@ -665,7 +690,18 @@ object GeoOps {
       aMag > bMag || (aMag === bMag && aEvid < bEvid)
     val dbg0 = sys.env.contains("GRAFT_DEBUG")
     val tEntry = System.nanoTime()
-    val pairs = pairsIn.select("evid", "mag", "m_evid", "m_mag").localCheckpoint(true)
+    // materialize once per CALL unless the caller already did (the
+    // per-dir cache hands in a checkpointed table; fixture tests hand
+    // in local relations — either way one more checkpoint would cost
+    // a full extra pass over the pair table every run)
+    val pairsSel = pairsIn.select("evid", "mag", "m_evid", "m_mag")
+    val pairs =
+      if (pairsIn.queryExecution.analyzed.find {
+            case _: org.apache.spark.sql.execution.LogicalRDD => true
+            case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+            case _ => false
+          }.isDefined) pairsSel
+      else pairsSel.localCheckpoint(true)
     if (dbg0) System.err.println(
       f"ABWD pairs built [${(System.nanoTime() - tEntry) / 1e9}%5.2fs]")
     // range(neq - 1): the order-last event never claims. A one-row
@@ -826,26 +862,37 @@ object GeoOps {
         .localCheckpoint(true)
       val step = math.max(tailThreshold, 1L)
       val nChunks = (uCount - 1) / step + 1
+      // tail mains accumulate as a LOCAL id list (bounded by the
+      // undecided residual) and ride into each chunk as a broadcast
+      // local relation — a per-chunk checkpointed union would cost a
+      // job per chunk for a table the next chunk only probes
+      var tailIds = Vector.empty[Long]
+      def mainsNow =
+        if (tailIds.isEmpty) mains
+        else mains.unionByName(tailIds.toDF("evid"))
       var k = 0L
       while (k < nChunks) {
         val chunk = ranked
           .filter(col("rk") > k * step && col("rk") <= (k + 1) * step)
           .select("evid", "mag")
-        val tail = abwdDriverTail(chunk, pairs, allMains, lastEvid)
+        val tail = abwdDriverTail(chunk, pairs, mainsNow, lastEvid)
         if (dbg) System.err.println(
           s"ABWD tail chunk ${k + 1}/$nChunks done [$dt]: tailMains=${tail.size}")
-        if (tail.nonEmpty)
-          allMains = allMains.unionByName(tail.toDF("evid")).localCheckpoint(true)
+        tailIds ++= tail
         k += 1
       }
+      allMains = mainsNow
     }
     // each non-main event's cluster is its order-first main container
-    val wOrd = Window.partitionBy(col("evid")).orderBy(col("m_mag").desc, col("m_evid"))
+    // — a partial-agg max_by (unique (m_mag, m_evid) per group), not
+    // a per-event window sort over the pair table
     val claims = pairs
       .join(allMains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
       .join(allMains, Seq("evid"), "left_anti")
-      .withColumn("rn", row_number().over(wOrd)).filter(col("rn") === 1)
-      .select(col("evid"), col("m_evid").as("cluster_evid"), lit(true).as("is_aftershock"))
+      .groupBy(col("evid"))
+      .agg(max_by(col("m_evid"), struct(col("m_mag"), -col("m_evid")))
+        .as("cluster_evid"))
+      .select(col("evid"), col("cluster_evid"), lit(true).as("is_aftershock"))
     events.select("evid")
       .join(claims, Seq("evid"), "left")
       .join(allMains.withColumn("m", lit(true)), Seq("evid"), "left")
@@ -857,9 +904,13 @@ object GeoOps {
   /** Driver-tail CHUNK size for [[abwdLabel]]'s sequential finish. A
     * CONSTANT, so each driver collect stays bounded at any catalogue
     * size: the collected state is O(threshold × window occupancy)
-    * pair rows (tens of MB at 50k×~7) per chunk regardless of
-    * catalogue size or how many distributed rounds preceded it. */
-  val AbwdTailThreshold = 50000L
+    * pair rows (~100 MB heap at 100k×~7) per chunk regardless of
+    * catalogue size or how many distributed rounds preceded it.
+    * Sized by the r13 profile: per-chunk job latency (two collects)
+    * is the tail's dominant cost once the pair table is cached, and
+    * 100k chunks measured faster than both 50k (more fixed job cost)
+    * and 150k (bigger driver hash maps buy nothing) at sf0.1. */
+  val AbwdTailThreshold = 100000L
 
   /** How many sequential chunks the driver finish may take directly —
     * i.e. distributed rounds only run while the undecided set exceeds
@@ -904,40 +955,44 @@ object GeoOps {
     }
     val u = undecided.select("evid", "mag").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-    val uDF = u.map(_._1).toSeq.toDF("evid").localCheckpoint(true)
+    // local relations, not checkpoints: each id list is a few hundred
+    // KB the planner broadcasts; a localCheckpoint would cost a job
+    // per chunk for nothing
+    val uDF = u.map(_._1).toSeq.toDF("evid")
     val mFlag = mains.select(col("evid").as("m_evid"), lit(true).as("m_main"))
     val uFlag = uDF.select(col("evid").as("m_evid"), lit(true).as("m_tail"))
-    // Containers of tail events (arrival-claim check). Only containers
-    // that are decided mains or tail members can ever fire the check —
-    // an undecided-side container outside U cannot become a main in
-    // this pass — so the irrelevant rows are dropped DISTRIBUTED,
-    // before the collect.
-    val contOfE = group(pairs.join(uDF, Seq("evid"), "left_semi")
-      .join(mFlag, Seq("m_evid"), "left")
-      .join(uFlag, Seq("m_evid"), "left")
-      .filter(coalesce(col("m_main"), lit(false)) || coalesce(col("m_tail"), lit(false)))
-      .select(col("evid"), col("m_evid"), col("m_mag"),
-        coalesce(col("m_main"), lit(false)).as("m_main"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))))
-    lap("contOfE", contOfE.size)
-    // claimees of tail events, with the claimee's own decided-main bit
-    val claimees = pairs.join(uDF.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+    // Containers only matter when decided-main or tail-member — an
+    // undecided container outside U cannot become a main in this
+    // pass — so irrelevant rows drop DISTRIBUTED, before the collect.
+    def contSide(ids: DataFrame, tag: Int): DataFrame =
+      pairs.join(ids, Seq("evid"), "left_semi")
+        .join(mFlag, Seq("m_evid"), "left")
+        .join(uFlag, Seq("m_evid"), "left")
+        .filter(coalesce(col("m_main"), lit(false)) || coalesce(col("m_tail"), lit(false)))
+        .select(lit(tag).as("tag"), col("evid").as("k"), col("m_evid").as("v"),
+          col("m_mag").as("vm"), coalesce(col("m_main"), lit(false)).as("fl"))
+    // Two collect jobs per chunk, not three: containers-of-tail (the
+    // arrival-claim check, tag 0) and claimees-of-tail (tag 1) share
+    // one tagged-union job; the claimee-ID list then falls out of the
+    // collected tag-1 rows on the driver for free, so the
+    // containers-of-claimees lookup (claimee-already-claimed check)
+    // is one more collect against a broadcast local relation — never
+    // a distributed distinct.
+    val clmSide = pairs
+      .join(uDF.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
       .join(mains.select(col("evid"), lit(true).as("x_main")), Seq("evid"), "left")
-      .select(col("m_evid").as("e"), col("evid").as("x"), col("mag").as("x_mag"),
-        coalesce(col("x_main"), lit(false)).as("x_main"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .select(lit(1).as("tag"), col("m_evid").as("k"), col("evid").as("v"),
+        col("mag").as("vm"), coalesce(col("x_main"), lit(false)).as("fl"))
+    val fused = contSide(uDF, 0).unionByName(clmSide)
+      .collect().map(r =>
+        (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+    val contOfE = group(fused.collect { case (0, row) => row })
+    val claimees = fused.collect { case (1, row) => row }
     val claimeesOf = group(claimees)
-    lap("claimees", claimees.length)
-    // containers of those claimees (claimee-already-claimed check),
-    // same decided-main-or-tail-member relevance filter
-    val xDF = claimees.map(_._2).distinct.toSeq.toDF("evid").localCheckpoint(true)
-    val contOfX = group(pairs.join(xDF, Seq("evid"), "left_semi")
-      .join(mFlag, Seq("m_evid"), "left")
-      .join(uFlag, Seq("m_evid"), "left")
-      .filter(coalesce(col("m_main"), lit(false)) || coalesce(col("m_tail"), lit(false)))
-      .select(col("evid").as("x"), col("m_evid").as("mc"), col("m_mag").as("mc_mag"),
-        coalesce(col("m_main"), lit(false)).as("mc_main"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+    lap("fused01", fused.length)
+    val xDF = claimees.map(_._2).distinct.toSeq.toDF("evid")
+    val contOfX = group(contSide(xDF, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
     lap("contOfX", contOfX.size)
     val tailSet = scala.collection.mutable.HashSet.empty[Long]
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -122,9 +122,37 @@ object GraphOps {
       .select(col("vec_id"), col("r1"), col("r2"))
   }
 
+  val PrFullIters = 8 // fixed solve depth: the gate pins the LOOPED path
+
+  /** The LOOPED PageRank solve `pagerank_knn` documents: the same
+    * fixed-point integer iteration run [[PrFullIters]] deep with an
+    * eager localCheckpoint per round (the `dup_clusters` pattern —
+    * lineage stays one-iteration shallow, so round N's plan never
+    * re-derives rounds 1..N−1), over the same cached O(N·K) edge
+    * table. Integer states make the iterate ENGINE-EXACT at any
+    * depth (a float PageRank drifts bit-wise per iteration), which is
+    * what lets a DuckDB oracle check the loop, not just the step: the
+    * oracle unrolls the identical recurrence [[PrFullIters]] times.
+    * Per round: one equi-join + one partial-agg groupBy — the same
+    * scale shape as the checked 2-step recurrence. */
+  def pagerankFull(s: SparkSession, d: String): DataFrame =
+    pagerankFull(s, d, PrFullIters)
+
+  def pagerankFull(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val se  = symEdges(s, d)
+    val deg = se.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var r = ids.select(col("vec_id"), lit(PrR0).as("r"))
+    for (_ <- 1 to iters)
+      r = prIter(ids, se, deg, r, "r").localCheckpoint(true)
+    r
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "triangle_count" -> (triangleCount _),
-    "pagerank_knn"   -> (pagerankKnn _)
+    "pagerank_knn"   -> (pagerankKnn _),
+    "pagerank_full"  -> (pagerankFull(_, _))
   )
 
   private val edgesCte: String =
@@ -171,6 +199,26 @@ object GraphOps {
          |         ${PrR0 - PrR0 * PrDampNum / PrDampDen} + ($PrDampNum * coalesce(c2.s, 0)) // $PrDampDen AS r
          |  FROM ids LEFT JOIN c2 ON ids.vec_id = c2.vec_id)
          |SELECT r1.vec_id, CAST(r1.r AS BIGINT) AS r1, CAST(r2.r AS BIGINT) AS r2
-         |FROM r1 JOIN r2 ON r1.vec_id = r2.vec_id""".stripMargin
+         |FROM r1 JOIN r2 ON r1.vec_id = r2.vec_id""".stripMargin,
+    "pagerank_full" -> {
+      val steps = (1 to PrFullIters).map { k =>
+        s"""c$k AS (
+           |  SELECT se.dst AS vec_id, sum(r${k - 1}.r // deg.deg) AS s
+           |  FROM se JOIN r${k - 1} ON se.src = r${k - 1}.vec_id JOIN deg ON se.src = deg.src
+           |  GROUP BY se.dst),
+           |r$k AS (
+           |  SELECT ids.vec_id,
+           |         ${PrR0 - PrR0 * PrDampNum / PrDampDen} + ($PrDampNum * coalesce(c$k.s, 0)) // $PrDampDen AS r
+           |  FROM ids LEFT JOIN c$k ON ids.vec_id = c$k.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (${AnnOps.knnGraphSql}),
+         |$edgesCte,
+         |se AS (SELECT u AS src, v AS dst FROM ce UNION ALL SELECT v, u FROM ce),
+         |deg AS (SELECT src, count(*) AS deg FROM se GROUP BY src),
+         |ids AS (SELECT vec_id FROM embeddings),
+         |r0 AS (SELECT vec_id, $PrR0 AS r FROM ids),
+         |$steps
+         |SELECT vec_id, CAST(r AS BIGINT) AS r FROM r$PrFullIters""".stripMargin
+    }
   )
 }

@@ -306,8 +306,18 @@ object TextOps {
   // equivalent by the spec.
   val DupEdgeTailMax = 4000000L
 
+  /** Cluster-label table cached per data dir (the sigCache pattern):
+    * one narrow (doc_id, cluster_id) row per doc, shared by
+    * `dup_clusters`, `dup_cluster_sizes` and `dedup_keep_best` — each
+    * otherwise re-runs the verified-pair join + union-find tail.
+    * Released by [[clearSignatureCache]]; warmed by [[warmCaches]]. */
+  private val dupLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def dupClusters(s: SparkSession, d: String): DataFrame =
-    dupClusters(s, d, DupEdgeTailMax)
+    dupLabelCache.computeIfAbsent(d, _ =>
+      dupClusters(s, d, DupEdgeTailMax)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def dupClusters(s: SparkSession, d: String, tailMax: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -402,6 +412,7 @@ object TextOps {
   def warmCaches(s: SparkSession, d: String): Unit = {
     hashed(s, d).queryExecution.toRdd.count()
     segmentRows(s, d).queryExecution.toRdd.count()
+    dupClusters(s, d).queryExecution.toRdd.count()
     ()
   }
 
@@ -410,6 +421,8 @@ object TextOps {
     sigCache.clear()
     segCache.values.forEach(df => { df.unpersist(); () })
     segCache.clear()
+    dupLabelCache.values.forEach(df => { df.unpersist(); () })
+    dupLabelCache.clear()
   }
 
   /** Per-(source, lang) corpus report — the monitoring surface a
@@ -1188,8 +1201,8 @@ object TextOps {
 
   val LshSweepRs = Seq(1, 2, 4)
 
-  val RecallSampleMod = 32L  // sample ≈ 1/32 of docs (deterministic)
-  val RecallSalt      = "rec1"
+  val RecallSampleK = 128 // fixed-SIZE ground-truth sample (hash-rank)
+  val RecallSalt    = "rec1"
 
   /** Measured RECALL of the production MinHash banding on a
     * deterministic document sample — the other axis of
@@ -1198,17 +1211,22 @@ object TextOps {
     * sample), how many does the banded candidate generation find?
     * Banding can only miss (hash collisions add candidates, never
     * drop them), so found ⊆ true and the ppm is a real recall. The
-    * quadratic is SAMPLE-bounded by construction (the standard
-    * eval-harness shape: ground truth is affordable only on a slice);
-    * a production run sizes the modulus so the sample holds a few
-    * thousand docs regardless of corpus scale. One broadcast cross of
-    * the ~N/32 sample against itself + the shared banded-candidate
-    * pipeline restricted to sample endpoints; three one-row counts.
-    * Zero true pairs reports recall 1e6 (vacuously complete). */
+    * quadratic is SAMPLE-bounded by a FIXED SIZE: the sample is the
+    * [[RecallSampleK]] hash-rank-smallest docs (the
+    * [[sampleReservoir]] selection — uniform, replayable on any
+    * partitioning, and a distributed top-K, never a global sort), so
+    * the ground-truth cross is ≤ K²/2 pairs at ANY corpus scale — a
+    * fixed-RATE modulus would grow the quadratic as (N/mod)². One
+    * broadcast cross of the K-doc sample against itself + the shared
+    * banded-candidate pipeline restricted to sample endpoints; three
+    * one-row counts. Zero true pairs reports recall 1e6 (vacuously
+    * complete). */
   def minhashRecallSample(s: SparkSession, d: String): DataFrame = {
     val sample = hashed(s, d).select(col("doc_id"), col("shset"))
-      .filter(Portable.h60(concat(col("doc_id").cast("string"),
-        lit(":" + RecallSalt))) % RecallSampleMod === 0)
+      .withColumn("u", Portable.h60(concat(col("doc_id").cast("string"),
+        lit(":" + RecallSalt))))
+      .orderBy(col("u"), col("doc_id")).limit(RecallSampleK)
+      .select(col("doc_id"), col("shset"))
     val a = sample.select(col("doc_id").as("ida"), col("shset").as("sha"))
     val b = sample.select(col("doc_id").as("idb"), col("shset").as("shb"))
     val truePairs = a.crossJoin(broadcast(b)).filter(col("ida") < col("idb"))
@@ -2467,8 +2485,10 @@ object TextOps {
       s"WITH $minhashCtes SELECT ida, idb, jacc FROM pj",
     "minhash_recall_sample" ->
       s"""WITH $minhashCtes,
-         |smp AS (SELECT doc_id, shset FROM sig
-         |  WHERE ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$RecallSalt'")} % $RecallSampleMod = 0),
+         |smp AS (SELECT doc_id, shset FROM (
+         |  SELECT doc_id, shset,
+         |         row_number() OVER (ORDER BY ${Portable.h60Sql(s"CAST(doc_id AS VARCHAR) || ':$RecallSalt'")}, doc_id) AS rn
+         |  FROM sig) WHERE rn <= $RecallSampleK),
          |tp AS (
          |  SELECT a.doc_id AS ida, b.doc_id AS idb
          |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id

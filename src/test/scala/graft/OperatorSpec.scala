@@ -2408,9 +2408,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (tk.length < TextOps.ShingleN) Set.empty
         else tk.sliding(TextOps.ShingleN).map(_.mkString(" ")).toSet
       }
-    val sample = docs.filter { case (id, _) =>
-      h60(s"$id:${TextOps.RecallSalt}") % TextOps.RecallSampleMod == 0
-    }.map { case (id, t) => id -> shset(t) }
+    // fixed-SIZE hash-rank selection: the K smallest (h60, doc_id)
+    val sample = docs.map { case (id, t) => (h60(s"$id:${TextOps.RecallSalt}"), id, t) }
+      .sortBy(x => (x._1, x._2)).take(TextOps.RecallSampleK)
+      .map { case (_, id, t) => id -> shset(t) }
+    assert(sample.length == math.min(TextOps.RecallSampleK, docs.length),
+      "sample must be exactly K (or the whole corpus when smaller)")
     def jacc(a: Set[String], b: Set[String]): Double =
       (a & b).size.toDouble / (a | b).size.toDouble
     val truePairs = (for {
@@ -4023,6 +4026,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wins.nonEmpty)
     for (w <- wins) assert(w.partitionSpec.nonEmpty,
       "RangeRank emitted a single-partition WindowExec")
+  }
+
+  test("looped solves extend their checked steps: pagerank_full(2)==pagerank_knn.r2, kmeans_fit(1)==kmeans_step") {
+    // the loop at depth 2 must reproduce the unrolled 2-step
+    // recurrence row for row — integer states make this exact
+    val loop2 = GraphOps.pagerankFull(spark, Sf, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val step2 = GraphOps.pagerankKnn(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loop2 == step2, "pagerank_full depth 2 diverges from the unrolled recurrence")
+    // one Lloyd round of the fit is exactly the checked single step
+    def rows(df: DataFrame): Set[(Int, Long, Long, Double)] = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(AnnOps.kmeansFit(spark, Sf, iters = 1)) == rows(AnnOps.kmeansStep(spark, Sf)),
+      "kmeans_fit depth 1 diverges from kmeans_step")
+    // and the solves actually move: depth 8 differs from depth 2
+    // (a loop that silently no-ops would pass the equalities above)
+    val loop8 = GraphOps.pagerankFull(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop8 != loop2, "8 iterations changed nothing — loop is vacuous")
   }
 
   test("rank/quantile operators run no data-sized single-partition window") {
