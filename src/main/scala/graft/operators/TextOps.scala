@@ -810,13 +810,17 @@ object TextOps {
       size(col("tk")).cast("long").as("ntok"))
     val nulls = t.groupBy(col("source"))
       .agg(sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("n_null"))
-    val w  = Window.partitionBy(col("source")).orderBy(col("ntok"), col("doc_id"))
-    val cw = Window.partitionBy(col("source"))
+    // value-grouped nearest-rank selection (the spend family's
+    // RangeRank shape — a per-source rank window funnels ~N/|sources|
+    // rows through one unsplittable task): the value at rank r is the
+    // least value whose cumulative count reaches r, ties sharing value
+    val vc = t.filter(col("ntok").isNotNull)
+      .groupBy(col("source"), col("ntok")).agg(count(lit(1)).as("c"))
+    val n = vc.groupBy(col("source")).agg(sum(col("c")).as("cnt"))
     def pick(pct: Int): Column =
-      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("ntok")))
-    t.filter(col("ntok").isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
+      min(when(col("cum") >= expr(s"(cnt * $pct + 99) div 100"), col("ntok")))
+    RangeRank.runningSum(vc, Seq("source"), Seq(col("ntok")), col("c"), "cum")
+      .join(broadcast(n), Seq("source"))
       .groupBy(col("source"))
       .agg(max(col("cnt")).as("n_docs"), min(col("ntok")).as("min_tokens"),
         pick(50).as("p50_tokens"), pick(90).as("p90_tokens"), pick(99).as("p99_tokens"),
@@ -1264,13 +1268,17 @@ object TextOps {
     * before the sort — the survivors are ~K·margin rows and the result
     * is unchanged (the K smallest always survive a cut above them). */
   def sampleReservoir(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
-    Tables.documents(s, d)
-      .withColumn("u",
-        Portable.h60(concat(col("doc_id").cast("string"), lit(":" + ReservoirSalt))))
-      .withColumn("rnk", row_number().over(w))
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Portable.h60(concat(col("doc_id").cast("string"),
+          lit(":" + ReservoirSalt))).as("u"))
+    // per-source ranks via RangeRank (a source-partitioned window
+    // sorts ~N/|sources| rows in one task); the pre-sort prefilter the
+    // doc-comment describes composes unchanged — it cuts the ranked
+    // input, not the ranking method
+    RangeRank.rowNumber(keyed, Seq("source"), Seq(col("u"), col("doc_id")), "rnk")
       .filter(col("rnk") <= ReservoirK)
-      .select(col("doc_id"), col("source"), col("u"), col("rnk").cast("long").as("rnk"))
+      .select(col("doc_id"), col("source"), col("u"), col("rnk"))
   }
 
   val RareTf = 3L // corpus occurrence count below which a token is "rare"
@@ -1691,14 +1699,26 @@ object TextOps {
     * by character length — the balanced-bucket view used for
     * curriculum schedules and per-bin sampling quotas (where
     * `token_histogram` buckets by VALUE, this buckets by RANK).
-    * `ntile` has identical remainder semantics on both engines
-    * (earlier buckets take the extra rows); the order key carries the
-    * unique doc_id tiebreak, so bin assignment is deterministic under
-    * any partitioning. One window shuffle on source. */
+    * The `ntile` remainder rule (earlier buckets take the extra rows)
+    * is applied as explicit arithmetic over a [[RangeRank]] rank — a
+    * source-partitioned `ntile` window would sort ~N/|sources| rows
+    * in one task, and the remainder rule is a pure function of
+    * (rank, group size): with s = n div 10 and r = n mod 10, rows
+    * rank ≤ r·(s+1) land in bucket (rank−1) div (s+1) + 1 and the
+    * rest in r + (rank − r·(s+1) − 1) div s + 1 — identical to both
+    * engines' ntile. The order key carries the unique doc_id
+    * tiebreak, so bin assignment is deterministic under any
+    * partitioning. */
   def quantileBins(s: SparkSession, d: String): DataFrame = {
-    val binW = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("decile", ntile(10).over(binW).cast("long"))
+    val t = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val n = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    RangeRank.rowNumber(t, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rn")
+      .join(broadcast(n), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("""CASE WHEN rn <= (n % 10) * (n div 10 + 1)
+               |     THEN (rn - 1) div (n div 10 + 1) + 1
+               |     ELSE n % 10 + (rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10) + 1
+               |END""".stripMargin).cast("long").as("decile"))
   }
 
   /** Vocabulary-growth (Heaps-law) curve per source: documents in
@@ -1707,21 +1727,21 @@ object TextOps {
     * whether a source keeps contributing novel language or has gone
     * repetitive (its curve flattens), read directly against tokenizer
     * sizing. A term's first document is one vocabulary-keyed
-    * partial-agg groupBy (min doc_id); the curve is one running-sum
-    * window per source; docs introducing nothing keep explicit zero
-    * rows. */
+    * partial-agg groupBy (min doc_id); the curve is a
+    * [[RangeRank.runningSum]] per source (a source-partitioned window
+    * would stream ~N/|sources| rows through one task); docs
+    * introducing nothing keep explicit zero rows. */
   def vocabGrowth(s: SparkSession, d: String): DataFrame = {
     val firstDoc = docs(s, d)
       .select(col("source"), col("doc_id"), explode(col("tk")).as("term"))
       .groupBy(col("source"), col("term")).agg(min(col("doc_id")).as("fdoc"))
       .groupBy(col("source"), col("fdoc").as("doc_id"))
       .agg(count(lit(1)).as("n_new_terms"))
-    val growW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d).select(col("source"), col("doc_id"))
+    val perDoc = Tables.documents(s, d).select(col("source"), col("doc_id"))
       .join(firstDoc, Seq("source", "doc_id"), "left")
       .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
-      .withColumn("vocab_size", sum(col("n_new_terms")).over(growW).cast("long"))
+    RangeRank.runningSum(perDoc, Seq("source"), Seq(col("doc_id")),
+        col("n_new_terms"), "vocab_size")
       .select("source", "doc_id", "n_new_terms", "vocab_size")
   }
 

@@ -4057,7 +4057,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // something data-scaled: the RangeRank __pid, a user key, or the
     // K-bounded offset table's group/constant key ordered by __pid.
     val names = Seq("conversion_lag", "rfm_segments", "spend_gini",
-      "spend_percentile", "robust_spend_stats", "dwell_times")
+      "spend_percentile", "robust_spend_stats", "dwell_times",
+      "corpus_quantiles", "sample_reservoir", "quantile_bins", "vocab_growth")
     val lowCard = Set("event_type", "source")
     for (name <- names) {
       val plan = SparkEntry.queries(name)(spark, Sf).queryExecution.sparkPlan
