@@ -857,8 +857,9 @@ object GeoOps {
       val sp = events.sparkSession
       import sp.implicits._
       val ranked = undecided
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("mag").desc, col("evid").asc)).cast("long"))
+        .withColumn("rk",
+          RangeRank.kRank(col("evid"), col("mag").desc, col("evid").asc)
+            .cast("long"))
         .localCheckpoint(true)
       val step = math.max(tailThreshold, 1L)
       val nChunks = (uCount - 1) / step + 1

@@ -74,6 +74,18 @@ object RangeRank {
       .drop("__pid", "__run", "__off")
   }
 
+  /** `row_number()` over a K-BOUNDED table (post-`limit` top-K ranks,
+    * constant-budget residuals) without the `WindowExec: No Partition
+    * Defined` warning: the partition key `pmod(hash(anchor), 1)` is 0
+    * for EVERY row (hash never returns null) but references a column,
+    * so Spark 4's EliminateWindowPartitions cannot strip it back to
+    * an empty — warning-firing — spec. Single-partition execution is
+    * the POINT here (the input is K rows); for data-sized input use
+    * [[rowNumber]]. `sort` MUST end in a unique tiebreak. */
+  def kRank(anchor: Column, sort: Column*): Column =
+    row_number().over(
+      Window.partitionBy(pmod(hash(anchor), lit(1))).orderBy(sort: _*))
+
   /** Exact `row_number() OVER (PARTITION BY grp ORDER BY sort)` as a
     * long column — `sort` MUST end in a unique-within-group tiebreak
     * for a deterministic result.

@@ -398,7 +398,7 @@ object SketchOps {
     val counters = cmsCounters(tc)
     val top = tc.orderBy(col("cnt").desc, col("term")).limit(CmsTopK)
       .withColumn("rnk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+        RangeRank.kRank(col("term"), col("cnt").desc, col("term")))
     cmsEstimate(top.select(col("term")), counters)
       .join(top, Seq("term"))
       .select(col("rnk"), col("term"), col("cnt"), col("est"),

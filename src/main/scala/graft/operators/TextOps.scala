@@ -868,7 +868,7 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("term")).limit(VocabK)
     stats.withColumn("rnk",
-        row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+        RangeRank.kRank(col("term"), col("tf").desc, col("term")))
       .select("rnk", "term", "tf", "df")
   }
 
@@ -895,7 +895,7 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("cnt").desc, col("pair")).limit(BpeK)
     stats.withColumn("rnk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+        RangeRank.kRank(col("pair"), col("cnt").desc, col("pair")))
       .select("rnk", "pair", "cnt", "df")
   }
 
@@ -951,8 +951,8 @@ object TextOps {
     val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("cont_w2"))
     val top = big.orderBy(col("c_bigram").desc, col("w1"), col("w2")).limit(LmK)
     top.join(uni, Seq("w1")).join(fan, Seq("w1")).join(cont, Seq("w2"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("c_bigram").desc, col("w1"), col("w2"))))
+      .withColumn("rnk", RangeRank.kRank(col("w1"),
+        col("c_bigram").desc, col("w1"), col("w2")))
       .select(col("rnk"), col("w1"), col("w2"), col("c_bigram"),
         col("c_w1"), col("fanout_w1"), col("cont_w2"))
   }
@@ -1038,8 +1038,8 @@ object TextOps {
       .withColumn("pcont_ppm", expr("(cont_w2 * 1000000) div n_big_types"))
       .withColumn("pkn_ppm",
         expr("term1_ppm + (lambda_ppm * pcont_ppm) div 1000000"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("c_bigram").desc, col("w1"), col("w2"))))
+      .withColumn("rnk", RangeRank.kRank(col("w1"),
+        col("c_bigram").desc, col("w1"), col("w2")))
       .select(col("rnk"), col("w1"), col("w2"), col("c_bigram"), col("c_left"),
         col("fanout_w1"), col("cont_w2"), col("pkn_ppm"))
   }
@@ -1068,8 +1068,8 @@ object TextOps {
       .withColumn("lift_ppm",
         expr("(cast(c_bigram as decimal(38,0)) * n_bigrams * 1000000) div " +
           "(cast(c_left as decimal(38,0)) * c_right)").cast("long"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("c_bigram").desc, col("w1"), col("w2"))))
+      .withColumn("rnk", RangeRank.kRank(col("w1"),
+        col("c_bigram").desc, col("w1"), col("w2")))
       .select(col("rnk"), col("w1"), col("w2"), col("c_bigram"),
         col("c_left"), col("c_right"), col("lift_ppm"))
   }
@@ -1358,7 +1358,7 @@ object TextOps {
       .withColumn("score", BmQTerms.map(t => col(s"s_$t")).reduce(_ + _))
     val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(BmTopK)
     top.withColumn("rnk",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        RangeRank.kRank(col("doc_id"), col("score").desc, col("doc_id")).cast("long"))
       .select(col("rnk") +: col("doc_id") +: col("score") +:
         BmQTerms.map(t => col(s"s_$t")): _*)
   }
@@ -1659,7 +1659,10 @@ object TextOps {
     * mix. One partial-agg groupBy with conditional sums + a
     * source-cardinality window for the slice totals; all-integer. */
   def corpusDrift(s: SparkSession, d: String): DataFrame = {
-    val tot = Window.partitionBy(lit(1))
+    // non-foldable constant key: a lit is stripped by Spark 4's
+    // EliminateWindowPartitions, re-firing the single-partition
+    // warning on this source-cardinality-sized window
+    val tot = Window.partitionBy(pmod(hash(col("source")), lit(1)))
     Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
