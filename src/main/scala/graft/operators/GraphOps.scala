@@ -144,8 +144,13 @@ object GraphOps {
     val deg = se.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var r = ids.select(col("vec_id"), lit(PrR0).as("r"))
-    for (_ <- 1 to iters)
-      r = prIter(ids, se, deg, r, "r").localCheckpoint(true)
+    for (i <- 1 to iters) {
+      r = prIter(ids, se, deg, r, "r")
+      // checkpoint every OTHER round (and the last): lineage stays
+      // ≤ 2 iterations deep while half the materialization jobs —
+      // and their driver round-trips — disappear
+      if (i % 2 == 0 || i == iters) r = r.localCheckpoint(true)
+    }
     r
   }
 

@@ -1044,6 +1044,52 @@ object TextOps {
         col("fanout_w1"), col("cont_w2"), col("pkn_ppm"))
   }
 
+  /** Per-document LM QUALITY score from the corpus's own interpolated
+    * Kneser-Ney bigram model — the perplexity-filter statistic of
+    * CCNet/Gopher-style pipelines, kept cross-engine exact: log/exp
+    * are not bit-portable, so the score is the arithmetic MEAN and
+    * MINIMUM of per-bigram pkn_ppm over the document's bigrams
+    * (monotone rankings of the same signal a perplexity threshold
+    * reads — a doc of rare/implausible transitions scores low). The
+    * pkn formula is [[ngramKnProbs]]' two-staged integer-division ppm
+    * arithmetic VERBATIM, evaluated over EVERY bigram type (no top-K
+    * cut: the model table stays one partial-agg groupBy). Scale
+    * shape: count/margin tables are partial aggregates; the per-doc
+    * pass is the exploded doc-bigram stream equi-joined to the bigram
+    * model (the `decontaminate` shuffle) + one doc-keyed partial agg;
+    * zero-bigram (short/NULL-text) docs keep explicit rows with NULL
+    * scores. */
+  def lmDocScore(s: SparkSession, d: String): DataFrame = {
+    val db = docs(s, d)
+      .select(col("doc_id"), explode(Portable.shingles(col("tk"), 2)).as("pair"))
+      .select(col("doc_id"), expr("split_part(pair, ' ', 1)").as("w1"),
+        expr("split_part(pair, ' ', 2)").as("w2"))
+    val big = db.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+    val left = big.groupBy(col("w1"))
+      .agg(sum(col("c_bigram")).as("c_left"), count(lit(1)).as("fanout_w1"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("cont_w2"))
+    val types = big.agg(count(lit(1)).as("n_big_types"))
+    val pkn = big.join(left, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("term1_ppm",
+        expr(s"(c_bigram * 1000000 - $KnDiscountPpm) div c_left"))
+      .withColumn("lambda_ppm", expr(s"($KnDiscountPpm * fanout_w1) div c_left"))
+      .withColumn("pcont_ppm", expr("(cont_w2 * 1000000) div n_big_types"))
+      .select(col("w1"), col("w2"),
+        expr("term1_ppm + (lambda_ppm * pcont_ppm) div 1000000").as("pkn_ppm"))
+    val scored = db.join(pkn, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("pkn_ppm")).as("sum_ppm"),
+        min(col("pkn_ppm")).as("min_pkn_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm div n_bigrams").as("avg_pkn_ppm"), col("min_pkn_ppm"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_pkn_ppm"), col("min_pkn_ppm"))
+  }
+
   /** Bigram association LIFT for the top-[[LmK]] bigrams:
     * P(w1,w2) / (P(w1)·P(w2)) over the bigram space in integer ppm —
     * the collocation statistic (PMI's ratio argument, kept rational
@@ -1791,6 +1837,7 @@ object TextOps {
     "tokenizer_fertility" -> (tokenizerFertility _),
     "ngram_lm_counts" -> (ngramLmCounts _),
     "ngram_kn_probs" -> (ngramKnProbs _),
+    "lm_doc_score" -> (lmDocScore _),
     "tfidf_cosine_pairs" -> (tfidfCosinePairs _),
     "sample_reservoir" -> (sampleReservoir _),
     "rare_token_ratio" -> (rareTokenRatio _),
@@ -2646,6 +2693,34 @@ object TextOps {
          |SELECT rnk, w1, w2, c_bigram, c_left, fanout_w1, cont_w2,
          |       term1_ppm + (lambda_ppm * pcont_ppm) // 1000000 AS pkn_ppm
          |FROM j""".stripMargin,
+    "lm_doc_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |db AS (
+         |  SELECT doc_id, split_part(p, ' ', 1) AS w1, split_part(p, ' ', 2) AS w2
+         |  FROM (SELECT doc_id, unnest(${Portable.shinglesSql("tk", 2)}) AS p FROM toks)),
+         |big AS (SELECT w1, w2, count(*) AS c_bigram FROM db GROUP BY 1, 2),
+         |lf AS (SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left,
+         |              count(*) AS fanout_w1 FROM big GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS cont_w2 FROM big GROUP BY 1),
+         |ty AS (SELECT count(*) AS n_big_types FROM big),
+         |pk AS (
+         |  SELECT b.w1, b.w2,
+         |         (b.c_bigram * 1000000 - $KnDiscountPpm) // lf.c_left
+         |         + ((($KnDiscountPpm * lf.fanout_w1) // lf.c_left)
+         |            * ((cont.cont_w2 * 1000000) // (SELECT n_big_types FROM ty))) // 1000000
+         |           AS pkn_ppm
+         |  FROM big b JOIN lf ON b.w1 = lf.w1 JOIN cont ON b.w2 = cont.w2),
+         |sc AS (
+         |  SELECT d.doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(p.pkn_ppm) AS BIGINT) // count(*) AS avg_pkn_ppm,
+         |         CAST(min(p.pkn_ppm) AS BIGINT) AS min_pkn_ppm
+         |  FROM db d JOIN pk p ON d.w1 = p.w1 AND d.w2 = p.w2
+         |  GROUP BY 1)
+         |SELECT dd.doc_id,
+         |       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(sc.avg_pkn_ppm AS BIGINT) AS avg_pkn_ppm,
+         |       sc.min_pkn_ppm
+         |FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id""".stripMargin,
     "ngram_lm_counts" ->
       s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
          |bg AS (

@@ -695,6 +695,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "conversion_lag" -> ("scalar", 1),
       "cms_heavy_hitters" -> ("scalar", 1), "shuffle_skew_report" -> ("scalar", 1),
       "salt_plan" -> ("scalar", 1), "ngram_kn_probs" -> ("scalar", 1),
+      // lm_doc_score: the one-row bigram-type-count broadcast inside
+      // the full-model pkn table
+      "lm_doc_score" -> ("scalar", 1),
       "session_duration_histogram" -> ("scalar", 1),
       "tfidf_cosine_pairs" -> ("scalar", 4))
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
@@ -2435,6 +2438,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gt == truePairs.size.toLong, "true pair count")
     assert(gf == found.size.toLong, "found pair count")
     assert(gp == (if (gt > 0) gf * 1000000L / gt else 1000000L), "recall ppm")
+  }
+
+  test("lm_doc_score matches a plain-Scala Kneser-Ney per-doc recompute") {
+    val rows = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    def bigrams(t: String): Seq[(String, String)] =
+      if (t == null) Seq.empty
+      else { val tk = t.split(" ", -1)
+        if (tk.length < 2) Seq.empty else tk.sliding(2).map(w => (w(0), w(1))).toSeq }
+    val all = rows.flatMap { case (_, t) => bigrams(t) }
+    val big = all.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cLeft = big.toSeq.groupBy(_._1._1).map { case (w, m) => w -> m.map(_._2).sum }
+    val fanout = big.keys.toSeq.groupBy(_._1).map { case (w, ks) => w -> ks.length.toLong }
+    val cont = big.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.length.toLong }
+    val nTypes = big.size.toLong
+    val d = TextOps.KnDiscountPpm
+    def pkn(w1: String, w2: String): Long = {
+      val t1 = (big((w1, w2)) * 1000000L - d) / cLeft(w1)
+      val lam = (d * fanout(w1)) / cLeft(w1)
+      val pc = (cont(w2) * 1000000L) / nTypes
+      t1 + (lam * pc) / 1000000L
+    }
+    val exp = rows.map { case (id, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) id -> ((0L, None: Option[Long], None: Option[Long]))
+      else {
+        val ps = bs.map { case (a, b) => pkn(a, b) }
+        id -> ((bs.length.toLong, Some(ps.sum / bs.length), Some(ps.min)))
+      }
+    }.toMap
+    val got = TextOps.lmDocScore(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got.keySet == exp.keySet, "one row per document, zero-bigram docs included")
+    assert(got == exp, "per-doc KN scores differ from recompute")
+    // the signal discriminates: not all docs share one score
+    assert(got.values.flatMap(_._2).toSet.size > 1, "avg score is constant — vacuous signal")
   }
 
   test("bigram_lift matches a plain-Scala lift recompute over the bigram space") {
