@@ -874,17 +874,21 @@ object AnnOps {
     * class-conditional drift). Norms are the portable sequential fold
     * (bit-exact cross-engine); the percentiles are RANK SELECTION of
     * existing values, never arithmetic over doubles — the
-    * `corpus_quantiles` rule applied to a float column. One window
-    * shuffle on label + one partial-agg groupBy. */
+    * `corpus_quantiles` rule applied to a float column. Ranks ride
+    * [[RangeRank.rowNumber]] — a label-partitioned window is the r12
+    * exact-rank hazard (the label key has a handful of values, so one
+    * task would sort ~N/|labels| vectors); norms are near-unique
+    * doubles, so the value-grouping trick the cent-valued quantile
+    * reports use would not compress here. One range shuffle + one
+    * partial-agg groupBy + a label-dim broadcast. */
   def embeddingNormStats(s: SparkSession, d: String): DataFrame = {
     val v = Tables.embeddings(s, d).select(col("label"), col("vec_id"),
       sqrt(vecDot("embedding", "embedding")).as("nrm"))
-    val w  = Window.partitionBy(col("label")).orderBy(col("nrm"), col("vec_id"))
-    val cw = Window.partitionBy(col("label"))
+    val n = v.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
     def pick(pct: Int) =
       max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("nrm")))
-    v.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
+    RangeRank.rowNumber(v, Seq("label"), Seq(col("nrm"), col("vec_id")), "rn")
+      .join(broadcast(n), Seq("label"))
       .groupBy(col("label"))
       .agg(max(col("cnt")).as("n"), min(col("nrm")).as("min_nrm"),
         pick(50).as("p50_nrm"), pick(99).as("p99_nrm"), max(col("nrm")).as("max_nrm"))

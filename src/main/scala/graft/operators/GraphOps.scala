@@ -126,10 +126,10 @@ object GraphOps {
 
   /** The LOOPED PageRank solve `pagerank_knn` documents: the same
     * fixed-point integer iteration run [[PrFullIters]] deep with an
-    * eager localCheckpoint per round (the `dup_clusters` pattern —
-    * lineage stays one-iteration shallow, so round N's plan never
-    * re-derives rounds 1..N−1), over the same cached O(N·K) edge
-    * table. Integer states make the iterate ENGINE-EXACT at any
+    * eager localCheckpoint every few rounds (the `dup_clusters`
+    * pattern — lineage stays a few iterations shallow, so no round's
+    * plan ever re-derives the whole history), over the same cached
+    * O(N·K) edge table. Integer states make the iterate ENGINE-EXACT at any
     * depth (a float PageRank drifts bit-wise per iteration), which is
     * what lets a DuckDB oracle check the loop, not just the step: the
     * oracle unrolls the identical recurrence [[PrFullIters]] times.
@@ -146,10 +146,11 @@ object GraphOps {
     var r = ids.select(col("vec_id"), lit(PrR0).as("r"))
     for (i <- 1 to iters) {
       r = prIter(ids, se, deg, r, "r")
-      // checkpoint every OTHER round (and the last): lineage stays
-      // ≤ 2 iterations deep while half the materialization jobs —
-      // and their driver round-trips — disappear
-      if (i % 2 == 0 || i == iters) r = r.localCheckpoint(true)
+      // checkpoint every FOURTH round (and the last): at gate scale
+      // the solve is ~all fixed per-job driver latency (N is tiny),
+      // so fewer, deeper jobs are strictly faster; lineage stays ≤ 4
+      // iterations — well under the depth that bloats plans
+      if (i % 4 == 0 || i == iters) r = r.localCheckpoint(true)
     }
     r
   }

@@ -159,13 +159,18 @@ object MixOps {
     packFrame(corpusMixSample(s, d, weights))
 
   private def packFrame(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    // the packer's prefix sum rides RangeRank (range-partitioned with
+    // per-partition offsets): a (source, shard) window puts
+    // ~N/(|sources|·PackShards) rows through ONE task — the r12
+    // exact-rank hazard class — whereas here PackShards stays a
+    // logical grouping knob and the physical parallelism follows the
+    // range partitioning regardless of shard count
+    val sharded = docs
       .filter(col("n_tokens").isNotNull)
       .withColumn("shard", Portable.h60(col("doc_id").cast("string")) % PackShards)
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    RangeRank.runningSum(sharded, Seq("source", "shard"), Seq(col("doc_id")),
+        col("n_tokens"), "cum_incl")
+      .withColumn("cum_before", col("cum_incl") - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         expr(s"cum_before div $CtxTokens").as("seq_id"),
         (col("cum_before") % CtxTokens).as("seq_offset"),

@@ -680,7 +680,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "minhash_recall_sample" -> ("sample", 3),
       // scalar: one-row totals/watermark/bounds broadcasts
       "tfidf_topk" -> ("scalar", 1), "token_budget_mix" -> ("scalar", 1),
-      "corpus_mix_sample" -> ("scalar", 1), "pack_mix_sequences" -> ("scalar", 1),
+      "corpus_mix_sample" -> ("scalar", 1),
+      // pack_mix_sequences: the sampled-mix input (with its one-row
+      // budget-totals scalar) appears twice in the packer's RangeRank
+      // (main + offsets passes)
+      "pack_mix_sequences" -> ("scalar", 2),
       "bm25_topk" -> ("scalar", 1), "bigram_lift" -> ("scalar", 1),
       "split_balance_report" -> ("scalar", 1), "epoch_plan" -> ("scalar", 1),
       "timeseries_fill" -> ("scalar", 1), "hot_keys" -> ("scalar", 1),
@@ -4100,8 +4104,9 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // K-bounded offset table's group/constant key ordered by __pid.
     val names = Seq("conversion_lag", "rfm_segments", "spend_gini",
       "spend_percentile", "robust_spend_stats", "dwell_times",
-      "corpus_quantiles", "sample_reservoir", "quantile_bins", "vocab_growth")
-    val lowCard = Set("event_type", "source")
+      "corpus_quantiles", "sample_reservoir", "quantile_bins", "vocab_growth",
+      "pack_sequences", "pack_mix_sequences", "embedding_norm_stats")
+    val lowCard = Set("event_type", "source", "shard", "label", "lang", "split")
     for (name <- names) {
       val plan = SparkEntry.queries(name)(spark, Sf).queryExecution.sparkPlan
       val wins = plan.collect {
