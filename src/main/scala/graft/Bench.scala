@@ -24,11 +24,17 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *      core-time) for the timed runs — exec_core_s distinguishes
   *      "did 5x the work" (cold re-materialization) from "same work,
   *      slow box" (host throttle);
-  *   2. one compact `medians` line: values-only array in ascending
+  *   2. up to 8 `regress` lines — any query whose median exceeds 3×
+  *      its previous recorded median (dev/bench_detail_last.json),
+  *      worst first, each with its own stage-metric window so the
+  *      record is SELF-adjudicating (round 13's ~90 s contention
+  *      block needed a manual quiet-host re-run to disprove); the
+  *      full mover list is in the detail file's `regressions`;
+  *   3. one compact `medians` line: values-only array in ascending
   *      query-name order (the SAME sorted order as CORRECTNESS entries
   *      / SparkEntry.queries.keys.sorted) plus `setup_sec` — carries
   *      every per-query number in ~1 kB;
-  *   3. the `total` headline LAST (driver parses the final line).
+  *   4. the `total` headline LAST (driver parses the final line).
   * Total ≲1.5 kB — everything fits inside the tail; the previous
   * named `queries_part` chunks (~3.6 kB at 174 queries) overflowed it
   * and lost 150/174 named entries in round 11. The full named
@@ -62,6 +68,25 @@ object Bench {
   private def fmt(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
 
+  /** Previous run's per-query medians from the bench detail file (the
+    * record the last driver/dev bench wrote) — the reference for the
+    * >3× regression diagnostics. Empty map when absent/unparseable. */
+  private def previousMedians(): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/dev/bench_detail_last.json")), "UTF-8")
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(txt) \ "runs" match {
+        case JObject(fields) => fields.collect {
+          case (n, JArray(vs)) if vs.nonEmpty =>
+            val ds = vs.collect { case JDouble(x) => x; case JInt(x) => x.toDouble }
+            n -> ds.sorted.apply(ds.length / 2)
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -93,6 +118,7 @@ object Bench {
       graft.operators.TextOps.warmCaches(spark, sfDir)
       graft.operators.AnnOps.warmCaches(spark, sfDir)
       graft.operators.GeoOps.warmCaches(spark, sfDir)
+      graft.operators.MixOps.warmCaches(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"SETUP FAILURE: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
@@ -121,17 +147,44 @@ object Bench {
     // excluded from the total — a -1 sentinel must not participate in
     // the median (an intermittent failure would still yield a "real"
     // median) nor be summed into the headline.
+    // Stage metrics are captured around EVERY query's timed runs (one
+    // listener snapshot pair per query — free), so any query can be
+    // diagnosed after the fact: the round-13 record carried ~90 s of
+    // host contention in one alphabetical block, and only the two
+    // pre-declared queries had the evidence to prove it. The short
+    // drain sleep is paid only for queries later reported.
+    val perQueryMetrics = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
     val results = names.map { n =>
-      if (diags.contains(n)) {
-        val before = agg.snapshot
-        val runs = (1 to 3).map(_ => time(SparkEntry.queries(n)))
-        Thread.sleep(500) // drain the async listener bus
-        val metrics = agg.snapshot.zip(before).map { case (a, b) => a - b }
-        diags(n) = Diag(diags(n).first, runs, -1.0, metrics)
-        n -> runs
-      } else n -> (1 to 3).map(_ => time(SparkEntry.queries(n)))
+      val before = agg.snapshot
+      val runs = (1 to 3).map(_ => time(SparkEntry.queries(n)))
+      perQueryMetrics(n) = before
+      if (diags.contains(n)) diags(n) = Diag(diags(n).first, runs, -1.0, Nil)
+      n -> runs
     }
-    diagNames.foreach { n => diags(n).last = time(SparkEntry.queries(n)) }
+    Thread.sleep(800) // drain the async listener bus once, at the end
+    val endSnap = agg.snapshot
+    // close each query's metric window at the NEXT query's opening
+    // snapshot (the suite runs queries back to back)
+    val opens = names.map(perQueryMetrics)
+    val closes = opens.drop(1) :+ endSnap
+    names.zip(opens.zip(closes)).foreach { case (n, (b, e)) =>
+      perQueryMetrics(n) = e.zip(b).map { case (a, x) => a - x }
+    }
+    diagNames.foreach { n =>
+      diags(n) = diags(n).copy(metrics = perQueryMetrics(n))
+      diags(n).last = time(SparkEntry.queries(n))
+    }
+    // Self-adjudication: any query whose median regressed >3× against
+    // the previous recorded bench (dev/bench_detail_last.json) gets a
+    // diag line with its stage-metric window — exec_core_s separates
+    // "did more work" (a real plan regression) from "same work, slow
+    // box" (host contention). Floors keep sub-100 ms jitter out.
+    val prev = previousMedians()
+    val movers = results.collect {
+      case (n, runs) if runs.forall(_ >= 0) && !diags.contains(n) &&
+        prev.get(n).exists(p => p >= 0.05 && runs.sorted.apply(1) > 3 * p && runs.sorted.apply(1) >= 0.5) =>
+        (n, prev(n), runs, perQueryMetrics(n))
+    }
     val medians = results.map { case (n, runs) =>
       n -> (if (runs.forall(_ >= 0)) Some(runs.sorted.apply(1)) else None)
     }
@@ -142,7 +195,9 @@ object Bench {
     // that outlives the driver's stdout tail.
     val detail = results.map { case (n, runs) =>
       s""""$n":[${runs.map(fmt).mkString(",")}]"""
-    }.mkString("{\"sf\":\"" + sfDir + s"""","setup_sec":${fmt(setupSec)},"runs":{""", ",", "}}")
+    }.mkString("{\"sf\":\"" + sfDir + s"""","setup_sec":${fmt(setupSec)},""" +
+      s""""regressions":[${movers.map(m => "\"" + m._1 + "\"").mkString(",")}],"runs":{""",
+      ",", "}}")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/dev/bench_detail_last.json"),
@@ -157,6 +212,19 @@ object Bench {
       s""""last":${fmt(dg.last)},"spill_disk_mb":${spillD / 1048576},"spill_mem_mb":${spillM / 1048576},""" +
       s""""shuffle_mb":${shufB / 1048576},"exec_core_s":${execMs / 1000}}"""
     }.toSeq
+    // >3× movers vs the previous record, worst first. Stdout carries
+    // at most 8 (the driver tail is ~2 kB and front-truncates — the
+    // medians/total lines at the end must survive even on a
+    // contention-poisoned round); the FULL list goes into the detail
+    // file below via `regressions`.
+    val moverLines = movers
+      .sortBy { case (_, p, runs, _) => -(runs.sorted.apply(1) / p) }
+      .map { case (n, p, runs, m) =>
+        val Seq(spillD, spillM, shufB, execMs) = m
+        s"""{"metric":"regress","q":"$n","prev":${fmt(p)},"runs":[${runs.map(fmt).mkString(",")}],""" +
+        s""""ratio":${fmt(runs.sorted.apply(1) / p)},"spill_disk_mb":${spillD / 1048576},""" +
+        s""""spill_mem_mb":${spillM / 1048576},"shuffle_mb":${shufB / 1048576},"exec_core_s":${execMs / 1000}}"""
+      }
     // the tail-proof line: all medians, values only, name-ascending
     // (2-decimal precision: full doubles double the line length for
     // noise digits, and the driver's tail is the scarce resource)
@@ -168,6 +236,7 @@ object Bench {
     // land after the JSON — the driver parses the final stdout line.
     spark.stop()
     diagLines.foreach(println)
+    moverLines.take(8).foreach(println)
     println(compact)
     println(headline)
     System.out.flush()

@@ -575,26 +575,38 @@ object AnnOps {
   }
 
   /** Recall@K report: per query, how many of the brute-force top-K
-    * each approximate index (hyperplane-LSH, IVF) recovered — the ANN
-    * quality gate operationalized as a checked query (SURVEY §5's
-    * measured recall table is this aggregation over parameter sweeps).
-    * Reuses the three top-k operators verbatim; hits are an equi-join
+    * each approximate index (hyperplane-LSH, IVF, PQ/ADC, IVF+PQ)
+    * recovered — the ANN quality gate operationalized as a checked
+    * query (SURVEY §5's measured recall table is this aggregation
+    * over parameter sweeps), now covering EVERY index variant the
+    * library ships so an index added later cannot dodge the gate.
+    * Reuses the five top-k operators verbatim; hits are equi-joins
     * on (q_id, vec_id) and every ratio is int/int — engine-exact. */
   def annRecallReport(s: SparkSession, d: String): DataFrame = {
     val b = annCosineTopk(s, d).select(col("q_id"), col("vec_id"))
     val l = annLshTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_l"))
     val i = annIvfTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_i"))
+    val p = annPqTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_p"))
+    val ip = annIvfPqTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_ip"))
     b.join(l, Seq("q_id", "vec_id"), "left")
       .join(i, Seq("q_id", "vec_id"), "left")
+      .join(p, Seq("q_id", "vec_id"), "left")
+      .join(ip, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("in_l"), lit(0L))).as("lsh_hits"),
-        sum(coalesce(col("in_i"), lit(0L))).as("ivf_hits"))
+        sum(coalesce(col("in_i"), lit(0L))).as("ivf_hits"),
+        sum(coalesce(col("in_p"), lit(0L))).as("pq_hits"),
+        sum(coalesce(col("in_ip"), lit(0L))).as("ivfpq_hits"))
       .select(col("q_id"), col("n_true"),
         col("lsh_hits").cast("long").as("lsh_hits"),
         col("ivf_hits").cast("long").as("ivf_hits"),
+        col("pq_hits").cast("long").as("pq_hits"),
+        col("ivfpq_hits").cast("long").as("ivfpq_hits"),
         (col("lsh_hits").cast("double") / col("n_true").cast("double")).as("lsh_recall"),
-        (col("ivf_hits").cast("double") / col("n_true").cast("double")).as("ivf_recall"))
+        (col("ivf_hits").cast("double") / col("n_true").cast("double")).as("ivf_recall"),
+        (col("pq_hits").cast("double") / col("n_true").cast("double")).as("pq_recall"),
+        (col("ivfpq_hits").cast("double") / col("n_true").cast("double")).as("ivfpq_recall"))
   }
 
   // ---- product-quantized (PQ / ADC) variant ----------------------
@@ -733,6 +745,7 @@ object AnnOps {
     kmeansFit(s, d, KmFitIters)
 
   def kmeansFit(s: SparkSession, d: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansFit needs at least one Lloyd round, got $iters")
     val v = vectors(s, d)
     var cents = centroidTable(s, NCells)
     var stats: DataFrame = null
@@ -1182,6 +1195,65 @@ object AnnOps {
           "::DOUBLE[])").mkString(", ") +
       ") t(m, c, cent))"
 
+  /** PQ encode→reconstruct CTE chain ([[pqRecon]]'s twin); expects
+    * `vecs` and `pqc` in scope, yields `rn (vec_id, recon, rnrm)`. */
+  private val pqReconCtes: String =
+    s"""sdots AS (
+       |  SELECT v.vec_id, p.m, p.c, p.cent,
+       |         ${Portable.dotSql(s"list_slice(v.embedding, p.m * $PqDsub + 1, p.m * $PqDsub + $PqDsub)", "p.cent")} AS dd
+       |  FROM vecs v, pqc p),
+       |chosen AS (
+       |  SELECT vec_id, m, cent FROM (
+       |    SELECT vec_id, m, cent,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd DESC, c ASC) AS rn
+       |    FROM sdots) WHERE rn = 1),
+       |rec AS (
+       |  SELECT vec_id, flatten(list(cent ORDER BY m)) AS recon
+       |  FROM chosen GROUP BY vec_id),
+       |rn AS (SELECT * FROM (
+       |    SELECT vec_id, recon, ${Portable.normSql("recon")} AS rnrm FROM rec)
+       |  WHERE rnrm > 0)""".stripMargin
+
+  /** IVF+PQ top-k as standalone SQL (also nested by the recall
+    * report). */
+  private lazy val ivfPqTopkSql: String =
+    s"""WITH $vecCte, $centroidsCte, $pqCodebookCte,
+       |$vcellCte,
+       |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
+       |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
+       |qcell AS (SELECT q_id, qe, qn, cell FROM (
+       |    SELECT q_id, qe, qn, c AS cell,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
+       |    FROM qdots) WHERE rn <= $NProbe),
+       |$pqReconCtes,
+       |scored AS (
+       |  SELECT q.q_id, r.vec_id,
+       |         ${Portable.dotSql("qe", "recon")} / (qn * rnrm) AS qcosine
+       |  FROM rn r JOIN vcell v ON r.vec_id = v.vec_id
+       |            JOIN qcell q ON v.cell = q.cell
+       |  WHERE r.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, qcosine,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin
+
+  /** PQ/ADC top-k as standalone SQL (also nested by the recall
+    * report). */
+  private lazy val pqTopkSql: String =
+    s"""WITH $vecCte, $pqCodebookCte,
+       |$pqReconCtes,
+       |scored AS (
+       |  SELECT q.q_id, r.vec_id,
+       |         ${Portable.dotSql("qe", "recon")} / (qn * rnrm) AS qcosine
+       |  FROM rn r CROSS JOIN qs q
+       |  WHERE r.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, qcosine,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "diversity_sample" ->
       s"""WITH RECURSIVE g AS ($knnGraphSql),
@@ -1353,68 +1425,8 @@ object AnnOps {
          |       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * $PowScale) AS BIGINT) * dd) AS DOUBLE)
          |          / ${PowScale * PowScale}e0) / CAST(count(*) AS DOUBLE) AS w_mean
          |FROM x GROUP BY i""".stripMargin,
-    "ann_ivf_pq_topk" ->
-      s"""WITH $vecCte, $centroidsCte, $pqCodebookCte,
-         |$vcellCte,
-         |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
-         |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
-         |qcell AS (SELECT q_id, qe, qn, cell FROM (
-         |    SELECT q_id, qe, qn, c AS cell,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
-         |    FROM qdots) WHERE rn <= $NProbe),
-         |sdots AS (
-         |  SELECT v.vec_id, p.m, p.c, p.cent,
-         |         ${Portable.dotSql(s"list_slice(v.embedding, p.m * $PqDsub + 1, p.m * $PqDsub + $PqDsub)", "p.cent")} AS dd
-         |  FROM vecs v, pqc p),
-         |chosen AS (
-         |  SELECT vec_id, m, cent FROM (
-         |    SELECT vec_id, m, cent,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd DESC, c ASC) AS rn
-         |    FROM sdots) WHERE rn = 1),
-         |rec AS (
-         |  SELECT vec_id, flatten(list(cent ORDER BY m)) AS recon
-         |  FROM chosen GROUP BY vec_id),
-         |rn AS (SELECT * FROM (
-         |    SELECT vec_id, recon, ${Portable.normSql("recon")} AS rnrm FROM rec)
-         |  WHERE rnrm > 0),
-         |scored AS (
-         |  SELECT q.q_id, r.vec_id,
-         |         ${Portable.dotSql("qe", "recon")} / (qn * rnrm) AS qcosine
-         |  FROM rn r JOIN vcell v ON r.vec_id = v.vec_id
-         |            JOIN qcell q ON v.cell = q.cell
-         |  WHERE r.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, qcosine,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
-         |  FROM scored)
-         |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
-    "ann_pq_topk" ->
-      s"""WITH $vecCte, $pqCodebookCte,
-         |sdots AS (
-         |  SELECT v.vec_id, p.m, p.c, p.cent,
-         |         ${Portable.dotSql(s"list_slice(v.embedding, p.m * $PqDsub + 1, p.m * $PqDsub + $PqDsub)", "p.cent")} AS dd
-         |  FROM vecs v, pqc p),
-         |chosen AS (
-         |  SELECT vec_id, m, cent FROM (
-         |    SELECT vec_id, m, cent,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd DESC, c ASC) AS rn
-         |    FROM sdots) WHERE rn = 1),
-         |rec AS (
-         |  SELECT vec_id, flatten(list(cent ORDER BY m)) AS recon
-         |  FROM chosen GROUP BY vec_id),
-         |rn AS (SELECT * FROM (
-         |    SELECT vec_id, recon, ${Portable.normSql("recon")} AS rnrm FROM rec)
-         |  WHERE rnrm > 0),
-         |scored AS (
-         |  SELECT q.q_id, r.vec_id,
-         |         ${Portable.dotSql("qe", "recon")} / (qn * rnrm) AS qcosine
-         |  FROM rn r CROSS JOIN qs q
-         |  WHERE r.vec_id <> q.q_id),
-         |ranked AS (
-         |  SELECT q_id, vec_id, qcosine,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
-         |  FROM scored)
-         |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_ivf_pq_topk" -> ivfPqTopkSql,
+    "ann_pq_topk" -> pqTopkSql,
     "ann_sq_topk" ->
       s"""WITH $vecCte,
          |dims AS (SELECT unnest(range(len(embedding))) AS i, embedding FROM embeddings),
@@ -1444,17 +1456,27 @@ object AnnOps {
     "ann_recall_report" ->
       s"""WITH b AS ($cosineTopkSql),
          |l AS ($lshTopkSql),
-         |iv AS ($ivfTopkSql)
+         |iv AS ($ivfTopkSql),
+         |pq AS ($pqTopkSql),
+         |ip AS ($ivfPqTopkSql)
          |SELECT b.q_id, count(*) AS n_true,
          |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
          |       CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
+         |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
+         |       CAST(sum(CASE WHEN ip.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivfpq_hits,
          |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |         / CAST(count(*) AS DOUBLE) AS lsh_recall,
          |       CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |         / CAST(count(*) AS DOUBLE) AS ivf_recall
+         |         / CAST(count(*) AS DOUBLE) AS ivf_recall,
+         |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS pq_recall,
+         |       CAST(sum(CASE WHEN ip.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS ivfpq_recall
          |FROM b
          |LEFT JOIN l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
          |LEFT JOIN iv ON b.q_id = iv.q_id AND b.vec_id = iv.vec_id
+         |LEFT JOIN pq ON b.q_id = pq.q_id AND b.vec_id = pq.vec_id
+         |LEFT JOIN ip ON b.q_id = ip.q_id AND b.vec_id = ip.vec_id
          |GROUP BY b.q_id""".stripMargin,
     "ann_ivf_topk" -> ivfTopkSql,
     "ann_knn_graph" -> knnGraphSql,

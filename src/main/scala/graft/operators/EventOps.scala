@@ -147,26 +147,31 @@ object EventOps {
   /** Ordered conversion funnel view → click → purchase: per user the
     * first view, the first click AT OR AFTER that view, and the first
     * purchase at or after that click (strict event-order semantics —
-    * a click before any view does not count). Three partial-aggregable
-    * groupBys chained by joins, every exchange hash-partitioned on
-    * `user_id`, so Catalyst reuses one partitioning across the whole
-    * chain; per-stage state is one row per user (bounded by the user
-    * dimension, not the event volume). */
+    * a click before any view does not count). ONE corpus scan and ONE
+    * user-keyed exchange: the three stage thresholds are chained
+    * per-user window minima over the SAME unordered partition-only
+    * frame (stage k's condition reads stage k−1's windowed value —
+    * three Window nodes, zero extra shuffles, no sort: an unordered
+    * full-partition min is frame-order-independent), then one
+    * partial-agg groupBy collapses to a row per user. The previous
+    * shape (three filtered groupBys chained by joins) re-scanned the
+    * corpus seven times for the same answer. */
   def eventFunnel(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
-    val base = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("ts_us") >= col("first_view_us"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click_us"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id")).filter(col("ts_us") >= col("first_click_us"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
-    base
-      .join(v, Seq("user_id"), "left")
-      .join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+    val fullW = Window.partitionBy(col("user_id"))
+    events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts_us"))).over(fullW))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" && col("ts_us") >= col("fv"),
+          col("ts_us"))).over(fullW))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase" && col("ts_us") >= col("fc"),
+          col("ts_us"))).over(fullW))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("fv")).as("first_view_us"),
+        max(col("fc")).as("first_click_us"),
+        max(col("fp")).as("first_purchase_us"))
       .select(col("user_id"), col("n_events"),
         col("first_view_us"), col("first_click_us"), col("first_purchase_us"),
         when(col("first_purchase_us").isNotNull, 3L)
@@ -486,8 +491,11 @@ object EventOps {
     * operator is partial aggregates + two broadcast joins, and the
     * single final division is the same IEEE op on both engines. */
   def robustSpendStats(s: SparkSession, d: String): DataFrame = {
+    // value-count table (KB at any corpus) feeds the rank pass, the
+    // per-type totals AND the winsorized sum — materialized once so
+    // none of the three re-derives the events scan
     val vc = events(s, d).groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
     val cum = RangeRank.runningSum(vc, Seq("event_type"), Seq(col("cents")),
       col("c"), "cum")
     val n = vc.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
@@ -519,11 +527,15 @@ object EventOps {
   def timeseriesFill(s: SparkSession, d: String): DataFrame = {
     val h = events(s, d)
       .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour"), col("cents"))
+    // the (type × hour) aggregate is time-span-bounded — materialize
+    // it once and derive the grid bounds AND the type dimension from
+    // it, instead of re-scanning the corpus for each (3 scans → 1)
     val agg = h.groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n_obs"), sum(col("cents")).as("sc_obs"))
-    val grid = h.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .localCheckpoint(false)
+    val grid = agg.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("hour"))
-      .crossJoin(h.select(col("event_type")).distinct())
+      .crossJoin(agg.select(col("event_type")).distinct())
     val locfW = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(agg, Seq("event_type", "hour"), "left")
@@ -699,8 +711,9 @@ object EventOps {
       .withColumn("nxt", lead(col("ts_us"), 1).over(userW))
       .filter(col("nxt").isNotNull)
       .select(col("event_type"), (col("nxt") - col("ts_us")).as("dwell_us"))
+    // materialized once: feeds both the rank pass and the totals
     val vc = deltas.groupBy(col("event_type"), col("dwell_us"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
     val n = vc.groupBy(col("event_type")).agg(sum(col("c")).as("cnt"))
     def pick(pct: Int): Column =
       min(when(col("cum") >= expr(s"(cnt * $pct + 99) div 100"), col("dwell_us")))
@@ -744,19 +757,24 @@ object EventOps {
     * the old per-type window pushed ~N/|types| rows through one
     * unsplittable task, every stage here is partition-parallel. */
   def spendPercentile(s: SparkSession, d: String): DataFrame = {
+    // materialized once: feeds both the rank pass and the totals
     val vc = events(s, d).groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
     val n = vc.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
     val ranks = RangeRank.runningSum(vc, Seq("event_type"), Seq(col("cents")),
         col("c"), "cum")
       .join(broadcast(n), Seq("event_type"))
-      .select(col("event_type"), col("cents"),
+      .select(col("event_type").as("rt"), col("cents").as("rc"),
         when(col("n") > 1L, (col("cum") - col("c")).cast("double")
           / (col("n") - 1L).cast("double")).otherwise(lit(0.0)).as("pr"),
         (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+    // null-SAFE fan-back on cents: the old per-type window ranked
+    // NULL-cent rows (nulls-first) like any other value block; a
+    // plain equi-join would silently drop them from the output if
+    // `value` ever arrives nullable
     events(s, d)
       .select(col("event_id"), col("event_type"), col("cents"))
-      .join(ranks, Seq("event_type", "cents"))
+      .join(ranks, col("event_type") === col("rt") && col("cents") <=> col("rc"))
       .select(col("event_id"), col("event_type"), col("cents"), col("pr"), col("cd"))
   }
 
@@ -777,6 +795,10 @@ object EventOps {
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("boundary")).over(userRunW))
       .select(col("user_id"), col("session_idx"), col("event_type")).distinct()
+      // materialized once: both self-join sides, the per-type counts
+      // and the session total otherwise each re-run the sessionize
+      // window over the corpus (4 redundant scans)
+      .localCheckpoint(false)
     val nAb = st.select(col("user_id"), col("session_idx"), col("event_type").as("ta"))
       .join(st.select(col("user_id"), col("session_idx"), col("event_type").as("tb")),
         Seq("user_id", "session_idx"))
@@ -908,9 +930,12 @@ object EventOps {
     * sort with per-partition offsets — no single task ever holds the
     * user table), and the watermark/count are one-row broadcasts. */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    // per-user table (corpus-compressing) materialized once: it feeds
+    // the watermark aggregate, the output row set AND all three rank
+    // projections — unmaterialized, each re-derived the events scan
     val per = events(s, d).groupBy(col("user_id"))
       .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("frequency"),
-        sum(col("cents")).as("monetary_cents"))
+        sum(col("cents")).as("monetary_cents")).localCheckpoint(false)
     val tot = per.agg(max(col("last_us")).as("wm_us"), count(lit(1)).as("n_users"))
     val base = per.crossJoin(broadcast(tot))
       .withColumn("recency_days", expr(s"(wm_us - last_us) div $DayUs"))

@@ -635,7 +635,20 @@ object GeoOps {
   private val abwdPairCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def clearAbwdPairCache(): Unit = abwdPairCache.clear()
+  def clearAbwdPairCache(): Unit = {
+    // the cached entries are eager local checkpoints: Dataset.unpersist
+    // does not reach their RDD-level blocks, so release them through
+    // the LogicalRDD handle — otherwise per-dir entries hold executor
+    // storage until the ContextCleaner happens to GC them
+    abwdPairCache.values.forEach { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
+    }
+    abwdPairCache.clear()
+  }
 
   /** Materialize the per-dir ABWD pair table — the bench's named
     * SETUP step (the TextOps/AnnOps warmCaches pattern): the build is
@@ -695,12 +708,21 @@ object GeoOps {
     // in local relations — either way one more checkpoint would cost
     // a full extra pass over the pair table every run)
     val pairsSel = pairsIn.select("evid", "mag", "m_evid", "m_mag")
+    // "already materialized" must mean the plan IS a (possibly
+    // projected/aliased) checkpointed or local leaf — matching a leaf
+    // ANYWHERE in the tree would let a derived plan that merely
+    // CONTAINS one (e.g. joins over a cached table) skip the
+    // checkpoint and re-execute its whole subtree once per scan below
+    def bareLeaf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project => bareLeaf(pr.child)
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => bareLeaf(a.child)
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _ => false
+      }
     val pairs =
-      if (pairsIn.queryExecution.analyzed.find {
-            case _: org.apache.spark.sql.execution.LogicalRDD => true
-            case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-            case _ => false
-          }.isDefined) pairsSel
+      if (bareLeaf(pairsIn.queryExecution.analyzed)) pairsSel
       else pairsSel.localCheckpoint(true)
     if (dbg0) System.err.println(
       f"ABWD pairs built [${(System.nanoTime() - tEntry) / 1e9}%5.2fs]")

@@ -26,21 +26,30 @@ object MixOps {
     * [[TextOps.SampleSalt]]'s stratified-sampling stream). */
   val MixSalt = "mix1"
 
-  /** (doc_id, source, n_tokens), persisted once per data dir: the
+  /** (doc_id, source, lang, n_tokens), persisted once per data dir: the
     * tokenize pass feeds BOTH the per-source rate aggregation and
     * the per-doc sampling join — without materialization the mix
     * sample tokenizes the corpus twice (the [[TextOps]] sigCache
-    * disease; same cure). Three narrow columns. Lifetime mirrors the
+    * disease; same cure). Four narrow columns. Lifetime mirrors the
     * signature cache: session-long for the gate/bench; a long-lived
     * service calls [[clearTokenCache]] between corpus versions. */
   private val tokCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def docTokens(s: SparkSession, d: String): DataFrame =
+  private[operators] def docTokens(s: SparkSession, d: String): DataFrame =
     tokCache.computeIfAbsent(d, _ =>
       TextOps.docs(s, d)
-        .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("tk")).cast("long").as("n_tokens"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Materialize the per-dir token projection — the bench's named
+    * SETUP step (the TextOps warmCaches pattern), now shared by the
+    * mix/pack family and `corpus_quantiles`. */
+  def warmCaches(s: SparkSession, d: String): Unit = {
+    docTokens(s, d).queryExecution.toRdd.count()
+    ()
+  }
 
   def clearTokenCache(): Unit = {
     tokCache.values.forEach(df => { df.unpersist(); () })

@@ -30,7 +30,34 @@ import org.apache.spark.sql.functions._
   * whenever the order key is unique within its group (range bounds
   * only move rows between partitions; rank arithmetic is
   * partition-independent), which every call site guarantees with a
-  * primary-key tiebreak. */
+  * primary-key tiebreak.
+  *
+  * The partitioned table is pinned to ONE physical evaluation (a
+  * LAZY local checkpoint: every consumer branch references the same
+  * persisted RDD, materialized by the first action — lazy so query
+  * CONSTRUCTION stays job-free; an eager checkpoint here measurably
+  * added one synchronous 32-task job per call), for two load-bearing
+  * reasons:
+  *   - determinism: `__pid` derives from nondeterministic physical
+  *     position (spark_partition_id / monotonically_increasing_id),
+  *     and the offset aggregate joins the same subtree against
+  *     itself — without materialization, correctness would silently
+  *     ride on `spark.sql.exchange.reuse` canonicalizing the two
+  *     range exchanges to ONE evaluation; if they ever evaluated
+  *     independently, boundary sampling (seeded per RDD id) could
+  *     assign rows different `__pid`s on the two sides and corrupt
+  *     every rank. The checkpoint wraps one concrete RDD, so both
+  *     sides read the same blocks by construction.
+  *   - plan cost: rank outputs fan out into several consumers at
+  *     most call sites (totals aggregate + percentile pick + join
+  *     back); an unmaterialized subtree re-derives the FULL upstream
+  *     lineage — base scan, tokenize, groupBy — once per consumer
+  *     (measured 3-10 redundant corpus scans per query in round 13).
+  *     The checkpoint bounds every caller at one upstream pass.
+  * The materialized table is the caller's (usually value-count
+  * compressed, KB-sized) input plus two long columns; blocks are
+  * freed by the ContextCleaner when the result DataFrame goes
+  * unreachable. */
 object RangeRank {
 
   /** Range partitions per ranking. Sized so a partition holds ~1/32
@@ -51,6 +78,7 @@ object RangeRank {
     val parted = df
       .repartitionByRange(parts, (grpCols ++ sort): _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false) // pin __pid + bound upstream to one pass
     val keyCols = col("__pid") +: grpCols
     val inW = Window.partitionBy(keyCols: _*).orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -111,6 +139,7 @@ object RangeRank {
       .sortWithinPartitions((grpCols ++ sort): _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", expr("__mid >> 33"))
+      .localCheckpoint(false) // pin __mid/__pid + bound upstream to one pass
     val keyCols = col("__pid") +: grpCols
     val offPart = if (grpCols.isEmpty) Seq(expr(s"__pid div $parts")) else grpCols
     val offW = Window.partitionBy(offPart: _*).orderBy(col("__pid"))

@@ -109,7 +109,12 @@ object SketchOps {
     * [[kmvDifference]] cannot diverge. */
   private def kmvPairUnion(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val rows = sketchRows(s, d)
+    // the sketch table is ≤ K·|types| rows BY CONSTRUCTION — exactly
+    // the thing to materialize once: the set-algebra consumers fan it
+    // out 4-6× (type dim, both union sides, membership probes), and
+    // every unmaterialized reference re-ran the corpus scan + KMV
+    // aggregate behind it
+    val rows = sketchRows(s, d).localCheckpoint(false)
     val types = rows.select(col("event_type")).distinct()
     val tp = broadcast(types.select(col("event_type").as("type_a")))
       .join(broadcast(types.select(col("event_type").as("type_b"))),
@@ -446,8 +451,12 @@ object SketchOps {
     * inner product reaches ~1e18 at 1e9 rows/type and the 16-term sum
     * wraps int64 silently where DuckDB would promote. */
   def cmsJoinEstimate(s: SparkSession, d: String): DataFrame = {
+    // the per-(type,user) count feeds the counter build, BOTH sides
+    // of the exact-audit join, and the type dimension — materialized
+    // once so none of the five consumers re-derives the events scan
     val uc = Tables.events(s, d)
       .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val counters = uc
       .select(col("event_type"), col("cnt"),
         explode(array((0 until CmsD).map(lit): _*)).as("i"),
@@ -514,8 +523,10 @@ object SketchOps {
   def bloomSemiFilter(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val users = ev.select(col("user_id")).distinct()
+    // member set feeds the filter build AND the exact-flag audit —
+    // materialized once (user-dimension-bounded)
     val purchasers = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct()
+      .select(col("user_id")).distinct().localCheckpoint(false)
     val js = explode(array((0 until BloomK).map(lit): _*)).as("j")
     def positions(df: DataFrame): DataFrame =
       df.select(col("user_id"), js)

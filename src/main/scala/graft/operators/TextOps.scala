@@ -230,6 +230,42 @@ object TextOps {
     big.unionByName(small)
   }
 
+  val FpMaxBucket = 64     // fingerprints shared this widely carry no signal
+  val FpDupPpm = 500000L   // fingerprint-Jaccard dup threshold (0.5)
+
+  /** Fingerprint-based near-dup detection — [[docFingerprint]]'s
+    * winnowing output (Schleimer et al., SIGMOD 2003) wired into the
+    * verify family: documents sharing winnowed fingerprints become
+    * candidate pairs (the fingerprint IS the LSH bucket — winnowing
+    * guarantees any sufficiently long shared substring shares a
+    * fingerprint), stop-fingerprints shared by more than
+    * [[FpMaxBucket]] docs are dropped (boilerplate carries no dup
+    * signal and unbounded buckets are the all-pairs failure mode),
+    * and each pair is scored by exact fingerprint-set Jaccard over
+    * the filtered space — integer ppm, engine-exact. Complements
+    * `ngram_jaccard`/`minhash_containment`: those verify candidates
+    * against the FULL shingle sets; this stays entirely inside the
+    * KB-per-doc fingerprint table, the index a 100 TB dedup actually
+    * persists. One self-join on the (materialized once) fingerprint
+    * table, all aggregates partial. */
+  def dedupFingerprint(s: SparkSession, d: String): DataFrame = {
+    val fpt = docFingerprint(s, d).localCheckpoint(false)
+    val good = fpt.groupBy(col("fp")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= FpMaxBucket).select(col("fp"))
+    val f2 = fpt.join(good, Seq("fp"), "left_semi").localCheckpoint(false)
+    val sz = f2.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val pairs = f2.select(col("fp"), col("doc_id").as("ida"))
+      .join(f2.select(col("fp"), col("doc_id").as("idb")), Seq("fp"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sz.select(col("doc_id").as("ida"), col("nf").as("n_a")), Seq("ida"))
+      .join(sz.select(col("doc_id").as("idb"), col("nf").as("n_b")), Seq("idb"))
+      .withColumn("jacc_ppm", expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+      .select(col("ida"), col("idb"), col("n_shared"), col("n_a"), col("n_b"),
+        col("jacc_ppm"), (col("jacc_ppm") >= FpDupPpm).as("is_dup"))
+  }
+
   // thresholds for the composite corpus filter (C4-style heuristics)
   val MinWords    = 20
   val MaxMeanWord = 12.0
@@ -805,28 +841,48 @@ object TextOps {
     * per-source sort is the cost — exactly the distributed-sort shape
     * exact quantiles require; approximate needs swap in a sketch, which
     * the report deliberately avoids (release gates want exact). */
-  def corpusQuantiles(s: SparkSession, d: String): DataFrame = {
-    val t = docs(s, d).select(col("source"), col("doc_id"),
-      size(col("tk")).cast("long").as("ntok"))
-    val nulls = t.groupBy(col("source"))
-      .agg(sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("n_null"))
+  def corpusQuantiles(s: SparkSession, d: String): DataFrame =
+    tokenQuantiles(s, d, "source")
+
+  /** Per-LANGUAGE token-length distribution — [[corpusQuantiles]]'
+    * report keyed on the language column: multilingual mixes budget
+    * per lang, and a lang whose length profile collapses (boilerplate
+    * flood) needs its own threshold, not its sources'. Same plan,
+    * same oracle shape, different key. */
+  def corpusQuantilesLang(s: SparkSession, d: String): DataFrame =
+    tokenQuantiles(s, d, "lang")
+
+  private def tokenQuantiles(s: SparkSession, d: String, key: String): DataFrame = {
+    // rides the persisted (doc_id, source, lang, n_tokens) projection
+    // the mix/pack family shares — the report's three aggregates
+    // (NULL count, value counts, per-key totals) otherwise each
+    // re-ran the tokenize scan over the raw corpus
+    val t = MixOps.docTokens(s, d)
+      .select(col(key), col("n_tokens").as("ntok"))
+    // ONE value-count table (NULL ntok kept as its own value group,
+    // materialized once) carries all three statistics legs — the
+    // NULL counts, the per-key totals AND the rank pass — where
+    // separate aggregates each re-derived the token projection
+    val vc = t.groupBy(col(key), col("ntok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val n = vc.groupBy(col(key)).agg(
+      sum(when(col("ntok").isNotNull, col("c")).otherwise(0L)).as("cnt"),
+      sum(when(col("ntok").isNull, col("c")).otherwise(0L)).as("n_null"))
     // value-grouped nearest-rank selection (the spend family's
-    // RangeRank shape — a per-source rank window funnels ~N/|sources|
+    // RangeRank shape — a per-key rank window funnels ~N/|keys|
     // rows through one unsplittable task): the value at rank r is the
     // least value whose cumulative count reaches r, ties sharing value
-    val vc = t.filter(col("ntok").isNotNull)
-      .groupBy(col("source"), col("ntok")).agg(count(lit(1)).as("c"))
-    val n = vc.groupBy(col("source")).agg(sum(col("c")).as("cnt"))
     def pick(pct: Int): Column =
       min(when(col("cum") >= expr(s"(cnt * $pct + 99) div 100"), col("ntok")))
-    RangeRank.runningSum(vc, Seq("source"), Seq(col("ntok")), col("c"), "cum")
-      .join(broadcast(n), Seq("source"))
-      .groupBy(col("source"))
-      .agg(max(col("cnt")).as("n_docs"), min(col("ntok")).as("min_tokens"),
+    RangeRank.runningSum(vc.filter(col("ntok").isNotNull),
+        Seq(key), Seq(col("ntok")), col("c"), "cum")
+      .join(broadcast(n), Seq(key))
+      .groupBy(col(key))
+      .agg(max(col("cnt")).as("n_docs"), max(col("n_null")).as("n_null"),
+        min(col("ntok")).as("min_tokens"),
         pick(50).as("p50_tokens"), pick(90).as("p90_tokens"), pick(99).as("p99_tokens"),
         max(col("ntok")).as("max_tokens"))
-      .join(nulls, Seq("source"))
-      .select(col("source"), col("n_docs"), col("n_null"), col("min_tokens"),
+      .select(col(key), col("n_docs"), col("n_null"), col("min_tokens"),
         col("p50_tokens"), col("p90_tokens"), col("p99_tokens"), col("max_tokens"))
   }
 
@@ -1064,7 +1120,13 @@ object TextOps {
       .select(col("doc_id"), explode(Portable.shingles(col("tk"), 2)).as("pair"))
       .select(col("doc_id"), expr("split_part(pair, ' ', 1)").as("w1"),
         expr("split_part(pair, ' ', 2)").as("w2"))
+    // the MODEL table (bigram types — vocab²-bounded, tiny next to
+    // the occurrence stream) is materialized once: its three margin
+    // aggregates and the probability join otherwise each re-derived
+    // the full tokenize→explode→groupBy lineage (4 extra corpus
+    // scans in the round-13 plan)
     val big = db.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bigram"))
+      .localCheckpoint(false)
     val left = big.groupBy(col("w1"))
       .agg(sum(col("c_bigram")).as("c_left"), count(lit(1)).as("fanout_w1"))
     val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("cont_w2"))
@@ -1870,7 +1932,9 @@ object TextOps {
     "text_quality"    -> (textQuality _),
     "lang_id"         -> (langId _),
     "token_count"     -> (tokenCount _),
-    "doc_fingerprint" -> (docFingerprint _)
+    "doc_fingerprint" -> (docFingerprint _),
+    "dedup_fingerprint" -> (dedupFingerprint _),
+    "corpus_quantiles_lang" -> (corpusQuantilesLang _)
   )
 
   // ---- SQL twins (DuckDB) ----------------------------------------
@@ -2799,6 +2863,47 @@ object TextOps {
          |    THEN list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 2}),
          |         i -> list_min(list_slice(hs, i, i + ${WinnowW - 1}))))
          |    ELSE list_distinct(hs) END AS fps FROM hsh)
-         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin
+         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "dedup_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+         |hsh AS (SELECT doc_id, list_transform(shl, x -> ${Portable.hmodSql("x")}) AS hs FROM sh),
+         |w AS (SELECT doc_id, CASE WHEN len(hs) >= $WinnowW
+         |    THEN list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 2}),
+         |         i -> list_min(list_slice(hs, i, i + ${WinnowW - 1}))))
+         |    ELSE list_distinct(hs) END AS fps FROM hsh),
+         |fpt AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         |good AS (SELECT fp FROM fpt GROUP BY fp HAVING count(*) <= $FpMaxBucket),
+         |f2 AS (SELECT f.doc_id, f.fp FROM fpt f JOIN good g USING (fp)),
+         |sz AS (SELECT doc_id, count(*) AS nf FROM f2 GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_shared
+         |      FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT p.ida, p.idb, p.n_shared, sa.nf AS n_a, sb.nf AS n_b,
+         |       (p.n_shared * 1000000) // (sa.nf + sb.nf - p.n_shared) AS jacc_ppm,
+         |       ((p.n_shared * 1000000) // (sa.nf + sb.nf - p.n_shared)) >= $FpDupPpm AS is_dup
+         |FROM p JOIN sz sa ON p.ida = sa.doc_id JOIN sz sb ON p.idb = sb.doc_id""".stripMargin,
+    "corpus_quantiles_lang" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, CAST(len($tkSql) AS BIGINT) AS ntok FROM documents),
+         |r AS (
+         |  SELECT lang, ntok,
+         |         row_number() OVER (PARTITION BY lang ORDER BY ntok, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM t WHERE ntok IS NOT NULL),
+         |q AS (
+         |  SELECT lang, max(cnt) AS n_docs, min(ntok) AS min_tokens,
+         |         max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN ntok END) AS p50_tokens,
+         |         max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN ntok END) AS p90_tokens,
+         |         max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN ntok END) AS p99_tokens,
+         |         max(ntok) AS max_tokens
+         |  FROM r GROUP BY lang),
+         |z AS (
+         |  SELECT lang,
+         |         CAST(sum(CASE WHEN ntok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+         |  FROM t GROUP BY lang)
+         |SELECT q.lang, q.n_docs, z.n_null, q.min_tokens,
+         |       q.p50_tokens, q.p90_tokens, q.p99_tokens, q.max_tokens
+         |FROM q JOIN z ON q.lang = z.lang""".stripMargin
   )
 }
