@@ -40,7 +40,8 @@ object SparkEntry {
         "streaming_quantile_hist" -> ((s, d) => graft.streaming.StreamingQuantileHist.run(s, d)),
         "streaming_hll" -> ((s, d) => graft.streaming.StreamingHll.run(s, d)),
         "streaming_cms" -> ((s, d) => graft.streaming.StreamingCms.run(s, d)),
-        "streaming_bloom" -> ((s, d) => graft.streaming.StreamingBloom.run(s, d)))
+        "streaming_bloom" -> ((s, d) => graft.streaming.StreamingBloom.run(s, d)),
+        "streaming_markov_score" -> ((s, d) => graft.streaming.StreamingMarkovScore.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,5 +69,6 @@ object SparkEntry {
         "streaming_quantile_hist" -> SketchOps.oracles("quantile_hist_sketch"),
         "streaming_hll" -> SketchOps.oracles("hll_distinct"),
         "streaming_cms" -> SketchOps.cmsCountersOracle,
-        "streaming_bloom" -> SketchOps.bloomWordsOracle)
+        "streaming_bloom" -> SketchOps.bloomWordsOracle,
+        "streaming_markov_score" -> graft.streaming.StreamingMarkovScore.oracle)
 }

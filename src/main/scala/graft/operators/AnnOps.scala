@@ -609,6 +609,67 @@ object AnnOps {
         (col("ivfpq_hits").cast("double") / col("n_true").cast("double")).as("ivfpq_recall"))
   }
 
+  val ProbeSweep = Seq(1, 2, 4) // nProbe grid for the IVF tuning curve
+
+  /** IVF probe-count tuning curve: for each nProbe in [[ProbeSweep]],
+    * BOTH sides of the tradeoff an index operator actually tunes —
+    * recall@K against the brute-force ground truth AND the scanned
+    * candidate volume (the query-time cost an extra probe buys recall
+    * with), as exact integers plus ppm ratios. `lsh_band_sweep` is
+    * this instrument for the banded-LSH family; this is its IVF twin,
+    * and together with `ivf_balance_report` (occupancy skew) it is
+    * the operational dashboard behind `ann_ivf_topk`. Shape: per
+    * probe level, the same broadcast assignment + cell equi-join as
+    * the index itself, with the per-query candidate count riding the
+    * top-k window pass (no second evaluation of the join), then a
+    * FULL join against the brute top-K and two nested partial-agg
+    * groupBys down to one row — the sweep output is |grid| rows
+    * regardless of corpus size. All comparisons are equi-joins on
+    * (q_id, vec_id); every ratio is int/int. */
+  def ivfProbeSweep(s: SparkSession, d: String): DataFrame = {
+    // the brute ground truth is the one corpus-expensive leg; its
+    // top-K output is K·|queries| rows, so pin it to one physical
+    // evaluation rather than lean on exchange reuse across the three
+    // probe legs (the kmv/sketch-table rule)
+    val brute = annCosineTopk(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("tr"))
+      .localCheckpoint(false)
+    val nCorpus = vectors(s, d).agg(count(lit(1)).as("n_corpus"))
+    val legs = ProbeSweep.map { p =>
+      val cents = centroidTable(s, NCells)
+      val v = assignCells(vectors(s, d), cents)
+      val q = probeCellsTable(queriesSide(s, d), cents, p)
+      val ranked = v.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosine)
+        .withColumn("cand_n", count(lit(1)).over(Window.partitionBy(col("q_id"))))
+        .withColumn("rnk", row_number().over(rankW))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("vec_id"), col("cand_n"), lit(1L).as("ap"))
+      brute.join(ranked, Seq("q_id", "vec_id"), "full")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("tr"), lit(0L))).as("t"),
+          sum(when(col("tr") === 1L && col("ap") === 1L, 1L).otherwise(0L)).as("h"),
+          max(coalesce(col("cand_n"), lit(0L))).as("c"))
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum(col("t")), lit(0L)).cast("long").as("n_true"),
+          coalesce(sum(col("h")), lit(0L)).cast("long").as("n_hits"),
+          coalesce(sum(col("c")), lit(0L)).cast("long").as("n_candidates"))
+        .select(lit(p.toLong).as("nprobe"), col("n_queries"),
+          col("n_true"), col("n_hits"), col("n_candidates"))
+    }
+    // empty-index guards: an empty corpus still reports its |grid|
+    // rows (zero counts, NULL ratios), never a vanished sweep
+    legs.reduce(_ unionByName _)
+      .crossJoin(broadcast(nCorpus))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_true > 0 THEN (n_hits * 1000000) div n_true END").cast("long"))
+      .withColumn("scan_ppm",
+        expr("CASE WHEN n_queries * (n_corpus - 1) > 0 THEN " +
+          "(n_candidates * 1000000) div (n_queries * (n_corpus - 1)) END").cast("long"))
+      .drop("n_corpus")
+  }
+
   // ---- product-quantized (PQ / ADC) variant ----------------------
 
   val PqM    = 8  // subspaces
@@ -1069,7 +1130,8 @@ object AnnOps {
     "knn_predict"        -> (knnPredict _),
     "quantize_error"     -> (quantizeError _),
     "ivf_balance_report" -> (ivfBalanceReport _),
-    "knn_degree_stats"   -> (knnDegreeStats _)
+    "knn_degree_stats"   -> (knnDegreeStats _),
+    "ivf_probe_sweep"    -> (ivfProbeSweep _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -1479,6 +1541,60 @@ object AnnOps {
          |LEFT JOIN ip ON b.q_id = ip.q_id AND b.vec_id = ip.vec_id
          |GROUP BY b.q_id""".stripMargin,
     "ann_ivf_topk" -> ivfTopkSql,
+    "ivf_probe_sweep" -> {
+      val legs = ProbeSweep.map { p =>
+        s"""qcell_$p AS (SELECT q_id, qe, qn, cell FROM (
+           |    SELECT q_id, qe, qn, c AS cell,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
+           |    FROM qdots) WHERE rn <= $p),
+           |scored_$p AS (
+           |  SELECT q.q_id, v.vec_id,
+           |         ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine,
+           |         count(*) OVER (PARTITION BY q.q_id) AS cand_n
+           |  FROM vcell v JOIN qcell_$p q ON v.cell = q.cell
+           |  WHERE v.vec_id <> q.q_id),
+           |ap_$p AS (SELECT q_id, vec_id, cand_n, 1 AS ap FROM (
+           |    SELECT q_id, vec_id, cand_n,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+           |    FROM scored_$p) WHERE rnk <= $TopK),
+           |g_$p AS (
+           |  SELECT coalesce(b.q_id, a.q_id) AS q_id,
+           |         sum(CASE WHEN b.tr = 1 THEN 1 ELSE 0 END) AS t,
+           |         sum(CASE WHEN b.tr = 1 AND a.ap = 1 THEN 1 ELSE 0 END) AS h,
+           |         max(coalesce(a.cand_n, 0)) AS c
+           |  FROM bt b FULL OUTER JOIN ap_$p a
+           |    ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+           |  GROUP BY coalesce(b.q_id, a.q_id)),
+           |l_$p AS (
+           |  SELECT CAST($p AS BIGINT) AS nprobe, count(*) AS n_queries,
+           |         CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+           |         CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits,
+           |         CAST(coalesce(sum(c), 0) AS BIGINT) AS n_candidates
+           |  FROM g_$p)""".stripMargin
+      }.mkString(",\n")
+      val union = ProbeSweep.map(p => s"SELECT * FROM l_$p").mkString("\n  UNION ALL ")
+      s"""WITH $vecCte, $centroidsCte,
+         |$vcellCte,
+         |qdots AS (SELECT q.q_id, q.qe, q.qn, cells.c,
+         |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
+         |bscored AS (
+         |  SELECT q.q_id, v.vec_id, $cosSql AS cosine
+         |  FROM vecs v CROSS JOIN qs q
+         |  WHERE v.vec_id <> q.q_id),
+         |bt AS (SELECT q_id, vec_id, 1 AS tr FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM bscored) WHERE rnk <= $TopK),
+         |$legs,
+         |sweep AS (
+         |  $union),
+         |nc AS (SELECT count(*) AS n_corpus FROM vecs)
+         |SELECT nprobe, n_queries, n_true, n_hits, n_candidates,
+         |       CAST(CASE WHEN n_true > 0 THEN (n_hits * 1000000) // n_true END AS BIGINT) AS recall_ppm,
+         |       CAST(CASE WHEN n_queries * (n_corpus - 1) > 0
+         |            THEN (n_candidates * 1000000) // (n_queries * (n_corpus - 1)) END AS BIGINT) AS scan_ppm
+         |FROM sweep CROSS JOIN nc""".stripMargin
+    },
     "ann_knn_graph" -> knnGraphSql,
     "label_centroids" ->
       s"""WITH t AS (

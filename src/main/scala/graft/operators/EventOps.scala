@@ -402,6 +402,40 @@ object EventOps {
         expr("(n * 1000000) div tot").cast("long").as("ppm"))
   }
 
+  /** Per-user path likelihood under the [[markovTransitions]] model —
+    * the event-side twin of `lm_doc_score` (an LM scoring its own
+    * training corpus): every adjacent (type → next type) step is
+    * scored with the model's integer-ppm transition share, and the
+    * user's path rolls up to the transition count, total/minimum step
+    * score and the exact integer mean. A user whose mean sits far
+    * below the corpus (or whose min_ppm is a rare transition) is the
+    * sequence-anomaly candidate bot/fraud triage reads. Float-free:
+    * the model shares `markov_transitions`' exact ppm arithmetic, so
+    * the report is bit-identical on any partitioning. Shape: the
+    * transition frame is one window shuffle on `user_id`; the model is
+    * an aggregate of that same frame (|types|² rows — broadcast back
+    * onto the steps), and the rollup groupBy rides the user key. Two
+    * passes over `events` by design (model fit + scoring) — the
+    * standard two-phase shape of any fit-then-score operator; neither
+    * pass is checkpoint-worthy because both are corpus-sized. */
+  def markovPathScore(s: SparkSession, d: String): DataFrame = {
+    val tr = events(s, d)
+      .withColumn("dst_type", lead(col("event_type"), 1).over(userW))
+      .filter(col("dst_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("src_type"), col("dst_type"))
+    val model = tr
+      .groupBy(col("src_type"), col("dst_type")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("src_type"))))
+      .select(col("src_type"), col("dst_type"),
+        expr("(n * 1000000) div tot").cast("long").as("ppm"))
+    tr.join(broadcast(model), Seq("src_type", "dst_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("ppm")).cast("long").as("sum_ppm"),
+        min(col("ppm")).as("min_ppm"))
+      .withColumn("avg_ppm", expr("sum_ppm div n_trans").cast("long"))
+  }
+
   /** Session path report: each gap-rule session rendered as its
     * ordered event-type string (view>click>purchase…), counted across
     * the corpus — the navigation-pattern rollup product analytics
@@ -1009,6 +1043,7 @@ object EventOps {
     "anomaly_zscore"      -> (anomalyZscore _),
     "retention_cohorts"   -> (retentionCohorts _),
     "markov_transitions"  -> (markovTransitions _),
+    "markov_path_score"   -> (markovPathScore _),
     "session_paths"       -> (sessionPaths _),
     "scd2_build"          -> (scd2Build _),
     "interval_join"       -> (intervalJoin _),
@@ -1379,6 +1414,26 @@ object EventOps {
          |       count(*) AS n_users
          |FROM days d JOIN first f ON d.user_id = f.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "markov_path_score" ->
+      s"""WITH $evCte,
+         |seq AS (
+         |  SELECT user_id, event_type AS src_type,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dst_type
+         |  FROM ev),
+         |tr AS (SELECT user_id, src_type, dst_type FROM seq WHERE dst_type IS NOT NULL),
+         |cnt AS (
+         |  SELECT src_type, dst_type, count(*) AS n
+         |  FROM tr GROUP BY 1, 2),
+         |model AS (
+         |  SELECT src_type, dst_type,
+         |         CAST((n * 1000000) // sum(n) OVER (PARTITION BY src_type) AS BIGINT) AS ppm
+         |  FROM cnt)
+         |SELECT t.user_id, count(*) AS n_trans,
+         |       CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+         |       min(ppm) AS min_ppm,
+         |       CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+         |FROM tr t JOIN model m ON t.src_type = m.src_type AND t.dst_type = m.dst_type
+         |GROUP BY t.user_id""".stripMargin,
     "markov_transitions" ->
       s"""WITH $evCte,
          |seq AS (

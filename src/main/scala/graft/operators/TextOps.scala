@@ -955,6 +955,189 @@ object TextOps {
       .select("rnk", "pair", "cnt", "df")
   }
 
+  // ---- quality-model serving (literal-weight MLP) -----------------
+
+  val QmInputs = 5
+  val QmHidden = 8
+
+  /** Deterministic literal weights for the quality-model slot — in
+    * production these are the trained fasttext/CCNet-style quality
+    * classifier's parameters; here a counter-hash fill so the serving
+    * arithmetic is pinned end-to-end (the `clip_prob` rule: the model
+    * artifact is the gap, the serving path is not). */
+  def qmW1(i: Int, j: Int): Double =
+    (((i * QmHidden + j + 3) * 2654435761L) % 1999L - 999L) / 1000.0
+  def qmB1(j: Int): Double = (((j + 7) * 48271L) % 1999L - 999L) / 1000.0
+  def qmW2(j: Int): Double = (((j + 13) * 69621L) % 1999L - 999L) / 1000.0
+  val QmB2: Double = 0.125
+
+  /** Rational fast sigmoid — σ(x) = ½ + ½·x/(1+|x|): monotone,
+    * bounded to (0,1), and bit-portable (no exp). */
+  private def qmSig(x: Double): Double = 0.5 + 0.5 * x / (1.0 + math.abs(x))
+
+  final case class QmIn(doc_id: Long, len: Option[Long], n_words: Option[Long],
+                        mean_word_len: Option[Double], stop_ratio: Option[Double],
+                        distinct_ratio: Option[Double])
+  final case class QmOut(doc_id: Long, quality_prob: Option[Double])
+
+  /** The quality-classifier lifecycle stub ([[clipProb]]'s shape): one
+    * instantiation per partition — where a real fasttext/ONNX session
+    * would load its weights once and score the partition's stream. */
+  private final class QmModel {
+    def evaluate(x: Array[Double]): Double = {
+      var out = QmB2
+      var j = 0
+      while (j < QmHidden) {
+        var acc = qmB1(j)
+        var i = 0
+        while (i < QmInputs) { acc += qmW1(i, j) * x(i); i += 1 }
+        out += qmW2(j) * qmSig(acc)
+        j += 1
+      }
+      qmSig(out)
+    }
+  }
+
+  /** Model-based document quality score — the serving path of the
+    * learned quality filter every production corpus pipeline runs
+    * (CCNet's fasttext LM filter, Gopher/phi-style quality
+    * classifiers): [[textQuality]]'s five exact-rational features
+    * through a literal-weight 5→8→1 MLP with a rational fast sigmoid,
+    * executed with the per-partition model lifecycle (`mapPartitions`,
+    * one instantiation per partition — the ONNX/fasttext session
+    * shape). The trained weights are the documented artifact gap; the
+    * feature plumbing, batching and forward arithmetic are real and
+    * bit-exact in the DuckDB oracle (left-associated accumulation,
+    * no transcendentals). NULL text scores NULL, explicitly kept. */
+  def qualityModelScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = textQuality(s, d).select(
+      col("doc_id"), col("len").cast("long").as("len"),
+      col("n_words").cast("long").as("n_words"),
+      col("mean_word_len"), col("stop_ratio"), col("distinct_ratio")).as[QmIn]
+    feats.mapPartitions { it =>
+      val model = new QmModel // once per partition: the session shape
+      it.map { r =>
+        QmOut(r.doc_id, r.len.map { len =>
+          model.evaluate(Array(len / 1000.0, r.n_words.get / 100.0,
+            r.mean_word_len.get, r.stop_ratio.get, r.distinct_ratio.get))
+        })
+      }
+    }.toDF()
+  }
+
+  val BpeMerges = 3    // fixed merge depth: the gate pins the LOOPED fit
+  /** Symbol delimiter for the BPE working representation — probed
+    * absent from the corpus charset (documents.text is space +
+    * lowercase ASCII); a production fit over arbitrary bytes swaps in
+    * an out-of-band sentinel (0x1f) with zero structural change. */
+  val BpeDelim = "~"
+
+  /** The word-frequency table a BPE fit actually iterates over —
+    * Sennrich et al. 2016's key compression step: the corpus is
+    * scanned ONCE into (word, count, symbol-sequence) and every merge
+    * round thereafter runs on this vocabulary-sized table (≤ a few
+    * hundred thousand rows for any corpus — KBs to MBs at 100 TB of
+    * text, since counts absorb all duplication). `seq` is the working
+    * representation: each character followed by [[BpeDelim]]
+    * ("hello" → "h~e~l~l~o~"). The lazy localCheckpoint pins the
+    * corpus scan to exactly one physical evaluation — every merge
+    * round's pair count, argmax and rewrite reads the checkpointed
+    * vocab table, never the documents parquet. */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(col("tk")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("seq", regexp_replace(col("w"), "([\\s\\S])", "$1" + BpeDelim))
+      .localCheckpoint(false)
+
+  /** Adjacent-symbol pairs of the working vocab table, weighted by
+    * word frequency: one explode + one partial-aggregable groupBy per
+    * round (the map-side combine collapses per-partition repeats), all
+    * over the vocabulary-sized table. */
+  private def bpePairTable(wt: DataFrame): DataFrame =
+    wt.withColumn("syms",
+        expr(s"slice(split(seq, '$BpeDelim'), 1, size(split(seq, '$BpeDelim')) - 1)"))
+      .select(col("wc"), explode(Portable.shingles(col("syms"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("cnt"))
+
+  /** The LOOPED byte-pair-encoding fit `bpe_pair_counts` documents
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units"): [[BpeMerges]] rounds of count-adjacent-pairs
+    * → pick the global argmax pair → rewrite it into one symbol, run
+    * entirely on the checkpointed word-frequency table ([[bpeWords]]).
+    * Per round the driver collects ONE row (the argmax pair — the
+    * `kmeans_fit` pattern: a scalar model update, not a data
+    * collect). The rewrite is two passes of leftmost-non-overlapping
+    * `replace` over the delimiter-framed sequence ("~a~b~" → "~ab~";
+    * the second pass catches the occurrence a shared frame delimiter
+    * hid — both engines scan leftmost-non-overlapping, so the rewrite
+    * is engine-exact by construction, and a same-symbol run like
+    * "aaaa" merges to "aa aa" deterministically). Ties break on the
+    * pair string; counts are exact integer sums, so the learned merge
+    * table is bit-identical on any partitioning and a DuckDB oracle
+    * unrolls and checks the whole loop. Output: one row per merge
+    * round — the learned merge, its weighted frequency, and how many
+    * vocabulary words it rewrote. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeFitRounds(s, d)._1
+
+  /** Shared fit loop: returns (merge-table DF, final vocab table). */
+  private def bpeFitRounds(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val D = BpeDelim
+    var wt = bpeWords(s, d)
+    val rounds = Seq.newBuilder[(Long, String, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to BpeMerges if !exhausted) {
+      val top = bpePairTable(wt)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true // empty corpus / no pairs left
+      else {
+        val pair = top(0).getString(0)
+        val cnt  = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        val pat = s"$D$a$D$b$D"
+        val rep = s"$D$a$b$D"
+        val framed = concat(lit(D), col("seq"))
+        val nWords = wt.filter(instr(framed, pat) > 0).count()
+        wt = wt
+          .withColumn("m", replace(replace(framed, lit(pat), lit(rep)), lit(pat), lit(rep)))
+          .select(col("w"), col("wc"), expr("substring(m, 2)").as("seq"))
+          .localCheckpoint(false)
+        rounds += ((r.toLong, pair, cnt, nWords))
+      }
+    }
+    (rounds.result().toDF("round", "pair", "cnt", "n_words"), wt)
+  }
+
+  /** Apply the [[bpeTrain]] merges back to the corpus: per source, how
+    * much the learned subword inventory compresses the text — token
+    * instances, total symbols before (characters) and after the
+    * merges, and the compression in integer ppm. The fit side is the
+    * checkpointed vocab loop above; the apply side is ONE more corpus
+    * scan joined (broadcast — the vocab table is KB-sized) against the
+    * final per-word symbol count, then one partial-agg groupBy. This
+    * is the fertility-after-fit statistic that decides whether the
+    * merge budget bought anything per corpus slice. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val wtFinal = bpeFitRounds(s, d)._2
+      .withColumn("n_syms",
+        expr(s"size(split(seq, '$BpeDelim')) - 1").cast("long"))
+      .select(col("w"), col("n_syms"))
+    docs(s, d)
+      .select(col("source"), explode(col("tk")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wtFinal), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("chars_total"),
+        sum(col("n_syms")).cast("long").as("syms_total"))
+      .withColumn("compression_ppm",
+        expr("(syms_total * 1000000) div chars_total").cast("long"))
+  }
+
   /** Tokenizer-fertility report per (source, lang): whitespace words
     * vs BPE-ish regex tokens vs characters, with the per-corpus-slice
     * ratios in integer ppm — the statistic that sizes a tokenizer
@@ -1896,6 +2079,9 @@ object TextOps {
     "dup_cluster_sizes" -> (dupClusterSizes _),
     "bm25_topk" -> (bm25Topk _),
     "bpe_pair_counts" -> (bpePairCounts _),
+    "bpe_train" -> (bpeTrain _),
+    "bpe_apply" -> (bpeApply _),
+    "quality_model_score" -> (qualityModelScore _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "ngram_lm_counts" -> (ngramLmCounts _),
     "ngram_kn_probs" -> (ngramKnProbs _),
@@ -2012,7 +2198,68 @@ object TextOps {
   private val histChain = (HistMaxPow to 0 by -1)
     .map(b => s"WHEN ntok >= ${1L << b} THEN $b").mkString("\n    ")
 
+  /** Unrolled BPE fit as CTEs ([[bpeTrain]]'s twin): `w0` is the
+    * word-frequency table with the delimiter-framed char sequence;
+    * each round k derives pair counts `p_k`, the argmax `b_k`, the
+    * rewrite patterns `m_k`, the rewritten vocab `w_k`, and the
+    * merge-table row `r_k`. Yields the final vocab as `w$BpeMerges`
+    * and the union of rows as `merges`. */
+  private def bpeCtesSql: String = {
+    val D = BpeDelim
+    def pairsOf(w: String): String =
+      s"""SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |  SELECT wc, unnest(${Portable.shinglesSql(
+               s"list_slice(string_split(seq, '$D'), 1, len(string_split(seq, '$D')) - 1)", 2)}) AS pair
+         |  FROM $w) GROUP BY pair""".stripMargin
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""p_$k AS (
+         |  ${pairsOf(s"w${k - 1}")}),
+         |b_$k AS (SELECT pair, cnt FROM p_$k ORDER BY cnt DESC, pair LIMIT 1),
+         |m_$k AS (SELECT pair, cnt,
+         |    '$D' || split_part(pair, ' ', 1) || '$D' || split_part(pair, ' ', 2) || '$D' AS pat,
+         |    '$D' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || '$D' AS rep
+         |  FROM b_$k),
+         |w_m$k AS (
+         |  SELECT w, wc,
+         |         substring(replace(replace('$D' || seq, pat, rep), pat, rep), 2) AS seq,
+         |         CASE WHEN strpos('$D' || seq, pat) > 0 THEN 1 ELSE 0 END AS tch
+         |  FROM w${k - 1} CROSS JOIN m_$k),
+         |w$k AS (SELECT w, wc, seq FROM w_m$k),
+         |r_$k AS (
+         |  SELECT CAST($k AS BIGINT) AS round, pair, cnt,
+         |         (SELECT CAST(sum(tch) AS BIGINT) FROM w_m$k) AS n_words
+         |  FROM b_$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges).map(k => s"SELECT * FROM r_$k").mkString("\n  UNION ALL ")
+    s"""btoks AS (SELECT unnest($tkSql) AS w FROM documents WHERE text IS NOT NULL),
+       |w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc,
+       |         regexp_replace(w, '([\\s\\S])', '\\1$D', 'g') AS seq
+       |  FROM btoks WHERE w <> '' GROUP BY w),
+       |$rounds,
+       |merges AS (
+       |  $union)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_train" ->
+      s"""WITH $bpeCtesSql
+         |SELECT round, pair, cnt, n_words FROM merges""".stripMargin,
+    "bpe_apply" ->
+      s"""WITH $bpeCtesSql,
+         |vocab AS (
+         |  SELECT w, CAST(len(string_split(seq, '$BpeDelim')) - 1 AS BIGINT) AS n_syms
+         |  FROM w$BpeMerges),
+         |corpus AS (SELECT source, unnest($tkSql) AS w FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT source, count(*) AS n_tokens,
+         |         CAST(sum(length(c.w)) AS BIGINT) AS chars_total,
+         |         CAST(sum(v.n_syms) AS BIGINT) AS syms_total
+         |  FROM corpus c JOIN vocab v ON c.w = v.w
+         |  WHERE c.w <> '' GROUP BY source)
+         |SELECT source, n_tokens, chars_total, syms_total,
+         |       CAST((syms_total * 1000000) // chars_total AS BIGINT) AS compression_ppm
+         |FROM g""".stripMargin,
     "lang_diversity" ->
       """WITH g AS (SELECT source, lang, count(*) AS ni FROM documents GROUP BY source, lang),
         |a AS (SELECT source, CAST(sum(ni) AS BIGINT) AS n_docs, count(*) AS n_langs,
@@ -2648,6 +2895,25 @@ object TextOps {
       s"""WITH $simhashCtes
          |SELECT doc_id, fp FROM fps
          |WHERE doc_id NOT IN (SELECT doc_id FROM sdup)""".stripMargin,
+    "quality_model_score" -> {
+      import graft.functions.Portable.dl
+      val xs = Seq("(length(text) / 1000e0)", "(len(tk) / 100e0)",
+        "(CAST(length(text) - (len(tk) - 1) AS DOUBLE) / CAST(len(tk) AS DOUBLE))",
+        s"(CAST(len(list_filter(tk, t -> list_contains($stopListSql, t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE))",
+        "(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))")
+      def pre(j: Int): String =
+        (0 until QmInputs).map(i => s" + ${dl(qmW1(i, j))} * ${xs(i)}")
+          .mkString(s"(${dl(qmB1(j))}", "", ")")
+      def hj(j: Int): String =
+        s"(0.5e0 + 0.5e0 * ${pre(j)} / (1e0 + abs(${pre(j)})))"
+      val out = (0 until QmHidden).map(j => s" + ${dl(qmW2(j))} * ${hj(j)}")
+        .mkString(s"(${dl(QmB2)}", "", ")")
+      s"""WITH toks AS (SELECT doc_id, text, $tkSql AS tk FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       ELSE 0.5e0 + 0.5e0 * $out / (1e0 + abs($out)) END AS quality_prob
+         |FROM toks""".stripMargin
+    },
     "text_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $tkSql AS tk FROM documents)
          |SELECT doc_id, length(text) AS len, len(tk) AS n_words,

@@ -160,6 +160,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
           rows.head.getLong(1) == 0L && rows.head.getLong(2) == 0L &&
           rows.head.getLong(3) == 1000000L,
           s"minhash_recall_sample empty-input report malformed")
+      } else if (n == "ivf_probe_sweep") {
+        // a TOTALS report per probe level: zero queries/candidates,
+        // NULL ratios — not a vanished sweep
+        val rows = df.collect()
+        assert(rows.length == AnnOps.ProbeSweep.size && rows.forall(r =>
+          r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L &&
+            r.getLong(4) == 0L && r.isNullAt(5) && r.isNullAt(6)),
+          s"ivf_probe_sweep empty-index report malformed")
       } else if (n == "lsh_band_sweep") {
         // a TOTALS report per config: 0 candidates / 0 verified rows,
         // not a vanished sweep
@@ -676,6 +684,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       // recall report composes all five index variants (r14 added
       // PQ + IVF+PQ): brute(1) + ivf(2) + pq(2) + ivfpq(3) gates
       "ann_ivf_pq_topk" -> ("ann", 3), "ann_recall_report" -> ("ann", 8),
+      // probe sweep: checkpointed brute baseline (BNLJ runs at
+      // construction, not in this plan) + 3 probe legs × (centroid
+      // assignment + query-probe crosses) + the one-row corpus total
+      "ivf_probe_sweep" -> ("ann", 7),
       "semdedup" -> ("ann", 2), "kmeans_step" -> ("ann", 1),
       "kmeanspp_init" -> ("ann", 3), "quantize_error" -> ("ann", 1),
       "ivf_balance_report" -> ("ann", 3),
@@ -756,6 +768,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       // PQ + IVF+PQ joined the gate) — all reuse-covered scans of a
       // dimension-bounded table
       "ann_recall_report" -> Map("embeddings" -> 11),
+      // brute ground truth is checkpointed (1 evaluation); the three
+      // probe legs repeat the byte-identical assignment subtree
+      // (reuse-covered) + the 1-row corpus count
+      "ivf_probe_sweep" -> Map("embeddings" -> 7),
       "ann_sq_topk" -> Map("embeddings" -> 3),
       "bigram_lift" -> Map("documents" -> 4),
       "bloom_semi_filter" -> Map("events" -> 3),
@@ -797,6 +813,171 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
             "or declare the multi-pass design here")
       }
     }
+  }
+
+  test("bpe_train and bpe_apply match a plain-Scala BPE fit") {
+    // Independent sequential recompute of the looped fit: word counts,
+    // then BpeMerges rounds of pair-count → argmax → two-pass
+    // leftmost-non-overlapping rewrite — the same semantics the
+    // operator and its unrolled DuckDB oracle implement.
+    import scala.collection.mutable
+    val docRows = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("source", "text").collect()
+    val words = mutable.Map[String, Long]().withDefaultValue(0L)
+    for (r <- docRows; t = r.getString(1); if t != null;
+         w <- t.split(" ", -1); if w.nonEmpty) words(w) += 1
+    var seqs: Map[String, String] =
+      words.keys.map(w => w -> w.map(c => s"$c~").mkString).toMap
+    val expected = mutable.Buffer[(Long, String, Long, Long)]()
+    for (r <- 1 to TextOps.BpeMerges) {
+      val pc = mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, sq) <- seqs) {
+        val syms = sq.split("~", -1).dropRight(1)
+        for (i <- 0 until syms.length - 1)
+          pc(syms(i) + " " + syms(i + 1)) += words(w)
+      }
+      val (pair, cnt) = pc.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      val Array(a, b) = pair.split(" ", 2)
+      val pat = s"~$a~$b~"; val rep = s"~$a$b~"
+      var touched = 0L
+      seqs = seqs.map { case (w, sq) =>
+        val f = "~" + sq
+        if (f.contains(pat)) touched += 1
+        w -> f.replace(pat, rep).replace(pat, rep).substring(1)
+      }
+      expected += ((r.toLong, pair, cnt, touched))
+    }
+    val got = SparkEntry.queries("bpe_train")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected.toSeq, "learned merge table differs from sequential BPE")
+
+    // apply side: per-source symbol totals under the final vocabulary
+    val agg = mutable.Map[String, (Long, Long, Long)]().withDefaultValue((0L, 0L, 0L))
+    for (r <- docRows; t = r.getString(1); if t != null;
+         w <- t.split(" ", -1); if w.nonEmpty) {
+      val (n, ch, sy) = agg(r.getString(0))
+      agg(r.getString(0)) =
+        (n + 1, ch + w.length, sy + (seqs(w).split("~", -1).length - 1))
+    }
+    val gotApply = SparkEntry.queries("bpe_apply")(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gotApply.keySet == agg.keySet)
+    for ((src, (n, ch, sy)) <- agg) {
+      assert(gotApply(src) == ((n, ch, sy, sy * 1000000L / ch)),
+        s"bpe_apply differs for source $src")
+    }
+    // merges must actually compress: symbols after < characters before
+    for ((_, (_, ch, sy)) <- agg) assert(sy < ch)
+  }
+
+  test("markov_path_score matches a plain-Scala sequential recompute") {
+    import scala.collection.mutable
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.drop(1)).map { case (a, b) => (uid, a, b) }
+    }
+    val n = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    val tot = mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((_, a, b) <- trans) { n((a, b)) += 1; tot(a) += 1 }
+    val ppm = n.map { case ((a, b), c) => (a, b) -> c * 1000000L / tot(a) }
+    val expected = trans.groupBy(_._1).map { case (uid, ts) =>
+      val ps = ts.map { case (_, a, b) => ppm((a, b)) }
+      uid -> (ps.size.toLong, ps.sum, ps.min, ps.sum / ps.size)
+    }
+    val got = SparkEntry.queries("markov_path_score")(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected, "per-user path scores differ from sequential recompute")
+  }
+
+  test("ivf_probe_sweep: monotone recall/cost curve, consistent with the recall report") {
+    val sw = SparkEntry.queries("ivf_probe_sweep")(spark, Sf).collect()
+      .sortBy(_.getLong(0))
+    assert(sw.map(_.getLong(0)).toSeq == AnnOps.ProbeSweep.map(_.toLong))
+    for (Seq(lo, hi) <- sw.toSeq.sliding(2)) {
+      // more probes can only widen the candidate set, never shrink it
+      assert(hi.getLong(4) >= lo.getLong(4), "n_candidates not monotone in nprobe")
+      assert(hi.getLong(3) >= lo.getLong(3), "n_hits not monotone in nprobe")
+    }
+    for (r <- sw) {
+      assert(r.getLong(3) <= r.getLong(2), "hits exceed ground truth")
+      assert(r.getLong(5) <= 1000000L && r.getLong(6) <= 1000000L)
+    }
+    // the nprobe = NProbe row must agree with ann_recall_report's IVF column
+    val rr = SparkEntry.queries("ann_recall_report")(spark, Sf).collect()
+    val rrTrue = rr.map(r => r.getLong(r.fieldIndex("n_true"))).sum
+    val rrHits = rr.map(r => r.getLong(r.fieldIndex("ivf_hits"))).sum
+    val p2 = sw.find(_.getLong(0) == AnnOps.NProbe.toLong).get
+    assert(p2.getLong(2) == rrTrue && p2.getLong(3) == rrHits,
+      "probe-sweep row disagrees with ann_recall_report at the index's own nprobe")
+  }
+
+  test("quality_model_score matches a plain-Scala forward pass and keeps NULL-text rows") {
+    def sig(x: Double) = 0.5 + 0.5 * x / (1.0 + math.abs(x))
+    def mlp(x: Array[Double]): Double = {
+      var out = TextOps.QmB2
+      for (j <- 0 until TextOps.QmHidden) {
+        var acc = TextOps.qmB1(j)
+        for (i <- 0 until TextOps.QmInputs) acc += TextOps.qmW1(i, j) * x(i)
+        out += TextOps.qmW2(j) * sig(acc)
+      }
+      sig(out)
+    }
+    val docRows = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    val expected = docRows.map { r =>
+      val t = r.getString(1)
+      r.getLong(0) -> Option(t).map { text =>
+        val tk = text.split(" ", -1)
+        val stop = tk.count(w => w == "a" || w == "the")
+        mlp(Array(text.length / 1000.0, tk.length / 100.0,
+          (text.length - (tk.length - 1)).toDouble / tk.length,
+          stop.toDouble / tk.length,
+          tk.distinct.length.toDouble / tk.length))
+      }
+    }.toMap
+    val got = SparkEntry.queries("quality_model_score")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == expected, "forward pass differs from sequential recompute")
+    assert(got.values.flatten.forall(p => p > 0.0 && p < 1.0))
+  }
+
+  test("streaming markov score equals the running-window batch recompute") {
+    import scala.collection.mutable
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp))").as("us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.zip(ordered.drop(1)).map { case (a, b) => (uid, a._4, b._4, b._3) }
+    }
+    val n = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    val tot = mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((_, a, b, _) <- trans) { n((a, b)) += 1; tot(a) += 1 }
+    val expected = trans.groupBy(_._1).flatMap { case (_, ts) =>
+      var (cnt, sum, mn) = (0L, 0L, Long.MaxValue)
+      ts.map { case (uid, a, b, eid) =>
+        val ppm = n((a, b)) * 1000000L / tot(a)
+        cnt += 1; sum += ppm; mn = math.min(mn, ppm)
+        eid -> ((uid, cnt, sum, mn, sum / cnt))
+      }
+    }
+    val got = SparkEntry.queries("streaming_markov_score")(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "streaming running scores differ from batch recompute")
   }
 
   test("codegen'd vec_dot is bit-equal to the portable fold") {
