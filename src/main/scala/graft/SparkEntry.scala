@@ -41,7 +41,8 @@ object SparkEntry {
         "streaming_hll" -> ((s, d) => graft.streaming.StreamingHll.run(s, d)),
         "streaming_cms" -> ((s, d) => graft.streaming.StreamingCms.run(s, d)),
         "streaming_bloom" -> ((s, d) => graft.streaming.StreamingBloom.run(s, d)),
-        "streaming_markov_score" -> ((s, d) => graft.streaming.StreamingMarkovScore.run(s, d)))
+        "streaming_markov_score" -> ((s, d) => graft.streaming.StreamingMarkovScore.run(s, d)),
+        "streaming_dedup_minhash" -> ((s, d) => graft.streaming.StreamingDedupMinhash.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -70,5 +71,6 @@ object SparkEntry {
         "streaming_hll" -> SketchOps.oracles("hll_distinct"),
         "streaming_cms" -> SketchOps.cmsCountersOracle,
         "streaming_bloom" -> SketchOps.bloomWordsOracle,
-        "streaming_markov_score" -> graft.streaming.StreamingMarkovScore.oracle)
+        "streaming_markov_score" -> graft.streaming.StreamingMarkovScore.oracle,
+        "streaming_dedup_minhash" -> graft.streaming.StreamingDedupMinhash.oracle)
 }

@@ -76,6 +76,30 @@ object TextOps {
 
   /** (doc_id, band, bkey): one row per LSH band; the join key that
     * replaces the all-pairs product. */
+  /** Stateless signature projection over a documents frame — pure
+    * column expressions (no window/agg), so it is STREAMING-SAFE: the
+    * ingest-dedup stream computes the same shingle sets and minhash
+    * signatures row-by-row that the batch family computes corpus-wide.
+    * NULL text yields a NULL shset and the all-P signature — same as
+    * the batch [[hashed]] derivation. */
+  private[graft] def signatureFrame(df: DataFrame): DataFrame =
+    df.withColumn("tk", Portable.tokens(col("text")))
+      .withColumn("sh", Portable.shingles(col("tk"), ShingleN))
+      .withColumn("hs", transform(col("sh"), x => Portable.hmod(x)))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shset"), sigCol.as("sig"))
+
+  /** [[signatureFrame]] + the LSH band explode (same bkey arithmetic
+    * as [[bands]]) — the streaming ingest-dedup input shape. */
+  private[graft] def bandedSignatures(df: DataFrame): DataFrame =
+    signatureFrame(df)
+      .select(col("doc_id"), col("shset"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            (col("sig").getItem(MinhashR * b) * P + col("sig").getItem(MinhashR * b + 1)).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("shset"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
   private def bands(s: SparkSession, d: String): DataFrame =
     hashed(s, d).withColumn("sig", sigCol)
       .select(col("doc_id"), explode(array((0 until nBands).map { b =>
@@ -429,6 +453,47 @@ object TextOps {
         struct(coalesce(col("n_words"), lit(-1L)), -col("doc_id"))).as("best"))
       .select(col("best.doc_id").as("doc_id"), col("cluster_id"),
         col("best.n_words").as("n_words"))
+  }
+
+  /** The dedup-impact KPI a training-data pipeline publishes per
+    * ingest batch: per source, how many documents/tokens exact dedup
+    * (content-hash keep-first, `dedup_exact`'s rule) and near-dup
+    * keep-best dedup (`dedup_keep_best`'s rule — one best doc per
+    * verified cluster) would remove, with the token savings in
+    * integer ppm. This is the number that justifies the dedup
+    * budget — "N% of this source's tokens are duplicates".
+    *
+    * Scale shape: rides the session-cached cluster-label table (one
+    * narrow row per doc — the expensive pair work is already paid and
+    * shared with the dup family), one content-hash window, one
+    * cluster-keyed keep-best aggregate, one partial-agg groupBy per
+    * source. NULL-text docs hash to one NULL group (keep-first
+    * semantics identical to `dedup_exact`). */
+  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+    val exactW = Window.partitionBy(col("chash")).orderBy(col("doc_id"))
+    // dedup_keep_best's keep rule inlined on this operator's own
+    // projection (spec-pinned equivalent) — one corpus pass total
+    // beside the cached label table, instead of a second token scan
+    val bestW = Window.partitionBy(col("cluster_id"))
+      .orderBy(coalesce(col("n_words"), lit(-1L)).desc, col("doc_id"))
+    docs(s, d).select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_words"),
+        sha2(col("text"), 256).as("chash"))
+      .withColumn("ern", row_number().over(exactW))
+      .join(dupClusters(s, d), Seq("doc_id"))
+      .withColumn("brn", row_number().over(bestW))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_words")), lit(0L)).cast("long").as("n_tokens"),
+        sum(when(col("ern") > 1, 1L).otherwise(0L)).as("exact_dup_docs"),
+        coalesce(sum(when(col("ern") > 1, col("n_words"))), lit(0L)).cast("long")
+          .as("exact_dup_tokens"),
+        sum(when(col("brn") > 1, 1L).otherwise(0L)).as("near_dup_docs"),
+        coalesce(sum(when(col("brn") > 1, col("n_words"))), lit(0L)).cast("long")
+          .as("near_dup_tokens"))
+      .withColumn("savings_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (near_dup_tokens * 1000000) div n_tokens END")
+          .cast("long"))
   }
 
   /** Unpersist every signature table [[hashed]] has cached (one entry
@@ -2102,6 +2167,7 @@ object TextOps {
     "dedup_incremental" -> (dedupIncremental _),
     "chunk_documents" -> (chunkDocuments _),
     "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_savings"   -> (dedupSavings _),
     "decontaminate"   -> (decontaminate _),
     "dedup_segments"  -> (dedupSegments _),
     "quality_gopher"  -> (qualityGopher _),
@@ -2132,7 +2198,7 @@ object TextOps {
   /** toks→shingles→hashes→signature CTE chain — the SQL twin of
     * [[hashed]]+[[sigCol]], shared by the minhash family oracles and
     * the band-sweep oracle. */
-  private def sigCtesSql: String = {
+  private[graft] def sigCtesSql: String = {
     val sigElems = (0 until MinhashK).map { j =>
       s"coalesce(list_min(list_transform(hs, h -> (h * ${Portable.permA(j)} + ${Portable.permB(j)}) % $P)), $P)"
     }.mkString("[", ",\n      ", "]")
@@ -2823,6 +2889,37 @@ object TextOps {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+    "dedup_savings" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |dedges AS (
+         |  SELECT ida AS a, idb AS b FROM pj WHERE jacc >= ${JaccT}e0
+         |  UNION ALL
+         |  SELECT idb AS a, ida AS b FROM pj WHERE jacc >= ${JaccT}e0),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |nws AS (SELECT doc_id, source, CAST(len($tkSql) AS BIGINT) AS n_words,
+         |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS ern
+         |        FROM documents),
+         |keep AS (SELECT doc_id FROM (
+         |  SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY coalesce(n.n_words, -1) DESC, c.doc_id) AS rn
+         |  FROM cl c JOIN nws n USING (doc_id))
+         |  WHERE rn = 1)
+         |SELECT n.source, count(*) AS n_docs,
+         |  CAST(coalesce(sum(n.n_words), 0) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN n.ern > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs,
+         |  CAST(coalesce(sum(CASE WHEN n.ern > 1 THEN n.n_words END), 0) AS BIGINT) AS exact_dup_tokens,
+         |  CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS near_dup_docs,
+         |  CAST(coalesce(sum(CASE WHEN k.doc_id IS NULL THEN n.n_words END), 0) AS BIGINT) AS near_dup_tokens,
+         |  CAST(CASE WHEN coalesce(sum(n.n_words), 0) > 0
+         |       THEN (coalesce(sum(CASE WHEN k.doc_id IS NULL THEN n.n_words END), 0) * 1000000)
+         |            // sum(n.n_words) END AS BIGINT) AS savings_ppm
+         |FROM nws n LEFT JOIN keep k ON n.doc_id = k.doc_id
+         |GROUP BY n.source""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashCtes,
          |dedges AS (

@@ -920,6 +920,63 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "probe-sweep row disagrees with ann_recall_report at the index's own nprobe")
   }
 
+  test("dedup_savings reconciles with dedup_exact and dedup_keep_best exactly") {
+    import org.apache.spark.sql.functions.col
+    val docsDf = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+    val bySource = docsDf.groupBy(_.getString(1))
+    val srcOf = docsDf.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tokensOf = docsDf.map { r =>
+      r.getLong(0) -> Option(r.getString(2)).map(_.split(" ", -1).length.toLong)
+    }.toMap
+    val keptExact = SparkEntry.queries("dedup_exact")(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val keptBest = SparkEntry.queries("dedup_keep_best")(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val sv = SparkEntry.queries("dedup_savings")(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(sv.keySet == bySource.keySet)
+    for ((src, rows) <- bySource) {
+      val r = sv(src)
+      val ids = rows.map(_.getLong(0)).toSet
+      val nTokens = ids.toSeq.flatMap(tokensOf(_)).sum
+      assert(r.getLong(1) == ids.size, s"$src n_docs")
+      assert(r.getLong(2) == nTokens, s"$src n_tokens")
+      assert(r.getLong(3) == ids.count(!keptExact.contains(_)), s"$src exact_dup_docs")
+      assert(r.getLong(4) ==
+        ids.filter(!keptExact.contains(_)).toSeq.flatMap(tokensOf(_)).sum,
+        s"$src exact_dup_tokens")
+      assert(r.getLong(5) == ids.count(!keptBest.contains(_)), s"$src near_dup_docs")
+      val ndt = ids.filter(!keptBest.contains(_)).toSeq.flatMap(tokensOf(_)).sum
+      assert(r.getLong(6) == ndt, s"$src near_dup_tokens")
+      assert(r.getLong(7) == ndt * 1000000L / nTokens, s"$src savings_ppm")
+    }
+    // the source map is a partition: sources attribute every doc once
+    assert(srcOf.size == docsDf.length)
+  }
+
+  test("streaming minhash dedup equals the batch verdicts (no bucket overflow at this sf)") {
+    import org.apache.spark.sql.functions._
+    // Precondition that makes arrival-cap == global-cap semantics: no
+    // LSH bucket exceeds MaxBucket at this scale. If testdata changes
+    // and a bucket overflows, this assert explains the divergence.
+    val docsDf = spark.read.parquet(s"$Sf/documents.parquet")
+    val maxBucket = TextOps.bandedSignatures(docsDf)
+      .groupBy(col("band"), col("bkey")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxBucket <= TextOps.MaxBucket,
+      s"bucket overflow at test sf ($maxBucket > ${TextOps.MaxBucket}): cap semantics diverge by design")
+    val expected = SparkEntry.queries("ngram_jaccard")(spark, Sf).collect()
+      .filter(r => !r.isNullAt(2) && r.getDouble(2) >= TextOps.JaccT)
+      .groupBy(_.getLong(1))
+      .map { case (idb, rs) => idb -> rs.map(_.getLong(0)).min }
+    val got = SparkEntry.queries("streaming_dedup_minhash")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "streaming dup verdicts differ from the batch pair table")
+    // every verdict names an earlier document
+    assert(got.forall { case (doc, canon) => canon < doc })
+  }
+
   test("quality_model_score matches a plain-Scala forward pass and keeps NULL-text rows") {
     def sig(x: Double) = 0.5 + 0.5 * x / (1.0 + math.abs(x))
     def mlp(x: Array[Double]): Double = {
