@@ -305,6 +305,50 @@ object SketchOps {
     hllEstimate(hllRegs(s, d).groupBy(col("event_type")))
       .select(col("event_type"), col("n_zero"), col("harm_sum"), col("est_hll"))
 
+  val RollW  = 7            // trailing window (days) for the rolling sketch
+  val DayUs  = 86400000000L // epoch-microseconds per day
+
+  /** Trailing-[[RollW]]-day distinct users per day from PRE-AGGREGATED
+    * HLL states — the pattern that makes distinct-over-window viable
+    * at 100 TB: a distinct count cannot be windowed from daily counts
+    * (distincts don't add), but daily REGISTER states union by
+    * per-register MAX, so one corpus pass builds D×m register rows
+    * and every trailing window is a merge of ≤ RollW constant-size
+    * states — the sketch-table a production pipeline persists per
+    * partition/day and merges at query time (DAU/WAU stickiness,
+    * rolling reach). Shape: one partial-agg events pass (pinned to
+    * one evaluation — the day-register table is KB-sized), then the
+    * window merge as an EQUI-join (each day's state explodes to the
+    * RollW target days it contributes to — no range/nested-loop
+    * join), two estimate aggregates, one join. The stickiness ratio
+    * floors deterministic IEEE doubles into ppm (both engines compute
+    * the identical division chain). */
+  def rollingHllDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.select(
+        EventOps.tsUs(ev.schema("ts").dataType).as("ts_us"),
+        Portable.h60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .select(expr(s"ts_us div $DayUs").as("day"),
+        (col("h") % HllM).as("reg"), expr(s"h div $HllM").as("w"))
+      .withColumn("rho", expr(hllRhoChain(v => s"${v}L")))
+      .groupBy(col("day"), col("reg")).agg(max(col("rho")).as("mrho"))
+      .localCheckpoint(false) // D×m rows: one events pass feeds both legs
+    val days = daily.select(col("day")).distinct()
+    val trailRegs = daily
+      .select(explode(sequence(col("day"), col("day") + lit(RollW - 1).cast("long")))
+          .as("tday"),
+        col("reg"), col("mrho"))
+      .join(days.select(col("day").as("tday")), Seq("tday"), "left_semi")
+      .groupBy(col("tday").as("day"), col("reg")).agg(max(col("mrho")).as("mrho"))
+    val dEst = hllEstimate(daily.groupBy(col("day")))
+      .select(col("day"), col("harm_sum").as("harm_daily"), col("est_hll").as("est_daily"))
+    val tEst = hllEstimate(trailRegs.groupBy(col("day")))
+      .select(col("day"), col("harm_sum").as("harm_trail"), col("est_hll").as("est_trail"))
+    dEst.join(tEst, Seq("day"))
+      .withColumn("stickiness_ppm",
+        expr("floor(est_daily * 1000000.0 / est_trail)").cast("long"))
+  }
+
   /** HLL set algebra — pairwise event_type user-set OVERLAP by
     * inclusion-exclusion, from the register states alone: the union
     * sketch of two HLLs is the per-register MAX of their states (the
@@ -555,6 +599,7 @@ object SketchOps {
     "quantile_hist_sketch" -> (quantileHistSketch _),
     "bloom_semi_filter" -> (bloomSemiFilter _),
     "hll_distinct" -> (hllDistinct _),
+    "rolling_hll_distinct" -> (rollingHllDistinct _),
     "hll_intersect" -> (hllIntersect _),
     "cms_error_report" -> (cmsErrorReport _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
@@ -628,6 +673,36 @@ object SketchOps {
          |         CAST(CAST(s_present + ($HllM - n_regs) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS BIGINT) AS DOUBLE)
          |         AS est_hll
          |FROM ag""".stripMargin
+    },
+    "rolling_hll_distinct" -> {
+      val chain = hllRhoChain(v => v.toString)
+      def estSel(src: String, key: String, harmAs: String, estAs: String) =
+        s"""SELECT $key AS day,
+           |  CAST(sum(CAST(1 AS BIGINT) << CAST(${HllWBits + 1} - mrho AS INTEGER))
+           |       + ($HllM - count(*)) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS BIGINT) AS $harmAs,
+           |  ${Portable.dl(HllEstNum)} /
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST(${HllWBits + 1} - mrho AS INTEGER))
+           |         + ($HllM - count(*)) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS DOUBLE) AS $estAs
+           |FROM $src GROUP BY $key""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT epoch_ns(ts) // 1000 AS ts_us, user_id FROM events),
+         |h AS (SELECT ts_us // $DayUs AS day,
+         |        ${Portable.h60Sql("'hll:' || CAST(user_id AS VARCHAR)")} AS h FROM ev),
+         |rw AS (SELECT day, h % $HllM AS reg, h // $HllM AS w FROM h),
+         |rr AS (SELECT day, reg, $chain AS rho FROM rw),
+         |dr AS (SELECT day, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM dr),
+         |ct AS (SELECT day + g AS tday, reg, mrho FROM dr, range($RollW) t(g)),
+         |tr AS (
+         |  SELECT c.tday AS day, c.reg, max(c.mrho) AS mrho
+         |  FROM ct c JOIN days dy ON c.tday = dy.day GROUP BY 1, 2),
+         |de AS (
+         |  ${estSel("dr", "day", "harm_daily", "est_daily")}),
+         |te AS (
+         |  ${estSel("tr", "day", "harm_trail", "est_trail")})
+         |SELECT de.day, de.harm_daily, de.est_daily, te.harm_trail, te.est_trail,
+         |       CAST(floor(de.est_daily * 1000000.0 / te.est_trail) AS BIGINT) AS stickiness_ppm
+         |FROM de JOIN te ON de.day = te.day""".stripMargin
     },
     "hll_intersect" ->
       s"""WITH $hllRegCtes,

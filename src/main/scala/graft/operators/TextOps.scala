@@ -455,6 +455,32 @@ object TextOps {
         col("best.n_words").as("n_words"))
   }
 
+  /** Per-document novelty: the share (ppm) of a document's distinct
+    * shingles it INTRODUCES to the corpus (first occurrence in ingest
+    * = doc_id order) — the redundancy/novelty curation signal: a
+    * near-zero score means the document restates content the corpus
+    * already holds even when no single pair crosses the dedup
+    * threshold, and the aggregate novelty curve is `vocab_growth`'s
+    * shingle-level twin. Rides the cached signature table (zero new
+    * corpus scans): one shingle explode + one first-occurrence
+    * partial-agg groupBy + one join back, all integer counts. Docs
+    * with no shingles report 0/0→NULL ppm; NULL-text docs keep a row
+    * with NULL counts (the `rare_token_ratio` rule). */
+  def docNovelty(s: SparkSession, d: String): DataFrame = {
+    val ex = hashed(s, d).select(col("doc_id"), explode(col("shset")).as("sh"))
+    val first = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("fdoc"))
+    val novel = ex.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("fdoc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+    hashed(s, d).select(col("doc_id"), size(col("shset")).cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        when(col("n_shingles").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("novel"), lit(0L))).as("n_novel"),
+        expr("CASE WHEN n_shingles > 0 THEN (coalesce(novel, 0) * 1000000) div n_shingles END")
+          .cast("long").as("novelty_ppm"))
+  }
+
   /** The dedup-impact KPI a training-data pipeline publishes per
     * ingest batch: per source, how many documents/tokens exact dedup
     * (content-hash keep-first, `dedup_exact`'s rule) and near-dup
@@ -2168,6 +2194,7 @@ object TextOps {
     "chunk_documents" -> (chunkDocuments _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_savings"   -> (dedupSavings _),
+    "doc_novelty"     -> (docNovelty _),
     "decontaminate"   -> (decontaminate _),
     "dedup_segments"  -> (dedupSegments _),
     "quality_gopher"  -> (qualityGopher _),
@@ -2889,6 +2916,21 @@ object TextOps {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+    "doc_novelty" ->
+      s"""WITH $sigCtesSql,
+         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sig),
+         |fo AS (SELECT s, min(doc_id) AS fdoc FROM ex GROUP BY s),
+         |nv AS (
+         |  SELECT e.doc_id,
+         |         CAST(sum(CASE WHEN f.fdoc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+         |  FROM ex e JOIN fo f ON e.s = f.s GROUP BY e.doc_id)
+         |SELECT g.doc_id,
+         |  CAST(len(g.shset) AS BIGINT) AS n_shingles,
+         |  CASE WHEN g.shset IS NULL THEN NULL
+         |       ELSE CAST(coalesce(nv.novel, 0) AS BIGINT) END AS n_novel,
+         |  CAST(CASE WHEN len(g.shset) > 0
+         |       THEN (coalesce(nv.novel, 0) * 1000000) // len(g.shset) END AS BIGINT) AS novelty_ppm
+         |FROM sig g LEFT JOIN nv ON g.doc_id = nv.doc_id""".stripMargin,
     "dedup_savings" ->
       s"""WITH RECURSIVE $minhashCtes,
          |dedges AS (

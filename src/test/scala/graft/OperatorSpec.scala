@@ -955,6 +955,82 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(srcOf.size == docsDf.length)
   }
 
+  test("rolling_hll_distinct matches a plain-Scala register-merge recompute") {
+    import org.apache.spark.sql.functions._
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def rho(w: Long): Int = {
+      var b = SketchOps.HllWBits - 1
+      while (b >= 0 && w < (1L << b)) b -= 1
+      if (b < 0) SketchOps.HllWBits + 1 else SketchOps.HllWBits - b
+    }
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val daily = scala.collection.mutable.Map[(Long, Long), Int]() // (day, reg) -> mrho
+    for ((uid, us) <- ev) {
+      val day = us / SketchOps.DayUs
+      val h = h60(s"hll:$uid")
+      val reg = h % SketchOps.HllM
+      val r = rho(h / SketchOps.HllM)
+      val k = (day, reg)
+      daily(k) = math.max(daily.getOrElse(k, 0), r)
+    }
+    val days = daily.keys.map(_._1).toSet
+    def harm(regs: Map[Long, Int]): Long =
+      regs.values.map(r => 1L << (SketchOps.HllWBits + 1 - r)).sum +
+        (SketchOps.HllM - regs.size).toLong * (1L << (SketchOps.HllWBits + 1))
+    val expected = days.map { day =>
+      val dregs = daily.toSeq.collect { case ((dd, reg), r) if dd == day => reg -> r }.toMap
+      val tregs = daily.toSeq.collect {
+        case ((dd, reg), r) if dd <= day && dd > day - SketchOps.RollW => (reg, r)
+      }.groupBy(_._1).map { case (reg, xs) => reg -> xs.map(_._2).max }
+      val (hd, ht) = (harm(dregs), harm(tregs))
+      val (ed, et) = (SketchOps.HllEstNum / hd, SketchOps.HllEstNum / ht)
+      day -> ((hd, ed, ht, et, math.floor(ed * 1000000.0 / et).toLong))
+    }.toMap
+    val got = SparkEntry.queries("rolling_hll_distinct")(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got == expected, "rolling register merge differs from sequential recompute")
+    // merged windows only add registers: trailing estimate >= daily
+    for ((_, (hd, ed, ht, et, _)) <- expected) { assert(ht <= hd); assert(et >= ed) }
+  }
+
+  test("doc_novelty matches a plain-Scala first-occurrence recompute") {
+    val docRows = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def shingles(t: String): Seq[String] = {
+      val tk = t.split(" ", -1)
+      if (tk.length < TextOps.ShingleN) Seq.empty
+      else tk.sliding(TextOps.ShingleN).map(_.mkString(" ")).toSeq
+    }
+    val shsets = docRows.map { case (id, t) =>
+      id -> Option(t).map(x => shingles(x).distinct)
+    }
+    val firstOf = scala.collection.mutable.Map[String, Long]()
+    for ((id, ss) <- shsets; sh <- ss.getOrElse(Seq.empty))
+      if (!firstOf.contains(sh) || firstOf(sh) > id) firstOf(sh) = id
+    val expected = shsets.map { case (id, ss) =>
+      id -> (ss match {
+        case None => (None, None, None)
+        case Some(sh) =>
+          val novel = sh.count(firstOf(_) == id).toLong
+          val ppm = if (sh.nonEmpty) Some(novel * 1000000L / sh.length) else None
+          (Some(sh.length.toLong), Some(novel), ppm)
+      })
+    }.toMap
+    val got = SparkEntry.queries("doc_novelty")(spark, Sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+    }.toMap
+    assert(got == expected, "novelty shares differ from sequential recompute")
+  }
+
   test("streaming minhash dedup equals the batch verdicts (no bucket overflow at this sf)") {
     import org.apache.spark.sql.functions._
     // Precondition that makes arrival-cap == global-cap semantics: no
