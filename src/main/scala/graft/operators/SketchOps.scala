@@ -221,6 +221,49 @@ object SketchOps {
           s"ELSE shiftleft(CAST(1 AS BIGINT), CAST(b$q AS INT)) END").as(s"p${q}_lo")): _*)
   }
 
+  /** Trailing-[[RollW]]-day spend quantiles per day from
+    * PRE-AGGREGATED daily histogram sketches — [[rollingHllDistinct]]'s
+    * ADDITIVE twin (the two mergeable-sketch algebras side by side:
+    * HLL registers union by MAX, histogram buckets by SUM), and the
+    * rolling-percentile monitor a pipeline publishes from persisted
+    * per-day sketch tables without ever re-scanning history. One
+    * events pass builds the D×buckets table (pinned to one
+    * evaluation); each trailing window is a sum-merge of ≤ RollW
+    * constant-size states via the same explode-to-target-days
+    * equi-join (no range join); the quantile pick is the exact
+    * integer nearest-rank rule over the merged cumulative counts —
+    * everything integer, bit-exact on any partitioning. */
+  def rollingQuantileHist(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.select(
+        EventOps.tsUs(ev.schema("ts").dataType).as("ts_us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .select(expr(s"ts_us div $DayUs").as("day"), expr(histBucketChain).as("bucket"))
+      .groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // D×buckets rows: one events pass feeds both legs
+    val days = daily.select(col("day")).distinct()
+    val trail = daily
+      .select(explode(sequence(col("day"), col("day") + lit(RollW - 1).cast("long")))
+          .as("tday"),
+        col("bucket"), col("cnt"))
+      .join(days.select(col("day").as("tday")), Seq("tday"), "left_semi")
+      .groupBy(col("tday").as("day"), col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    val cum = trail
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("day")).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("day"))))
+    val qAggs = HistQs.map(q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bucket"))).as(s"b$q"))
+    val tQuants = cum.groupBy(col("day"))
+      .agg(max(col("n")).cast("long").as("n_trail"), qAggs: _*)
+      .select(col("day") +: col("n_trail") +: HistQs.map(q =>
+        expr(s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE shiftleft(CAST(1 AS BIGINT), CAST(b$q AS INT)) END").as(s"p${q}_lo")): _*)
+    daily.groupBy(col("day")).agg(sum(col("cnt")).cast("long").as("n_daily"))
+      .join(tQuants, Seq("day"))
+  }
+
   val HllM = 64      // registers (p = 6 index bits)
   val HllWBits = 54  // 60-bit h60 minus the 6 index bits
   /** alpha_m · m² · 2^55 for m = 64 (Flajolet et al. 2007 §4:
@@ -600,6 +643,7 @@ object SketchOps {
     "bloom_semi_filter" -> (bloomSemiFilter _),
     "hll_distinct" -> (hllDistinct _),
     "rolling_hll_distinct" -> (rollingHllDistinct _),
+    "rolling_quantile_hist" -> (rollingQuantileHist _),
     "hll_intersect" -> (hllIntersect _),
     "cms_error_report" -> (cmsErrorReport _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
@@ -673,6 +717,41 @@ object SketchOps {
          |         CAST(CAST(s_present + ($HllM - n_regs) * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS BIGINT) AS DOUBLE)
          |         AS est_hll
          |FROM ag""".stripMargin
+    },
+    "rolling_quantile_hist" -> {
+      val chain = (HistMaxPow to 0 by -1)
+        .map(b => s"WHEN cents >= ${1L << b} THEN $b").mkString("\n    ")
+      val qSel = HistQs.map(q =>
+        s"min(CASE WHEN cum >= (n * $q + 99) // 100 THEN bucket END) AS b$q").mkString(",\n  ")
+      val qOut = HistQs.map(q =>
+        s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(b$q AS INTEGER) END AS p${q}_lo")
+        .mkString(",\n  ")
+      s"""WITH ev AS (
+         |  SELECT epoch_ns(ts) // 1000 // $DayUs AS day,
+         |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |bk AS (
+         |  SELECT day, CAST(CASE
+         |    $chain
+         |    ELSE -1 END AS BIGINT) AS bucket FROM ev),
+         |dh AS (SELECT day, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM dh),
+         |ct AS (SELECT day + g AS tday, bucket, cnt FROM dh, range($RollW) t(g)),
+         |tr AS (
+         |  SELECT c.tday AS day, c.bucket, CAST(sum(c.cnt) AS BIGINT) AS cnt
+         |  FROM ct c JOIN days dy ON c.tday = dy.day GROUP BY 1, 2),
+         |cu AS (
+         |  SELECT day, bucket, cnt,
+         |         sum(cnt) OVER (PARTITION BY day ORDER BY bucket) AS cum,
+         |         sum(cnt) OVER (PARTITION BY day) AS n
+         |  FROM tr),
+         |q AS (
+         |  SELECT day, CAST(max(n) AS BIGINT) AS n_trail,
+         |  $qSel
+         |  FROM cu GROUP BY 1),
+         |nd AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n_daily FROM dh GROUP BY day)
+         |SELECT nd.day, nd.n_daily, q.n_trail,
+         |  $qOut
+         |FROM nd JOIN q ON nd.day = q.day""".stripMargin
     },
     "rolling_hll_distinct" -> {
       val chain = hllRhoChain(v => v.toString)

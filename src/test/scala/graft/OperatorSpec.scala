@@ -1000,6 +1000,42 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((_, (hd, ed, ht, et, _)) <- expected) { assert(ht <= hd); assert(et >= ed) }
   }
 
+  test("rolling_quantile_hist matches a plain-Scala additive-merge recompute") {
+    import org.apache.spark.sql.functions._
+    def bucket(cents: Long): Long = {
+      var b = SketchOps.HistMaxPow
+      while (b >= 0 && cents < (1L << b)) b -= 1
+      b.toLong
+    }
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(expr("unix_micros(cast(ts as timestamp))").as("us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect().map(r => (r.getLong(0) / SketchOps.DayUs, bucket(r.getLong(1))))
+    val daily = ev.groupBy(identity).map { case ((day, b), xs) => (day, b) -> xs.length.toLong }
+    val days = daily.keys.map(_._1).toSet
+    val expected = days.map { day =>
+      val trail = daily.toSeq.collect {
+        case ((dd, b), c) if dd <= day && dd > day - SketchOps.RollW => (b, c)
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      val n = trail.values.sum
+      val nDaily = daily.toSeq.collect { case ((dd, _), c) if dd == day => c }.sum
+      val sorted = trail.toSeq.sortBy(_._1)
+      def pick(q: Int): Long = {
+        val target = (n * q + 99) / 100
+        var cum = 0L
+        val b = sorted.collectFirst { case (bb, c) if { cum += c; cum >= target } => bb }.get
+        if (b < 0) 0L else 1L << b
+      }
+      day -> ((nDaily, n, pick(50), pick(90), pick(99)))
+    }.toMap
+    val got = SparkEntry.queries("rolling_quantile_hist")(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "rolling histogram merge differs from sequential recompute")
+    // trailing count covers at least the day's own events
+    for ((_, (nd, nt, _, _, _)) <- expected) assert(nt >= nd)
+  }
+
   test("doc_novelty matches a plain-Scala first-occurrence recompute") {
     val docRows = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text").collect()
