@@ -423,11 +423,10 @@ object EventOps {
       .withColumn("dst_type", lead(col("event_type"), 1).over(userW))
       .filter(col("dst_type").isNotNull)
       .select(col("user_id"), col("event_type").as("src_type"), col("dst_type"))
-    val model = tr
-      .groupBy(col("src_type"), col("dst_type")).agg(count(lit(1)).as("n"))
-      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("src_type"))))
-      .select(col("src_type"), col("dst_type"),
-        expr("(n * 1000000) div tot").cast("long").as("ppm"))
+    // the model IS markovTransitions' output — one source of truth for
+    // the exact-ppm transition arithmetic (the streaming twin collects
+    // the same operator)
+    val model = markovTransitions(s, d).select("src_type", "dst_type", "ppm")
     tr.join(broadcast(model), Seq("src_type", "dst_type"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_trans"),

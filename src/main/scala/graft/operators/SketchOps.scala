@@ -203,22 +203,30 @@ object SketchOps {
   private[graft] def histBucketChain: String = (HistMaxPow to 0 by -1)
     .map(b => s"WHEN cents >= ${1L << b}L THEN ${b}L").mkString("CASE ", " ", " ELSE -1L END")
 
+  /** cum-window + exact integer nearest-rank quantile pick + p_lo
+    * rendering over a (key, bucket, cnt) histogram — ONE source of
+    * truth for the pick rule, shared by [[quantileHistSketch]]
+    * (key = event_type) and [[rollingQuantileHist]] (key = day). */
+  private def histQuantilePick(hist: DataFrame, key: String, nAs: String): DataFrame = {
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(key)).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
+    val qAggs = HistQs.map(q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bucket"))).as(s"b$q"))
+    cum.groupBy(col(key))
+      .agg(max(col("n")).cast("long").as(nAs), qAggs: _*)
+      .select(col(key) +: col(nAs) +: HistQs.map(q =>
+        expr(s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE shiftleft(CAST(1 AS BIGINT), CAST(b$q AS INT)) END").as(s"p${q}_lo")): _*)
+  }
+
   def quantileHistSketch(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"),
       expr("cast(round(value * 100) as bigint)").as("cents"))
     val hist = ev.withColumn("bucket", expr(histBucketChain))
       .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("bucket"))))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
-    val qAggs = HistQs.map(q =>
-      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bucket"))).as(s"b$q"))
-    cum.groupBy(col("event_type"))
-      .agg(max(col("n")).as("n"), qAggs: _*)
-      .select(col("event_type") +: col("n") +: HistQs.map(q =>
-        expr(s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) " +
-          s"ELSE shiftleft(CAST(1 AS BIGINT), CAST(b$q AS INT)) END").as(s"p${q}_lo")): _*)
+    histQuantilePick(hist, "event_type", "n")
   }
 
   /** Trailing-[[RollW]]-day spend quantiles per day from
@@ -249,19 +257,8 @@ object SketchOps {
       .join(days.select(col("day").as("tday")), Seq("tday"), "left_semi")
       .groupBy(col("tday").as("day"), col("bucket"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
-    val cum = trail
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("day")).orderBy(col("bucket"))))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("day"))))
-    val qAggs = HistQs.map(q =>
-      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bucket"))).as(s"b$q"))
-    val tQuants = cum.groupBy(col("day"))
-      .agg(max(col("n")).cast("long").as("n_trail"), qAggs: _*)
-      .select(col("day") +: col("n_trail") +: HistQs.map(q =>
-        expr(s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) " +
-          s"ELSE shiftleft(CAST(1 AS BIGINT), CAST(b$q AS INT)) END").as(s"p${q}_lo")): _*)
     daily.groupBy(col("day")).agg(sum(col("cnt")).cast("long").as("n_daily"))
-      .join(tQuants, Seq("day"))
+      .join(histQuantilePick(trail, "day", "n_trail"), Seq("day"))
   }
 
   val HllM = 64      // registers (p = 6 index bits)
@@ -651,6 +648,17 @@ object SketchOps {
     "cms_join_estimate" -> (cmsJoinEstimate _)
   )
 
+  /** SQL twins of [[histQuantilePick]]'s three pieces (bucket chain,
+    * nearest-rank selector, p_lo rendering) — one spelling shared by
+    * the quantile_hist_sketch and rolling_quantile_hist oracles. */
+  private val histChainSql = (HistMaxPow to 0 by -1)
+    .map(b => s"WHEN cents >= ${1L << b} THEN $b").mkString("\n    ")
+  private val histQSelSql = HistQs.map(q =>
+    s"min(CASE WHEN cum >= (n * $q + 99) // 100 THEN bucket END) AS b$q").mkString(",\n  ")
+  private val histQOutSql = HistQs.map(q =>
+    s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(b$q AS INTEGER) END AS p${q}_lo")
+    .mkString(",\n  ")
+
   /** Batch oracle for the streaming CMS twin: the exact d×w counter
     * table ([[cmsCounters]]'s additive state) recomputed in SQL. */
   def cmsCountersOracle: String =
@@ -719,13 +727,9 @@ object SketchOps {
          |FROM ag""".stripMargin
     },
     "rolling_quantile_hist" -> {
-      val chain = (HistMaxPow to 0 by -1)
-        .map(b => s"WHEN cents >= ${1L << b} THEN $b").mkString("\n    ")
-      val qSel = HistQs.map(q =>
-        s"min(CASE WHEN cum >= (n * $q + 99) // 100 THEN bucket END) AS b$q").mkString(",\n  ")
-      val qOut = HistQs.map(q =>
-        s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(b$q AS INTEGER) END AS p${q}_lo")
-        .mkString(",\n  ")
+      val chain = histChainSql
+      val qSel = histQSelSql
+      val qOut = histQOutSql
       s"""WITH ev AS (
          |  SELECT epoch_ns(ts) // 1000 // $DayUs AS day,
          |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
@@ -869,13 +873,9 @@ object SketchOps {
          |         AS est_distinct
          |FROM k""".stripMargin,
     "quantile_hist_sketch" -> {
-      val chain = (HistMaxPow to 0 by -1)
-        .map(b => s"WHEN cents >= ${1L << b} THEN $b").mkString("\n    ")
-      val qSel = HistQs.map(q =>
-        s"min(CASE WHEN cum >= (n * $q + 99) // 100 THEN bucket END) AS b$q").mkString(",\n  ")
-      val qOut = HistQs.map(q =>
-        s"CASE WHEN b$q < 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(b$q AS INTEGER) END AS p${q}_lo")
-        .mkString(",\n  ")
+      val chain = histChainSql
+      val qSel = histQSelSql
+      val qOut = histQOutSql
       s"""WITH ev AS (
          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
          |bk AS (

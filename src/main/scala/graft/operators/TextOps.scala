@@ -80,8 +80,9 @@ object TextOps {
     * column expressions (no window/agg), so it is STREAMING-SAFE: the
     * ingest-dedup stream computes the same shingle sets and minhash
     * signatures row-by-row that the batch family computes corpus-wide.
-    * NULL text yields a NULL shset and the all-P signature — same as
-    * the batch [[hashed]] derivation. */
+    * NULL or sub-[[ShingleN]]-word text yields an EMPTY shingle set
+    * ([[Portable.shingles]]'s guard) and the all-P signature — same
+    * as the batch [[hashed]] derivation. */
   private[graft] def signatureFrame(df: DataFrame): DataFrame =
     df.withColumn("tk", Portable.tokens(col("text")))
       .withColumn("sh", Portable.shingles(col("tk"), ShingleN))
@@ -140,8 +141,15 @@ object TextOps {
       .join(sh.withColumnRenamed("doc_id", "ida").withColumnRenamed("shset", "sha"), Seq("ida"))
       .join(sh.withColumnRenamed("doc_id", "idb").withColumnRenamed("shset", "shb"), Seq("idb"))
       .select(col("ida"), col("idb"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-         size(array_union(col("sha"), col("shb"))).cast("double")).as("jacc"))
+        // explicit NULL for an empty union (two no-shingle docs
+        // colliding in the all-P buckets): Spark's 0.0/0.0 is NaN and
+        // NaN orders GREATEST in Spark SQL, so an unguarded jacc >= T
+        // would call two empty docs near-dups while the DuckDB twin's
+        // NULL would not — the guard pins both engines to "no verdict"
+        when(size(array_union(col("sha"), col("shb"))) > 0,
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))).cast("double"))
+          .as("jacc"))
   }
 
   // ---- SimHash ---------------------------------------------------
@@ -464,8 +472,9 @@ object TextOps {
     * shingle-level twin. Rides the cached signature table (zero new
     * corpus scans): one shingle explode + one first-occurrence
     * partial-agg groupBy + one join back, all integer counts. Docs
-    * with no shingles report 0/0→NULL ppm; NULL-text docs keep a row
-    * with NULL counts (the `rare_token_ratio` rule). */
+    * with no shingles — NULL text or fewer than [[ShingleN]] words,
+    * both of which shingle to the EMPTY set — report (0, 0, NULL ppm)
+    * rows, never vanish. */
   def docNovelty(s: SparkSession, d: String): DataFrame = {
     val ex = hashed(s, d).select(col("doc_id"), explode(col("shset")).as("sh"))
     val first = ex.groupBy(col("sh")).agg(min(col("doc_id")).as("fdoc"))
@@ -475,8 +484,7 @@ object TextOps {
     hashed(s, d).select(col("doc_id"), size(col("shset")).cast("long").as("n_shingles"))
       .join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
-        when(col("n_shingles").isNull, lit(null).cast("long"))
-          .otherwise(coalesce(col("novel"), lit(0L))).as("n_novel"),
+        coalesce(col("novel"), lit(0L)).as("n_novel"),
         expr("CASE WHEN n_shingles > 0 THEN (coalesce(novel, 0) * 1000000) div n_shingles END")
           .cast("long").as("novelty_ppm"))
   }
@@ -550,6 +558,9 @@ object TextOps {
     segCache.clear()
     dupLabelCache.values.forEach(df => { df.unpersist(); () })
     dupLabelCache.clear()
+    // bpe fit tables are lazy localCheckpoints (RDD blocks reclaimed
+    // by the ContextCleaner once the map drops the references)
+    bpeFitCache.clear()
   }
 
   /** Per-(source, lang) corpus report — the monitoring surface a
@@ -1073,16 +1084,22 @@ object TextOps {
 
   /** The quality-classifier lifecycle stub ([[clipProb]]'s shape): one
     * instantiation per partition — where a real fasttext/ONNX session
-    * would load its weights once and score the partition's stream. */
+    * would load its weights once and score the partition's stream.
+    * The weight arrays materialize in the constructor (the "load"),
+    * so the per-row forward pass reads memory, not the counter-hash
+    * derivation. */
   private final class QmModel {
+    private val w1 = Array.tabulate(QmInputs, QmHidden)(qmW1)
+    private val b1 = Array.tabulate(QmHidden)(qmB1)
+    private val w2 = Array.tabulate(QmHidden)(qmW2)
     def evaluate(x: Array[Double]): Double = {
       var out = QmB2
       var j = 0
       while (j < QmHidden) {
-        var acc = qmB1(j)
+        var acc = b1(j)
         var i = 0
-        while (i < QmInputs) { acc += qmW1(i, j) * x(i); i += 1 }
-        out += qmW2(j) * qmSig(acc)
+        while (i < QmInputs) { acc += w1(i)(j) * x(i); i += 1 }
+        out += w2(j) * qmSig(acc)
         j += 1
       }
       qmSig(out)
@@ -1174,8 +1191,18 @@ object TextOps {
   def bpeTrain(s: SparkSession, d: String): DataFrame =
     bpeFitRounds(s, d)._1
 
+  /** Fit result cached per data dir (the sigCache pattern):
+    * `bpe_train` and `bpe_apply` share one loop execution instead of
+    * each paying the argmax collects + rewrite checkpoints; both
+    * tables are vocab-sized. Released by [[clearSignatureCache]]. */
+  private val bpeFitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
   /** Shared fit loop: returns (merge-table DF, final vocab table). */
-  private def bpeFitRounds(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def bpeFitRounds(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpeFitCache.computeIfAbsent(d, _ => bpeFitRoundsUncached(s, d))
+
+  private def bpeFitRoundsUncached(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val D = BpeDelim
     var wt = bpeWords(s, d)
@@ -2314,9 +2341,12 @@ object TextOps {
          |  FROM b_$k),
          |w_m$k AS (
          |  SELECT w, wc,
-         |         substring(replace(replace('$D' || seq, pat, rep), pat, rep), 2) AS seq,
-         |         CASE WHEN strpos('$D' || seq, pat) > 0 THEN 1 ELSE 0 END AS tch
-         |  FROM w${k - 1} CROSS JOIN m_$k),
+         |         CASE WHEN m.pat IS NULL THEN seq
+         |              ELSE substring(replace(replace('$D' || seq, m.pat, m.rep), m.pat, m.rep), 2)
+         |         END AS seq,
+         |         CASE WHEN m.pat IS NOT NULL AND strpos('$D' || seq, m.pat) > 0
+         |              THEN 1 ELSE 0 END AS tch
+         |  FROM w${k - 1} LEFT JOIN m_$k m ON TRUE),
          |w$k AS (SELECT w, wc, seq FROM w_m$k),
          |r_$k AS (
          |  SELECT CAST($k AS BIGINT) AS round, pair, cnt,
@@ -2926,8 +2956,7 @@ object TextOps {
          |  FROM ex e JOIN fo f ON e.s = f.s GROUP BY e.doc_id)
          |SELECT g.doc_id,
          |  CAST(len(g.shset) AS BIGINT) AS n_shingles,
-         |  CASE WHEN g.shset IS NULL THEN NULL
-         |       ELSE CAST(coalesce(nv.novel, 0) AS BIGINT) END AS n_novel,
+         |  CAST(coalesce(nv.novel, 0) AS BIGINT) AS n_novel,
          |  CAST(CASE WHEN len(g.shset) > 0
          |       THEN (coalesce(nv.novel, 0) * 1000000) // len(g.shset) END AS BIGINT) AS novelty_ppm
          |FROM sig g LEFT JOIN nv ON g.doc_id = nv.doc_id""".stripMargin,

@@ -30,8 +30,12 @@ import graft.operators.TextOps
   * State per bucket is bounded by construction: ≤ MaxBucket
   * (doc_id, shingle set) members, then a tombstone — no state ever
   * scales with the stream. Verification is exact |A∩B|/|A∪B| over
-  * distinct shingle strings (int/int → IEEE double, bit-portable —
-  * identical to the batch verify kernel). Run with
+  * distinct shingle strings (int/int → IEEE double, bit-portable).
+  * Two EMPTY shingle sets (NULL or sub-ShingleN docs meeting in the
+  * all-P buckets) produce 0/0 = NaN, which Scala's `>= T` rejects —
+  * matching the oracle's NULL semantics and the batch kernel's
+  * explicit empty-union guard: no-content docs never verify as
+  * near-dups anywhere. Run with
   * `Trigger.AvailableNow` into a memory pair log; the returned frame
   * is the per-doc verdict (earliest verified canonical), the
   * aggregation a downstream consumer runs over the published log. */

@@ -34,7 +34,12 @@ object StreamingMarkovScore {
 
   /** Per-user fold: rows sort (ts_us, event_id) inside the batch, the
     * first-ever event only seeds `lastType`, every later event scores
-    * its (prev → cur) transition with the closed-over model. */
+    * its (prev → cur) transition with the closed-over model. A
+    * transition ABSENT from the model — a NULL-typed event on either
+    * side, or an unseen pair when the model was fit on an earlier
+    * window — is skipped, not scored: the same rows the batch twin's
+    * inner model join drops (a bare Map.apply here would instead kill
+    * the whole streaming query on the first unseen pair). */
   def fold(model: Map[(String, String), Long])(
       user: Long, rows: Iterator[Ev], state: GroupState[St]): Iterator[Out] = {
     val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
@@ -42,9 +47,13 @@ object StreamingMarkovScore {
     val out = Seq.newBuilder[Out]
     for (e <- evs) {
       if (st.lastType != null) {
-        val ppm = model((st.lastType, e.event_type))
-        st = St(e.event_type, st.n + 1, st.sum + ppm, math.min(st.min, ppm))
-        out += Out(e.event_id, e.user_id, st.n, st.sum, st.min, st.sum / st.n)
+        model.get((st.lastType, e.event_type)) match {
+          case Some(ppm) =>
+            st = St(e.event_type, st.n + 1, st.sum + ppm, math.min(st.min, ppm))
+            out += Out(e.event_id, e.user_id, st.n, st.sum, st.min, st.sum / st.n)
+          case None =>
+            st = St(e.event_type, st.n, st.sum, st.min)
+        }
       } else st = St(e.event_type, st.n, st.sum, st.min)
     }
     state.update(st)

@@ -1045,24 +1045,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (tk.length < TextOps.ShingleN) Seq.empty
       else tk.sliding(TextOps.ShingleN).map(_.mkString(" ")).toSeq
     }
+    // NULL and sub-ShingleN text both shingle to the EMPTY set (the
+    // Portable.shingles guard) — such docs report (0, 0, NULL ppm)
     val shsets = docRows.map { case (id, t) =>
-      id -> Option(t).map(x => shingles(x).distinct)
+      id -> Option(t).map(x => shingles(x).distinct).getOrElse(Seq.empty)
     }
     val firstOf = scala.collection.mutable.Map[String, Long]()
-    for ((id, ss) <- shsets; sh <- ss.getOrElse(Seq.empty))
+    for ((id, ss) <- shsets; sh <- ss)
       if (!firstOf.contains(sh) || firstOf(sh) > id) firstOf(sh) = id
-    val expected = shsets.map { case (id, ss) =>
-      id -> (ss match {
-        case None => (None, None, None)
-        case Some(sh) =>
-          val novel = sh.count(firstOf(_) == id).toLong
-          val ppm = if (sh.nonEmpty) Some(novel * 1000000L / sh.length) else None
-          (Some(sh.length.toLong), Some(novel), ppm)
-      })
+    val expected = shsets.map { case (id, sh) =>
+      val novel = sh.count(firstOf(_) == id).toLong
+      val ppm = if (sh.nonEmpty) Some(novel * 1000000L / sh.length) else None
+      id -> ((sh.length.toLong, novel, ppm))
     }.toMap
     val got = SparkEntry.queries("doc_novelty")(spark, Sf).collect().map { r =>
-      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-      r.getLong(0) -> ((opt(1), opt(2), opt(3)))
+      val ppm = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), ppm))
     }.toMap
     assert(got == expected, "novelty shares differ from sequential recompute")
   }
