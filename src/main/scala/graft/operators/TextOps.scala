@@ -1230,6 +1230,31 @@ object TextOps {
     (rounds.result().toDF("round", "pair", "cnt", "n_words"), wt)
   }
 
+  /** The learned SUBWORD VOCABULARY after the [[bpeTrain]] merges: every
+    * symbol the fitted tokenizer can emit, with its corpus occurrence
+    * count (word frequency × occurrences in the word) and the number
+    * of distinct word types containing it — the vocabulary table a
+    * tokenizer ships (`vocab_topk` is this report for whole words;
+    * `bpe_pair_counts` was the merge statistic; this closes the
+    * train → vocab → apply triple). Rides the per-dir cached fit
+    * (zero additional corpus scans — the plan reads the checkpointed
+    * vocab table): one explode + one partial-agg groupBy over the
+    * vocab-sized table, then the distributed top-K + K-row rank. */
+  def bpeVocabTopk(s: SparkSession, d: String): DataFrame = {
+    val wt = bpeFitRounds(s, d)._2
+    val stats = wt
+      .withColumn("syms",
+        expr(s"slice(split(seq, '$BpeDelim'), 1, size(split(seq, '$BpeDelim')) - 1)"))
+      .select(col("w"), col("wc"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym"))
+      .agg(sum(col("wc")).cast("long").as("cnt"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("cnt").desc, col("sym")).limit(BpeK)
+    stats.withColumn("rnk",
+        RangeRank.kRank(col("sym"), col("cnt").desc, col("sym")).cast("long"))
+      .select("rnk", "sym", "cnt", "n_words")
+  }
+
   /** Apply the [[bpeTrain]] merges back to the corpus: per source, how
     * much the learned subword inventory compresses the text — token
     * instances, total symbols before (characters) and after the
@@ -2199,6 +2224,7 @@ object TextOps {
     "bpe_pair_counts" -> (bpePairCounts _),
     "bpe_train" -> (bpeTrain _),
     "bpe_apply" -> (bpeApply _),
+    "bpe_vocab_topk" -> (bpeVocabTopk _),
     "quality_model_score" -> (qualityModelScore _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "ngram_lm_counts" -> (ngramLmCounts _),
@@ -2368,6 +2394,23 @@ object TextOps {
     "bpe_train" ->
       s"""WITH $bpeCtesSql
          |SELECT round, pair, cnt, n_words FROM merges""".stripMargin,
+    "bpe_vocab_topk" ->
+      s"""WITH $bpeCtesSql,
+         |sy AS (
+         |  SELECT w, wc,
+         |         unnest(list_slice(string_split(seq, '$BpeDelim'), 1,
+         |                           len(string_split(seq, '$BpeDelim')) - 1)) AS sym
+         |  FROM w$BpeMerges),
+         |st AS (
+         |  SELECT sym, CAST(sum(wc) AS BIGINT) AS cnt,
+         |         CAST(count(DISTINCT w) AS BIGINT) AS n_words
+         |  FROM sy GROUP BY sym),
+         |rk AS (
+         |  SELECT sym, cnt, n_words,
+         |         row_number() OVER (ORDER BY cnt DESC, sym) AS rnk
+         |  FROM st)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, sym, cnt, n_words
+         |FROM rk WHERE rnk <= $BpeK""".stripMargin,
     "bpe_apply" ->
       s"""WITH $bpeCtesSql,
          |vocab AS (

@@ -870,6 +870,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // merges must actually compress: symbols after < characters before
     for ((_, (_, ch, sy)) <- agg) assert(sy < ch)
+
+    // vocab side: per-symbol occurrence counts + word-type coverage
+    val symCnt = mutable.Map[String, Long]().withDefaultValue(0L)
+    val symWords = mutable.Map[String, mutable.Set[String]]()
+    for ((w, sq) <- seqs; sym <- sq.split("~", -1).dropRight(1)) {
+      symCnt(sym) += words(w)
+      symWords.getOrElseUpdate(sym, mutable.Set.empty) += w
+    }
+    val expVocab = symCnt.toSeq.sortBy { case (sym, c) => (-c, sym) }
+      .take(TextOps.BpeK).zipWithIndex
+      .map { case ((sym, c), i) =>
+        (i + 1L, sym, c, symWords(sym).size.toLong)
+      }
+    val gotVocab = SparkEntry.queries("bpe_vocab_topk")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(gotVocab == expVocab, "subword vocabulary differs from sequential fit")
+    // the FINAL round's merged symbol must be in the vocabulary (an
+    // earlier merge can be absorbed entirely by a later one; the last
+    // cannot)
+    val lastMerged = expected.last._2.replace(" ", "")
+    assert(gotVocab.exists(_._2 == lastMerged),
+      s"final merged symbol $lastMerged missing from vocab")
   }
 
   test("markov_path_score matches a plain-Scala sequential recompute") {
