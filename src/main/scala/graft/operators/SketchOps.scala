@@ -346,7 +346,10 @@ object SketchOps {
       .select(col("event_type"), col("n_zero"), col("harm_sum"), col("est_hll"))
 
   val RollW  = 7            // trailing window (days) for the rolling sketch
-  val DayUs  = 86400000000L // epoch-microseconds per day
+  /** Epoch-microseconds per day — EventOps owns the day-bucketing unit
+    * (single source of truth; a drift between the two would silently
+    * misalign the rolling-sketch day keys with the event family's). */
+  val DayUs: Long = EventOps.DayUs
 
   /** Trailing-[[RollW]]-day distinct users per day from PRE-AGGREGATED
     * HLL states — the pattern that makes distinct-over-window viable

@@ -298,6 +298,86 @@ object TextOps {
         col("jacc_ppm"), (col("jacc_ppm") >= FpDupPpm).as("is_dup"))
   }
 
+  val SpanMinRun = 4 // min consecutive duplicated shingles per span
+                     // (span length >= SpanMinRun + ShingleN - 1 tokens)
+
+  /** Exact-substring SPAN dedup (the ExactSubstr half of the standard
+    * dedup stack, Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better"): per document, the maximal runs of
+    * >= [[SpanMinRun]] CONSECUTIVE shingles whose content appears at
+    * least twice corpus-wide — i.e. the located char/token spans that
+    * `dup_ngram_coverage` can only count. Reported as token offsets
+    * ([start_tok, end_tok] inclusive), which is what a
+    * CCNet/RefinedWeb-class pipeline actually cuts ([[spanExcise]]
+    * does the cutting).
+    *
+    * NOT a corpus-wide suffix array: duplication is detected on the
+    * 60-bit shingle-hash index (one positioned explode of the corpus,
+    * one partial-aggregable groupBy on the hash — the shape of the
+    * persisted fingerprint store), runs are merged with the
+    * gaps-and-islands trick (pos - row_number is constant within a
+    * consecutive run), and nothing ever pairs documents — cost is
+    * O(corpus tokens) + one hash-keyed shuffle at any scale. The h60
+    * hash (not the mod-2^20 minhash domain) keeps the collision rate
+    * negligible, and the oracle computes the SAME hash, so the check
+    * is engine-exact even on a collision. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    val pos = docs(s, d)
+      .select(col("doc_id"),
+        posexplode(Portable.shingles(col("tk"), ShingleN)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), Portable.h60(col("sh")).as("h"))
+    // duplicated = the shingle content occurs >= 2 times corpus-wide
+    // (any doc, including a repeat within the same doc — ExactSubstr
+    // counts all corpus occurrences)
+    val dupH = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(dupH, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"), count(lit(1)).as("n"))
+      .filter(col("n") >= SpanMinRun)
+      .select(col("doc_id"),
+        col("sp").cast("long").as("start_tok"),
+        (col("ep") + (ShingleN - 1)).cast("long").as("end_tok"),
+        col("n").cast("long").as("n_shingles"),
+        (col("ep") - col("sp") + ShingleN).cast("long").as("n_tokens"))
+  }
+
+  /** Span EXCISION — [[dedupSpans]] applied: each document's
+    * duplicated spans are cut and the remaining tokens re-joined (the
+    * report locates, this removes — together they are the ExactSubstr
+    * pipeline stage). Kept per doc: every token position not covered
+    * by any located span; `n_removed` is the excised token count (0
+    * for clean docs, all tokens for a fully duplicated doc, whose
+    * clean_text degrades to ''). Shape: the span table explodes to
+    * covered positions (span-bounded, tiny vs the corpus), the corpus
+    * explodes to positioned tokens once, one anti equi-join, one
+    * per-doc re-aggregation — no pairing, no second duplication
+    * detection pass. */
+  def spanExcise(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("tk"))
+    val cover = dedupSpans(s, d)
+      .select(col("doc_id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+      .join(cover, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("ct"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ct"), lit("")).as("clean_text"),
+        (size(col("tk")).cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   // thresholds for the composite corpus filter (C4-style heuristics)
   val MinWords    = 20
   val MaxMeanWord = 12.0
@@ -920,8 +1000,13 @@ object TextOps {
     val nearDup = cand
       .join(sh, Seq("doc_id"))
       .join(sh.withColumnRenamed("doc_id", "idx_id").withColumnRenamed("shset", "shb"), Seq("idx_id"))
-      .filter(size(array_intersect(col("shset"), col("shb"))).cast("double") /
-        size(array_union(col("shset"), col("shb"))).cast("double") >= JaccT)
+      // same empty-union guard as pairJaccard: two shingle-less docs
+      // colliding in the all-P buckets divide 0/0 = NaN, and NaN >= T
+      // is TRUE in Spark — the when() makes the verdict NULL (filters
+      // false here and in the DuckDB twin alike)
+      .filter(when(size(array_union(col("shset"), col("shb"))) > 0,
+        size(array_intersect(col("shset"), col("shb"))).cast("double") /
+          size(array_union(col("shset"), col("shb"))).cast("double")) >= JaccT)
       .select("doc_id").distinct()
     Tables.documents(s, d).filter(isInc).select("doc_id")
       .join(exactDup.withColumn("de", lit(true)), Seq("doc_id"), "left")
@@ -1126,10 +1211,17 @@ object TextOps {
     feats.mapPartitions { it =>
       val model = new QmModel // once per partition: the session shape
       it.map { r =>
-        QmOut(r.doc_id, r.len.map { len =>
-          model.evaluate(Array(len / 1000.0, r.n_words.get / 100.0,
-            r.mean_word_len.get, r.stop_ratio.get, r.distinct_ratio.get))
-        })
+        // all-or-nothing feature match: textQuality nulls the five
+        // features together today, but scoring must DEGRADE to a NULL
+        // verdict — not a partition-killing NoSuchElementException —
+        // if any single feature ever arrives null independently
+        val score = (r.len, r.n_words, r.mean_word_len, r.stop_ratio,
+            r.distinct_ratio) match {
+          case (Some(len), Some(nw), Some(mwl), Some(sr), Some(dr)) =>
+            Some(model.evaluate(Array(len / 1000.0, nw / 100.0, mwl, sr, dr)))
+          case _ => None
+        }
+        QmOut(r.doc_id, score)
       }
     }.toDF()
   }
@@ -1668,8 +1760,12 @@ object TextOps {
     val a = sample.select(col("doc_id").as("ida"), col("shset").as("sha"))
     val b = sample.select(col("doc_id").as("idb"), col("shset").as("shb"))
     val truePairs = a.crossJoin(broadcast(b)).filter(col("ida") < col("idb"))
-      .filter((size(array_intersect(col("sha"), col("shb"))).cast("double") /
-        size(array_union(col("sha"), col("shb"))).cast("double")) >= JaccT)
+      // empty-union guard (see pairJaccard): 0/0 = NaN and NaN >= T is
+      // true in Spark, so an unguarded cross would call two empty docs
+      // a true near-dup pair
+      .filter(when(size(array_union(col("sha"), col("shb"))) > 0,
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")) >= JaccT)
       .select(col("ida"), col("idb"))
     val foundPairs = pairJaccard(s, d).filter(col("jacc") >= JaccT)
       .join(sample.select(col("doc_id").as("ida")), Seq("ida"))
@@ -2266,12 +2362,33 @@ object TextOps {
     "token_count"     -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_fingerprint" -> (dedupFingerprint _),
-    "corpus_quantiles_lang" -> (corpusQuantilesLang _)
+    "corpus_quantiles_lang" -> (corpusQuantilesLang _),
+    "dedup_spans" -> (dedupSpans _),
+    "span_excise" -> (spanExcise _)
   )
 
   // ---- SQL twins (DuckDB) ----------------------------------------
 
   private val tkSql = Portable.tokensSql("text")
+
+  /** CTE chain for the exact-substring span family: positioned h60
+    * shingle hashes → corpus-wide duplicated hashes → gaps-and-islands
+    * run merge → spans of >= [[SpanMinRun]] consecutive duplicated
+    * shingles. Twin of [[dedupSpans]]' plan, including the hash (so a
+    * collision — negligible at 60 bits — still checks exactly). */
+  private def spanCtes: String =
+    s"""toks AS (SELECT doc_id, text, $tkSql AS tk FROM documents),
+       |shp AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+       |spos AS (SELECT doc_id, unnest(range(len(shl))) AS pos,
+       |                unnest(list_transform(shl, x -> ${Portable.h60Sql("x")})) AS h
+       |         FROM shp),
+       |duph AS (SELECT h FROM spos GROUP BY h HAVING count(*) >= 2),
+       |druns AS (SELECT doc_id, pos,
+       |                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |          FROM spos WHERE h IN (SELECT h FROM duph)),
+       |spans AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep, count(*) AS n
+       |          FROM druns GROUP BY doc_id, grp
+       |          HAVING count(*) >= $SpanMinRun)""".stripMargin
   private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** CTE chain shared by the minhash-family oracles. */
@@ -3381,6 +3498,29 @@ object TextOps {
          |  FROM t GROUP BY lang)
          |SELECT q.lang, q.n_docs, z.n_null, q.min_tokens,
          |       q.p50_tokens, q.p90_tokens, q.p99_tokens, q.max_tokens
-         |FROM q JOIN z ON q.lang = z.lang""".stripMargin
+         |FROM q JOIN z ON q.lang = z.lang""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH $spanCtes
+         |SELECT doc_id, CAST(sp AS BIGINT) AS start_tok,
+         |       CAST(ep + ${ShingleN - 1} AS BIGINT) AS end_tok,
+         |       CAST(n AS BIGINT) AS n_shingles,
+         |       CAST(ep - sp + $ShingleN AS BIGINT) AS n_tokens
+         |FROM spans""".stripMargin,
+    "span_excise" ->
+      s"""WITH $spanCtes,
+         |cover AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(range(sp, ep + $ShingleN)) AS pos FROM spans)),
+         |tkp AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
+         |        FROM toks WHERE text IS NOT NULL),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tkp t
+         |         WHERE NOT EXISTS (SELECT 1 FROM cover c
+         |                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |       CAST(len(b.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM toks b LEFT JOIN agg a USING (doc_id)
+         |WHERE b.text IS NOT NULL""".stripMargin
   )
 }

@@ -38,7 +38,19 @@ import graft.operators.TextOps
   * near-dups anywhere. Run with
   * `Trigger.AvailableNow` into a memory pair log; the returned frame
   * is the per-doc verdict (earliest verified canonical), the
-  * aggregation a downstream consumer runs over the published log. */
+  * aggregation a downstream consumer runs over the published log.
+  *
+  * SINGLE-BATCH PRECONDITION: the rank-based batch oracle equates
+  * arrival order with doc_id order, which [[fold]] guarantees only
+  * WITHIN a micro-batch (it sorts each batch's rows by doc_id; across
+  * batches, arrival order is file-listing order). `AvailableNow` over
+  * one parquet path stays under the file source's per-trigger file
+  * cap here, so the whole input lands in one batch — and [[run]]
+  * ASSERTS that from the query progress rather than assuming it
+  * (the same posture as the spec's bucket-overflow precondition). A
+  * deployment sharding input across triggers keeps the bounded-state
+  * and causal-cap semantics but must compare against an
+  * arrival-order oracle, not this doc_id-rank one. */
 object StreamingDedupMinhash {
 
   final case class Doc(doc_id: Long, shset: Seq[String], band: Int, bkey: Long)
@@ -83,6 +95,12 @@ object StreamingDedupMinhash {
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // single-batch precondition (see scaladoc): the doc_id-rank oracle
+    // is only valid when all input rows arrived in ONE micro-batch
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"streaming_dedup_minhash: input split across $dataBatches micro-batches — " +
+        "arrival order is no longer doc_id order; the rank-based oracle does not apply")
     // the published pair log → per-doc verdict (the consumer-side agg)
     s.table(name).groupBy(col("doc_id"))
       .agg(min(col("ida")).as("canonical_id"))

@@ -792,6 +792,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ngram_lm_counts" -> Map("documents" -> 4),
       "pagerank_knn" -> Map("embeddings" -> 7),
       "source_overlap" -> Map("documents" -> 4),
+      // spans (2 corpus passes: hash occurrence counts + the positioned
+      // run merge) + the token explode + the base row set — 4 distinct
+      // single-evaluation legs, no redundant derivation
+      "span_excise" -> Map("documents" -> 4),
       "split_balance_report" -> Map("documents" -> 4),
       "split_leakage_report" -> Map("documents" -> 3),
       "tfidf_cosine_pairs" -> Map("documents" -> 13),
@@ -813,6 +817,54 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
             "or declare the multi-pass design here")
       }
     }
+  }
+
+  test("exchange reuse actually fires for the largest reuse-dependent plans") {
+    // The two declared plan-text multi-scans whose COST rides on
+    // exchange-reuse canonicalization (ann_recall_report embeddings×11,
+    // tfidf_cosine_pairs documents×13) — exactly the fragility class
+    // behind the r13 RangeRank defect ("correctness/cost silently
+    // riding on two subtrees canonicalizing equal"). The scan-cap test
+    // above pins plan-TEXT counts; this one pins RUNTIME truth: it
+    // EXECUTES each query and sums the source rows actually read
+    // (task inputMetrics — cached/checkpointed reads don't count).
+    // Calibrated on this data: with reuse firing the queries read
+    // 2.0× / 4.2× their base table; with spark.sql.exchange.reuse
+    // off they read 11× / 12.1×. The caps sit between the two, so a
+    // refactor that makes the repeated subtrees canonicalize
+    // differently fails HERE instead of silently multiplying corpus
+    // scans at 100 TB.
+    val readAcc = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) readAcc.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def recordsRead(q: String): Long = {
+        Thread.sleep(500) // drain in-flight listener events
+        readAcc.set(0L)
+        SparkEntry.queries(q)(spark, Sf).queryExecution.toRdd.count()
+        Thread.sleep(800) // drain the async listener bus
+        readAcc.get
+      }
+      val nEmb = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+      val nDoc = spark.read.parquet(s"$Sf/documents.parquet").count()
+      val annRead = recordsRead("ann_recall_report")
+      assert(annRead <= 4 * nEmb,
+        s"ann_recall_report read $annRead source rows (> 4x the $nEmb-row embeddings " +
+          "table; 2x when exchange reuse fires, 11x when it breaks) — the five index " +
+          "legs' repeated subtrees no longer canonicalize equal; re-unify them or " +
+          "materialize the shared subtree")
+      val tfidfRead = recordsRead("tfidf_cosine_pairs")
+      assert(tfidfRead <= 7 * nDoc,
+        s"tfidf_cosine_pairs read $tfidfRead source rows (> 7x the $nDoc-row documents " +
+          "table; 4.2x when exchange reuse fires, 12.1x when it breaks) — the repeated " +
+          "tf/idf subtrees no longer canonicalize equal; re-unify them or materialize " +
+          "the shared subtree")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("bpe_train and bpe_apply match a plain-Scala BPE fit") {
@@ -1936,6 +1988,70 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(5) == jacc, s"($a,$b) jacc_ppm")
       assert(r.getBoolean(6) == (jacc >= TextOps.FpDupPpm), s"($a,$b) is_dup")
     }
+  }
+
+  test("dedup_spans and span_excise equal a plain-Scala ExactSubstr recompute") {
+    // independent sequential recompute of the whole span pipeline:
+    // tokens -> positioned shingles -> h60 -> corpus occurrence counts
+    // -> consecutive-run merge -> spans -> excision
+    def h60(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docRows = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    val toks: Map[Long, Array[String]] = docRows.map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1).split(" ", -1))
+    }.toMap
+    def shingleList(tk: Array[String]): Seq[String] =
+      if (tk == null || tk.length < TextOps.ShingleN) Seq.empty
+      else (0 to tk.length - TextOps.ShingleN)
+        .map(i => tk.slice(i, i + TextOps.ShingleN).mkString(" "))
+    val posed = toks.toSeq.flatMap { case (id, tk) =>
+      shingleList(tk).zipWithIndex.map { case (sh, p) => (id, p, h60(sh)) } }
+    val occ = posed.groupBy(_._3).map { case (h, xs) => h -> xs.size }
+    val dupPos: Map[Long, Seq[Int]] = posed.filter(x => occ(x._3) >= 2)
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
+    val expSpans = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for ((id, ps) <- dupPos) {
+      var runStart = ps.head
+      var prevP = ps.head
+      def emit(s0: Int, e0: Int): Unit = {
+        val n = e0 - s0 + 1
+        if (n >= TextOps.SpanMinRun)
+          expSpans += ((id, s0.toLong, (e0 + TextOps.ShingleN - 1).toLong,
+            n.toLong, (e0 - s0 + TextOps.ShingleN).toLong))
+      }
+      for (p <- ps.tail) {
+        if (p != prevP + 1) { emit(runStart, prevP); runStart = p }
+        prevP = p
+      }
+      emit(runStart, prevP)
+    }
+    val gotSpans = TextOps.dedupSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gotSpans.nonEmpty, "no spans located at all on data with planted dups")
+    assert(gotSpans.length == gotSpans.toSet.size, "duplicate span rows")
+    assert(gotSpans.toSet == expSpans.toSet, "span set mismatch vs recompute")
+    // excision: every non-NULL doc appears exactly once; kept tokens
+    // are exactly the positions no span covers
+    val covered: Map[Long, Set[Long]] = expSpans.toSeq.groupBy(_._1)
+      .map { case (id, xs) => id -> xs.flatMap(x => x._2 to x._3).toSet }
+    val got = TextOps.spanExcise(spark, Sf).collect()
+    val gotMap = got.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val nonNull = toks.filter(_._2 != null)
+    assert(got.length == gotMap.size && gotMap.size == nonNull.size)
+    for ((id, tk) <- nonNull) {
+      val cov = covered.getOrElse(id, Set.empty[Long])
+      val keptToks = tk.zipWithIndex.collect { case (t, i) if !cov.contains(i.toLong) => t }
+      val (ct, nRemoved) = gotMap(id)
+      assert(ct == keptToks.mkString(" "), s"doc $id clean_text mismatch")
+      assert(nRemoved == tk.length - keptToks.length, s"doc $id n_removed mismatch")
+    }
+    // and the two operators stay consistent with each other: total
+    // removed tokens == total covered positions
+    assert(got.map(_.getLong(2)).sum == covered.values.map(_.size.toLong).sum)
   }
 
   /** CDC idempotence across a restart: run 1 processes the full
