@@ -387,6 +387,73 @@ object AnnOps {
       .select("src", "dst", "rnk", "cosine")
   }
 
+  // ---- graph-walk serving (the HNSW layer-0 shape) ---------------
+
+  val GraphSeeds = 4     // fixed entry points, hash-rank selected
+  val GraphBeam  = 8     // frontier width per query per round
+  val WalkRounds = 3     // expansion rounds (the beam's search depth)
+  val GraphSeedSalt = "gw1"
+
+  /** Greedy BEAM search over the persisted kNN graph — the serving
+    * path of a graph-based ANN index (the flat/layer-0 shape of
+    * HNSW, Malkov & Yashunin 2018: start from fixed entry points,
+    * repeatedly expand the current best frontier through the
+    * neighbor lists, keep the best beam): the graph `ann_knn_graph`
+    * BUILDS, this operator actually SEARCHES. Per round, the
+    * [[GraphBeam]] best visited vertices per query expand through
+    * ONE equi-join into the O(N·[[KnnK]]) edge table, new candidates
+    * are scored by exact cosine via one equi-join into the vector
+    * table, and the visited set grows by ≤ beam×K rows per query —
+    * every step is an equi-join off bounded frontiers, nothing ever
+    * scans all pairs, and the number of rounds (not the corpus size)
+    * bounds the walk. The per-round visited set is pinned with a
+    * lazy localCheckpoint: it is ≤ |queries|·(seeds + rounds·beam·K)
+    * rows (KB-scale), each round's plan references ONE concrete RDD
+    * instead of re-deriving every earlier round (the unrolled-loop
+    * plan would otherwise double per round — the kmeans_fit /
+    * RangeRank materialization rule), and the anti-join + union pair
+    * read the same evaluation. Entry points are the [[GraphSeeds]]
+    * hash-rank-smallest vectors — deterministic, replayable on any
+    * partitioning (the reservoir-sample selection rule). Recall vs
+    * the brute baseline rides `ann_recall_report` (6th variant). */
+  def annGraphSearch(s: SparkSession, d: String): DataFrame = {
+    val edges = annKnnGraph(s, d).select(col("src"), col("dst"))
+    val v = vectors(s, d)
+    // the query side is re-joined by every per-round scoring pass —
+    // pin the (|N|/QMod)-row projection once instead of re-scanning
+    // the corpus per round (the sketch-table rule)
+    val q = queriesSide(s, d).localCheckpoint(false)
+    val seeds = v.select(col("vec_id"))
+      .withColumn("u", Portable.h60(concat(col("vec_id").cast("string"),
+        lit(":" + GraphSeedSalt))))
+      .orderBy(col("u"), col("vec_id")).limit(GraphSeeds)
+      .select(col("vec_id"))
+    // exact cosine for a (q_id, vec_id) candidate set: equi-joins into
+    // the vector table + the broadcast query side
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), cosine.as("cosine"))
+    // round 0: every query scores the shared entry points
+    var visited = score(q.select(col("q_id")).crossJoin(broadcast(seeds)))
+      .localCheckpoint(false)
+    for (_ <- 1 to WalkRounds) {
+      val frontier = visited
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rnk") <= GraphBeam)
+        .select(col("q_id"), col("vec_id").as("src"))
+      val cands = frontier.join(edges, Seq("src"))
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
+      visited = visited.unionByName(score(cands)).localCheckpoint(false)
+    }
+    visited.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "cosine")
+  }
+
   // ---- label centroids + kNN quality eval ------------------------
 
   val CentScale = 1048576L // 2^20: centroid fixed-point scale
@@ -575,12 +642,12 @@ object AnnOps {
   }
 
   /** Recall@K report: per query, how many of the brute-force top-K
-    * each approximate index (hyperplane-LSH, IVF, PQ/ADC, IVF+PQ)
-    * recovered — the ANN quality gate operationalized as a checked
-    * query (SURVEY §5's measured recall table is this aggregation
-    * over parameter sweeps), now covering EVERY index variant the
-    * library ships so an index added later cannot dodge the gate.
-    * Reuses the five top-k operators verbatim; hits are equi-joins
+    * each approximate index (hyperplane-LSH, IVF, PQ/ADC, IVF+PQ,
+    * graph walk) recovered — the ANN quality gate operationalized as
+    * a checked query (SURVEY §5's measured recall table is this
+    * aggregation over parameter sweeps), covering EVERY index variant
+    * the library ships so an index added later cannot dodge the gate.
+    * Reuses the six top-k operators verbatim; hits are equi-joins
     * on (q_id, vec_id) and every ratio is int/int — engine-exact. */
   def annRecallReport(s: SparkSession, d: String): DataFrame = {
     val b = annCosineTopk(s, d).select(col("q_id"), col("vec_id"))
@@ -588,25 +655,30 @@ object AnnOps {
     val i = annIvfTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_i"))
     val p = annPqTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_p"))
     val ip = annIvfPqTopk(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_ip"))
+    val gw = annGraphSearch(s, d).select(col("q_id"), col("vec_id"), lit(1L).as("in_gw"))
     b.join(l, Seq("q_id", "vec_id"), "left")
       .join(i, Seq("q_id", "vec_id"), "left")
       .join(p, Seq("q_id", "vec_id"), "left")
       .join(ip, Seq("q_id", "vec_id"), "left")
+      .join(gw, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("in_l"), lit(0L))).as("lsh_hits"),
         sum(coalesce(col("in_i"), lit(0L))).as("ivf_hits"),
         sum(coalesce(col("in_p"), lit(0L))).as("pq_hits"),
-        sum(coalesce(col("in_ip"), lit(0L))).as("ivfpq_hits"))
+        sum(coalesce(col("in_ip"), lit(0L))).as("ivfpq_hits"),
+        sum(coalesce(col("in_gw"), lit(0L))).as("gw_hits"))
       .select(col("q_id"), col("n_true"),
         col("lsh_hits").cast("long").as("lsh_hits"),
         col("ivf_hits").cast("long").as("ivf_hits"),
         col("pq_hits").cast("long").as("pq_hits"),
         col("ivfpq_hits").cast("long").as("ivfpq_hits"),
+        col("gw_hits").cast("long").as("gw_hits"),
         (col("lsh_hits").cast("double") / col("n_true").cast("double")).as("lsh_recall"),
         (col("ivf_hits").cast("double") / col("n_true").cast("double")).as("ivf_recall"),
         (col("pq_hits").cast("double") / col("n_true").cast("double")).as("pq_recall"),
-        (col("ivfpq_hits").cast("double") / col("n_true").cast("double")).as("ivfpq_recall"))
+        (col("ivfpq_hits").cast("double") / col("n_true").cast("double")).as("ivfpq_recall"),
+        (col("gw_hits").cast("double") / col("n_true").cast("double")).as("gw_recall"))
   }
 
   val ProbeSweep = Seq(1, 2, 4) // nProbe grid for the IVF tuning curve
@@ -1131,7 +1203,8 @@ object AnnOps {
     "quantize_error"     -> (quantizeError _),
     "ivf_balance_report" -> (ivfBalanceReport _),
     "knn_degree_stats"   -> (knnDegreeStats _),
-    "ivf_probe_sweep"    -> (ivfProbeSweep _)
+    "ivf_probe_sweep"    -> (ivfProbeSweep _),
+    "ann_graph_search"   -> (annGraphSearch _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -1197,6 +1270,46 @@ object AnnOps {
        |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
        |  FROM sym)
        |SELECT src, dst, rnk, cosine FROM ranked WHERE rnk <= $KnnK""".stripMargin
+
+  /** The graph-walk beam search as standalone SQL — `ann_graph_search`'s
+    * oracle (and the 6th variant nested by `ann_recall_report`'s). The
+    * [[WalkRounds]] expansion rounds are unrolled: each round ranks the
+    * visited set to a [[GraphBeam]]-wide frontier, expands it through
+    * the kNN edge CTE, anti-joins already-visited pairs, scores the
+    * fresh candidates by exact cosine, and unions them in. */
+  private lazy val graphSearchSql: String = {
+    val seedRank = "row_number() OVER (ORDER BY " +
+      Portable.h60Sql(s"CAST(vec_id AS VARCHAR) || ':$GraphSeedSalt'") + ", vec_id)"
+    def round(r: Int): String = {
+      val prev = s"vis${r - 1}"
+      s"""fr$r AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM $prev) WHERE rn <= $GraphBeam),
+         |cd$r AS (SELECT DISTINCT f.q_id, g.dst AS vec_id
+         |  FROM fr$r f JOIN g ON f.vec_id = g.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                    WHERE x.q_id = f.q_id AND x.vec_id = g.dst)),
+         |sc$r AS (SELECT c.q_id, c.vec_id,
+         |         ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
+         |  FROM cd$r c JOIN vecs v ON c.vec_id = v.vec_id
+         |  JOIN qs q ON c.q_id = q.q_id),
+         |vis$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM sc$r)""".stripMargin
+    }
+    s"""WITH g0 AS ($knnGraphSql),
+       |g AS (SELECT src, dst FROM g0),
+       |$vecCte,
+       |seeds AS (SELECT vec_id FROM (
+       |  SELECT vec_id, $seedRank AS rn FROM vecs) WHERE rn <= $GraphSeeds),
+       |vis0 AS (SELECT q.q_id, s.vec_id,
+       |         ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
+       |  FROM qs q CROSS JOIN seeds s JOIN vecs v ON s.vec_id = v.vec_id),
+       |${(1 to WalkRounds).map(round).mkString(",\n")},
+       |rankedw AS (SELECT q_id, vec_id, cosine,
+       |       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM vis$WalkRounds WHERE vec_id <> q_id)
+       |SELECT q_id, vec_id, rnk, cosine FROM rankedw WHERE rnk <= $TopK""".stripMargin
+  }
 
   /** The IVF top-k query as standalone SQL (also nested by
     * `ann_recall_report`'s oracle). */
@@ -1515,17 +1628,20 @@ object AnnOps {
          |         row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rnk
          |  FROM scored)
          |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
+    "ann_graph_search" -> graphSearchSql,
     "ann_recall_report" ->
       s"""WITH b AS ($cosineTopkSql),
          |l AS ($lshTopkSql),
          |iv AS ($ivfTopkSql),
          |pq AS ($pqTopkSql),
-         |ip AS ($ivfPqTopkSql)
+         |ip AS ($ivfPqTopkSql),
+         |gw AS ($graphSearchSql)
          |SELECT b.q_id, count(*) AS n_true,
          |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
          |       CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits,
          |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
          |       CAST(sum(CASE WHEN ip.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivfpq_hits,
+         |       CAST(sum(CASE WHEN gw.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS gw_hits,
          |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |         / CAST(count(*) AS DOUBLE) AS lsh_recall,
          |       CAST(sum(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1533,12 +1649,15 @@ object AnnOps {
          |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |         / CAST(count(*) AS DOUBLE) AS pq_recall,
          |       CAST(sum(CASE WHEN ip.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |         / CAST(count(*) AS DOUBLE) AS ivfpq_recall
+         |         / CAST(count(*) AS DOUBLE) AS ivfpq_recall,
+         |       CAST(sum(CASE WHEN gw.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS gw_recall
          |FROM b
          |LEFT JOIN l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
          |LEFT JOIN iv ON b.q_id = iv.q_id AND b.vec_id = iv.vec_id
          |LEFT JOIN pq ON b.q_id = pq.q_id AND b.vec_id = pq.vec_id
          |LEFT JOIN ip ON b.q_id = ip.q_id AND b.vec_id = ip.vec_id
+         |LEFT JOIN gw ON b.q_id = gw.q_id AND b.vec_id = gw.vec_id
          |GROUP BY b.q_id""".stripMargin,
     "ann_ivf_topk" -> ivfTopkSql,
     "ivf_probe_sweep" -> {
