@@ -1373,6 +1373,153 @@ object TextOps {
         expr("(syms_total * 1000000) div chars_total").cast("long"))
   }
 
+  // ---- unigram-LM tokenizer fit (SentencePiece's other half) ------
+
+  val UniMaxPiece = 4   // max piece length (chars) in the candidate set
+  val UniSeedK    = 300 // seed vocabulary size (top substrings by count)
+  val UniVocabK   = 120 // pieces kept at each prune (single chars always kept)
+  val UniRounds   = 2   // Viterbi-EM rounds
+
+  /** Viterbi segmentation of every word in the vocab table under a
+    * broadcast-literal log-prob model — expressed entirely in Catalyst
+    * higher-order functions (no UDF, no mapPartitions): one forward
+    * `aggregate` builds the DP array (best score + backpointer per
+    * char position; candidates are the ≤ [[UniMaxPiece]] pieces ending
+    * at the position, ties resolved to the LONGER piece by the struct
+    * ordering (score, len)), a second `aggregate` walks the
+    * backpointers from the end to emit the piece sequence. Runs on the
+    * vocabulary-sized word table, never the corpus. */
+  private def uniViterbi(wt: DataFrame, logp: Map[String, Double]): DataFrame = {
+    val m = typedlit(logp)
+    val negInf = lit(-1e18d)
+    val n = length(col("w"))
+    val dpCol = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0.0d).as("sc"), lit(0).as("bp"))),
+      (dp, i) => concat(dp, array(array_max(
+        transform(
+          filter(sequence(lit(1), lit(UniMaxPiece)), l => l <= i),
+          l => struct(
+            (element_at(dp, i - l + 1).getField("sc") +
+              coalesce(element_at(m, col("w").substr(i - l + 1, l)), negInf)).as("sc"),
+            l.as("bp")))))))
+    val back = (st: Column) => {
+      val bp = element_at(col("dp"), st.getField("pos") + 1).getField("bp")
+      when(st.getField("pos") > 0,
+        struct(
+          (st.getField("pos") - bp).as("pos"),
+          concat(array(col("w").substr(st.getField("pos") - bp + 1, bp)),
+            st.getField("ps")).as("ps")))
+        .otherwise(st)
+    }
+    wt.withColumn("dp", dpCol)
+      .withColumn("pieces", aggregate(
+        sequence(lit(1), n),
+        struct(n.cast("int").as("pos"), array().cast("array<string>").as("ps")),
+        (st, _) => back(st),
+        st => st.getField("ps")))
+      .select(col("w"), col("wc"), col("pieces"))
+  }
+
+  /** Per-dir cached unigram fit: (final vocab rows, final segmented
+    * word table). Model state (the vocab + counts) is KB-sized at any
+    * corpus scale — the [[bpeFitRounds]] contract. */
+  private val uniFitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long)], DataFrame)]()
+
+  private[operators] def uniFit(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) =
+    uniFitCache.computeIfAbsent(d, _ => uniFitUncached(s, d))
+
+  /** The LOOPED unigram-LM fit (Kudo 2018, hard-EM/Viterbi variant):
+    * corpus scanned ONCE into the checkpointed word-frequency table
+    * (shared with the BPE fit — counts absorb all duplication), seeded
+    * with the top-[[UniSeedK]] substrings (≤ [[UniMaxPiece]] chars) by
+    * weighted count plus every single character; each EM round
+    * broadcasts the current add-one-smoothed log-prob model as a map
+    * LITERAL into the distributed Viterbi E-step ([[uniViterbi]]),
+    * re-estimates piece counts with one partial-aggregable groupBy
+    * over the segmented vocab table, and prunes to the top
+    * [[UniVocabK]] pieces (single chars always survive, so every word
+    * stays segmentable). Driver state per round is the vocab-sized
+    * count table (the kmeans_fit/bpe_train bounded-collect pattern).
+    *
+    * Correctness posture: the EM scores are sums of LOGS — a
+    * transcendental, excluded from the cross-engine bit-exact set
+    * (dev/PORTABILITY.md), so this family is rows-only at the driver
+    * gate BY DESIGN and its exactness gate is the sequential
+    * plain-Scala recompute spec (same JVM, same IEEE op order). */
+  private def uniFitUncached(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) = {
+    val wt = bpeWords(s, d).select(col("w"), col("wc"))
+    val sub = wt.select(col("wc"), explode(expr(
+        s"flatten(transform(sequence(1, char_length(w)), " +
+          s"i -> transform(sequence(1, least($UniMaxPiece, char_length(w) - i + 1)), " +
+          "l -> substring(w, i, l))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).cast("long").as("cnt"))
+      .localCheckpoint(false)
+    val chars = sub.filter(length(col("piece")) === 1)
+    val seed = sub.orderBy(col("cnt").desc, col("piece")).limit(UniSeedK)
+      .unionByName(chars).distinct()
+    var vocab: Seq[(String, Long)] = seed.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val charSet = chars.select(col("piece")).collect().map(_.getString(0)).toSet
+    var seg: DataFrame = null
+    for (_ <- 1 to UniRounds) {
+      val tot = vocab.map(_._2 + 1).sum.toDouble
+      val logp = vocab.map { case (p, c) => p -> math.log((c + 1).toDouble / tot) }.toMap
+      seg = uniViterbi(wt, logp).localCheckpoint(false)
+      val counts = seg.select(col("wc"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).cast("long").as("cnt"))
+        .localCheckpoint(false)
+      val top = counts.orderBy(col("cnt").desc, col("piece")).limit(UniVocabK)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val cntMap = counts.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keptChars = charSet.toSeq.sorted
+        .map(c => c -> cntMap.getOrElse(c, 0L))
+        .filterNot { case (c, _) => top.exists(_._1 == c) }
+      vocab = (top ++ keptChars).sortBy { case (p, c) => (-c, p) }
+    }
+    (vocab, seg)
+  }
+
+  /** The learned unigram vocabulary: every piece the fitted tokenizer
+    * can emit with its final Viterbi-EM count — `bpe_vocab_topk`'s
+    * sibling for the unigram-LM fit. Rows-only at the driver gate
+    * (float EM — see [[uniFitUncached]]); pinned exactly by the
+    * sequential recompute spec. */
+  def unigramLmTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    uniFit(s, d)._1.toDF("piece", "cnt")
+      .withColumn("n_chars", length(col("piece")).cast("long"))
+  }
+
+  /** Fertility comparison of the two fitted tokenizers over the SAME
+    * corpus: weighted (by word frequency) pieces-per-word of the
+    * unigram fit vs symbols-per-word of the BPE fit, in integer ppm —
+    * the statistic that picks between SentencePiece's two halves for
+    * a corpus. Joins the two per-dir cached fit tables (vocab-sized,
+    * broadcast) — ZERO corpus scans beyond the two cached fits'
+    * single passes. Rows-only at the driver gate (the unigram side
+    * rides the float EM); recompute-spec checked. */
+  def unigramFertility(s: SparkSession, d: String): DataFrame = {
+    val uniSeg = uniFit(s, d)._2
+      .select(col("w"), col("wc"), size(col("pieces")).cast("long").as("np"))
+    val bpeWt = bpeFitRounds(s, d)._2
+      .withColumn("n_syms",
+        expr(s"size(split(seq, '$BpeDelim')) - 1").cast("long"))
+      .select(col("w"), col("n_syms"))
+    uniSeg.join(bpeWt, Seq("w"))
+      .agg(sum(col("wc")).cast("long").as("n_words"),
+        sum(col("wc") * col("np")).cast("long").as("uni_pieces"),
+        sum(col("wc") * col("n_syms")).cast("long").as("bpe_syms"))
+      .withColumn("uni_fertility_ppm",
+        when(col("n_words") > 0, expr("(uni_pieces * 1000000) div n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("bpe_fertility_ppm",
+        when(col("n_words") > 0, expr("(bpe_syms * 1000000) div n_words"))
+          .otherwise(lit(0L)))
+  }
+
   /** Tokenizer-fertility report per (source, lang): whitespace words
     * vs BPE-ish regex tokens vs characters, with the per-corpus-slice
     * ratios in integer ppm — the statistic that sizes a tokenizer
@@ -2364,7 +2511,9 @@ object TextOps {
     "dedup_fingerprint" -> (dedupFingerprint _),
     "corpus_quantiles_lang" -> (corpusQuantilesLang _),
     "dedup_spans" -> (dedupSpans _),
-    "span_excise" -> (spanExcise _)
+    "span_excise" -> (spanExcise _),
+    "unigram_lm_train" -> (unigramLmTrain _),
+    "unigram_fertility" -> (unigramFertility _)
   )
 
   // ---- SQL twins (DuckDB) ----------------------------------------

@@ -59,7 +59,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Iterative driver-loop operators are not single-query SQL; the
     // driver records a rows-only check for them (no oracle entry).
     val rowsOnly = Set("aftershock_clusters", "event_station_distances_geo",
-      "rrup_distances_geo", "ccld_vertices")
+      "rrup_distances_geo", "ccld_vertices",
+      // float Viterbi-EM (log scores are transcendental, outside the
+      // cross-engine bit-exact set) — gated by the sequential
+      // recompute spec instead, documented in uniFitUncached
+      "unigram_lm_train", "unigram_fertility")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- rowsOnly,
       s"queries/oracles key mismatch: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} " +
         s"/ ${(SparkEntry.queries.keySet -- rowsOnly).diff(SparkEntry.oracleSql.keySet)}")
@@ -2738,6 +2742,91 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(k)._1 == rnk, s"$k rank mismatch")
       assert(got(k)._2 == cos, s"$k cosine mismatch")
     }
+  }
+
+  test("unigram_lm_train and unigram_fertility equal a sequential Viterbi-EM recompute") {
+    // independent sequential recompute of the WHOLE fit — seed
+    // substring counts, UniRounds of Viterbi-EM (identical float op
+    // order and tie rules: max by (score, piece-length)), the
+    // char-preserving prune — plus the BPE merge recompute to check
+    // the fertility comparison. This spec IS the exactness gate for
+    // the family (float-EM keeps it rows-only at the driver oracle).
+    val docRows = spark.read.parquet(s"$Sf/documents.parquet").select("text").collect()
+    val words = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for (r <- docRows; if !r.isNullAt(0); w <- r.getString(0).split(" ", -1); if w.nonEmpty)
+      words(w) += 1
+    val sub = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, c) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(TextOps.UniMaxPiece, w.length - i))
+      sub(w.substring(i, i + l)) += c
+    val chars = sub.keys.filter(_.length == 1).toSet
+    val seedTop = sub.toSeq.sortBy { case (p, c) => (-c, p) }.take(TextOps.UniSeedK)
+    var vocab: Seq[(String, Long)] =
+      (seedTop ++ sub.toSeq.filter(x => chars(x._1))).distinct
+    var lastSeg: Map[String, Seq[String]] = Map.empty
+    for (_ <- 1 to TextOps.UniRounds) {
+      val tot = vocab.map(_._2 + 1).sum.toDouble
+      val logp = vocab.map { case (p, c) => p -> math.log((c + 1).toDouble / tot) }.toMap
+      def viterbi(w: String): Seq[String] = {
+        val n = w.length
+        val sc = Array.fill(n + 1)(0.0)
+        val bp = Array.fill(n + 1)(0)
+        for (i <- 1 to n) {
+          val cands = for (l <- 1 to math.min(TextOps.UniMaxPiece, i)) yield
+            (sc(i - l) + logp.getOrElse(w.substring(i - l, i), -1e18), l)
+          val mx = cands.max // lexicographic: best score, then LONGER piece
+          sc(i) = mx._1; bp(i) = mx._2
+        }
+        val ps = scala.collection.mutable.ListBuffer[String]()
+        var pos = n
+        while (pos > 0) { val l = bp(pos); ps.prepend(w.substring(pos - l, pos)); pos -= l }
+        ps.toSeq
+      }
+      val segs = words.keys.map(w => w -> viterbi(w)).toMap
+      val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, ps) <- segs; p <- ps) counts(p) += words(w)
+      val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(TextOps.UniVocabK)
+      val keptChars = chars.toSeq.sorted.map(c => c -> counts.getOrElse(c, 0L))
+        .filterNot { case (c, _) => top.exists(_._1 == c) }
+      vocab = (top ++ keptChars).sortBy { case (p, c) => (-c, p) }
+      lastSeg = segs
+    }
+    val got = TextOps.unigramLmTrain(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.length == got.toSet.size)
+    val expVocab = vocab.map { case (p, c) => (p, c, p.length.toLong) }
+    assert(got.toSet == expVocab.toSet, "final unigram vocab mismatch vs recompute")
+    // BPE n_syms per word (same sequential recompute as the bpe spec)
+    var seqs: Map[String, String] =
+      words.keys.map(w => w -> w.map(c => s"$c~").mkString).toMap
+    for (_ <- 1 to TextOps.BpeMerges) {
+      val pc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, sq) <- seqs) {
+        val syms = sq.split("~", -1).dropRight(1)
+        for (i <- 0 until syms.length - 1) pc(syms(i) + " " + syms(i + 1)) += words(w)
+      }
+      if (pc.nonEmpty) {
+        val (pair, _) = pc.toSeq.sortBy { case (p, c) => (-c, p) }.head
+        val Array(a, b) = pair.split(" ", 2)
+        val (pat, rep) = (s"~$a~$b~", s"~$a$b~")
+        seqs = seqs.map { case (w, sq) =>
+          w -> ("~" + sq).replace(pat, rep).replace(pat, rep).substring(1)
+        }
+      }
+    }
+    val nWords = words.values.sum
+    val uniPieces = words.map { case (w, c) => c * lastSeg(w).length }.sum
+    val bpeSyms = words.map { case (w, c) =>
+      c * (seqs(w).split("~", -1).length - 1) }.sum
+    val fr = TextOps.unigramFertility(spark, Sf).collect()
+    assert(fr.length == 1)
+    val r = fr(0)
+    assert(r.getLong(r.fieldIndex("n_words")) == nWords)
+    assert(r.getLong(r.fieldIndex("uni_pieces")) == uniPieces, "uni_pieces mismatch")
+    assert(r.getLong(r.fieldIndex("bpe_syms")) == bpeSyms, "bpe_syms mismatch")
+    assert(r.getLong(r.fieldIndex("uni_fertility_ppm")) == uniPieces * 1000000L / nWords)
+    assert(r.getLong(r.fieldIndex("bpe_fertility_ppm")) == bpeSyms * 1000000L / nWords)
   }
 
   test("bpe_pair_counts equals a plain-Scala adjacent-pair recompute") {
