@@ -344,6 +344,38 @@ object TextOps {
         (col("ep") - col("sp") + ShingleN).cast("long").as("n_tokens"))
   }
 
+  /** The ExactSubstr HEADLINE statistic (Lee et al. 2021 report
+    * "X% of tokens sit inside duplicated substrings"), per source:
+    * doc counts, docs carrying at least one located span, exact token
+    * totals, tokens covered by [[dedupSpans]] spans and the coverage
+    * in integer ppm — the number that sizes the span-dedup budget per
+    * corpus slice. Covered tokens are the UNION of span extents, not
+    * a sum: two runs separated by < ShingleN-1 shingle positions have
+    * OVERLAPPING token extents (the n-1 extension), so the count
+    * explodes the span-bounded position set and distincts it — the
+    * same covered set `span_excise` cuts, so the two stay consistent
+    * by construction. One span-bounded explode + one corpus-pass
+    * token total + one broadcast-sized join per source. */
+  def dupSpanStats(s: SparkSession, d: String): DataFrame = {
+    val perDoc = dedupSpans(s, d)
+      .select(col("doc_id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("cov"))
+    val tot = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("nt"))
+    tot.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).cast("long").as("docs_with_spans"),
+        sum(col("nt")).cast("long").as("total_tokens"),
+        sum(coalesce(col("cov"), lit(0L))).cast("long").as("span_tokens"))
+      .withColumn("span_ppm",
+        when(col("total_tokens") > 0,
+          expr("(span_tokens * 1000000) div total_tokens")).otherwise(lit(0L)))
+  }
+
   /** Span EXCISION — [[dedupSpans]] applied: each document's
     * duplicated spans are cut and the remaining tokens re-joined (the
     * report locates, this removes — together they are the ExactSubstr
@@ -1508,10 +1540,12 @@ object TextOps {
       .withColumn("n_syms",
         expr(s"size(split(seq, '$BpeDelim')) - 1").cast("long"))
       .select(col("w"), col("n_syms"))
+    // coalesce: SUM over zero rows is NULL — an empty corpus must
+    // report an explicit all-zero totals row, not a NULL-riddled one
     uniSeg.join(bpeWt, Seq("w"))
-      .agg(sum(col("wc")).cast("long").as("n_words"),
-        sum(col("wc") * col("np")).cast("long").as("uni_pieces"),
-        sum(col("wc") * col("n_syms")).cast("long").as("bpe_syms"))
+      .agg(coalesce(sum(col("wc")), lit(0L)).cast("long").as("n_words"),
+        coalesce(sum(col("wc") * col("np")), lit(0L)).cast("long").as("uni_pieces"),
+        coalesce(sum(col("wc") * col("n_syms")), lit(0L)).cast("long").as("bpe_syms"))
       .withColumn("uni_fertility_ppm",
         when(col("n_words") > 0, expr("(uni_pieces * 1000000) div n_words"))
           .otherwise(lit(0L)))
@@ -2512,6 +2546,7 @@ object TextOps {
     "corpus_quantiles_lang" -> (corpusQuantilesLang _),
     "dedup_spans" -> (dedupSpans _),
     "span_excise" -> (spanExcise _),
+    "dup_span_stats" -> (dupSpanStats _),
     "unigram_lm_train" -> (unigramLmTrain _),
     "unigram_fertility" -> (unigramFertility _)
   )
@@ -2526,7 +2561,7 @@ object TextOps {
     * shingles. Twin of [[dedupSpans]]' plan, including the hash (so a
     * collision — negligible at 60 bits — still checks exactly). */
   private def spanCtes: String =
-    s"""toks AS (SELECT doc_id, text, $tkSql AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, source, text, $tkSql AS tk FROM documents),
        |shp AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
        |spos AS (SELECT doc_id, unnest(range(len(shl))) AS pos,
        |                unnest(list_transform(shl, x -> ${Portable.h60Sql("x")})) AS h
@@ -3655,6 +3690,26 @@ object TextOps {
          |       CAST(n AS BIGINT) AS n_shingles,
          |       CAST(ep - sp + $ShingleN AS BIGINT) AS n_tokens
          |FROM spans""".stripMargin,
+    "dup_span_stats" ->
+      s"""WITH $spanCtes,
+         |pd AS (SELECT doc_id, count(*) AS cov FROM (
+         |         SELECT DISTINCT doc_id, pos FROM (
+         |           SELECT doc_id, unnest(range(sp, ep + $ShingleN)) AS pos
+         |           FROM spans))
+         |       GROUP BY doc_id),
+         |tot AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS nt
+         |        FROM toks WHERE text IS NOT NULL)
+         |SELECT t.source,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN p.cov IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_with_spans,
+         |       CAST(sum(t.nt) AS BIGINT) AS total_tokens,
+         |       CAST(sum(coalesce(p.cov, 0)) AS BIGINT) AS span_tokens,
+         |       CASE WHEN sum(t.nt) > 0
+         |            THEN CAST((sum(coalesce(p.cov, 0)) * 1000000) // sum(t.nt) AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS span_ppm
+         |FROM tot t LEFT JOIN pd p ON t.doc_id = p.doc_id
+         |GROUP BY t.source""".stripMargin,
     "span_excise" ->
       s"""WITH $spanCtes,
          |cover AS (SELECT DISTINCT doc_id, pos FROM (

@@ -172,6 +172,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L &&
             r.getLong(4) == 0L && r.isNullAt(5) && r.isNullAt(6)),
           s"ivf_probe_sweep empty-index report malformed")
+      } else if (n == "unigram_fertility") {
+        // a one-row totals report: zero words/pieces/symbols, zero
+        // ppm ratios — not a vanished comparison
+        val rows = df.collect()
+        assert(rows.length == 1 && (0 until 5).forall(i => rows.head.getLong(i) == 0L),
+          s"unigram_fertility empty-input report malformed")
       } else if (n == "lsh_band_sweep") {
         // a TOTALS report per config: 0 candidates / 0 verified rows,
         // not a vanished sweep
@@ -803,6 +809,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       // run merge) + the token explode + the base row set — 4 distinct
       // single-evaluation legs, no redundant derivation
       "span_excise" -> Map("documents" -> 4),
+      // spans (2 passes) + the per-source token total
+      "dup_span_stats" -> Map("documents" -> 3),
       "split_balance_report" -> Map("documents" -> 4),
       "split_leakage_report" -> Map("documents" -> 3),
       "tfidf_cosine_pairs" -> Map("documents" -> 13),
@@ -2060,6 +2068,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the two operators stay consistent with each other: total
     // removed tokens == total covered positions
     assert(got.map(_.getLong(2)).sum == covered.values.map(_.size.toLong).sum)
+    // dup_span_stats: recompute the per-source coverage KPI from the
+    // same covered-position UNION the excise check built (token
+    // extents of nearby runs overlap, so coverage is a distinct
+    // count, never a sum of span lengths) + the doc source map
+    val srcOf = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val covPerDoc = covered.map { case (id, ps) => id -> ps.size.toLong }
+    val bySource = nonNull.keys.toSeq.groupBy(srcOf)
+    val stats = TextOps.dupSpanStats(spark, Sf).collect()
+    assert(stats.map(_.getString(0)).toSet == bySource.keySet)
+    for (r <- stats) {
+      val src = r.getString(0)
+      val ids = bySource(src)
+      assert(r.getLong(r.fieldIndex("n_docs")) == ids.size, s"$src n_docs")
+      assert(r.getLong(r.fieldIndex("docs_with_spans")) ==
+        ids.count(covPerDoc.contains), s"$src docs_with_spans")
+      val totTok = ids.map(id => toks(id).length.toLong).sum
+      val covTok = ids.map(id => covPerDoc.getOrElse(id, 0L)).sum
+      assert(r.getLong(r.fieldIndex("total_tokens")) == totTok, s"$src total_tokens")
+      assert(r.getLong(r.fieldIndex("span_tokens")) == covTok, s"$src span_tokens")
+      assert(r.getLong(r.fieldIndex("span_ppm")) ==
+        (if (totTok > 0) covTok * 1000000L / totTok else 0L), s"$src span_ppm")
+    }
   }
 
   /** CDC idempotence across a restart: run 1 processes the full
