@@ -416,7 +416,14 @@ object AnnOps {
     * hash-rank-smallest vectors — deterministic, replayable on any
     * partitioning (the reservoir-sample selection rule). Recall vs
     * the brute baseline rides `ann_recall_report` (6th variant). */
-  def annGraphSearch(s: SparkSession, d: String): DataFrame = {
+  def annGraphSearch(s: SparkSession, d: String): DataFrame =
+    annGraphSearchWith(s, d, GraphSeeds, GraphBeam, WalkRounds)
+
+  /** Parameterized walk ([[annGraphSearch]] = the gate-pinned
+    * constants): seeds/beam/rounds are the serving-time recall/cost
+    * knobs — SURVEY §5 carries the measured curve. */
+  def annGraphSearchWith(s: SparkSession, d: String,
+      nSeeds: Int, beam: Int, rounds: Int): DataFrame = {
     val edges = annKnnGraph(s, d).select(col("src"), col("dst"))
     val v = vectors(s, d)
     // the query side is re-joined by every per-round scoring pass —
@@ -426,7 +433,7 @@ object AnnOps {
     val seeds = v.select(col("vec_id"))
       .withColumn("u", Portable.h60(concat(col("vec_id").cast("string"),
         lit(":" + GraphSeedSalt))))
-      .orderBy(col("u"), col("vec_id")).limit(GraphSeeds)
+      .orderBy(col("u"), col("vec_id")).limit(nSeeds)
       .select(col("vec_id"))
     // exact cosine for a (q_id, vec_id) candidate set: equi-joins into
     // the vector table + the broadcast query side
@@ -437,11 +444,11 @@ object AnnOps {
     // round 0: every query scores the shared entry points
     var visited = score(q.select(col("q_id")).crossJoin(broadcast(seeds)))
       .localCheckpoint(false)
-    for (_ <- 1 to WalkRounds) {
+    for (_ <- 1 to rounds) {
       val frontier = visited
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))))
-        .filter(col("rnk") <= GraphBeam)
+        .filter(col("rnk") <= beam)
         .select(col("q_id"), col("vec_id").as("src"))
       val cands = frontier.join(edges, Seq("src"))
         .select(col("q_id"), col("dst").as("vec_id")).distinct()

@@ -2725,6 +2725,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph-walk recall rises with seeds/beam/depth and the default variant is the gate query") {
+    // deterministic on this fixed dataset (no randomness anywhere in
+    // the walk), so the measured ordering is a stable invariant, not
+    // a statistical one. Pins annGraphSearchWith as the tuning
+    // surface SURVEY §5's curve was measured from.
+    def keyset(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keyset(AnnOps.annCosineTopk(spark, Sf))
+    val narrow = keyset(AnnOps.annGraphSearchWith(spark, Sf,
+      AnnOps.GraphSeeds, AnnOps.GraphBeam, AnnOps.WalkRounds))
+    val wide = keyset(AnnOps.annGraphSearchWith(spark, Sf, 8, 16, 5))
+    assert(narrow == keyset(AnnOps.annGraphSearch(spark, Sf)),
+      "default-parameter walk must equal the gate query")
+    assert((wide & brute).size >= (narrow & brute).size,
+      "wider/deeper walk lost recall vs the default on fixed data")
+  }
+
   test("ann_graph_search equals a plain-Scala beam-walk recompute") {
     // independent sequential re-walk: same entry points (h60 rank),
     // same per-round beam ranking / edge expansion / exact-cosine
