@@ -489,7 +489,9 @@ object GeoOps {
   // ---- aftershock flagging ---------------------------------------
 
   val MagGapMin = 0.5 // mainshock must exceed by this
-  val DayUs     = 86400L * 1000000L
+  /** Epoch-microseconds per day — EventOps owns the unit (single
+    * source of truth across the event/sketch/geo day-bucketing). */
+  val DayUs: Long = EventOps.DayUs
 
   /** Gardner-Knopoff-style windows, piecewise per magnitude class
     * (floor(mag) ∈ {3,4,5}) so both engines evaluate identical

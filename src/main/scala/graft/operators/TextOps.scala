@@ -670,9 +670,13 @@ object TextOps {
     segCache.clear()
     dupLabelCache.values.forEach(df => { df.unpersist(); () })
     dupLabelCache.clear()
-    // bpe fit tables are lazy localCheckpoints (RDD blocks reclaimed
-    // by the ContextCleaner once the map drops the references)
+    // tokenizer fit tables are lazy localCheckpoints (RDD blocks
+    // reclaimed by the ContextCleaner once the maps drop the
+    // references) — BOTH fits, or a corpus swap would serve a stale
+    // vocabulary and a restarted session would hand out DataFrames
+    // bound to the stopped SparkContext
     bpeFitCache.clear()
+    uniFitCache.clear()
   }
 
   /** Per-(source, lang) corpus report — the monitoring surface a

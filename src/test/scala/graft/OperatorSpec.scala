@@ -843,12 +843,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // above pins plan-TEXT counts; this one pins RUNTIME truth: it
     // EXECUTES each query and sums the source rows actually read
     // (task inputMetrics — cached/checkpointed reads don't count).
-    // Calibrated on this data: with reuse firing the queries read
-    // 2.0× / 4.2× their base table; with spark.sql.exchange.reuse
-    // off they read 11× / 12.1×. The caps sit between the two, so a
-    // refactor that makes the repeated subtrees canonicalize
-    // differently fails HERE instead of silently multiplying corpus
-    // scans at 100 TB.
+    // inputMetrics also counts reads of persisted/checkpointed blocks
+    // (block-manager input), so the graph-walk leg contributes a
+    // constant ~9x regardless of reuse. Calibrated on this data with
+    // that leg included: ann_recall_report reads ~11x its base table
+    // with exchange reuse firing vs ~20x with spark.sql.exchange.reuse
+    // off; tfidf_cosine_pairs ~4.2x vs ~12.1x. The caps (15x / 7x) sit
+    // between each pair, so a refactor that makes the repeated
+    // subtrees canonicalize differently fails HERE instead of
+    // silently multiplying corpus scans at 100 TB.
     val readAcc = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -1048,11 +1051,6 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("rolling_hll_distinct matches a plain-Scala register-merge recompute") {
     import org.apache.spark.sql.functions._
-    def h60(x: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
     def rho(w: Long): Int = {
       var b = SketchOps.HllWBits - 1
       while (b >= 0 && w < (1L << b)) b -= 1
@@ -1064,7 +1062,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val daily = scala.collection.mutable.Map[(Long, Long), Int]() // (day, reg) -> mrho
     for ((uid, us) <- ev) {
       val day = us / SketchOps.DayUs
-      val h = h60(s"hll:$uid")
+      val h = scalaH60(s"hll:$uid")
       val reg = h % SketchOps.HllM
       val r = rho(h / SketchOps.HllM)
       val k = (day, reg)
@@ -2010,11 +2008,6 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // independent sequential recompute of the whole span pipeline:
     // tokens -> positioned shingles -> h60 -> corpus occurrence counts
     // -> consecutive-run merge -> spans -> excision
-    def h60(x: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
     val docRows = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text").collect()
     val toks: Map[Long, Array[String]] = docRows.map { r =>
@@ -2025,7 +2018,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       else (0 to tk.length - TextOps.ShingleN)
         .map(i => tk.slice(i, i + TextOps.ShingleN).mkString(" "))
     val posed = toks.toSeq.flatMap { case (id, tk) =>
-      shingleList(tk).zipWithIndex.map { case (sh, p) => (id, p, h60(sh)) } }
+      shingleList(tk).zipWithIndex.map { case (sh, p) => (id, p, scalaH60(sh)) } }
     val occ = posed.groupBy(_._3).map { case (h, xs) => h -> xs.size }
     val dupPos: Map[Long, Seq[Int]] = posed.filter(x => occ(x._3) >= 2)
       .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
@@ -2748,11 +2741,6 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scoring, over the operator's OWN persisted edge table (the graph
     // build has its own oracle + specs) — pins the walk semantics:
     // frontier selection, visited-set growth, final top-K.
-    def h60(x: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -2766,7 +2754,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).toSeq }
     val seeds = emb.keys.toSeq
-      .sortBy(id => (h60(s"$id:${AnnOps.GraphSeedSalt}"), id)).take(AnnOps.GraphSeeds)
+      .sortBy(id => (scalaH60(s"$id:${AnnOps.GraphSeedSalt}"), id)).take(AnnOps.GraphSeeds)
     val expected = scala.collection.mutable.Map[(Long, Long), (Int, Double)]()
     for (q <- emb.keys.toSeq.filter(_ % AnnOps.QMod == 0)) {
       val qe = emb(q); val qn = nrm(q)
@@ -3223,11 +3211,6 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("minhash_recall_sample ties out against exact sample pairs and the banded verify") {
-    def h60(sx: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
     val docs = graft.sources.Tables.documents(spark, Sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
@@ -3239,7 +3222,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         else tk.sliding(TextOps.ShingleN).map(_.mkString(" ")).toSet
       }
     // fixed-SIZE hash-rank selection: the K smallest (h60, doc_id)
-    val sample = docs.map { case (id, t) => (h60(s"$id:${TextOps.RecallSalt}"), id, t) }
+    val sample = docs.map { case (id, t) => (scalaH60(s"$id:${TextOps.RecallSalt}"), id, t) }
       .sortBy(x => (x._1, x._2)).take(TextOps.RecallSampleK)
       .map { case (_, id, t) => id -> shset(t) }
     assert(sample.length == math.min(TextOps.RecallSampleK, docs.length),
@@ -3330,16 +3313,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("data_split is a frozen pure function of doc_id with the advertised fractions") {
-    def h60(sx: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
     val got = MixOps.dataSplit(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
     assert(got.nonEmpty)
     for ((id, bucket, split) <- got) {
-      val eb = h60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
+      val eb = scalaH60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
       assert(bucket == eb, s"doc $id bucket")
       val es = if (eb < MixOps.TestPct) "test" else if (eb < MixOps.ValPct) "val" else "train"
       assert(split == es, s"doc $id split")
@@ -3352,7 +3330,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // FROZEN: membership is per-doc, so a corpus subset changes nothing
     val half = got.filter(_._1 % 2 == 0).map(t => t._1 -> t._3).toMap
     for ((id, s2) <- half) {
-      val eb = h60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
+      val eb = scalaH60(s"$id:${MixOps.SplitSalt}") % MixOps.SplitMod
       val es = if (eb < MixOps.TestPct) "test" else if (eb < MixOps.ValPct) "val" else "train"
       assert(s2 == es)
     }
