@@ -344,6 +344,42 @@ object TextOps {
         (col("ep") - col("sp") + ShingleN).cast("long").as("n_tokens"))
   }
 
+  /** INGEST-TIME ExactSubstr — [[dedupSpans]]' incremental sibling
+    * (the span-level `dedup_incremental`): for the incoming batch
+    * (doc_id % [[IncMod]] == 0, the shared batch convention), the
+    * token spans of >= [[SpanMinRun]] consecutive shingles ALREADY
+    * PRESENT in the index (everything else) — the probe a production
+    * pipeline runs per crawl batch against its persisted shingle-hash
+    * store, without re-deduping the index against itself. Because
+    * index presence implies corpus occurrence >= 2, every located
+    * incremental span lies inside some full-corpus [[dedupSpans]]
+    * span (the spec pins this containment); within-batch repeats are
+    * deliberately NOT flagged here — that is the full operator's job
+    * on the next index rebuild. Shape: the index side is one
+    * positioned explode + distinct (the persisted store), the batch
+    * side probes it with one equi-semi-join, then the same
+    * gaps-and-islands merge — per-ingest cost is O(batch tokens) +
+    * the join fan-in, independent of index size. */
+  def spanDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val isInc = col("doc_id") % IncMod === 0
+    val pos = docs(s, d)
+      .select(col("doc_id"),
+        posexplode(Portable.shingles(col("tk"), ShingleN)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), Portable.h60(col("sh")).as("h"))
+    val idx = pos.filter(!isInc).select(col("h")).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.filter(isInc).join(idx, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"), count(lit(1)).as("n"))
+      .filter(col("n") >= SpanMinRun)
+      .select(col("doc_id"),
+        col("sp").cast("long").as("start_tok"),
+        (col("ep") + (ShingleN - 1)).cast("long").as("end_tok"),
+        col("n").cast("long").as("n_shingles"),
+        (col("ep") - col("sp") + ShingleN).cast("long").as("n_tokens"))
+  }
+
   /** The ExactSubstr HEADLINE statistic (Lee et al. 2021 report
     * "X% of tokens sit inside duplicated substrings"), per source:
     * doc counts, docs carrying at least one located span, exact token
@@ -2551,6 +2587,7 @@ object TextOps {
     "dedup_spans" -> (dedupSpans _),
     "span_excise" -> (spanExcise _),
     "dup_span_stats" -> (dupSpanStats _),
+    "span_dedup_incremental" -> (spanDedupIncremental _),
     "unigram_lm_train" -> (unigramLmTrain _),
     "unigram_fertility" -> (unigramFertility _)
   )
@@ -3689,6 +3726,25 @@ object TextOps {
          |FROM q JOIN z ON q.lang = z.lang""".stripMargin,
     "dedup_spans" ->
       s"""WITH $spanCtes
+         |SELECT doc_id, CAST(sp AS BIGINT) AS start_tok,
+         |       CAST(ep + ${ShingleN - 1} AS BIGINT) AS end_tok,
+         |       CAST(n AS BIGINT) AS n_shingles,
+         |       CAST(ep - sp + $ShingleN AS BIGINT) AS n_tokens
+         |FROM spans""".stripMargin,
+    "span_dedup_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $tkSql AS tk FROM documents),
+         |shp AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM toks),
+         |spos AS (SELECT doc_id, unnest(range(len(shl))) AS pos,
+         |                unnest(list_transform(shl, x -> ${Portable.h60Sql("x")})) AS h
+         |         FROM shp),
+         |idx AS (SELECT DISTINCT h FROM spos WHERE doc_id % $IncMod <> 0),
+         |druns AS (SELECT doc_id, pos,
+         |                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |          FROM spos WHERE doc_id % $IncMod = 0
+         |            AND h IN (SELECT h FROM idx)),
+         |spans AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep, count(*) AS n
+         |          FROM druns GROUP BY doc_id, grp
+         |          HAVING count(*) >= $SpanMinRun)
          |SELECT doc_id, CAST(sp AS BIGINT) AS start_tok,
          |       CAST(ep + ${ShingleN - 1} AS BIGINT) AS end_tok,
          |       CAST(n AS BIGINT) AS n_shingles,

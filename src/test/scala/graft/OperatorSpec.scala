@@ -2085,6 +2085,41 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(r.fieldIndex("span_ppm")) ==
         (if (totTok > 0) covTok * 1000000L / totTok else 0L), s"$src span_ppm")
     }
+    // span_dedup_incremental: recompute the index-probe variant and
+    // pin the containment property (index presence implies corpus
+    // occurrence >= 2, so every incremental span lies inside some
+    // full-corpus duplicated-position run of its doc)
+    val idxHashes = posed.filter(x => x._1 % TextOps.IncMod != 0).map(_._3).toSet
+    val incDup: Map[Long, Seq[Int]] = posed
+      .filter(x => x._1 % TextOps.IncMod == 0 && idxHashes.contains(x._3))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sorted }
+    val expInc = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for ((id, ps) <- incDup) {
+      var runStart = ps.head
+      var prevP = ps.head
+      def emit(s0: Int, e0: Int): Unit = {
+        val n = e0 - s0 + 1
+        if (n >= TextOps.SpanMinRun)
+          expInc += ((id, s0.toLong, (e0 + TextOps.ShingleN - 1).toLong,
+            n.toLong, (e0 - s0 + TextOps.ShingleN).toLong))
+      }
+      for (p <- ps.tail) {
+        if (p != prevP + 1) { emit(runStart, prevP); runStart = p }
+        prevP = p
+      }
+      emit(runStart, prevP)
+    }
+    val gotInc = TextOps.spanDedupIncremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gotInc.nonEmpty, "no incremental spans on data with planted dups")
+    assert(gotInc.toSet == expInc.toSet, "incremental span set mismatch vs recompute")
+    val fullDupPos = dupPos // full-corpus duplicated shingle positions per doc
+    for ((id, s0, e0, n, _) <- gotInc) {
+      val full = fullDupPos.getOrElse(id, Seq.empty).toSet
+      val shingleRun = (s0 until (e0 - TextOps.ShingleN + 2)).map(_.toInt)
+      assert(shingleRun.forall(full.contains),
+        s"incremental span ($id,$s0,$e0,$n) not contained in full-corpus duplication")
+    }
   }
 
   /** CDC idempotence across a restart: run 1 processes the full
