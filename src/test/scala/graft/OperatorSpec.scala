@@ -834,6 +834,25 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("every per-dir session cache is wired into Caches.clearAll") {
+    // greps the operator sources for per-dir cache declarations and
+    // compares against the count declared NEXT TO the release switch:
+    // adding a cache without bumping Caches.WiredCaches fails here,
+    // and bumping it means looking at clearAll — the friction that
+    // prevents the stale-cache-after-corpus-swap defect from shipping
+    // a third time
+    import scala.jdk.CollectionConverters._
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val declared = java.nio.file.Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .map(s => "new java\\.util\\.concurrent\\.ConcurrentHashMap\\[String".r.findAllIn(s).length)
+      .sum
+    assert(declared == Caches.WiredCaches,
+      s"$declared per-dir caches declared in source but Caches.WiredCaches says " +
+        s"${Caches.WiredCaches} — wire the new cache into Caches.clearAll and bump the constant")
+  }
+
   test("exchange reuse actually fires for the largest reuse-dependent plans") {
     // The two declared plan-text multi-scans whose COST rides on
     // exchange-reuse canonicalization (ann_recall_report embeddings×11,
