@@ -13,21 +13,24 @@ object Caches {
     MixOps.clearTokenCache()
     SketchOps.clearHllRegCache()
     GeoOps.clearAbwdPairCache()
-    // the ANN index tables (kNN edges + cluster labels) and the graph
-    // family's canonical edge projection derived from them — these
-    // were the one per-dir cache family missing from the release
-    // switch, so a corpus swap in a long-lived session served stale
-    // neighbor lists to the eight graph-consuming operators
+    // the ANN index tables (kNN edges + cluster labels + the
+    // NN-descent-refined edges + the persisted walk results) and the
+    // graph family's canonical edge projection derived from them —
+    // these were the one per-dir cache family missing from the
+    // release switch, so a corpus swap in a long-lived session served
+    // stale neighbor lists to the eight graph-consuming operators
     AnnOps.clearKnnCache()
   }
 
-  /** Count of per-dir `ConcurrentHashMap[String, ...]` session caches
-    * declared across the operator sources. The cache-wiring spec
-    * greps the source tree and fails when a NEW cache appears without
-    * this constant being bumped — which forces the author to visit
-    * this file and wire the cache's release into [[clearAll]] (the
-    * defect has now shipped twice: the r15 unigram fit cache and the
-    * ANN kNN/cluster/edge family were both missing from the switch,
-    * serving stale per-dir tables after a corpus swap). */
-  val WiredCaches = 11
+  /** Count of per-dir ConcurrentHashMap-keyed-by-String session
+    * caches declared across the operator sources. The cache-wiring
+    * spec greps the source tree (any qualification of the class name,
+    * so an import-shortened declaration can't dodge it) and fails
+    * when a NEW cache appears without this constant being bumped —
+    * which forces the author to visit this file and wire the cache's
+    * release into [[clearAll]] (the defect has now shipped twice: the
+    * r15 unigram fit cache and the ANN kNN/cluster/edge family were
+    * both missing from the switch, serving stale per-dir tables after
+    * a corpus swap). */
+  val WiredCaches = 13
 }

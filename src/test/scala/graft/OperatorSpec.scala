@@ -799,6 +799,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "edit_ratio_pairs" -> Map("documents" -> 3),
       "kmeanspp_init" -> Map("embeddings" -> 4),
       "knn_degree_stats" -> Map("embeddings" -> 3),
+      // two exact-cosine scoring joins into the vector table + the
+      // plan-TEXT scans embedded in the persisted kNN-edge relation's
+      // lineage (InMemoryRelation bodies print their build plan; the
+      // build runs once by construction)
+      "knn_refine" -> Map("embeddings" -> 4),
       "knn_label_purity" -> Map("embeddings" -> 4),
       "knn_predict" -> Map("embeddings" -> 4),
       "ngram_kn_probs" -> Map("documents" -> 4),
@@ -846,7 +851,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val declared = java.nio.file.Files.walk(srcRoot).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      .map(s => "new java\\.util\\.concurrent\\.ConcurrentHashMap\\[String".r.findAllIn(s).length)
+      // any qualification of the class name counts — an imported or
+      // partially-qualified ConcurrentHashMap must not dodge the gate
+      .map(s => "new (java\\.util\\.concurrent\\.)?(concurrent\\.)?ConcurrentHashMap\\[String".r
+        .findAllIn(s).length)
       .sum
     assert(declared == Caches.WiredCaches,
       s"$declared per-dir caches declared in source but Caches.WiredCaches says " +
@@ -855,22 +863,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("exchange reuse actually fires for the largest reuse-dependent plans") {
     // The two declared plan-text multi-scans whose COST rides on
-    // exchange-reuse canonicalization (ann_recall_report embeddings×11,
-    // tfidf_cosine_pairs documents×13) — exactly the fragility class
-    // behind the r13 RangeRank defect ("correctness/cost silently
-    // riding on two subtrees canonicalizing equal"). The scan-cap test
-    // above pins plan-TEXT counts; this one pins RUNTIME truth: it
-    // EXECUTES each query and sums the source rows actually read
-    // (task inputMetrics — cached/checkpointed reads don't count).
-    // inputMetrics also counts reads of persisted/checkpointed blocks
-    // (block-manager input), so the graph-walk leg contributes a
-    // constant ~9x regardless of reuse. Calibrated on this data with
-    // that leg included: ann_recall_report reads ~11x its base table
-    // with exchange reuse firing vs ~20x with spark.sql.exchange.reuse
-    // off; tfidf_cosine_pairs ~4.2x vs ~12.1x. The caps (15x / 7x) sit
-    // between each pair, so a refactor that makes the repeated
-    // subtrees canonicalize differently fails HERE instead of
-    // silently multiplying corpus scans at 100 TB.
+    // exchange-reuse canonicalization (ann_recall_report,
+    // tfidf_cosine_pairs) — exactly the fragility class behind the
+    // r13 RangeRank defect ("correctness/cost silently riding on two
+    // subtrees canonicalizing equal"). The scan-cap test above pins
+    // plan-TEXT counts; this one pins RUNTIME truth: it EXECUTES each
+    // query and sums the source rows actually read (task
+    // inputMetrics; block-manager reads of persisted/checkpointed
+    // tables count too but are identical on both sides). The baseline
+    // is measured IN THIS TEST by re-running the same query with
+    // spark.sql.exchange.reuse off — no calibrated absolute
+    // multipliers to rot when a fixture, a constant, or Spark's
+    // input accounting changes (the r15 spec pinned 15x/7x absolute
+    // caps and was one QMod edit away from a false failure). A
+    // refactor that makes the repeated subtrees canonicalize
+    // differently erases the on/off gap and fails HERE instead of
+    // silently multiplying corpus scans at 100 TB. Warm-up runs
+    // first so per-dir cache construction (kNN graph, walk results,
+    // signatures) is charged to neither side.
     val readAcc = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -887,21 +897,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         Thread.sleep(800) // drain the async listener bus
         readAcc.get
       }
-      val nEmb = spark.read.parquet(s"$Sf/embeddings.parquet").count()
-      val nDoc = spark.read.parquet(s"$Sf/documents.parquet").count()
-      val annRead = recordsRead("ann_recall_report")
-      assert(annRead <= 15 * nEmb,
-        s"ann_recall_report read $annRead source rows (> 15x the $nEmb-row embeddings " +
-          "table; ~11x when exchange reuse fires — ~2x for the five reuse-covered " +
-          "index legs + ~9x for the graph-walk leg's checkpoint materialization and " +
-          "cache reads — vs ~20x when reuse breaks) — the repeated subtrees no longer " +
-          "canonicalize equal; re-unify them or materialize the shared subtree")
-      val tfidfRead = recordsRead("tfidf_cosine_pairs")
-      assert(tfidfRead <= 7 * nDoc,
-        s"tfidf_cosine_pairs read $tfidfRead source rows (> 7x the $nDoc-row documents " +
-          "table; 4.2x when exchange reuse fires, 12.1x when it breaks) — the repeated " +
-          "tf/idf subtrees no longer canonicalize equal; re-unify them or materialize " +
-          "the shared subtree")
+      for (q <- Seq("ann_recall_report", "tfidf_cosine_pairs")) {
+        recordsRead(q) // warm caches; measurement discarded
+        val withReuse = recordsRead(q)
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        val withoutReuse =
+          try recordsRead(q)
+          finally spark.conf.set("spark.sql.exchange.reuse", "true")
+        // measured gap on this data: ann ~11x vs ~20x of its base
+        // table (0.55), tfidf ~4.2x vs ~12.1x (0.35); the 0.85 bar
+        // sits far above both honest ratios but below "reuse does
+        // nothing" (1.0 ± noise)
+        assert(withReuse <= (withoutReuse * 0.85).toLong,
+          s"$q reads $withReuse source rows with exchange reuse vs $withoutReuse " +
+            "without — the repeated subtrees no longer canonicalize equal (reuse " +
+            "buys <15%); re-unify them or materialize the shared subtree")
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -2753,6 +2764,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = keyset(AnnOps.annPqTopk(spark, Sf))
     val ip = keyset(AnnOps.annIvfPqTopk(spark, Sf))
     val gw = keyset(AnnOps.annGraphSearch(spark, Sf))
+    val gwr = keyset(AnnOps.annGraphSearchRefined(spark, Sf))
     val rep = AnnOps.annRecallReport(spark, Sf).collect()
     assert(rep.nonEmpty)
     for (r <- rep) {
@@ -2765,10 +2777,46 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(r.fieldIndex("pq_hits")) == (bq & p).size, s"q=$q pq_hits")
       assert(r.getLong(r.fieldIndex("ivfpq_hits")) == (bq & ip).size, s"q=$q ivfpq_hits")
       assert(r.getLong(r.fieldIndex("gw_hits")) == (bq & gw).size, s"q=$q gw_hits")
-      for (c <- Seq("lsh_recall", "ivf_recall", "pq_recall", "ivfpq_recall", "gw_recall")) {
+      assert(r.getLong(r.fieldIndex("gwr_hits")) == (bq & gwr).size, s"q=$q gwr_hits")
+      for (c <- Seq("lsh_recall", "ivf_recall", "pq_recall", "ivfpq_recall",
+          "gw_recall", "gwr_recall")) {
         val v = r.getDouble(r.fieldIndex(c))
         assert(v >= 0.0 && v <= 1.0, s"q=$q $c bounds")
       }
+    }
+    // the point of the NN-descent round: the SAME walk over the
+    // refined graph must not lose recall in aggregate (deterministic
+    // fixed data — this is an invariant here, not a statistical hope)
+    val gwHits = rep.map(_.getLong(rep.head.fieldIndex("gw_hits"))).sum
+    val gwrHits = rep.map(_.getLong(rep.head.fieldIndex("gwr_hits"))).sum
+    assert(gwrHits >= gwHits,
+      s"refined-graph walk lost aggregate recall: $gwrHits < $gwHits")
+  }
+
+  test("knn_refine keeps per-vertex degree <= RefineK and never loses a better neighbor") {
+    // one NN-descent round can only improve each vertex's neighbor
+    // list: the refined top-RefineK is drawn from a candidate
+    // SUPERSET of the current edges, so per src, rank for rank, the
+    // refined cosine must be >= the original cosine at the same
+    // rank, the list never shrinks, and every (src, rnk) stays
+    // unique in 1..RefineK
+    val g = AnnOps.annKnnGraph(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val rg = AnnOps.knnRefine(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rg.nonEmpty)
+    assert(rg.forall(e => e._3 >= 1 && e._3 <= AnnOps.RefineK))
+    assert(rg.map(e => (e._1, e._3)).distinct.length == rg.length, "duplicate (src, rnk)")
+    val origBy = g.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.sortBy(_._3).map(_._4) }
+    val refBy = rg.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.sortBy(_._3).map(_._4) }
+    for ((s0, orig) <- origBy) {
+      val ref = refBy.getOrElse(s0, Array.empty[Double])
+      assert(ref.length >= orig.length, s"src=$s0 refined list shrank")
+      for (k <- orig.indices)
+        assert(ref(k) >= orig(k),
+          s"src=$s0 rank ${k + 1}: refined cosine ${ref(k)} < original ${orig(k)}")
     }
   }
 
