@@ -167,6 +167,19 @@ object MixOps {
   def packMixSequences(s: SparkSession, d: String, weights: DataFrame): DataFrame =
     packFrame(corpusMixSample(s, d, weights))
 
+  /** Pack on LEARNED tokens: the same concat-and-chunk window keyed
+    * on per-doc BPE symbol counts from the fitted tokenizer
+    * ([[TextOps.bpeDocTokens]]) instead of whitespace words — what a
+    * training run actually consumes is model tokens, and through r15
+    * the packer budgeted context windows in a different tokenization
+    * than the fit reported (`bpe_apply`). Per-source packed token
+    * totals reconcile with `bpe_apply`'s syms_total by construction
+    * (spec-pinned). Same plan shape: the BPE count projection rides
+    * the cached fit + one broadcast vocab join, then the RangeRank
+    * running sum. */
+  def packSequencesBpe(s: SparkSession, d: String): DataFrame =
+    packFrame(TextOps.bpeDocTokens(s, d))
+
   private def packFrame(docs: DataFrame): DataFrame = {
     // the packer's prefix sum rides RangeRank (range-partitioned with
     // per-partition offsets): a (source, shard) window puts
@@ -360,6 +373,7 @@ object MixOps {
     "token_budget_mix"  -> (tokenBudgetMix _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "pack_sequences"    -> (packSequences _),
+    "pack_sequences_bpe" -> (packSequencesBpe _),
     "pack_mix_sequences" -> ((s: SparkSession, d: String) => packMixSequences(s, d)),
     "pii_count"         -> (piiCount _))
 
@@ -447,6 +461,29 @@ object MixOps {
          |tt AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
          |         ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
          |       FROM toks WHERE tk IS NOT NULL),
+         |cb AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM tt)
+         |SELECT doc_id, source, shard, n_tokens,
+         |  cum_before // $CtxTokens AS seq_id,
+         |  cum_before % $CtxTokens AS seq_offset,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE (cum_before + n_tokens + ${CtxTokens - 1}) // $CtxTokens - cum_before // $CtxTokens
+         |  END AS n_seqs
+         |FROM cb""".stripMargin,
+    "pack_sequences_bpe" ->
+      s"""WITH ${TextOps.bpeCtesSql},
+         |vocab AS (
+         |  SELECT w, CAST(len(string_split(seq, '${TextOps.BpeDelim}')) - 1 AS BIGINT) AS n_syms
+         |  FROM w${TextOps.BpeMerges}),
+         |corpus AS (SELECT doc_id, source, unnest($tkSql) AS w
+         |           FROM documents WHERE text IS NOT NULL),
+         |bt AS (
+         |  SELECT doc_id, source, CAST(sum(v.n_syms) AS BIGINT) AS n_tokens
+         |  FROM corpus c JOIN vocab v ON c.w = v.w
+         |  WHERE c.w <> '' GROUP BY doc_id, source),
+         |tt AS (SELECT doc_id, source, n_tokens,
+         |         ${Portable.h60Sql("CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
+         |       FROM bt),
          |cb AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM tt)
          |SELECT doc_id, source, shard, n_tokens,

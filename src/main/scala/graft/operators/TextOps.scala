@@ -1445,6 +1445,65 @@ object TextOps {
         expr("(syms_total * 1000000) div chars_total").cast("long"))
   }
 
+  /** ENCODE the corpus with the fitted BPE tokenizer: per document,
+    * the token-ID ARRAY a training run actually consumes —
+    * [[bpeApply]] reports compression statistics, this EMITS the ids,
+    * closing fit → encode → pack with the SAME tokenizer (through
+    * r15 the packer counted whitespace tokens while the fit counted
+    * symbols — two different tokenizations of one corpus). Symbol ids
+    * are the lexicographic rank over the final vocabulary's distinct
+    * symbols — deterministic, engine-replayable, and stable under
+    * repartitioning (a production tokenizer ships ids by frequency;
+    * the rank RULE is the contract here, not the numbering taste).
+    * Shape: the fit side is the per-dir cached vocab loop; the encode
+    * side is ONE corpus scan joined (broadcast — vocab-sized) against
+    * the per-word id arrays, then one per-doc re-aggregation in token
+    * order. Docs whose every token is empty (or NULL text) encode to
+    * no row — nothing to train on. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val D = BpeDelim
+    val wt = bpeFitRounds(s, d)._2
+      .withColumn("syms",
+        expr(s"slice(split(seq, '$D'), 1, size(split(seq, '$D')) - 1)"))
+      .select(col("w"), col("syms"))
+    val ids = wt.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("id", RangeRank.kRank(col("sym"), col("sym")).cast("long"))
+    val wordIds = wt
+      .select(col("w"), posexplode(col("syms")).as(Seq("sp", "sym")))
+      .join(ids, Seq("sym"))
+      .groupBy(col("w"))
+      .agg(transform(array_sort(collect_list(struct(col("sp"), col("id")))),
+        x => x.getField("id")).as("wids"))
+    docs(s, d)
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "w")))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wordIds), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        flatten(transform(array_sort(collect_list(struct(col("p"), col("wids")))),
+          x => x.getField("wids"))).as("token_ids"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("token_ids")).cast("long").as("n_ids"), col("token_ids"))
+  }
+
+  /** Per-doc LEARNED-token counts (doc_id, source, n_tokens) under the
+    * fitted BPE tokenizer — the learned sibling of [[MixOps]]' per-doc
+    * whitespace token projection, consumed by `pack_sequences_bpe`
+    * (packing budgets context windows in the tokens the model will
+    * actually see). Same broadcast-vocab shape as [[bpeApply]]. */
+  private[operators] def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    val wtFinal = bpeFitRounds(s, d)._2
+      .withColumn("n_syms",
+        expr(s"size(split(seq, '$BpeDelim')) - 1").cast("long"))
+      .select(col("w"), col("n_syms"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), explode(col("tk")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wtFinal), Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n_syms")).cast("long").as("n_tokens"))
+  }
+
   // ---- unigram-LM tokenizer fit (SentencePiece's other half) ------
 
   val UniMaxPiece = 4   // max piece length (chars) in the candidate set
@@ -2541,6 +2600,7 @@ object TextOps {
     "bpe_pair_counts" -> (bpePairCounts _),
     "bpe_train" -> (bpeTrain _),
     "bpe_apply" -> (bpeApply _),
+    "bpe_encode" -> (bpeEncode _),
     "bpe_vocab_topk" -> (bpeVocabTopk _),
     "quality_model_score" -> (qualityModelScore _),
     "tokenizer_fertility" -> (tokenizerFertility _),
@@ -2692,7 +2752,7 @@ object TextOps {
     * rewrite patterns `m_k`, the rewritten vocab `w_k`, and the
     * merge-table row `r_k`. Yields the final vocab as `w$BpeMerges`
     * and the union of rows as `merges`. */
-  private def bpeCtesSql: String = {
+  private[operators] def bpeCtesSql: String = {
     val D = BpeDelim
     def pairsOf(w: String): String =
       s"""SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
@@ -2753,6 +2813,28 @@ object TextOps {
          |  FROM st)
          |SELECT CAST(rnk AS BIGINT) AS rnk, sym, cnt, n_words
          |FROM rk WHERE rnk <= $BpeK""".stripMargin,
+    "bpe_encode" ->
+      s"""WITH $bpeCtesSql,
+         |ws AS (
+         |  SELECT w, list_slice(string_split(seq, '$BpeDelim'), 1,
+         |                       len(string_split(seq, '$BpeDelim')) - 1) AS syms
+         |  FROM w$BpeMerges),
+         |sy AS (SELECT DISTINCT unnest(syms) AS sym FROM ws),
+         |ids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id FROM sy),
+         |wp AS (SELECT w, unnest(range(len(syms))) AS sp, syms FROM ws),
+         |ws2 AS (SELECT w, sp, syms[sp + 1] AS sym FROM wp),
+         |wids AS (
+         |  SELECT w, list(id ORDER BY sp) AS wids
+         |  FROM ws2 JOIN ids USING (sym) GROUP BY w),
+         |dt AS (SELECT doc_id, $tkSql AS tk FROM documents WHERE text IS NOT NULL),
+         |dp AS (SELECT doc_id, unnest(range(len(tk))) AS p, tk FROM dt),
+         |dw AS (SELECT doc_id, p, tk[p + 1] AS w FROM dp WHERE tk[p + 1] <> ''),
+         |enc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         flatten(list(wids ORDER BY p)) AS token_ids
+         |  FROM dw JOIN wids USING (w) GROUP BY doc_id)
+         |SELECT doc_id, n_words, CAST(len(token_ids) AS BIGINT) AS n_ids, token_ids
+         |FROM enc""".stripMargin,
     "bpe_apply" ->
       s"""WITH $bpeCtesSql,
          |vocab AS (

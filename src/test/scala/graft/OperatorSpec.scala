@@ -916,6 +916,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bpe_encode and pack_sequences_bpe reconcile with bpe_apply's totals") {
+    import org.apache.spark.sql.functions._
+    // fit → encode → pack must agree on ONE tokenization: the encoded
+    // id streams, the packer's per-doc token counts, and bpe_apply's
+    // per-source symbol totals are three views of the same fit
+    val ap = SparkEntry.queries("bpe_apply")(spark, Sf).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("syms_total"))))
+      .toMap
+    val enc = SparkEntry.queries("bpe_encode")(spark, Sf)
+      .agg(sum(col("n_words")).as("w"), sum(col("n_ids")).as("i")).collect()(0)
+    assert(enc.getLong(0) == ap.values.map(_._1).sum, "encoded word total != bpe_apply n_tokens")
+    assert(enc.getLong(1) == ap.values.map(_._2).sum, "emitted id total != bpe_apply syms_total")
+    val pk = SparkEntry.queries("pack_sequences_bpe")(spark, Sf).collect()
+    val bySrc = pk.groupBy(_.getString(1)).map { case (s0, xs) =>
+      s0 -> xs.map(r => r.getLong(r.fieldIndex("n_tokens"))).sum }
+    for ((s0, (_, syms)) <- ap)
+      assert(bySrc.getOrElse(s0, 0L) == syms,
+        s"source $s0 packed token total != bpe_apply syms_total")
+    // per doc, the packer budgets exactly the ids the encoder emits
+    val encByDoc = SparkEntry.queries("bpe_encode")(spark, Sf)
+      .select("doc_id", "n_ids").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- pk) {
+      val d0 = r.getLong(r.fieldIndex("doc_id"))
+      assert(encByDoc.getOrElse(d0, -1L) == r.getLong(r.fieldIndex("n_tokens")),
+        s"doc $d0 packed n_tokens != encoded n_ids")
+    }
+    assert(pk.length == encByDoc.size, "packed doc set != encoded doc set")
+  }
+
   test("bpe_train and bpe_apply match a plain-Scala BPE fit") {
     // Independent sequential recompute of the looped fit: word counts,
     // then BpeMerges rounds of pair-count → argmax → two-pass
