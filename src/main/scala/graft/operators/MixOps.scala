@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryFn
 import graft.functions.Portable
@@ -88,6 +88,68 @@ object MixOps {
     docTokens(s, d).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tokens"))
+
+  /** Gate-pinned mixing temperature for `token_budget_mix_t` and the
+    * per-unit integer resolution of the root (weight_t ≈
+    * [[TempScale]]·weight^(1/T), so T=1 keeps weights exactly
+    * proportional and the floor loses < 1/[[TempScale]] relative). */
+  val MixTemp   = 2
+  val TempScale = 1000L
+
+  /** EXACT integer t-th root of a non-negative long column:
+    * floor(x^(1/t)) seeded from the double pow, then corrected ±2 in
+    * exact integer arithmetic — the result is the mathematical
+    * integer root whatever the float seed rounded to, so both
+    * engines agree by definition, not by matching float behavior.
+    * Valid while (s0+2)^t fits a long — x ≤ 4·10^12 here. */
+  private def iroot(x: Column, t: Int): Column = {
+    def ipow(c: Column): Column = (1 to t).map(_ => c).reduce(_ * _)
+    val s0 = floor(pow(x.cast("double"), lit(1.0 / t))).cast("long")
+    val up = when(ipow(s0 + 2) <= x, s0 + 2)
+      .when(ipow(s0 + 1) <= x, s0 + 1).otherwise(s0)
+    when(ipow(up) > x,
+      when(ipow(up - lit(1)) > x, up - 2).otherwise(up - 1)).otherwise(up)
+  }
+
+  /** TEMPERATURE-scaled token-budget allocation — the standard
+    * multinomial temperature knob of the published data mixes
+    * (Gopher, LLaMA: sampling rate ∝ share^(1/T); T=1 is the natural
+    * mix, T→∞ uniform across sources): [[tokenBudgetMix]]'s linear
+    * weights are replaced by weight_t = iroot(weight·TempScale^T, T)
+    * ≈ TempScale·weight^(1/T) — an INTEGER-EXACT rational-root
+    * definition, so the oracle replays it bit-for-bit (a float pow
+    * would leave the family rows-only). The constant TempScale^(1/T)
+    * factor cancels in the weight_t/Σweight_t normalization, and at
+    * T=1 weight_t = TempScale·weight makes every rate IDENTICAL to
+    * `token_budget_mix` (floor of equal rationals — spec-pinned).
+    * Same plan shape as the linear mix: one partial-agg groupBy +
+    * one-row totals broadcast; per-source budget products stay under
+    * 2^62 for corpora to ~10^9 tokens per unit weight·TempScale —
+    * past that the same plan runs on DECIMAL(38). */
+  def tokenBudgetMixT(s: SparkSession, d: String): DataFrame =
+    tokenBudgetMixT(s, d, MixTemp)
+
+  /** Parameterized temperature (integer 1..4 — the published mixes
+    * use T in [1, 4]; rational T re-expresses as iroot of an integer
+    * power and needs only a wider intermediate). */
+  def tokenBudgetMixT(s: SparkSession, d: String, t: Int): DataFrame = {
+    require(t >= 1 && t <= 4, s"integer temperature 1..4 supported, got $t")
+    val c = (1 to t).map(_ => TempScale).product
+    val perSource = perSourceTokens(s, d)
+      .withColumn("weight", Portable.h60(col("source")) % 4L + 1L)
+      .withColumn("weight_t", iroot(col("weight") * c, t))
+    val totals = perSource.agg(
+      sum(col("tokens")).as("total_tokens"), sum(col("weight_t")).as("wsum"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("rate_ppm",
+        when(col("tokens") > 0,
+          least(lit(1000000L),
+            expr(s"((total_tokens div $BudgetDiv) * weight_t div wsum) * 1000000 div tokens")))
+          .otherwise(lit(0L)))
+      .withColumn("expected_tokens", expr("tokens * rate_ppm div 1000000"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+        col("weight_t"), col("rate_ppm"), col("expected_tokens"))
+  }
 
   private def budgetRates(perSource: DataFrame): DataFrame = {
     val totals = perSource.agg(
@@ -371,6 +433,7 @@ object MixOps {
     "pack_efficiency" -> (packEfficiency _),
     "epoch_plan"        -> (epochPlan _),
     "token_budget_mix"  -> (tokenBudgetMix _),
+    "token_budget_mix_t" -> ((s: SparkSession, d: String) => tokenBudgetMixT(s, d)),
     "corpus_mix_sample" -> (corpusMixSample _),
     "pack_sequences"    -> (packSequences _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
@@ -516,6 +579,37 @@ object MixOps {
          |SELECT source, n_docs, tokens, weight, rate_ppm,
          |  tokens * rate_ppm // 1000000 AS expected_tokens
          |FROM rates""".stripMargin,
+    "token_budget_mix_t" -> {
+      // exact integer sqrt: double-seeded floor + exact +-2 correction
+      // (the corrected value is THE integer root whatever the float
+      // seed rounded to — engine-agreement by definition)
+      val c2 = TempScale * TempScale
+      s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+         |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens,
+         |       ${Portable.h60Sql("source")} % 4 + 1 AS weight
+         |       FROM toks GROUP BY source),
+         |pw AS (SELECT *, weight * $c2 AS wq FROM ps),
+         |sq0 AS (SELECT *, CAST(floor(sqrt(CAST(wq AS DOUBLE))) AS BIGINT) AS s0 FROM pw),
+         |squ AS (SELECT *, CASE WHEN (s0 + 2) * (s0 + 2) <= wq THEN s0 + 2
+         |                       WHEN (s0 + 1) * (s0 + 1) <= wq THEN s0 + 1
+         |                       ELSE s0 END AS up FROM sq0),
+         |wt AS (SELECT source, n_docs, tokens, weight,
+         |         CASE WHEN up * up > wq THEN
+         |                CASE WHEN (up - 1) * (up - 1) > wq THEN up - 2 ELSE up - 1 END
+         |              ELSE up END AS weight_t
+         |       FROM squ),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |               CAST(sum(weight_t) AS BIGINT) AS wsum FROM wt),
+         |rts AS (
+         |  SELECT source, n_docs, tokens, weight, weight_t,
+         |    CASE WHEN tokens > 0
+         |      THEN least(1000000, ((total_tokens // $BudgetDiv) * weight_t // wsum) * 1000000 // tokens)
+         |      ELSE 0 END AS rate_ppm
+         |  FROM wt, tot)
+         |SELECT source, n_docs, tokens, weight, weight_t, rate_ppm,
+         |  tokens * rate_ppm // 1000000 AS expected_tokens
+         |FROM rts""".stripMargin
+    },
     "mix_deficit_report" ->
       s"""WITH $budgetCtes,
          |r2 AS (

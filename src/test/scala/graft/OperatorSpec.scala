@@ -916,6 +916,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("token_budget_mix_t at T=1 reproduces token_budget_mix; weight_t is the exact root") {
+    // T=1: weight_t = TempScale * weight is exactly proportional to
+    // the linear mix's weights, and floor((B*kw)/(k*sum w)) ==
+    // floor((B*w)/sum w) for any k — so every rate and expected-token
+    // count must be BIT-identical to token_budget_mix
+    val lin = SparkEntry.queries("token_budget_mix")(spark, Sf).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("rate_ppm")), r.getLong(r.fieldIndex("expected_tokens"))))
+      .toMap
+    val t1 = MixOps.tokenBudgetMixT(spark, Sf, 1).collect()
+    assert(t1.nonEmpty && t1.length == lin.size)
+    for (r <- t1) {
+      val s0 = r.getString(r.fieldIndex("source"))
+      assert(r.getLong(r.fieldIndex("weight_t")) ==
+        r.getLong(r.fieldIndex("weight")) * MixOps.TempScale, s"source $s0 weight_t at T=1")
+      assert((r.getLong(r.fieldIndex("rate_ppm")),
+        r.getLong(r.fieldIndex("expected_tokens"))) == lin(s0),
+        s"source $s0 T=1 rates differ from token_budget_mix")
+    }
+    // T=2 (the gate-pinned default): weight_t must be the EXACT
+    // integer sqrt of weight*TempScale^2 — the float seed's rounding
+    // must never leak through the correction
+    for (r <- MixOps.tokenBudgetMixT(spark, Sf, 2).collect()) {
+      val w = r.getLong(r.fieldIndex("weight"))
+      val wt = r.getLong(r.fieldIndex("weight_t"))
+      val x = w * MixOps.TempScale * MixOps.TempScale
+      assert(wt >= 0 && wt * wt <= x && (wt + 1) * (wt + 1) > x,
+        s"weight_t $wt is not isqrt($x)")
+    }
+  }
+
   test("bpe_encode and pack_sequences_bpe reconcile with bpe_apply's totals") {
     import org.apache.spark.sql.functions._
     // fit → encode → pack must agree on ONE tokenization: the encoded
