@@ -446,6 +446,36 @@ object TextOps {
           .as("n_removed"))
   }
 
+  /** Per-source POST-EXCISION corpus size — the number a dedup report
+    * carries beside `dedup_savings` for the span family: after
+    * [[spanExcise]] cuts every duplicated span, how many tokens each
+    * source still contributes (before/removed/after + removed ppm +
+    * docs touched). `dup_span_stats` reports coverage of the located
+    * spans; this reports the YIELD of actually cutting them — the two
+    * reconcile by construction (removed = the same union-of-extents
+    * covered set; spec-pinned), which is the audit line a 100 TB
+    * span-dedup run closes before shipping a corpus version. One
+    * partial-agg groupBy over [[spanExcise]]'s per-doc output joined
+    * to the sources-projection; Catalyst prunes the clean_text
+    * aggregation out of the excision subplan since nothing here
+    * reads it (the composition costs the position anti-join, not the
+    * string rebuild). */
+  def spanExciseSavings(s: SparkSession, d: String): DataFrame = {
+    val sz = docs(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), size(col("tk")).cast("long").as("nt"))
+    spanExcise(s, d)
+      .join(sz, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).cast("long").as("docs_excised"),
+        sum(col("nt")).cast("long").as("tokens_before"),
+        sum(col("n_removed")).cast("long").as("tokens_removed"))
+      .withColumn("tokens_after", col("tokens_before") - col("tokens_removed"))
+      .withColumn("removed_ppm",
+        when(col("tokens_before") > 0,
+          expr("(tokens_removed * 1000000) div tokens_before")).otherwise(lit(0L)))
+  }
+
   // thresholds for the composite corpus filter (C4-style heuristics)
   val MinWords    = 20
   val MaxMeanWord = 12.0
@@ -2646,6 +2676,7 @@ object TextOps {
     "corpus_quantiles_lang" -> (corpusQuantilesLang _),
     "dedup_spans" -> (dedupSpans _),
     "span_excise" -> (spanExcise _),
+    "span_excise_savings" -> (spanExciseSavings _),
     "dup_span_stats" -> (dupSpanStats _),
     "span_dedup_incremental" -> (spanDedupIncremental _),
     "unigram_lm_train" -> (unigramLmTrain _),
@@ -3851,6 +3882,24 @@ object TextOps {
          |            THEN CAST((sum(coalesce(p.cov, 0)) * 1000000) // sum(t.nt) AS BIGINT)
          |            ELSE CAST(0 AS BIGINT) END AS span_ppm
          |FROM tot t LEFT JOIN pd p ON t.doc_id = p.doc_id
+         |GROUP BY t.source""".stripMargin,
+    "span_excise_savings" ->
+      s"""WITH $spanCtes,
+         |cover AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(range(sp, ep + $ShingleN)) AS pos FROM spans)),
+         |pd AS (SELECT doc_id, count(*) AS cov FROM cover GROUP BY doc_id),
+         |tot AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS nt
+         |        FROM toks WHERE text IS NOT NULL)
+         |SELECT t.source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN coalesce(p.cov, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_excised,
+         |       CAST(sum(t.nt) AS BIGINT) AS tokens_before,
+         |       CAST(sum(coalesce(p.cov, 0)) AS BIGINT) AS tokens_removed,
+         |       CAST(sum(t.nt) - sum(coalesce(p.cov, 0)) AS BIGINT) AS tokens_after,
+         |       CASE WHEN sum(t.nt) > 0
+         |            THEN CAST((sum(coalesce(p.cov, 0)) * 1000000) // sum(t.nt) AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS removed_ppm
+         |FROM tot t LEFT JOIN pd p USING (doc_id)
          |GROUP BY t.source""".stripMargin,
     "span_excise" ->
       s"""WITH $spanCtes,

@@ -916,6 +916,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("span_excise_savings reconciles with dup_span_stats and span_excise") {
+    import org.apache.spark.sql.functions._
+    // the savings KPI and the coverage KPI are two aggregations of
+    // the SAME union-of-extents covered set — every shared column
+    // must agree exactly, and the removed totals must equal what the
+    // excision operator actually cut
+    val st = SparkEntry.queries("dup_span_stats")(spark, Sf).collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    val sv = SparkEntry.queries("span_excise_savings")(spark, Sf).collect()
+    assert(sv.nonEmpty && sv.length == st.size)
+    for (r <- sv) {
+      val s0 = r.getString(r.fieldIndex("source")); val t = st(s0)
+      assert(r.getLong(r.fieldIndex("n_docs")) == t.getLong(t.fieldIndex("n_docs")), s"$s0 n_docs")
+      assert(r.getLong(r.fieldIndex("docs_excised")) ==
+        t.getLong(t.fieldIndex("docs_with_spans")), s"$s0 docs_excised")
+      assert(r.getLong(r.fieldIndex("tokens_before")) ==
+        t.getLong(t.fieldIndex("total_tokens")), s"$s0 tokens_before")
+      assert(r.getLong(r.fieldIndex("tokens_removed")) ==
+        t.getLong(t.fieldIndex("span_tokens")), s"$s0 tokens_removed")
+      assert(r.getLong(r.fieldIndex("removed_ppm")) ==
+        t.getLong(t.fieldIndex("span_ppm")), s"$s0 removed_ppm")
+      assert(r.getLong(r.fieldIndex("tokens_after")) ==
+        r.getLong(r.fieldIndex("tokens_before")) - r.getLong(r.fieldIndex("tokens_removed")))
+    }
+    val exTotal = SparkEntry.queries("span_excise")(spark, Sf)
+      .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(exTotal == sv.map(r => r.getLong(r.fieldIndex("tokens_removed"))).sum,
+      "savings total != sum of per-doc excised tokens")
+  }
+
   test("token_budget_mix_t at T=1 reproduces token_budget_mix; weight_t is the exact root") {
     // T=1: weight_t = TempScale * weight is exactly proportional to
     // the linear mix's weights, and floor((B*kw)/(k*sum w)) ==
