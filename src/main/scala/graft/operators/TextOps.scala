@@ -1541,6 +1541,22 @@ object TextOps {
   val UniVocabK   = 120 // pieces kept at each prune (single chars always kept)
   val UniRounds   = 2   // Viterbi-EM rounds
 
+  /** Unigram vocab sizing from the corpus WORD-TYPE count — the
+    * [[graft.operators.AnnOps.planesFor]] rule for this family, so
+    * 100 TB vocab sizing is a derivation, not a hand-picked constant:
+    * SentencePiece practice keeps vocab well under the type count and
+    * growing sublinearly with it; `mul·√types` (clamped to the
+    * gate-pinned floor and a 32k serving cap — the common production
+    * vocab ceiling) reproduces the defaults at the gate fixture scale
+    * and lands in the usual 8-32k band for web-corpus type counts.
+    * Seeds oversample the target vocab 2.5× so the prune has choice
+    * (the 300/120 default ratio). */
+  def uniVocabFor(nTypes: Long, mul: Int = 4): Int =
+    math.max(UniVocabK, math.min(32000, (mul * math.sqrt(nTypes.toDouble)).toInt))
+
+  def uniSeedFor(nTypes: Long, mul: Int = 4): Int =
+    uniVocabFor(nTypes, mul) * 5 / 2
+
   /** Viterbi segmentation of every word in the vocab table under a
     * broadcast-literal log-prob model — expressed entirely in Catalyst
     * higher-order functions (no UDF, no mapPartitions): one forward
@@ -1589,7 +1605,15 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long)], DataFrame)]()
 
   private[operators] def uniFit(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) =
-    uniFitCache.computeIfAbsent(d, _ => uniFitUncached(s, d))
+    uniFitCache.computeIfAbsent(d, _ => uniFitUncached(s, d, UniSeedK, UniVocabK))
+
+  /** Parameterized fit (the gate pins [[UniSeedK]]/[[UniVocabK]]; a
+    * production run derives the sizes via [[uniVocabFor]]): bypasses
+    * the per-dir cache — only the default-knob fit is session-wide
+    * state (the clusterCache forced-path rule). */
+  private[graft] def uniFitSized(s: SparkSession, d: String,
+      seedK: Int, vocabK: Int): (Seq[(String, Long)], DataFrame) =
+    uniFitUncached(s, d, seedK, vocabK)
 
   /** The LOOPED unigram-LM fit (Kudo 2018, hard-EM/Viterbi variant):
     * corpus scanned ONCE into the checkpointed word-frequency table
@@ -1609,7 +1633,8 @@ object TextOps {
     * (dev/PORTABILITY.md), so this family is rows-only at the driver
     * gate BY DESIGN and its exactness gate is the sequential
     * plain-Scala recompute spec (same JVM, same IEEE op order). */
-  private def uniFitUncached(s: SparkSession, d: String): (Seq[(String, Long)], DataFrame) = {
+  private def uniFitUncached(s: SparkSession, d: String,
+      seedK: Int, vocabK: Int): (Seq[(String, Long)], DataFrame) = {
     val wt = bpeWords(s, d).select(col("w"), col("wc"))
     val sub = wt.select(col("wc"), explode(expr(
         s"flatten(transform(sequence(1, char_length(w)), " +
@@ -1618,7 +1643,7 @@ object TextOps {
       .groupBy(col("piece")).agg(sum(col("wc")).cast("long").as("cnt"))
       .localCheckpoint(false)
     val chars = sub.filter(length(col("piece")) === 1)
-    val seed = sub.orderBy(col("cnt").desc, col("piece")).limit(UniSeedK)
+    val seed = sub.orderBy(col("cnt").desc, col("piece")).limit(seedK)
       .unionByName(chars).distinct()
     var vocab: Seq[(String, Long)] = seed.collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -1631,7 +1656,7 @@ object TextOps {
       val counts = seg.select(col("wc"), explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("wc")).cast("long").as("cnt"))
         .localCheckpoint(false)
-      val top = counts.orderBy(col("cnt").desc, col("piece")).limit(UniVocabK)
+      val top = counts.orderBy(col("cnt").desc, col("piece")).limit(vocabK)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val cntMap = counts.filter(length(col("piece")) === 1)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

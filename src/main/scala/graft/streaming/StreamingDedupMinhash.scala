@@ -96,11 +96,22 @@ object StreamingDedupMinhash {
       .start()
     q.awaitTermination()
     // single-batch precondition (see scaladoc): the doc_id-rank oracle
-    // is only valid when all input rows arrived in ONE micro-batch
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches <= 1,
-      s"streaming_dedup_minhash: input split across $dataBatches micro-batches — " +
-        "arrival order is no longer doc_id order; the rank-based oracle does not apply")
+    // is only valid when all input rows arrived in ONE micro-batch.
+    // Asserted from lastProgress.batchId, NOT by counting
+    // recentProgress entries — that is a ring buffer capped by
+    // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    // deployment that split input across more batches than the buffer
+    // holds would drop the early entries and undercount. Under
+    // AvailableNow with a single data batch the final progress is
+    // batch 0 (or an empty trailing batch 1); anything later means
+    // the input was split.
+    val lp = q.lastProgress
+    require(lp != null &&
+        (lp.batchId == 0L || (lp.batchId == 1L && lp.numInputRows == 0L)),
+      s"streaming_dedup_minhash: last micro-batch was ${if (lp == null) "absent"
+        else s"batch ${lp.batchId} with ${lp.numInputRows} input rows"} — input " +
+        "arrived in more than one data batch, so arrival order is no longer " +
+        "doc_id order and the rank-based oracle does not apply")
     // the published pair log → per-doc verdict (the consumer-side agg)
     s.table(name).groupBy(col("doc_id"))
       .agg(min(col("ida")).as("canonical_id"))

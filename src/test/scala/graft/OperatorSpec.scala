@@ -2991,43 +2991,60 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
          l <- 1 to math.min(TextOps.UniMaxPiece, w.length - i))
       sub(w.substring(i, i + l)) += c
     val chars = sub.keys.filter(_.length == 1).toSet
-    val seedTop = sub.toSeq.sortBy { case (p, c) => (-c, p) }.take(TextOps.UniSeedK)
-    var vocab: Seq[(String, Long)] =
-      (seedTop ++ sub.toSeq.filter(x => chars(x._1))).distinct
-    var lastSeg: Map[String, Seq[String]] = Map.empty
-    for (_ <- 1 to TextOps.UniRounds) {
-      val tot = vocab.map(_._2 + 1).sum.toDouble
-      val logp = vocab.map { case (p, c) => p -> math.log((c + 1).toDouble / tot) }.toMap
-      def viterbi(w: String): Seq[String] = {
-        val n = w.length
-        val sc = Array.fill(n + 1)(0.0)
-        val bp = Array.fill(n + 1)(0)
-        for (i <- 1 to n) {
-          val cands = for (l <- 1 to math.min(TextOps.UniMaxPiece, i)) yield
-            (sc(i - l) + logp.getOrElse(w.substring(i - l, i), -1e18), l)
-          val mx = cands.max // lexicographic: best score, then LONGER piece
-          sc(i) = mx._1; bp(i) = mx._2
+    // the whole fit as a function of the size knobs, so the SAME
+    // recompute pins both the gate-default fit and the parameterized
+    // (uniVocabFor-derived) path at a non-default size
+    def fitRecompute(seedK: Int, vocabK: Int): (Seq[(String, Long)], Map[String, Seq[String]]) = {
+      val seedTop = sub.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedK)
+      var vocab: Seq[(String, Long)] =
+        (seedTop ++ sub.toSeq.filter(x => chars(x._1))).distinct
+      var lastSeg: Map[String, Seq[String]] = Map.empty
+      for (_ <- 1 to TextOps.UniRounds) {
+        val tot = vocab.map(_._2 + 1).sum.toDouble
+        val logp = vocab.map { case (p, c) => p -> math.log((c + 1).toDouble / tot) }.toMap
+        def viterbi(w: String): Seq[String] = {
+          val n = w.length
+          val sc = Array.fill(n + 1)(0.0)
+          val bp = Array.fill(n + 1)(0)
+          for (i <- 1 to n) {
+            val cands = for (l <- 1 to math.min(TextOps.UniMaxPiece, i)) yield
+              (sc(i - l) + logp.getOrElse(w.substring(i - l, i), -1e18), l)
+            val mx = cands.max // lexicographic: best score, then LONGER piece
+            sc(i) = mx._1; bp(i) = mx._2
+          }
+          val ps = scala.collection.mutable.ListBuffer[String]()
+          var pos = n
+          while (pos > 0) { val l = bp(pos); ps.prepend(w.substring(pos - l, pos)); pos -= l }
+          ps.toSeq
         }
-        val ps = scala.collection.mutable.ListBuffer[String]()
-        var pos = n
-        while (pos > 0) { val l = bp(pos); ps.prepend(w.substring(pos - l, pos)); pos -= l }
-        ps.toSeq
+        val segs = words.keys.map(w => w -> viterbi(w)).toMap
+        val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((w, ps) <- segs; p <- ps) counts(p) += words(w)
+        val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabK)
+        val keptChars = chars.toSeq.sorted.map(c => c -> counts.getOrElse(c, 0L))
+          .filterNot { case (c, _) => top.exists(_._1 == c) }
+        vocab = (top ++ keptChars).sortBy { case (p, c) => (-c, p) }
+        lastSeg = segs
       }
-      val segs = words.keys.map(w => w -> viterbi(w)).toMap
-      val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-      for ((w, ps) <- segs; p <- ps) counts(p) += words(w)
-      val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(TextOps.UniVocabK)
-      val keptChars = chars.toSeq.sorted.map(c => c -> counts.getOrElse(c, 0L))
-        .filterNot { case (c, _) => top.exists(_._1 == c) }
-      vocab = (top ++ keptChars).sortBy { case (p, c) => (-c, p) }
-      lastSeg = segs
+      (vocab, lastSeg)
     }
+    val (vocab, lastSeg) = fitRecompute(TextOps.UniSeedK, TextOps.UniVocabK)
     val got = TextOps.unigramLmTrain(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.nonEmpty)
     assert(got.length == got.toSet.size)
     val expVocab = vocab.map { case (p, c) => (p, c, p.length.toLong) }
     assert(got.toSet == expVocab.toSet, "final unigram vocab mismatch vs recompute")
+    // the parameterized fit at a NON-DEFAULT size (derived from the
+    // corpus type count via the documented uniVocabFor rule, floor
+    // lowered so the fixture actually exercises a different size)
+    val nTypes = words.size.toLong
+    val vk = math.max(40, math.min(TextOps.uniVocabFor(nTypes, mul = 1), 100))
+    val sk = vk * 5 / 2
+    assert(vk != TextOps.UniVocabK, "fixture-derived size accidentally equals the default")
+    val (expSized, _) = fitRecompute(sk, vk)
+    val gotSized = TextOps.uniFitSized(spark, Sf, sk, vk)._1
+    assert(gotSized == expSized, s"parameterized fit ($sk, $vk) mismatch vs recompute")
     // BPE n_syms per word (same sequential recompute as the bpe spec)
     var seqs: Map[String, String] =
       words.keys.map(w => w -> w.map(c => s"$c~").mkString).toMap
