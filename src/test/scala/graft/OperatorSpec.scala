@@ -712,6 +712,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "minhash_recall_sample" -> ("sample", 3),
       // scalar: one-row totals/watermark/bounds broadcasts
       "tfidf_topk" -> ("scalar", 1), "token_budget_mix" -> ("scalar", 1),
+      // same one-row budget-totals broadcast as the linear mix
+      "token_budget_mix_t" -> ("scalar", 1),
       "corpus_mix_sample" -> ("scalar", 1),
       // pack_mix_sequences: the sampled-mix input (with its one-row
       // budget-totals scalar) appears twice in the packer's RangeRank
@@ -814,6 +816,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       // run merge) + the token explode + the base row set — 4 distinct
       // single-evaluation legs, no redundant derivation
       "span_excise" -> Map("documents" -> 4),
+      // span_excise's 4 declared legs + the per-source size projection
+      // it aggregates against (Catalyst prunes the clean_text rebuild,
+      // not the scans)
+      "span_excise_savings" -> Map("documents" -> 5),
       // spans (2 passes) + the per-source token total
       "dup_span_stats" -> Map("documents" -> 3),
       "split_balance_report" -> Map("documents" -> 4),
