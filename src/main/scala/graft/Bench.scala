@@ -30,8 +30,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *      through r15 left a 2-3× blind spot that shipped two
   *      uncorrected movers), worst first, each with its own
   *      stage-metric window AND its quiet-tail re-runs + corrected
-  *      median (the tail median — the later, quieter measurement —
-  *      not min(raw, tail), which biases the record downward), so the
+  *      median (the median of all SIX runs, raw ∪ tail — robust to a
+  *      burst landing on either window, free of min()'s downward
+  *      bias), so the
   *      record is SELF-CORRECTING, not just self-adjudicating (rounds
   *      13 and 14 each shipped ~60-100 s of contention fiction in
   *      committed medians that a judge had to re-measure away); the
@@ -236,16 +237,21 @@ object Bench {
     // residual contention that sat below every bar) — is re-run three
     // more times after the suite, by which time a time-localized
     // co-tenant burst has typically passed, and the RECORDED median
-    // becomes the TAIL median (the later, quieter measurement): NOT
-    // min(raw, tail), which takes the luckier of two 3-run medians
-    // and systematically biases the committed record (and the next
-    // round's regression baseline) downward. A transient burst
-    // corrects itself out of the record; a REAL plan regression
-    // reproduces in the tail and stays flagged (corr_ratio on the
-    // regress line). Raw runs + tail runs + the corrected medians all
-    // land in the detail file, so every correction is auditable,
-    // never silent. Flagged set capped at 16 to bound tail wall-time
-    // on a pathological host.
+    // becomes the MEDIAN OF ALL SIX runs (raw ∪ tail). Not
+    // min(raw median, tail median): that takes the luckier of two
+    // 3-run medians and systematically biases the committed record
+    // (and the next round's regression baseline) downward (the r15
+    // low). Not the tail median alone either: the first r16 run
+    // caught a burst landing ON the tail window (ccld_sample_sigma
+    // raw median 1.92 s, tail median 3.45 s — a 1.8× inflation a
+    // tail-only rule would commit). The 6-run median tolerates a
+    // full 3-run burst in EITHER window (the worst it can pick is
+    // the slowest honest run); a REAL plan regression reproduces in
+    // both windows and stays flagged (corr_ratio on the regress
+    // line). Raw runs + tail runs + the corrected medians all land
+    // in the detail file, so every correction is auditable, never
+    // silent. Flagged set capped at 16 to bound tail wall-time on a
+    // pathological host.
     val sweep = rated
       .collect { case (n, p, runs, r) if r > 1.4 && r <= 2.0 => (n, p, runs, r) }
       .sortBy { case (_, _, _, r) => -r }.take(5)
@@ -255,9 +261,13 @@ object Bench {
         .take(16).map(_._1) ++ sweep
     val tailRuns: Map[String, Seq[Double]] =
       tailNames.map(n => n -> (1 to 3).map(_ => time(SparkEntry.queries(n)))).toMap
+    val runsByName = results.toMap
     def corrected(n: String, raw: Double): Double =
       tailRuns.get(n).filter(_.forall(_ >= 0))
-        .map(ts => ts.sorted.apply(ts.length / 2))
+        .map { ts =>
+          val all = (runsByName(n) ++ ts).sorted
+          all((all.length - 1) / 2)
+        }
         .getOrElse(raw)
     val medians = results.map { case (n, runs) =>
       n -> (if (runs.forall(_ >= 0)) Some(corrected(n, runs.sorted.apply(1))) else None)
