@@ -1044,6 +1044,32 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Sliding-window chunking in LEARNED-token space — [[chunkDocuments]]
+    * re-keyed on the fitted tokenizer, completing the r16 rule that
+    * fit, encode, pack, and chunk all budget the SAME tokens the
+    * model will see: windows of [[ChunkTokens]] ids advancing by
+    * [[ChunkStride]] over each document's [[bpeEncode]]d id array,
+    * each chunk emitting its ID SLICE (what a dataloader reads), not
+    * a re-tokenized text slice. Docs that encode to nothing (no
+    * vocab words) have nothing to chunk and no row — the whitespace
+    * chunker keeps its NULL-row convention for those. Scale shape:
+    * the encode pass (one scan + vocab broadcast) then a pure explode
+    * projection — zero additional shuffles, row growth n/stride. */
+  def chunkDocumentsBpe(s: SparkSession, d: String): DataFrame = {
+    val k = when(col("n") <= ChunkTokens, lit(1L))
+      .otherwise(expr(s"1 + (n - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride"))
+    val len = least(col("n") - col("chunk_idx") * ChunkStride, lit(ChunkTokens))
+    bpeEncode(s, d).select(col("doc_id"), col("token_ids"), col("n_ids").as("n"))
+      .withColumn("k", k)
+      .select(col("doc_id"), col("token_ids"), col("n"),
+        explode(sequence(lit(0L), col("k") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("chunk_start"),
+        len.as("n_chunk_ids"),
+        slice(col("token_ids"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          len.cast("int")).as("chunk_ids"))
+  }
+
   // ---- containment + corpus report extras ------------------------
 
   val ContainT = 0.8 // doc-in-doc containment flag threshold
@@ -2656,6 +2682,7 @@ object TextOps {
     "bpe_train" -> (bpeTrain _),
     "bpe_apply" -> (bpeApply _),
     "bpe_encode" -> (bpeEncode _),
+    "chunk_documents_bpe" -> (chunkDocumentsBpe _),
     "bpe_vocab_topk" -> (bpeVocabTopk _),
     "quality_model_score" -> (qualityModelScore _),
     "tokenizer_fertility" -> (tokenizerFertility _),
@@ -2848,6 +2875,30 @@ object TextOps {
        |  $union)""".stripMargin
   }
 
+  /** The [[bpeEncode]] pipeline as a CTE chain ending in
+    * `enc (doc_id, n_words, token_ids)` — shared by the encode and
+    * learned-chunking oracles. */
+  private lazy val bpeEncodeCtes: String =
+    s"""$bpeCtesSql,
+       |ws AS (
+       |  SELECT w, list_slice(string_split(seq, '$BpeDelim'), 1,
+       |                       len(string_split(seq, '$BpeDelim')) - 1) AS syms
+       |  FROM w$BpeMerges),
+       |sy AS (SELECT DISTINCT unnest(syms) AS sym FROM ws),
+       |ids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id FROM sy),
+       |wp AS (SELECT w, unnest(range(len(syms))) AS sp, syms FROM ws),
+       |ws2 AS (SELECT w, sp, syms[sp + 1] AS sym FROM wp),
+       |wids AS (
+       |  SELECT w, list(id ORDER BY sp) AS wids
+       |  FROM ws2 JOIN ids USING (sym) GROUP BY w),
+       |dt AS (SELECT doc_id, $tkSql AS tk FROM documents WHERE text IS NOT NULL),
+       |dp AS (SELECT doc_id, unnest(range(len(tk))) AS p, tk FROM dt),
+       |dw AS (SELECT doc_id, p, tk[p + 1] AS w FROM dp WHERE tk[p + 1] <> ''),
+       |enc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         flatten(list(wids ORDER BY p)) AS token_ids
+       |  FROM dw JOIN wids USING (w) GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "bpe_train" ->
       s"""WITH $bpeCtesSql
@@ -2870,27 +2921,22 @@ object TextOps {
          |SELECT CAST(rnk AS BIGINT) AS rnk, sym, cnt, n_words
          |FROM rk WHERE rnk <= $BpeK""".stripMargin,
     "bpe_encode" ->
-      s"""WITH $bpeCtesSql,
-         |ws AS (
-         |  SELECT w, list_slice(string_split(seq, '$BpeDelim'), 1,
-         |                       len(string_split(seq, '$BpeDelim')) - 1) AS syms
-         |  FROM w$BpeMerges),
-         |sy AS (SELECT DISTINCT unnest(syms) AS sym FROM ws),
-         |ids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id FROM sy),
-         |wp AS (SELECT w, unnest(range(len(syms))) AS sp, syms FROM ws),
-         |ws2 AS (SELECT w, sp, syms[sp + 1] AS sym FROM wp),
-         |wids AS (
-         |  SELECT w, list(id ORDER BY sp) AS wids
-         |  FROM ws2 JOIN ids USING (sym) GROUP BY w),
-         |dt AS (SELECT doc_id, $tkSql AS tk FROM documents WHERE text IS NOT NULL),
-         |dp AS (SELECT doc_id, unnest(range(len(tk))) AS p, tk FROM dt),
-         |dw AS (SELECT doc_id, p, tk[p + 1] AS w FROM dp WHERE tk[p + 1] <> ''),
-         |enc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |         flatten(list(wids ORDER BY p)) AS token_ids
-         |  FROM dw JOIN wids USING (w) GROUP BY doc_id)
+      s"""WITH $bpeEncodeCtes
          |SELECT doc_id, n_words, CAST(len(token_ids) AS BIGINT) AS n_ids, token_ids
          |FROM enc""".stripMargin,
+    "chunk_documents_bpe" ->
+      s"""WITH $bpeEncodeCtes,
+         |e AS (SELECT doc_id, token_ids, CAST(len(token_ids) AS BIGINT) AS n FROM enc),
+         |kx AS (SELECT *, CASE WHEN n <= $ChunkTokens THEN 1
+         |                      ELSE 1 + (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
+         |                 END AS k FROM e),
+         |cx AS (SELECT doc_id, token_ids, n, unnest(range(k)) AS chunk_idx FROM kx)
+         |SELECT doc_id, chunk_idx,
+         |  chunk_idx * $ChunkStride AS chunk_start,
+         |  least(n - chunk_idx * $ChunkStride, $ChunkTokens) AS n_chunk_ids,
+         |  list_slice(token_ids, chunk_idx * $ChunkStride + 1,
+         |    chunk_idx * $ChunkStride + least(n - chunk_idx * $ChunkStride, $ChunkTokens)) AS chunk_ids
+         |FROM cx""".stripMargin,
     "bpe_apply" ->
       s"""WITH $bpeCtesSql,
          |vocab AS (
