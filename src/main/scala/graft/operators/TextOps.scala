@@ -708,6 +708,83 @@ object TextOps {
           .cast("long"))
   }
 
+  /** The FULL dedup stack as one composed report — what shipping the
+    * whole pipeline (exact → near → span) actually leaves of each
+    * source, which none of the per-stage KPIs give: `dedup_savings`
+    * prices exact and near-dup removal INDEPENDENTLY, and
+    * `span_excise_savings` cuts spans located on the FULL corpus.
+    * Stage semantics are the production order: (1) exact keep-first
+    * per content hash; (2) near-dup keep-best per verified cluster,
+    * ranked among EXACT SURVIVORS only (a removed exact dup must not
+    * win its cluster); (3) ExactSubstr spans RE-LOCATED on the
+    * survivor corpus (occurrence ≥ 2 among survivors — duplication
+    * that dedup already removed must not be double-counted, the
+    * subtlety that makes the naive compose-the-three-reports number
+    * wrong) and their union-of-extents token coverage excised.
+    * Per source: doc/token totals, per-stage removals, and the final
+    * corpus size with its retention ppm.
+    *
+    * Scale shape: rides the cached cluster-label table; one
+    * content-hash window + one per-cluster keep-best window over the
+    * narrow survivor frame; the span stage is the [[dedupSpans]]
+    * shape (positioned explode + h60 partial-agg + islands) on the
+    * survivor subset — O(survivor tokens) + one hash shuffle;
+    * nothing pairs documents anywhere. */
+  def dedupStackReport(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_words"),
+        sha2(col("text"), 256).as("chash"))
+      .withColumn("ern",
+        row_number().over(Window.partitionBy(col("chash")).orderBy(col("doc_id"))))
+      .join(dupClusters(s, d), Seq("doc_id"))
+    // the per-doc keep verdict is TWO narrow columns consumed three
+    // times (survivor set for the span probe, dupH side, final agg) —
+    // pin it to one evaluation so the plan doesn't re-derive the
+    // hash+cluster windows per consumer (the sketch-table rule)
+    val kept = base.filter(col("ern") === 1)
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(coalesce(col("n_words"), lit(-1L)).desc, col("doc_id"))))
+      .select(col("doc_id"), (col("brn") === 1).as("kept"))
+      .localCheckpoint(false)
+    val survivors = kept.filter(col("kept")).select(col("doc_id"))
+    val pos = docs(s, d)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(Portable.shingles(col("tk"), ShingleN)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), Portable.h60(col("sh")).as("h"))
+    val dupH = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = pos.join(dupH, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"), count(lit(1)).as("n"))
+      .filter(col("n") >= SpanMinRun)
+      .select(col("doc_id"),
+        explode(sequence(col("sp"), col("ep") + (ShingleN - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+    base
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("surv", coalesce(col("kept"), lit(false)))
+      .join(cov, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_words")), lit(0L)).cast("long").as("n_tokens"),
+        sum(when(col("ern") > 1, 1L).otherwise(0L)).as("exact_removed_docs"),
+        sum(when(col("ern") === 1 && !col("surv"), 1L).otherwise(0L)).as("near_removed_docs"),
+        sum(when(col("surv"), 1L).otherwise(0L)).as("surviving_docs"),
+        coalesce(sum(when(col("surv"), col("n_words"))), lit(0L)).cast("long")
+          .as("surviving_tokens"),
+        coalesce(sum(when(col("surv"), coalesce(col("cov"), lit(0L)))), lit(0L)).cast("long")
+          .as("span_tokens_removed"))
+      .withColumn("final_tokens", col("surviving_tokens") - col("span_tokens_removed"))
+      .withColumn("final_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (final_tokens * 1000000) div n_tokens END")
+          .cast("long"))
+  }
+
   /** Unpersist every signature table [[hashed]] has cached (one entry
     * per data dir). The gate and bench deliberately keep the cache
     * warm across the dedup family; a long-lived service should call
@@ -2706,6 +2783,7 @@ object TextOps {
     "chunk_documents" -> (chunkDocuments _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_savings"   -> (dedupSavings _),
+    "dedup_stack_report" -> (dedupStackReport _),
     "doc_novelty"     -> (docNovelty _),
     "decontaminate"   -> (decontaminate _),
     "dedup_segments"  -> (dedupSegments _),
@@ -3560,6 +3638,70 @@ object TextOps {
          |            // sum(n.n_words) END AS BIGINT) AS savings_ppm
          |FROM nws n LEFT JOIN keep k ON n.doc_id = k.doc_id
          |GROUP BY n.source""".stripMargin,
+    "dedup_stack_report" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |dedges AS (
+         |  SELECT ida AS a, idb AS b FROM pj WHERE jacc >= ${JaccT}e0
+         |  UNION ALL
+         |  SELECT idb AS a, ida AS b FROM pj WHERE jacc >= ${JaccT}e0),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |nws AS (SELECT doc_id, source, CAST(len($tkSql) AS BIGINT) AS n_words,
+         |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS ern
+         |        FROM documents),
+         |es AS (SELECT n.doc_id, n.n_words, c.cluster_id
+         |       FROM nws n JOIN cl c USING (doc_id) WHERE n.ern = 1),
+         |keep AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY coalesce(n_words, -1) DESC, doc_id) AS rn
+         |  FROM es) WHERE rn = 1),
+         |stoks AS (SELECT d.doc_id, $tkSql AS tk
+         |          FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+         |sshp AS (SELECT doc_id, ${Portable.shinglesSql("tk", ShingleN)} AS shl FROM stoks),
+         |sspos AS (SELECT doc_id, unnest(range(len(shl))) AS pos,
+         |                 unnest(list_transform(shl, x -> ${Portable.h60Sql("x")})) AS h
+         |          FROM sshp),
+         |sduph AS (SELECT h FROM sspos GROUP BY h HAVING count(*) >= 2),
+         |sdruns AS (SELECT doc_id, pos,
+         |                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |           FROM sspos WHERE h IN (SELECT h FROM sduph)),
+         |sspans AS (SELECT doc_id, min(pos) AS sp, max(pos) AS ep, count(*) AS n
+         |           FROM sdruns GROUP BY doc_id, grp
+         |           HAVING count(*) >= $SpanMinRun),
+         |scov AS (SELECT doc_id, count(*) AS cov FROM (
+         |           SELECT DISTINCT doc_id, pos FROM (
+         |             SELECT doc_id, unnest(range(sp, ep + $ShingleN)) AS pos
+         |             FROM sspans))
+         |         GROUP BY doc_id),
+         |pd AS (SELECT n.doc_id, n.source, n.n_words, n.ern,
+         |         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS surv,
+         |         coalesce(s.cov, 0) AS cov
+         |       FROM nws n
+         |       LEFT JOIN keep k ON n.doc_id = k.doc_id
+         |       LEFT JOIN scov s ON n.doc_id = s.doc_id),
+         |agg AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN ern > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_removed_docs,
+         |    CAST(sum(CASE WHEN ern = 1 AND surv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS near_removed_docs,
+         |    CAST(sum(surv) AS BIGINT) AS surviving_docs,
+         |    CAST(coalesce(sum(CASE WHEN surv = 1 THEN n_words END), 0) AS BIGINT)
+         |      AS surviving_tokens,
+         |    CAST(coalesce(sum(CASE WHEN surv = 1 THEN cov END), 0) AS BIGINT)
+         |      AS span_tokens_removed
+         |  FROM pd GROUP BY source)
+         |SELECT source, n_docs, n_tokens, exact_removed_docs, near_removed_docs,
+         |  surviving_docs, surviving_tokens, span_tokens_removed,
+         |  surviving_tokens - span_tokens_removed AS final_tokens,
+         |  CAST(CASE WHEN n_tokens > 0
+         |       THEN ((surviving_tokens - span_tokens_removed) * 1000000) // n_tokens
+         |       END AS BIGINT) AS final_ppm
+         |FROM agg""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $minhashCtes,
          |dedges AS (

@@ -816,6 +816,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       // run merge) + the token explode + the base row set — 4 distinct
       // single-evaluation legs, no redundant derivation
       "span_excise" -> Map("documents" -> 4),
+      // base-frame agg scan + the survivor-side positioned explode
+      // referenced by both the occurrence count and the islands merge
+      // (reuse-covered, the span_excise class); the keep verdict is
+      // checkpointed to one evaluation
+      "dedup_stack_report" -> Map("documents" -> 4),
       // span_excise's 4 declared legs + the per-source size projection
       // it aggregates against (Catalyst prunes the clean_text rebuild,
       // not the scans)
@@ -935,6 +940,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a genuine regression reproduces in both windows and stays high
     assert(Bench.sixRunMedian(Seq(5.0, 5.2, 5.1), Seq(5.05, 5.3, 5.15)) == 5.1)
     assert(Bench.sixRunMedian(Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0, 1.0)) == 1.0)
+  }
+
+  test("dedup_stack_report composes the three dedup stages consistently") {
+    // the stack report must partition every document into exactly one
+    // outcome, share its exact stage with dedup_savings verbatim, and
+    // its survivor-relocated span coverage can only SHRINK against the
+    // full-corpus coverage (duplicate occurrences are monotone in the
+    // doc set — the double-counting the composed report exists to
+    // avoid)
+    val sv = SparkEntry.queries("dedup_savings")(spark, Sf).collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    val st = SparkEntry.queries("dup_span_stats")(spark, Sf).collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    val rep = SparkEntry.queries("dedup_stack_report")(spark, Sf).collect()
+    assert(rep.nonEmpty && rep.length == sv.size)
+    for (r <- rep) {
+      val s0 = r.getString(r.fieldIndex("source"))
+      def L(c: String) = r.getLong(r.fieldIndex(c))
+      assert(L("exact_removed_docs") + L("near_removed_docs") + L("surviving_docs")
+        == L("n_docs"), s"$s0 outcome partition")
+      assert(L("final_tokens") == L("surviving_tokens") - L("span_tokens_removed"), s"$s0 final")
+      assert(L("surviving_docs") > 0, s"$s0 nothing survived")
+      val v = sv(s0)
+      assert(L("exact_removed_docs") == v.getLong(v.fieldIndex("exact_dup_docs")),
+        s"$s0 exact stage differs from dedup_savings")
+      assert(L("n_tokens") == v.getLong(v.fieldIndex("n_tokens")), s"$s0 token total")
+      val t = st(s0)
+      assert(L("span_tokens_removed") <= t.getLong(t.fieldIndex("span_tokens")),
+        s"$s0 survivor-relocated spans exceed full-corpus coverage")
+    }
   }
 
   test("span_excise_savings reconciles with dup_span_stats and span_excise") {
