@@ -42,7 +42,8 @@ object SparkEntry {
         "streaming_cms" -> ((s, d) => graft.streaming.StreamingCms.run(s, d)),
         "streaming_bloom" -> ((s, d) => graft.streaming.StreamingBloom.run(s, d)),
         "streaming_markov_score" -> ((s, d) => graft.streaming.StreamingMarkovScore.run(s, d)),
-        "streaming_dedup_minhash" -> ((s, d) => graft.streaming.StreamingDedupMinhash.run(s, d)))
+        "streaming_dedup_minhash" -> ((s, d) => graft.streaming.StreamingDedupMinhash.run(s, d)),
+        "streaming_span_dedup" -> ((s, d) => graft.streaming.StreamingSpanDedup.run(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,5 +73,6 @@ object SparkEntry {
         "streaming_cms" -> SketchOps.cmsCountersOracle,
         "streaming_bloom" -> SketchOps.bloomWordsOracle,
         "streaming_markov_score" -> graft.streaming.StreamingMarkovScore.oracle,
-        "streaming_dedup_minhash" -> graft.streaming.StreamingDedupMinhash.oracle)
+        "streaming_dedup_minhash" -> graft.streaming.StreamingDedupMinhash.oracle,
+        "streaming_span_dedup" -> graft.streaming.StreamingSpanDedup.oracle)
 }

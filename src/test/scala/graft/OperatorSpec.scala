@@ -942,6 +942,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bench.sixRunMedian(Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0, 1.0)) == 1.0)
   }
 
+  test("streaming_span_dedup equals the batch span_dedup_incremental exactly") {
+    // same probe, same index, same islands merge — the stream variant
+    // must reproduce the batch operator's located spans value-for-value
+    def keyset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = keyset(SparkEntry.queries("span_dedup_incremental")(spark, Sf).collect())
+    val stream = keyset(SparkEntry.queries("streaming_span_dedup")(spark, Sf).collect())
+    assert(stream.nonEmpty && stream == batch,
+      s"stream located ${stream.size} spans vs batch ${batch.size}")
+  }
+
   test("dedup_stack_report composes the three dedup stages consistently") {
     // the stack report must partition every document into exactly one
     // outcome, share its exact stage with dedup_savings verbatim, and
