@@ -25,8 +25,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *      "did 5x the work" (cold re-materialization) from "same work,
   *      slow box" (host throttle);
   *   2. up to 8 `regress` lines — any query whose median exceeds 2×
-  *      its previous recorded median (dev/bench_detail_last.json; the
-  *      same bar the round verdict grades at — the 3× bar used
+  *      its regression FLOOR (per-query min of the last committed
+  *      record `dev/bench_detail_last.json` and the per-sf rolling
+  *      corrected-median history `dev/bench_baseline.json` — r16: a
+  *      contended record committed as the last record ratcheted the
+  *      baseline up and masked six >2× movers; the 2× bar itself is
+  *      the same bar the round verdict grades at — the 3× bar used
   *      through r15 left a 2-3× blind spot that shipped two
   *      uncorrected movers), worst first, each with its own
   *      stage-metric window AND its quiet-tail re-runs + corrected
@@ -41,6 +45,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *      (detail `sweep`). Queries execute in a SEEDED-SHUFFLE order
   *      so a time-localized co-tenant burst cannot camp on one
   *      contiguous alphabetical block;
+  *   2b. one `sweep_corr` line (when any sub-bar sweep query's
+  *      corrected median differs from its raw median at 2-decimal
+  *      precision): [name, raw, corrected] triples — sweep
+  *      corrections move committed medians and the next round's
+  *      floor, so they must be visible to a stdout-only reader;
+  *   2c. one `contention` line when the run's corrected total over
+  *      floor-known queries exceeds 1.2× the floor total — a uniform
+  *      co-tenant window that trips no per-query bar still flags the
+  *      RUN (the r16 committed-record failure mode);
   *   3. one compact `medians` line: values-only array in ascending
   *      query-name order (the SAME sorted order as CORRECTNESS entries
   *      / SparkEntry.queries.keys.sorted) plus `setup_sec` — carries
@@ -93,9 +106,82 @@ object Bench {
     all((all.length - 1) / 2)
   }
 
+  /** Regression baseline = per-query MINIMUM of the last record and
+    * the rolling corrected-median history ([[baselineHistory]]) — the
+    * r16 lesson: `bench_detail_last.json` alone is whatever run was
+    * committed LAST, and a uniformly-contended record committed there
+    * ratchets the cross-run baseline up, masking the next run's
+    * elevation (six r16 queries shipped >2× their honest medians with
+    * no regress line because the `prev` record was itself inflated).
+    * The min over the last [[BaselineKeep]] runs' corrected medians
+    * resists that: one contended record cannot raise the floor, while
+    * an INTENTIONAL regression ages out of the window after
+    * [[BaselineKeep]] runs instead of flagging forever. */
+  private[graft] def floorBaseline(
+      detail: Map[String, Double],
+      history: Map[String, Seq[Double]]): Map[String, Double] =
+    (detail.keySet ++ history.keySet).iterator.map { n =>
+      n -> (detail.get(n).toSeq ++ history.getOrElse(n, Nil)).min
+    }.toMap
+
+  /** Runs of corrected-median history kept per query per sf dir. */
+  private[graft] val BaselineKeep = 4
+
+  private val BaselineFile = "/root/repo/dev/bench_baseline.json"
+
+  /** Rolling per-query corrected-median history from
+    * `dev/bench_baseline.json`, KEYED BY SF DIR — a dev sf0.001 run
+    * must never poison the sf0.1 floor downward (every sf0.1 query
+    * would flag) nor vice versa. Empty when absent/unparseable. */
+  private def baselineHistory(sfDir: String): Map[String, Seq[Double]] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(BaselineFile)), "UTF-8")
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(txt) \ sfDir match {
+        case JObject(fields) => fields.collect {
+          case (n, JArray(vs)) =>
+            n -> vs.collect { case JDouble(x) => x; case JInt(x) => x.toDouble }
+        }.toMap
+        case _ => Map.empty[String, Seq[Double]]
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Append this run's corrected medians to the per-sf rolling history
+    * (last [[BaselineKeep]] kept), preserving other sf dirs' entries. */
+  private def writeBaselineHistory(
+      sfDir: String, hist: Map[String, Seq[Double]],
+      medians: Seq[(String, Option[Double])]): Unit =
+    try {
+      val others: Seq[(String, String)] = try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(BaselineFile)), "UTF-8")
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(txt) match {
+          case JObject(fields) => fields.collect {
+            case (sf, v) if sf != sfDir =>
+              sf -> org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(v))
+          }
+          case _ => Nil
+        }
+      } catch { case _: Throwable => Nil }
+      val updated = medians.collect { case (n, Some(m)) =>
+        s""""$n":[${(hist.getOrElse(n, Nil) :+ m).takeRight(BaselineKeep).map(fmt).mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      val all = (others :+ (sfDir -> updated))
+        .map { case (sf, obj) => s""""$sf":$obj""" }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(BaselineFile), all.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BASELINE WRITE FAILURE: ${e.getMessage}")
+    }
+
   /** Previous run's per-query medians from the bench detail file (the
-    * record the last driver/dev bench wrote) — the reference for the
-    * >3× regression diagnostics. Empty map when absent/unparseable. */
+    * record the last driver/dev bench wrote) — one leg of
+    * [[floorBaseline]]. Empty map when absent/unparseable. */
   private def previousMedians(): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
@@ -234,7 +320,8 @@ object Bench {
     // two honest-looking 2-3× movers shipped uncorrected in the r15
     // record and had to be adjudicated by hand. Floors keep sub-100 ms
     // jitter out.
-    val prev = previousMedians()
+    val hist = baselineHistory(sfDir)
+    val prev = floorBaseline(previousMedians(), hist)
     val ratioOf: ((String, Seq[Double])) => Option[(String, Double, Seq[Double], Double)] = {
       case (n, runs) if runs.forall(_ >= 0) && !diags.contains(n) &&
         prev.get(n).exists(_ >= 0.05) && runs.sorted.apply(1) >= 0.5 =>
@@ -264,7 +351,8 @@ object Bench {
     // both windows and stays flagged (corr_ratio on the regress
     // line). Raw runs + tail runs + the corrected medians all land
     // in the detail file, so every correction is auditable, never
-    // silent. Flagged set capped at 16 to bound tail wall-time on a
+    // silent. Tail set bounded at 16 flagged movers + the ≤5-query
+    // sweep = at most 21 re-run queries (63 extra timed runs) on a
     // pathological host.
     val sweep = rated
       .collect { case (n, p, runs, r) if r > 1.4 && r <= 2.0 => (n, p, runs, r) }
@@ -286,6 +374,26 @@ object Bench {
     val failed = medians.collect { case (n, None) => n }
     val total = medians.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Roll this run's corrected medians into the per-sf baseline
+    // history — the next run's regression floor is the min over the
+    // last BaselineKeep runs ∪ the committed record, so committing a
+    // contended record can no longer ratchet the baseline up.
+    writeBaselineHistory(sfDir, hist, medians)
+    // Suite-level contention annotation: when this run's corrected
+    // total over the queries the floor also knows exceeds 1.2× the
+    // floor total, the WHOLE run is flagged as elevated — a uniform
+    // co-tenant window inflates everything a little without tripping
+    // any per-query 2× bar (the r16 committed record's failure mode).
+    val commonFloor = medians.collect {
+      case (n, Some(m)) if prev.contains(n) => (m, prev(n))
+    }
+    val curSum = commonFloor.map(_._1).sum
+    val floorSum = commonFloor.map(_._2).sum
+    val contended = floorSum > 0 && curSum > 1.2 * floorSum
+    val contentionJson =
+      s"""{"metric":"contention","flag":$contended,"cur_sec":${fmt(curSum)},""" +
+      s""""floor_sec":${fmt(floorSum)},"ratio":${fmt(if (floorSum > 0) curSum / floorSum else 0.0)},""" +
+      s""""n_common":${commonFloor.size}}"""
     // Full named detail — every run, not just the median — to a file
     // that outlives the driver's stdout tail.
     // detail file: raw in-suite runs under "runs", quiet-tail re-runs
@@ -305,6 +413,7 @@ object Bench {
     }.mkString("{\"sf\":\"" + sfDir + s"""","setup_sec":${fmt(setupSec)},""" +
       s""""regressions":[${movers.map(m => "\"" + m._1 + "\"").mkString(",")}],""" +
       s""""sweep":[${sweep.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""contended":$contended,""" +
       s""""tail":$tailJson,"medians":$medJson,"runs":{""",
       ",", "}}")
     try {
@@ -347,9 +456,24 @@ object Bench {
     val headline = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so executor-shutdown log lines can't
     // land after the JSON — the driver parses the final stdout line.
+    // Sub-bar sweep corrections change committed medians (and the next
+    // round's regression floor) — surface them on stdout too, ONE
+    // compact line, so a stdout-only reader sees every moved median
+    // (through r16 only the detail file recorded them).
+    val sweepCorr = sweep.flatMap { n =>
+      runsByName.get(n).filter(_.forall(_ >= 0)).map { runs =>
+        val raw = runs.sorted.apply(1)
+        (n, raw, corrected(n, raw))
+      }
+    }.collect { case (n, raw, corr) if fmt(raw) != fmt(corr) =>
+      s"""["$n",${fmt(raw)},${fmt(corr)}]"""
+    }
     spark.stop()
     diagLines.foreach(println)
     moverLines.take(8).foreach(println)
+    if (sweepCorr.nonEmpty)
+      println(s"""{"metric":"sweep_corr","items":[${sweepCorr.mkString(",")}]}""")
+    if (contended) println(contentionJson)
     println(compact)
     println(headline)
     System.out.flush()
