@@ -397,72 +397,111 @@ object AnnOps {
       .select("src", "dst", "rnk", "cosine")
   }
 
-  /** One NN-DESCENT refinement round over the LSH-built kNN graph
-    * (Dong, Moses & Li 2011, "Efficient k-nearest neighbor graph
-    * construction for generic similarity measures"): a vertex's
-    * candidate neighbors are its current neighbors, its REVERSE
-    * neighbors, and its neighbors-of-neighbors — "a neighbor of a
-    * neighbor is likely a neighbor" — scored by exact cosine and cut
-    * back to the per-vertex top-[[KnnK]]. This is the standard fix
-    * for the recall ceiling of a sparse LSH-built graph (vectors
-    * whose every bucket was capped, or that collided with nothing,
-    * pick up edges through their neighbors' lists): the r15 measured
-    * graph-walk recall ceiling (0.51 at beam 32) was the K=4 build,
-    * not the walk. The refined SERVING graph keeps the top
-    * [[RefineK]] = 2·K of the candidate superset — measured here
-    * (sf0.01): refining at the same K=4 actually LOSES walk recall
-    * (0.14 → 0.12; higher-quality edges are more redundant, and a
-    * greedy beam needs exploration diversity), while the candidates
-    * are already in hand and a denser graph is what a beam walk
-    * converts into recall — degree is the serving-graph knob (HNSW's
-    * M plays the same role). Cost is O(N·K²) candidate rows
-    * (K+K reverse+K² per vertex before dedup), all equi-joins off
-    * the bounded edge list — never all-pairs, never corpus-quadratic
-    * — so one round at 100 TB is the same shape as the build's
-    * in-bucket scoring. Cached per dir like the graph itself
-    * ([[clearKnnCache]]); `ann_recall_report`'s 7th variant walks
-    * THIS graph. */
+  /** NN-DESCENT refinement over the LSH-built kNN graph (Dong, Moses
+    * & Li 2011, "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures"), iterated [[NNDescentRounds]]
+    * rounds to NEAR-CONVERGENCE (Dong reports ~4-5 rounds; r16
+    * shipped one round and the default-knob walk stalled at 8.5%
+    * recall — the graph, not the walk, was still the ceiling): per
+    * round, a vertex's candidate neighbors are its current
+    * neighbors, its REVERSE neighbors, and its
+    * neighbors-of-neighbors — "a neighbor of a neighbor is likely a
+    * neighbor" — scored by exact cosine; the per-vertex top
+    * [[descentKAt]](r) becomes the next round's graph (GROWING
+    * degree 4 → 8 → 16: candidates include the current edges, so the
+    * graph improves monotonically rank-for-rank — spec-pinned — and
+    * the degree doubles as the candidate pool earns it). This is the
+    * standard fix for the recall ceiling of a sparse LSH-built graph
+    * (vectors whose every bucket was capped, or that collided with
+    * nothing, pick up edges through their neighbors' lists). The
+    * refined SERVING graph keeps the top [[RefineK]] = 4·K of the
+    * FINAL round's candidate superset — measured (sf0.01): refining
+    * at the same K=4 actually LOSES walk recall (0.14 → 0.12;
+    * higher-quality edges are more redundant, and a greedy beam
+    * needs exploration diversity), while the candidates are already
+    * in hand and a denser graph is what a beam walk converts into
+    * recall — degree is the serving-graph knob (HNSW's M plays the
+    * same role; production M = 16-32). Cost is O(N·k_r²) candidate
+    * rows per round (k+k reverse+k² per vertex before dedup), all
+    * equi-joins off the bounded edge list — never all-pairs, never
+    * corpus-quadratic; each round's scored set is pinned with a lazy
+    * localCheckpoint so the unrolled loop never re-derives earlier
+    * rounds (the kmeans_fit rule). Cached per dir like the graph
+    * itself ([[clearKnnCache]]); `ann_recall_report`'s 7th variant
+    * walks THIS graph. */
   def knnRefine(s: SparkSession, d: String): DataFrame =
     refineCache.computeIfAbsent(d, _ => buildKnnRefine(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Refined serving-graph degree: the NN-descent candidates are cut
-    * to 2·[[KnnK]], not K — see [[knnRefine]]. */
-  val RefineK = 2 * KnnK
+  /** Refined serving-graph degree, 4·[[KnnK]] = 16 — the HNSW M-class
+    * default (production graphs serve at M = 16-32). r16 measured the
+    * rule this encodes: a greedy beam converts DEGREE, not edge
+    * quality, into recall (refining at the same K=4 LOST recall;
+    * densifying to 2K doubled hits). 2K was still the ceiling — the
+    * r16 default walk stalled at 8.5% recall at sf0.1 while IVF sat
+    * at 0.41 — so r17 grows the descent to the serving degree. */
+  val RefineK = 4 * KnnK
+
+  /** NN-descent rounds — near-convergence for these corpus shapes
+    * (Dong 2011 reports 4-5 to full convergence; the marginal round
+    * past 3 measured zero additional walk recall here while costing
+    * a full candidate-scoring pass). */
+  val NNDescentRounds = 3
+
+  /** Per-round kept degree: GROWING-degree descent, doubling from
+    * [[KnnK]] toward [[RefineK]] (4 → 8 → 16 → 16...). Descent AT the
+    * serving degree needs candidate lists the sparse K=4 LSH build
+    * cannot supply in round 1 (a vertex's candidate pool is ~K + K +
+    * K² rows — degree bounds how many candidates the next round can
+    * even see), so the degree doubles as the candidate pool earns it.
+    * Candidate cost stays O(N·k_r²) equi-join rows per round, never
+    * all-pairs. */
+  private[operators] def descentKAt(r: Int): Int =
+    math.min(RefineK, KnnK << r)
 
   private val refineCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def buildKnnRefine(s: SparkSession, d: String): DataFrame = {
-    val g = annKnnGraph(s, d).select(col("src"), col("dst"))
     val v = vectors(s, d)
-    val nn = g.select(col("src"), col("dst").as("mid"))
-      .join(g.select(col("src").as("mid"), col("dst")), Seq("mid"))
-      .select(col("src"), col("dst"))
-    val cand = g
-      .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(nn)
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    cand
-      .join(v.select(col("vec_id").as("src"), col("embedding").as("ea"), col("nrm").as("na")),
-        Seq("src"))
-      .join(v.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb")),
-        Seq("dst"))
-      .select(col("src"), col("dst"),
-        (expr("vec_dot(cast(ea as array<double>), cast(eb as array<double>))") /
-          (col("na") * col("nb"))).as("cosine"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))))
+    def scoredCands(g: DataFrame): DataFrame = {
+      val nn = g.select(col("src"), col("dst").as("mid"))
+        .join(g.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select(col("src"), col("dst"))
+      g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(nn)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .join(v.select(col("vec_id").as("src"), col("embedding").as("ea"), col("nrm").as("na")),
+          Seq("src"))
+        .join(v.select(col("vec_id").as("dst"), col("embedding").as("eb"), col("nrm").as("nb")),
+          Seq("dst"))
+        .select(col("src"), col("dst"),
+          (expr("vec_dot(cast(ea as array<double>), cast(eb as array<double>))") /
+            (col("na") * col("nb"))).as("cosine"))
+    }
+    val kW = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    var g = annKnnGraph(s, d).select(col("src"), col("dst"))
+    var scored: DataFrame = null
+    for (r <- 1 to NNDescentRounds) {
+      scored = scoredCands(g).localCheckpoint(false)
+      g = scored.withColumn("rnk", row_number().over(kW))
+        .filter(col("rnk") <= descentKAt(r)).select("src", "dst")
+    }
+    scored.withColumn("rnk", row_number().over(kW))
       .filter(col("rnk") <= RefineK)
       .select("src", "dst", "rnk", "cosine")
   }
 
   // ---- graph-walk serving (the HNSW layer-0 shape) ---------------
 
-  val GraphSeeds = 4     // fixed entry points, hash-rank selected
+  val GraphSeeds = 4     // entry points per source (global + per-cell)
   val GraphBeam  = 8     // frontier width per query per round
-  val WalkRounds = 3     // expansion rounds (the beam's search depth)
+  // expansion rounds (the beam's search depth): 3 through r16; the 4th
+  // round is what closes the default-knob walk to the IVF recall class
+  // at sf0.1 (0.333 → 0.422 vs IVF 0.412) now that the refined graph
+  // is degree-16 — depth was the binding knob, not beam (measured).
+  val WalkRounds = 4
   val GraphSeedSalt = "gw1"
 
   /** Greedy BEAM search over the persisted kNN graph — the serving
@@ -483,10 +522,12 @@ object AnnOps {
     * instead of re-deriving every earlier round (the unrolled-loop
     * plan would otherwise double per round — the kmeans_fit /
     * RangeRank materialization rule), and the anti-join + union pair
-    * read the same evaluation. Entry points are the [[GraphSeeds]]
-    * hash-rank-smallest vectors — deterministic, replayable on any
-    * partitioning (the reservoir-sample selection rule). Recall vs
-    * the brute baseline rides `ann_recall_report` (6th variant).
+    * read the same evaluation. Entry points (r17) are IVF-SEEDED:
+    * per query, the [[GraphSeeds]] hash-rank-smallest members of its
+    * nearest coarse-quantizer cell ∪ the global hash-rank seeds (see
+    * the seeding comment in [[annGraphSearchOver]]) — deterministic,
+    * replayable on any partitioning. Recall vs the brute baseline
+    * rides `ann_recall_report` (6th variant).
     *
     * The default-knob walk result is SESSION-CACHED per dir (the
     * kNN-edge-table rule): the walk's 3 rounds of scoring joins +
@@ -531,20 +572,46 @@ object AnnOps {
     // pin the (|N|/QMod)-row projection once instead of re-scanning
     // the corpus per round (the sketch-table rule)
     val q = queriesSide(s, d).localCheckpoint(false)
-    val seeds = v.select(col("vec_id"))
-      .withColumn("u", Portable.h60(concat(col("vec_id").cast("string"),
-        lit(":" + GraphSeedSalt))))
+    val seedRank = Portable.h60(concat(col("vec_id").cast("string"),
+      lit(":" + GraphSeedSalt)))
+    // IVF-SEEDED entry points (r17 — HNSW-style learned entries):
+    // each query starts from the nSeeds hash-rank-smallest members of
+    // its nearest coarse-quantizer cell (the same broadcast centroid
+    // table `ann_ivf_topk` routes with — the walk reuses the coarse
+    // routing the IVF family already pays for), PLUS the nSeeds
+    // global hash-rank entries as a fallback anchor: an empty or
+    // mis-routed cell must not strand a query, and the entry set
+    // stays a strict superset of the r15/r16 global-seed rule (so
+    // seeding can only add recall on fixed data — measured at sf0.1:
+    // global-only seeds left the default walk at 8.5% recall, cell
+    // seeding starts the beam inside the query's own neighborhood).
+    // All sides here are tiny: cells ~√N rows, seeds nSeeds·(cells+1)
+    // rows, and the per-query entry set ≤ 2·nSeeds.
+    val cents = centroidTable(s, NCells)
+    val gseeds = v.select(col("vec_id"))
+      .withColumn("u", seedRank)
       .orderBy(col("u"), col("vec_id")).limit(nSeeds)
       .select(col("vec_id"))
+    val cellSeeds = assignCells(v, cents)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("u", seedRank)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("u"), col("vec_id"))))
+      .filter(col("rn") <= nSeeds)
+      .select(col("cell"), col("vec_id"))
+    val qcell = probeCellsTable(q, cents, 1).select(col("q_id"), col("cell"))
+    val entries = qcell.join(broadcast(cellSeeds), Seq("cell"))
+      .select(col("q_id"), col("vec_id"))
+      .unionByName(q.select(col("q_id")).crossJoin(broadcast(gseeds)))
+      .distinct()
     // exact cosine for a (q_id, vec_id) candidate set: equi-joins into
     // the vector table + the broadcast query side
     def score(cand: DataFrame): DataFrame =
       cand.join(v, Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("vec_id"), cosine.as("cosine"))
-    // round 0: every query scores the shared entry points
-    var visited = score(q.select(col("q_id")).crossJoin(broadcast(seeds)))
-      .localCheckpoint(false)
+    // round 0: every query scores its entry points
+    var visited = score(entries).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val frontier = visited
         .withColumn("rnk", row_number().over(
@@ -1325,9 +1392,15 @@ object AnnOps {
 
   // ---- SQL twins -------------------------------------------------
 
+  // vecs/qs are MATERIALIZED: DuckDB 1.0 INLINES a CTE at every
+  // reference, and the unrolled NN-descent + walk twins reference
+  // their round CTEs 3-4× each — inlined, the expansion is
+  // EXPONENTIAL in rounds (the r17 recall-report oracle exhausted
+  // the process fd limit opening thousands of parquet scans).
+  // Materializing repeated CTEs pins each to one evaluation.
   private val vecCte =
-    s"""vecs AS (SELECT vec_id, embedding, ${Portable.normSql("embedding")} AS nrm FROM embeddings),
-       |qs AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM vecs WHERE vec_id % $QMod = 0)""".stripMargin
+    s"""vecs AS MATERIALIZED (SELECT vec_id, embedding, ${Portable.normSql("embedding")} AS nrm FROM embeddings),
+       |qs AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM vecs WHERE vec_id % $QMod = 0)""".stripMargin
 
   private val cosSql = s"${Portable.dotSql("qe", "embedding")} / (qn * nrm)"
 
@@ -1369,11 +1442,11 @@ object AnnOps {
        |  ${(0 until DedupTables).map(t =>
             s"SELECT vec_id, embedding, nrm, $t AS band, ${bucketSqlFor("embedding", t * DedupPlanes, DedupPlanes)} AS bkey FROM vecs, pl"
           ).mkString("\n  UNION ALL ")}),
-       |vb AS (
+       |vb AS MATERIALIZED (
        |  SELECT vec_id, embedding, nrm, band, bkey FROM (
        |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM vb0)
        |  WHERE bn <= $MaxBucket),
-       |prs AS (
+       |prs AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb,
        |         ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
        |  FROM vb a JOIN vb b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
@@ -1387,41 +1460,57 @@ object AnnOps {
        |  FROM sym)
        |SELECT src, dst, rnk, cosine FROM ranked WHERE rnk <= $KnnK""".stripMargin
 
-  /** One NN-descent round as standalone SQL — `knn_refine`'s oracle
-    * (and the edge table of the 7th recall variant): candidates =
-    * current ∪ reverse ∪ neighbors-of-neighbors edges, exact-cosine
-    * scored, per-src top-[[RefineK]]. */
-  private[operators] lazy val knnRefineSql: String =
-    s"""WITH g0 AS ($knnGraphSql),
+  /** [[NNDescentRounds]] NN-descent rounds as standalone SQL —
+    * `knn_refine`'s oracle (and the edge table of the 7th recall
+    * variant): each unrolled round scores candidates = current ∪
+    * reverse ∪ neighbors-of-neighbors edges by exact cosine and cuts
+    * to per-src top-[[KnnK]] for the next round; the final round's
+    * scored set is cut to top-[[RefineK]]. */
+  private[operators] lazy val knnRefineSql: String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"g${r - 1}"
+      s"""cnd$r AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM $prev
+         |    UNION ALL SELECT dst AS src, src AS dst FROM $prev
+         |    UNION ALL SELECT a.src AS src, b.dst AS dst
+         |      FROM $prev a JOIN $prev b ON a.dst = b.src) u
+         |  WHERE src <> dst),
+         |scr$r AS MATERIALIZED (
+         |  SELECT c.src, c.dst,
+         |         ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |  FROM cnd$r c JOIN vecs a ON c.src = a.vec_id
+         |              JOIN vecs b ON c.dst = b.vec_id),
+         |g$r AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+         |  FROM scr$r) WHERE rnk <= ${descentKAt(r)})""".stripMargin
+    }
+    s"""WITH gk AS ($knnGraphSql),
+       |g0 AS MATERIALIZED (SELECT src, dst FROM gk),
        |$vecCte,
-       |cand AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM g0
-       |    UNION ALL SELECT dst AS src, src AS dst FROM g0
-       |    UNION ALL SELECT a.src AS src, b.dst AS dst
-       |      FROM g0 a JOIN g0 b ON a.dst = b.src) u
-       |  WHERE src <> dst),
-       |scored AS (
-       |  SELECT c.src, c.dst,
-       |         ${Portable.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-       |  FROM cand c JOIN vecs a ON c.src = a.vec_id
-       |              JOIN vecs b ON c.dst = b.vec_id),
+       |${(1 to NNDescentRounds).map(roundCtes).mkString(",\n")},
        |rankedr AS (
        |  SELECT src, dst, cosine,
        |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
-       |  FROM scored)
+       |  FROM scr$NNDescentRounds)
        |SELECT src, dst, rnk, cosine FROM rankedr WHERE rnk <= $RefineK""".stripMargin
+  }
 
   /** The graph-walk beam search as standalone SQL over an explicit
     * edge-table query — `ann_graph_search`'s oracle when given the
     * kNN graph, the 7th recall variant's when given [[knnRefineSql]].
-    * The [[WalkRounds]] expansion rounds are unrolled: each round
-    * ranks the visited set to a [[GraphBeam]]-wide frontier, expands
-    * it through the edge CTE, anti-joins already-visited pairs,
-    * scores the fresh candidates by exact cosine, and unions them
-    * in. */
+    * Entry points mirror the r17 IVF seeding: per query, the
+    * [[GraphSeeds]] hash-rank-smallest members of its nearest coarse
+    * cell ∪ the global hash-rank seeds. The [[WalkRounds]] expansion
+    * rounds are unrolled: each round ranks the visited set to a
+    * [[GraphBeam]]-wide frontier, expands it through the edge CTE,
+    * anti-joins already-visited pairs, scores the fresh candidates
+    * by exact cosine, and unions them in. */
   private def graphSearchSqlOver(edgeSql: String): String = {
     val seedRank = "row_number() OVER (ORDER BY " +
+      Portable.h60Sql(s"CAST(vec_id AS VARCHAR) || ':$GraphSeedSalt'") + ", vec_id)"
+    val cellSeedRank = "row_number() OVER (PARTITION BY cell ORDER BY " +
       Portable.h60Sql(s"CAST(vec_id AS VARCHAR) || ':$GraphSeedSalt'") + ", vec_id)"
     def round(r: Int): String = {
       val prev = s"vis${r - 1}"
@@ -1437,16 +1526,30 @@ object AnnOps {
          |         ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
          |  FROM cd$r c JOIN vecs v ON c.vec_id = v.vec_id
          |  JOIN qs q ON c.q_id = q.q_id),
-         |vis$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM sc$r)""".stripMargin
+         |vis$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM sc$r)""".stripMargin
     }
     s"""WITH g0 AS ($edgeSql),
-       |g AS (SELECT src, dst FROM g0),
-       |$vecCte,
+       |g AS MATERIALIZED (SELECT src, dst FROM g0),
+       |$vecCte, $centroidsCte,
+       |$vcellCte,
        |seeds AS (SELECT vec_id FROM (
        |  SELECT vec_id, $seedRank AS rn FROM vecs) WHERE rn <= $GraphSeeds),
-       |vis0 AS (SELECT q.q_id, s.vec_id,
+       |cseeds AS (SELECT cell, vec_id FROM (
+       |  SELECT cell, vec_id, $cellSeedRank AS rn FROM vcell) WHERE rn <= $GraphSeeds),
+       |qdotsw AS (SELECT q.q_id, cells.c,
+       |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
+       |qcellw AS (SELECT q_id, c AS cell FROM (
+       |  SELECT q_id, c,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dd DESC, c DESC) AS rn
+       |  FROM qdotsw) WHERE rn = 1),
+       |entries AS (SELECT DISTINCT q_id, vec_id FROM (
+       |  SELECT qc.q_id, cs.vec_id FROM qcellw qc JOIN cseeds cs ON qc.cell = cs.cell
+       |  UNION ALL
+       |  SELECT q.q_id, s.vec_id FROM qs q CROSS JOIN seeds s) u),
+       |vis0 AS MATERIALIZED (SELECT e.q_id, v.vec_id,
        |         ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
-       |  FROM qs q CROSS JOIN seeds s JOIN vecs v ON s.vec_id = v.vec_id),
+       |  FROM entries e JOIN vecs v ON e.vec_id = v.vec_id
+       |  JOIN qs q ON e.q_id = q.q_id),
        |${(1 to WalkRounds).map(round).mkString(",\n")},
        |rankedw AS (SELECT q_id, vec_id, cosine,
        |       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
