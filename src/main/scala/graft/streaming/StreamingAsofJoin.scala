@@ -66,7 +66,7 @@ object StreamingAsofJoin {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(attribute)
-    val name = s"stream_asof_join_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_asof_join", runSeq)
     val q = stream.toDF().writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

@@ -59,7 +59,7 @@ object StreamingBloom {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = s"stream_bloom_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_bloom", runSeq)
     val q = filterStream(s, s"$dir/[e]vents.parquet", schema).writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

@@ -63,7 +63,7 @@ object StreamingCms {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val name = s"stream_cms_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_cms", runSeq)
     val q = sketchStream(s, s"$dir/[d]ocuments.parquet", schema).writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

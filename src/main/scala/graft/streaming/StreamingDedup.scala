@@ -29,7 +29,7 @@ object StreamingDedup {
       .parquet(s"$dir/[d]ocuments.parquet")
       .select(sha2(col("text"), 256).as("chash"))
       .dropDuplicates("chash")
-    val name = s"stream_dedup_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_dedup", runSeq)
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()

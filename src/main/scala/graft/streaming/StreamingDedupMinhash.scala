@@ -89,7 +89,7 @@ object StreamingDedupMinhash {
       .as[Doc]
       .groupByKey(d => (d.band, d.bkey))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
-    val name = s"stream_dedup_minhash_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_dedup_minhash", runSeq)
     val q = stream.toDF().writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

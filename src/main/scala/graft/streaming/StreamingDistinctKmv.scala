@@ -61,7 +61,7 @@ object StreamingDistinctKmv {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = s"stream_kmv_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_kmv", runSeq)
     val q = sketchStream(s, s"$dir/[e]vents.parquet", schema).writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

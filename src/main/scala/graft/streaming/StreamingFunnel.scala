@@ -95,7 +95,7 @@ object StreamingFunnel {
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = StreamingSessionize.eventsSchema(s, dir)
     val stream = funnelStream(s, s"$dir/[e]vents.parquet", schema)
-    val name = s"stream_funnel_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_funnel", runSeq)
     val q = stream.writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

@@ -76,7 +76,7 @@ object StreamingHll {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = s"stream_hll_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_hll", runSeq)
     val q = sketchStream(s, s"$dir/[e]vents.parquet", schema).writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

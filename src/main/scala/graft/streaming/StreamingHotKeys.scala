@@ -61,7 +61,7 @@ object StreamingHotKeys {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = s"stream_hot_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_hot", runSeq)
     val q = countStream(s, s"$dir/[e]vents.parquet", schema).writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

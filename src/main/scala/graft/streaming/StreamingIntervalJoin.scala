@@ -49,7 +49,7 @@ object StreamingIntervalJoin {
               | AND p_time >= click_time
               | AND p_time <= click_time + interval 1 hour""".stripMargin))
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
-    val name = s"stream_interval_join_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_interval_join", runSeq)
     // The memory sink registers its temp view in the session that
     // starts the query — read the result back through the clone.
     val q = joined.writeStream.format("memory").queryName(name)

@@ -75,7 +75,7 @@ object StreamingMarkovScore {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold(model))
-    val name = s"stream_markov_score_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_markov_score", runSeq)
     val q = stream.toDF().writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

@@ -71,7 +71,7 @@ object StreamingQuantileHist {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = s"stream_qhist_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_qhist", runSeq)
     val q = histStream(s, s"$dir/[e]vents.parquet", schema).writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

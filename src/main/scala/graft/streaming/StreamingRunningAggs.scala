@@ -53,7 +53,7 @@ object StreamingRunningAggs {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
-    val name = s"stream_running_aggs_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_running_aggs", runSeq)
     val q = stream.toDF().writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

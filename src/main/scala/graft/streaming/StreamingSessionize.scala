@@ -93,7 +93,7 @@ object StreamingSessionize {
     // glob form: the file-stream source requires a directory or glob
     // basePath, and the driver ships events as a single parquet file
     val stream = sessionStream(s, s"$dir/[e]vents.parquet", schema)
-    val name = s"stream_sessionize_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_sessionize", runSeq)
     val q = stream.writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

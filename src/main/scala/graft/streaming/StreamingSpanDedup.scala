@@ -67,9 +67,11 @@ object StreamingSpanDedup {
         Portable.h60(col("sh")).as("h"))
     // the persisted shingle store: the static side, built once per run
     // from everything OUTSIDE the incoming slice (the batch operator's
-    // index convention)
-    val idx = posOf(s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") % TextOps.IncMod =!= 0))
+    // index convention) — rides the span family's per-dir cached
+    // positioned table (r17: this was the one span consumer still
+    // re-exploding the corpus at full price)
+    val idx = TextOps.positioned(s, dir)
+      .filter(col("doc_id") % TextOps.IncMod =!= 0)
       .select(col("h")).distinct()
     val stream = posOf(s.readStream.schema(StreamingDedup.docsSchema)
         .parquet(s"$dir/[d]ocuments.parquet")
@@ -82,7 +84,7 @@ object StreamingSpanDedup {
          _: org.apache.spark.sql.streaming.GroupState[Long]) =>
           merge(docId, rows.map(_.pos).toArray)
       }
-    val name = s"stream_span_dedup_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_span_dedup", runSeq)
     val q = stream.toDF().writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

@@ -68,7 +68,7 @@ object StreamingTrailingCounts {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
-    val name = s"stream_trailing_counts_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_trailing_counts", runSeq)
     val q = stream.toDF().writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())

@@ -93,7 +93,7 @@ object StreamingUpsert {
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
     val stream = upsertStream(s, s"$dir/[l]ineitem.parquet", schema)
-    val name = s"stream_upsert_${runSeq.incrementAndGet()}"
+    val name = MemorySinks.next(s, "stream_upsert", runSeq)
     val q = stream.writeStream
       .format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
