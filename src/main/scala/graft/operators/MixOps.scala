@@ -151,6 +151,48 @@ object MixOps {
         col("weight_t"), col("rate_ppm"), col("expected_tokens"))
   }
 
+  /** Temperature grid for [[tokenBudgetMixSweep]] — the published
+    * mixes tune T in [1, 4]; the grid brackets the gate-pinned
+    * [[MixTemp]] with the linear and near-uniform ends. */
+  val TempGrid = Seq(1, 2, 4)
+
+  /** Temperature-TUNING instrument for the mix family (the
+    * `ivf_probe_sweep` / `lsh_band_sweep` pattern): a production mix
+    * is tuned, not pinned — `token_budget_mix_t` serves one T, this
+    * emits the full per-source rate/token allocation across
+    * [[TempGrid]] plus the per-T FLATNESS metric (max/min
+    * expected-token share ratio, integer ppm: 1e6 = perfectly flat,
+    * the T→∞ limit) — the two numbers a mix owner trades off when
+    * picking T (how much the cold sources gain vs how far the mix
+    * drifts from natural). Pure integer arithmetic over the same
+    * per-source totals every leg shares (the iroot rational-root
+    * rule keeps all three legs oracle-exact); the T=1 leg reproduces
+    * `token_budget_mix`'s rates bit-for-bit and the T=[[MixTemp]]
+    * leg `token_budget_mix_t`'s (both spec-pinned). Shape: the legs
+    * re-aggregate the persisted [[docTokens]] projection (sources ×
+    * |grid| rows total), each with its one-row totals broadcast; the
+    * flatness join is a broadcast equi-join on temp. */
+  def tokenBudgetMixSweep(s: SparkSession, d: String): DataFrame = {
+    val legs = TempGrid.map(t =>
+      tokenBudgetMixT(s, d, t).withColumn("temp", lit(t.toLong)))
+    // sources × |grid| rows consumed twice (flatness agg + final
+    // join) — pin to one evaluation so the three legs' aggregations
+    // don't re-run per consumer (the sketch-table rule)
+    val all = legs.reduce(_ unionByName _).localCheckpoint(false)
+    val flat = all.groupBy(col("temp"))
+      .agg(max(col("expected_tokens")).as("max_share_tokens"),
+        min(when(col("expected_tokens") > 0, col("expected_tokens")))
+          .as("min_share_tokens"))
+      .withColumn("flat_ratio_ppm",
+        when(col("min_share_tokens") > 0,
+          expr("max_share_tokens * 1000000 div min_share_tokens"))
+          .otherwise(lit(null).cast("long")))
+    all.join(broadcast(flat), Seq("temp"))
+      .select(col("temp"), col("source"), col("n_docs"), col("tokens"),
+        col("weight"), col("weight_t"), col("rate_ppm"), col("expected_tokens"),
+        col("max_share_tokens"), col("min_share_tokens"), col("flat_ratio_ppm"))
+  }
+
   private def budgetRates(perSource: DataFrame): DataFrame = {
     val totals = perSource.agg(
       sum(col("tokens")).as("total_tokens"), sum(col("weight")).as("wsum"))
@@ -434,6 +476,7 @@ object MixOps {
     "epoch_plan"        -> (epochPlan _),
     "token_budget_mix"  -> (tokenBudgetMix _),
     "token_budget_mix_t" -> ((s: SparkSession, d: String) => tokenBudgetMixT(s, d)),
+    "token_budget_mix_sweep" -> (tokenBudgetMixSweep _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "pack_sequences"    -> (packSequences _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
@@ -456,7 +499,54 @@ object MixOps {
        |      ELSE 0 END AS rate_ppm
        |  FROM ps, tot)""".stripMargin
 
+  /** One temperature leg of the sweep's oracle: the generic integer
+    * t-th root (double-pow seed, exact ±2 integer correction — the
+    * `token_budget_mix_t` rule generalized from sqrt) over the shared
+    * `ps` per-source CTE, producing `leg<t>` with the same columns as
+    * the Spark leg. Integer powers are written as explicit products
+    * so every comparison is exact int64 arithmetic. */
+  private def mixTLegSql(t: Int): String = {
+    val c = (1 to t).map(_ => TempScale).product
+    def ip(e: String) = (1 to t).map(_ => s"($e)").mkString(" * ")
+    s"""pw$t AS (SELECT *, weight * $c AS wq FROM ps),
+       |sq$t AS (SELECT *, CAST(floor(pow(CAST(wq AS DOUBLE), 1.0 / $t)) AS BIGINT) AS s0 FROM pw$t),
+       |su$t AS (SELECT *, CASE WHEN ${ip("s0 + 2")} <= wq THEN s0 + 2
+       |                        WHEN ${ip("s0 + 1")} <= wq THEN s0 + 1
+       |                        ELSE s0 END AS up FROM sq$t),
+       |wt$t AS (SELECT source, n_docs, tokens, weight,
+       |         CASE WHEN ${ip("up")} > wq THEN
+       |                CASE WHEN ${ip("up - 1")} > wq THEN up - 2 ELSE up - 1 END
+       |              ELSE up END AS weight_t
+       |       FROM su$t),
+       |tt$t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       |                CAST(sum(weight_t) AS BIGINT) AS wsum FROM wt$t),
+       |leg$t AS (
+       |  SELECT CAST($t AS BIGINT) AS temp, source, n_docs, tokens, weight, weight_t,
+       |    CASE WHEN tokens > 0
+       |      THEN least(1000000, ((total_tokens // $BudgetDiv) * weight_t // wsum) * 1000000 // tokens)
+       |      ELSE 0 END AS rate_ppm
+       |  FROM wt$t, tt$t)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "token_budget_mix_sweep" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tkSql AS tk FROM documents),
+         |ps AS (SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens,
+         |       ${Portable.h60Sql("source")} % 4 + 1 AS weight
+         |       FROM toks GROUP BY source),
+         |${TempGrid.map(mixTLegSql).mkString(",\n")},
+         |legs AS (SELECT *, tokens * rate_ppm // 1000000 AS expected_tokens
+         |  FROM (${TempGrid.map(t => s"SELECT * FROM leg$t").mkString(" UNION ALL ")})),
+         |flat AS (SELECT temp,
+         |    CAST(max(expected_tokens) AS BIGINT) AS max_share_tokens,
+         |    CAST(min(CASE WHEN expected_tokens > 0 THEN expected_tokens END) AS BIGINT)
+         |      AS min_share_tokens
+         |  FROM legs GROUP BY temp)
+         |SELECT l.temp, l.source, l.n_docs, l.tokens, l.weight, l.weight_t,
+         |  l.rate_ppm, l.expected_tokens, f.max_share_tokens, f.min_share_tokens,
+         |  CASE WHEN f.min_share_tokens > 0
+         |    THEN f.max_share_tokens * 1000000 // f.min_share_tokens END AS flat_ratio_ppm
+         |FROM legs l JOIN flat f ON l.temp = f.temp""".stripMargin,
     "data_split" ->
       s"""SELECT doc_id, source, bucket,
          |  CASE WHEN bucket < $TestPct THEN 'test'
