@@ -714,6 +714,8 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tfidf_topk" -> ("scalar", 1), "token_budget_mix" -> ("scalar", 1),
       // same one-row budget-totals broadcast as the linear mix
       "token_budget_mix_t" -> ("scalar", 1),
+      // one budget-totals broadcast per temperature leg
+      "token_budget_mix_sweep" -> ("scalar", 3),
       "corpus_mix_sample" -> ("scalar", 1),
       // pack_mix_sequences: the sampled-mix input (with its one-row
       // budget-totals scalar) appears twice in the packer's RangeRank
@@ -740,8 +742,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tfidf_cosine_pairs" -> ("scalar", 4))
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
-      val plan = SparkEntry.queries(name)(spark, Sf)
-        .queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(name)(spark, Sf)
+      // driver-sortable contract: the driver's compare harness sorts
+      // rows with pandas, which cannot hash array/map cells (r16:
+      // bpe_encode / chunk_documents_bpe went RED on raw array<long>
+      // columns) — every ORACLE-COMPARED query must emit scalars only
+      if (SparkEntry.oracleSql.contains(name))
+        for (f <- df.schema.fields)
+          assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                 !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+            s"$name checked output column ${f.name} is ${f.dataType.simpleString} — " +
+              "the driver's pandas sorter cannot hash it; emit a joined string or exploded rows")
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plan has a CartesianProduct")
       val n = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
       bnlj.get(name) match {
@@ -942,6 +954,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bench.sixRunMedian(Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0, 1.0)) == 1.0)
   }
 
+  test("bench regression floor resists a contended committed record") {
+    // the r16 baseline-poisoning loophole: a contended run committed
+    // as bench_detail_last ratcheted the cross-run baseline up and
+    // masked six >2× movers. The floor is the per-query min over the
+    // committed record AND the rolling corrected-median history, so:
+    // r16 live values — dedup_normalized committed at 1.26 (contended)
+    // with a 0.48 quiet run in history keeps the honest 0.48 floor
+    assert(Bench.floorBaseline(
+      Map("dedup_normalized" -> 1.26), Map("dedup_normalized" -> Seq(0.48, 1.26)))
+      ("dedup_normalized") == 0.48)
+    // a query only the committed record knows still gets a floor
+    assert(Bench.floorBaseline(Map("new_q" -> 2.0), Map())("new_q") == 2.0)
+    // a query only history knows (record overwritten by a dev run)
+    assert(Bench.floorBaseline(Map(), Map("q" -> Seq(1.5, 1.2)))("q") == 1.2)
+    // an intentional regression ages out: once history holds only
+    // post-change runs, the floor follows the new honest cost
+    assert(Bench.floorBaseline(
+      Map("q" -> 3.1), Map("q" -> Seq(3.0, 3.2, 3.1, 3.05)))("q") == 3.0)
+  }
+
   test("streaming_span_dedup equals the batch span_dedup_incremental exactly") {
     // same probe, same index, same islands merge — the stream variant
     // must reproduce the batch operator's located spans value-for-value
@@ -1045,6 +1077,55 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("token_budget_mix_sweep legs equal the pinned mixes; flatness falls with T") {
+    // the sweep is the TUNING instrument over the same arithmetic the
+    // gate-pinned mixes ship: its T=1 leg must equal token_budget_mix
+    // and its T=MixTemp leg token_budget_mix_t, column for column,
+    // and the iroot weight compression must make the mix FLATTER as
+    // T rises (max/min weight_t ratio non-increasing — exact, since
+    // weight_t = floor(TempScale·w^(1/T)) and w ≥ 1)
+    val sw = SparkEntry.queries("token_budget_mix_sweep")(spark, Sf).collect()
+    assert(sw.nonEmpty)
+    assert(sw.map(_.getLong(sw.head.fieldIndex("temp"))).distinct.sorted.toSeq ==
+      MixOps.TempGrid.map(_.toLong), "temperature grid mismatch")
+    def legMap(t: Long) = sw.filter(_.getLong(sw.head.fieldIndex("temp")) == t)
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("weight_t")), r.getLong(r.fieldIndex("rate_ppm")),
+          r.getLong(r.fieldIndex("expected_tokens")))).toMap
+    val lin = SparkEntry.queries("token_budget_mix")(spark, Sf).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("rate_ppm")), r.getLong(r.fieldIndex("expected_tokens"))))
+      .toMap
+    val l1 = legMap(1L)
+    assert(l1.keySet == lin.keySet)
+    for ((s0, (_, rate, exp)) <- l1)
+      assert((rate, exp) == lin(s0), s"sweep T=1 leg differs from token_budget_mix at $s0")
+    val pinned = SparkEntry.queries("token_budget_mix_t")(spark, Sf).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("weight_t")), r.getLong(r.fieldIndex("rate_ppm")),
+          r.getLong(r.fieldIndex("expected_tokens")))).toMap
+    assert(legMap(MixOps.MixTemp.toLong) == pinned,
+      "sweep T=MixTemp leg differs from token_budget_mix_t")
+    // weight-compression flatness: per T, max/min weight_t ratio
+    // non-increasing in T; and the reported flat_ratio matches the
+    // leg's own expected-token extremes
+    val byT = sw.groupBy(_.getLong(sw.head.fieldIndex("temp")))
+    val wtRatio = MixOps.TempGrid.map { t =>
+      val ws = byT(t.toLong).map(_.getLong(sw.head.fieldIndex("weight_t")))
+      ws.max.toDouble / ws.min.toDouble
+    }
+    assert(wtRatio.zip(wtRatio.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"weight_t max/min ratio not non-increasing across $wtRatio")
+    for ((t, rows) <- byT) {
+      val exp = rows.map(_.getLong(rows.head.fieldIndex("expected_tokens")))
+      val mx = rows.head.getLong(rows.head.fieldIndex("max_share_tokens"))
+      val mn = rows.head.getLong(rows.head.fieldIndex("min_share_tokens"))
+      assert(mx == exp.max, s"T=$t max_share_tokens")
+      assert(mn == exp.filter(_ > 0).min, s"T=$t min_share_tokens")
+      assert(rows.forall(r => r.getLong(r.fieldIndex("flat_ratio_ppm")) == mx * 1000000L / mn))
+    }
+  }
+
   test("bpe_encode and pack_sequences_bpe reconcile with bpe_apply's totals") {
     import org.apache.spark.sql.functions._
     // fit → encode → pack must agree on ONE tokenization: the encoded
@@ -1054,7 +1135,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(r.fieldIndex("source")) ->
         (r.getLong(r.fieldIndex("n_tokens")), r.getLong(r.fieldIndex("syms_total"))))
       .toMap
-    val enc = SparkEntry.queries("bpe_encode")(spark, Sf)
+    val enc = TextOps.bpeEncode(spark, Sf)
       .agg(sum(col("n_words")).as("w"), sum(col("n_ids")).as("i")).collect()(0)
     assert(enc.getLong(0) == ap.values.map(_._1).sum, "encoded word total != bpe_apply n_tokens")
     assert(enc.getLong(1) == ap.values.map(_._2).sum, "emitted id total != bpe_apply syms_total")
@@ -1065,7 +1146,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bySrc.getOrElse(s0, 0L) == syms,
         s"source $s0 packed token total != bpe_apply syms_total")
     // per doc, the packer budgets exactly the ids the encoder emits
-    val encByDoc = SparkEntry.queries("bpe_encode")(spark, Sf)
+    val encByDoc = TextOps.bpeEncode(spark, Sf)
       .select("doc_id", "n_ids").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (r <- pk) {
@@ -1081,11 +1162,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // encoded stream at the stride boundary, the chunk count must
     // follow the window formula, and the last chunk must end at the
     // stream's end (no token uncovered, none invented)
-    val enc = SparkEntry.queries("bpe_encode")(spark, Sf).collect()
+    val enc = TextOps.bpeEncode(spark, Sf).collect()
       .map(r => r.getLong(r.fieldIndex("doc_id")) ->
         r.getSeq[Long](r.fieldIndex("token_ids")))
       .toMap
-    val ch = SparkEntry.queries("chunk_documents_bpe")(spark, Sf).collect()
+    val ch = TextOps.chunkDocumentsBpe(spark, Sf).collect()
     assert(ch.nonEmpty)
     val byDoc = ch.groupBy(_.getLong(0))
     assert(byDoc.keySet == enc.keySet, "chunked doc set != encoded doc set")
@@ -1107,6 +1188,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(start + len == n, s"doc $d0 last chunk does not reach the stream end")
       }
     }
+  }
+
+  test("driver-checked BPE views stringify the internal id arrays losslessly") {
+    // the REGISTERED bpe_encode / chunk_documents_bpe emit the canonical
+    // space-joined id string (driver-sortable); this pins that string to
+    // the internal array API cell for cell, so the checked view cannot
+    // drift from what pack/chunk consumers actually read
+    val enc = TextOps.bpeEncode(spark, Sf).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getSeq[Long](r.fieldIndex("token_ids")).mkString(" ")).toMap
+    val encS = SparkEntry.queries("bpe_encode")(spark, Sf).collect()
+    assert(encS.length == enc.size && encS.nonEmpty)
+    for (r <- encS)
+      assert(r.getString(r.fieldIndex("token_ids_s")) ==
+        enc(r.getLong(r.fieldIndex("doc_id"))), "token_ids_s != joined token_ids")
+    val ch = TextOps.chunkDocumentsBpe(spark, Sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("chunk_idx"))) ->
+        r.getSeq[Long](r.fieldIndex("chunk_ids")).mkString(" ")).toMap
+    val chS = SparkEntry.queries("chunk_documents_bpe")(spark, Sf).collect()
+    assert(chS.length == ch.size && chS.nonEmpty)
+    for (r <- chS)
+      assert(r.getString(r.fieldIndex("chunk_ids_s")) ==
+        ch((r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("chunk_idx")))),
+        "chunk_ids_s != joined chunk_ids")
   }
 
   test("bpe_train and bpe_apply match a plain-Scala BPE fit") {
@@ -2987,12 +3092,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("knn_refine keeps per-vertex degree <= RefineK and never loses a better neighbor") {
-    // one NN-descent round can only improve each vertex's neighbor
-    // list: the refined top-RefineK is drawn from a candidate
-    // SUPERSET of the current edges, so per src, rank for rank, the
-    // refined cosine must be >= the original cosine at the same
-    // rank, the list never shrinks, and every (src, rnk) stays
-    // unique in 1..RefineK
+    // each NN-descent round can only improve each vertex's neighbor
+    // list: every round's candidates are a SUPERSET of its current
+    // edges, so by induction over the NNDescentRounds rounds, per
+    // src, rank for rank, the refined cosine must be >= the ORIGINAL
+    // graph's cosine at the same rank, the list never shrinks, and
+    // every (src, rnk) stays unique in 1..RefineK
     val g = AnnOps.annKnnGraph(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     val rg = AnnOps.knnRefine(spark, Sf).collect()
@@ -3031,11 +3136,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("ann_graph_search equals a plain-Scala beam-walk recompute") {
-    // independent sequential re-walk: same entry points (h60 rank),
-    // same per-round beam ranking / edge expansion / exact-cosine
+    // independent sequential re-walk: same entry points (r17 IVF
+    // seeding — per query, the GraphSeeds hash-rank-smallest members
+    // of its nearest coarse cell ∪ the global hash-rank seeds), same
+    // per-round beam ranking / edge expansion / exact-cosine
     // scoring, over the operator's OWN persisted edge table (the graph
     // build has its own oracle + specs) — pins the walk semantics:
-    // frontier selection, visited-set growth, final top-K.
+    // entry rule, frontier selection, visited-set growth, final top-K.
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -3048,11 +3155,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val adj = AnnOps.annKnnGraph(spark, Sf).select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).toSeq }
-    val seeds = emb.keys.toSeq
+    val gseeds = emb.keys.toSeq
       .sortBy(id => (scalaH60(s"$id:${AnnOps.GraphSeedSalt}"), id)).take(AnnOps.GraphSeeds)
+    // coarse-quantizer routing for the cell seeds: vector assignment
+    // ties break to the LOWEST cell (assignCells), query probe ties
+    // to the HIGHEST (probeCellsTable) — both pinned here
+    val cents = (0 until AnnOps.NCells).map(c =>
+      c -> (0 until 64).map(i => AnnOps.centroidCoef(c, i).toDouble).toArray).toMap
+    def dotC(e: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < e.length) { acc += e(i).toDouble * c(i); i += 1 }
+      acc
+    }
+    val vcell = emb.map { case (id, e) =>
+      id -> (0 until AnnOps.NCells).maxBy(c => (dotC(e, cents(c)), -c)) }
+    val cellSeeds = vcell.groupBy(_._2).map { case (c, xs) =>
+      c -> xs.keys.toSeq
+        .sortBy(id => (scalaH60(s"$id:${AnnOps.GraphSeedSalt}"), id))
+        .take(AnnOps.GraphSeeds) }
     val expected = scala.collection.mutable.Map[(Long, Long), (Int, Double)]()
     for (q <- emb.keys.toSeq.filter(_ % AnnOps.QMod == 0)) {
       val qe = emb(q); val qn = nrm(q)
+      val qc = (0 until AnnOps.NCells).maxBy(c => (dotC(qe, cents(c)), c))
+      val seeds = (cellSeeds.getOrElse(qc, Seq.empty) ++ gseeds).distinct
       val visited = scala.collection.mutable.Map[Long, Double]()
       for (s0 <- seeds) visited(s0) = dot(qe, emb(s0)) / (qn * nrm(s0))
       for (_ <- 1 to AnnOps.WalkRounds) {
