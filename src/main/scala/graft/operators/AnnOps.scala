@@ -536,20 +536,34 @@ object AnnOps {
     * call through r15 (6.19 s vs the ~4.5 s builder-measured cost)
     * while the other index legs rode cached tables. K·|Q| rows. */
   def annGraphSearch(s: SparkSession, d: String): DataFrame =
-    walkCache.computeIfAbsent(d + "|base", _ =>
-      annGraphSearchWith(s, d, GraphSeeds, GraphBeam, WalkRounds)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    topKCut(walkCache.computeIfAbsent(d + "|base", _ =>
+      walkVisitedOver(s, d, annKnnGraph(s, d).select(col("src"), col("dst")),
+        GraphSeeds, GraphBeam, WalkRounds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** The default-knob walk over the [[knnRefine]]d graph — the
-    * `ann_recall_report` 7th variant showing what one NN-descent
-    * round buys the SAME serving walk. Cached like [[annGraphSearch]]. */
+    * `ann_recall_report` 7th variant showing what NN-descent buys the
+    * SAME serving walk. Cached like [[annGraphSearch]]. */
   def annGraphSearchRefined(s: SparkSession, d: String): DataFrame =
+    topKCut(refinedWalkVisited(s, d))
+
+  /** The gate-knob refined-graph walk's VISITED set, per-dir cached —
+    * r17 caches the walk at the visited level (not the top-K cut) so
+    * BOTH serving reads and [[graphWalkSweep]]'s gate-beam leg ride
+    * the one paid walk: the cached frame is ≤ |Q|·(seeds +
+    * rounds·beam·K) rows, and the cut is a window over it. */
+  private[operators] def refinedWalkVisited(s: SparkSession, d: String): DataFrame =
     walkCache.computeIfAbsent(d + "|refined", _ =>
-      annGraphSearchOver(s, d, knnRefine(s, d).select(col("src"), col("dst")),
+      walkVisitedOver(s, d, knnRefine(s, d).select(col("src"), col("dst")),
         GraphSeeds, GraphBeam, WalkRounds)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Per-(dir, graph-variant) persisted walk results. */
+  private def topKCut(visited: DataFrame): DataFrame =
+    visited.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "cosine")
+
+  /** Per-(dir, graph-variant) persisted walk VISITED sets. */
   private val walkCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -565,6 +579,16 @@ object AnnOps {
     * LSH-built and NN-descent-refined graphs (same entry points,
     * frontier rule, and scoring; only the neighbor lists differ). */
   def annGraphSearchOver(s: SparkSession, d: String, edgeTable: DataFrame,
+      nSeeds: Int, beam: Int, rounds: Int): DataFrame =
+    walkVisitedOver(s, d, edgeTable, nSeeds, beam, rounds)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "vec_id", "rnk", "cosine")
+
+  /** The walk loop itself, ending at the full visited set (every
+    * scored (q_id, vec_id, cosine) including the query's own row when
+    * it seeds itself). */
+  private def walkVisited(s: SparkSession, d: String, edgeTable: DataFrame,
       nSeeds: Int, beam: Int, rounds: Int): DataFrame = {
     val edges = edgeTable.select(col("src"), col("dst"))
     val v = vectors(s, d)
@@ -623,11 +647,73 @@ object AnnOps {
         .join(visited.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti")
       visited = visited.unionByName(score(cands)).localCheckpoint(false)
     }
-    visited.filter(col("vec_id") =!= col("q_id"))
-      .withColumn("rnk", row_number().over(rankW))
-      .filter(col("rnk") <= TopK)
-      .select("q_id", "vec_id", "rnk", "cosine")
+    visited
   }
+
+  /** Walk-knob TUNING curve as a checked query (the `ivf_probe_sweep`
+    * pattern for the graph index — closing the sweep-instrument
+    * family: bands, probes, temperature, now beam): for each beam
+    * width in [[WalkBeamGrid]], BOTH sides of the serving tradeoff
+    * over the NN-descent-refined graph — recall@K against the
+    * brute-force ground truth AND the visited-set volume (the
+    * exact-cosine scorings a wider beam pays for recall with), as
+    * exact integers plus ppm recall. This commits the measured curve
+    * the r17 WalkRounds/RefineK defaults were picked from, so the
+    * next knob decision reads a query, not a scratch run. Shape: per
+    * leg, the same bounded walk as the gate query (rounds × beam
+    * frontier joins, visited set checkpointed per round — counting it
+    * costs nothing extra); the ground truth is one checkpointed
+    * brute table shared by all legs; every aggregate is a one-row
+    * partial agg and every comparison an equi-join on (q_id, vec_id).
+    * Output is |grid| rows regardless of corpus size. */
+  def graphWalkSweep(s: SparkSession, d: String): DataFrame = {
+    val truth = annCosineTopk(s, d).select(col("q_id"), col("vec_id"))
+      .localCheckpoint(false)
+    val edges = knnRefine(s, d).select(col("src"), col("dst"))
+    WalkBeamGrid.map { beam =>
+      // the gate-beam leg IS the serving walk — ride its cached
+      // visited set instead of re-walking (the walkCache rule)
+      val vis = if (beam == GraphBeam) refinedWalkVisited(s, d)
+        else walkVisitedOver(s, d, edges, GraphSeeds, beam, WalkRounds)
+      val topk = vis.filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rnk", row_number().over(rankW))
+        .filter(col("rnk") <= TopK)
+        .select("q_id", "vec_id")
+      val volume = vis.agg(count(lit(1)).as("visited_rows"),
+        countDistinct(col("q_id")).as("n_queries"))
+      val hits = topk.join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true_total"))
+      volume.crossJoin(broadcast(hits)).crossJoin(broadcast(nTrue))
+        .select(lit(beam.toLong).as("beam"),
+          col("n_queries").cast("long").as("n_queries"),
+          col("visited_rows").cast("long").as("visited_rows"),
+          col("n_true_total").cast("long").as("n_true_total"),
+          col("hits").cast("long").as("hits"),
+          // empty-ingest guard: an empty corpus reports 0-ppm rows,
+          // not a divide-by-zero (the ivf_balance_report convention)
+          when(col("n_true_total") > 0,
+            expr("hits * 1000000 div n_true_total")).otherwise(lit(0L))
+            .as("recall_ppm"),
+          when(col("n_queries") > 0,
+            expr("visited_rows div n_queries")).otherwise(lit(0L))
+            .as("visited_per_query"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Beam grid for [[graphWalkSweep]] — brackets the gate-pinned
+    * [[GraphBeam]] with the half and double widths. */
+  val WalkBeamGrid = Seq(4, 8, 16)
+
+  /** The walk's visited set (every scored (q_id, vec_id, cosine)),
+    * before the top-K cut — [[annGraphSearchOver]] serves from it,
+    * [[graphWalkSweep]] additionally reports its volume (the walk's
+    * query-time cost, the analogue of IVF's scanned-candidate
+    * count). */
+  private def walkVisitedOver(s: SparkSession, d: String, edgeTable: DataFrame,
+      nSeeds: Int, beam: Int, rounds: Int): DataFrame =
+    walkVisited(s, d, edgeTable, nSeeds, beam, rounds)
+      .filter(col("vec_id") =!= col("q_id"))
 
   // ---- label centroids + kNN quality eval ------------------------
 
@@ -1387,7 +1473,8 @@ object AnnOps {
     "knn_degree_stats"   -> (knnDegreeStats _),
     "ivf_probe_sweep"    -> (ivfProbeSweep _),
     "ann_graph_search"   -> (annGraphSearch _),
-    "knn_refine"         -> (knnRefine _)
+    "knn_refine"         -> (knnRefine _),
+    "graph_walk_sweep"   -> (graphWalkSweep _)
   )
 
   // ---- SQL twins -------------------------------------------------
@@ -1507,7 +1594,10 @@ object AnnOps {
     * [[GraphBeam]]-wide frontier, expands it through the edge CTE,
     * anti-joins already-visited pairs, scores the fresh candidates
     * by exact cosine, and unions them in. */
-  private def graphSearchSqlOver(edgeSql: String): String = {
+  /** The walk's CTE body (edge table → IVF-seeded entries → unrolled
+    * rounds, ending at `vis<rounds>`) — shared by the walk twins and
+    * the sweep legs, parameterized by the serving knobs. */
+  private def walkCtes(edgeSql: String, nSeeds: Int, beam: Int, rounds: Int): String = {
     val seedRank = "row_number() OVER (ORDER BY " +
       Portable.h60Sql(s"CAST(vec_id AS VARCHAR) || ':$GraphSeedSalt'") + ", vec_id)"
     val cellSeedRank = "row_number() OVER (PARTITION BY cell ORDER BY " +
@@ -1517,7 +1607,7 @@ object AnnOps {
       s"""fr$r AS (SELECT q_id, vec_id FROM (
          |  SELECT q_id, vec_id,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
-         |  FROM $prev) WHERE rn <= $GraphBeam),
+         |  FROM $prev) WHERE rn <= $beam),
          |cd$r AS (SELECT DISTINCT f.q_id, g.dst AS vec_id
          |  FROM fr$r f JOIN g ON f.vec_id = g.src
          |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
@@ -1528,14 +1618,14 @@ object AnnOps {
          |  JOIN qs q ON c.q_id = q.q_id),
          |vis$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM sc$r)""".stripMargin
     }
-    s"""WITH g0 AS ($edgeSql),
+    s"""g0 AS ($edgeSql),
        |g AS MATERIALIZED (SELECT src, dst FROM g0),
        |$vecCte, $centroidsCte,
        |$vcellCte,
        |seeds AS (SELECT vec_id FROM (
-       |  SELECT vec_id, $seedRank AS rn FROM vecs) WHERE rn <= $GraphSeeds),
+       |  SELECT vec_id, $seedRank AS rn FROM vecs) WHERE rn <= $nSeeds),
        |cseeds AS (SELECT cell, vec_id FROM (
-       |  SELECT cell, vec_id, $cellSeedRank AS rn FROM vcell) WHERE rn <= $GraphSeeds),
+       |  SELECT cell, vec_id, $cellSeedRank AS rn FROM vcell) WHERE rn <= $nSeeds),
        |qdotsw AS (SELECT q.q_id, cells.c,
        |    ${Portable.dotSql("qe", "cent")} AS dd FROM qs q, cells),
        |qcellw AS (SELECT q_id, c AS cell FROM (
@@ -1550,12 +1640,49 @@ object AnnOps {
        |         ${Portable.dotSql("qe", "embedding")} / (qn * nrm) AS cosine
        |  FROM entries e JOIN vecs v ON e.vec_id = v.vec_id
        |  JOIN qs q ON e.q_id = q.q_id),
-       |${(1 to WalkRounds).map(round).mkString(",\n")},
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def graphSearchSqlOver(edgeSql: String): String =
+    s"""WITH ${walkCtes(edgeSql, GraphSeeds, GraphBeam, WalkRounds)},
        |rankedw AS (SELECT q_id, vec_id, cosine,
        |       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
        |  FROM vis$WalkRounds WHERE vec_id <> q_id)
        |SELECT q_id, vec_id, rnk, cosine FROM rankedw WHERE rnk <= $TopK""".stripMargin
-  }
+
+  /** One `graph_walk_sweep` leg as SQL: the refined-graph walk chain
+    * at the given beam (its own nested WITH, so leg CTE names never
+    * collide in the UNION), aggregated to the one-row
+    * volume/hits/recall record vs the brute ground truth. */
+  private def walkSweepLegSql(beam: Int): String =
+    s"""SELECT * FROM (
+       |WITH ${walkCtes(knnRefineSql, GraphSeeds, beam, WalkRounds)},
+       |visf AS MATERIALIZED (SELECT q_id, vec_id, cosine
+       |  FROM vis$WalkRounds WHERE vec_id <> q_id),
+       |tk AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM visf) WHERE rnk <= $TopK),
+       |btsc AS (
+       |  SELECT q.q_id, v.vec_id, $cosSql AS cosine
+       |  FROM vecs v CROSS JOIN qs q
+       |  WHERE v.vec_id <> q.q_id),
+       |bt AS MATERIALIZED (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM btsc) WHERE rnk <= $TopK),
+       |a1 AS (SELECT CAST(count(*) AS BIGINT) AS visited_rows,
+       |              CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM visf),
+       |a2 AS (SELECT CAST(count(*) AS BIGINT) AS hits
+       |  FROM tk JOIN bt ON tk.q_id = bt.q_id AND tk.vec_id = bt.vec_id),
+       |a3 AS (SELECT CAST(count(*) AS BIGINT) AS n_true_total FROM bt)
+       |SELECT CAST($beam AS BIGINT) AS beam, n_queries, visited_rows,
+       |  n_true_total, hits,
+       |  CASE WHEN n_true_total > 0 THEN hits * 1000000 // n_true_total
+       |       ELSE 0 END AS recall_ppm,
+       |  CASE WHEN n_queries > 0 THEN visited_rows // n_queries
+       |       ELSE 0 END AS visited_per_query
+       |FROM a1, a2, a3) leg$beam""".stripMargin
 
   /** The IVF top-k query as standalone SQL (also nested by
     * `ann_recall_report`'s oracle). */
@@ -1876,6 +2003,8 @@ object AnnOps {
          |SELECT q_id, vec_id, rnk, qcosine FROM ranked WHERE rnk <= $TopK""".stripMargin,
     "ann_graph_search" -> graphSearchSqlOver(knnGraphSql),
     "knn_refine" -> knnRefineSql,
+    "graph_walk_sweep" ->
+      WalkBeamGrid.map(walkSweepLegSql).mkString("\nUNION ALL\n"),
     "ann_recall_report" ->
       s"""WITH b AS ($cosineTopkSql),
          |l AS ($lshTopkSql),

@@ -172,6 +172,14 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L &&
             r.getLong(4) == 0L && r.isNullAt(5) && r.isNullAt(6)),
           s"ivf_probe_sweep empty-index report malformed")
+      } else if (n == "graph_walk_sweep") {
+        // a TOTALS report per beam level: zero queries/visited/hits,
+        // 0-ppm recall (the ivf_balance_report zero convention) —
+        // not a vanished sweep
+        val rows = df.collect()
+        assert(rows.length == AnnOps.WalkBeamGrid.size && rows.forall(r =>
+          (1 until 7).forall(i => r.getLong(i) == 0L)),
+          s"graph_walk_sweep empty-index report malformed")
       } else if (n == "unigram_fertility") {
         // a one-row totals report: zero words/pieces/symbols, zero
         // ppm ratios — not a vanished comparison
@@ -697,6 +705,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ann_ivf_pq_topk" -> ("ann", 3), "ann_recall_report" -> ("ann", 9),
       // the query-side × GraphSeeds entry-point cross (both tiny)
       "ann_graph_search" -> ("ann", 1),
+      // 3 beam legs × the two one-row aggregate crosses
+      // (volume × hits × n_true); walk internals sit behind per-round
+      // checkpoints and the cached refined-edge table
+      "graph_walk_sweep" -> ("ann", 6),
       // probe sweep: checkpointed brute baseline (BNLJ runs at
       // construction, not in this plan) + 3 probe legs × (centroid
       // assignment + query-probe crosses) + the one-row corpus total
@@ -3089,6 +3101,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gwrHits = rep.map(_.getLong(rep.head.fieldIndex("gwr_hits"))).sum
     assert(gwrHits >= gwHits,
       s"refined-graph walk lost aggregate recall: $gwrHits < $gwHits")
+  }
+
+  test("graph_walk_sweep: monotone in beam, consistent with the recall report's gwr row") {
+    // deterministic fixed data, so the curve is an invariant: a wider
+    // beam explores a superset-shaped frontier — visited volume and
+    // recall must be non-decreasing — and the beam = GraphBeam leg is
+    // EXACTLY the gate walk, so its hits must equal the recall
+    // report's refined-graph (gwr) total
+    val sw = SparkEntry.queries("graph_walk_sweep")(spark, Sf).collect()
+      .sortBy(_.getLong(0))
+    assert(sw.map(_.getLong(0)).toSeq == AnnOps.WalkBeamGrid.map(_.toLong))
+    val vols = sw.map(_.getLong(sw.head.fieldIndex("visited_rows")))
+    val hits = sw.map(_.getLong(sw.head.fieldIndex("hits")))
+    assert(vols.zip(vols.tail).forall { case (a, b) => b >= a },
+      s"visited volume not non-decreasing in beam: ${vols.toSeq}")
+    assert(hits.zip(hits.tail).forall { case (a, b) => b >= a },
+      s"recall not non-decreasing in beam: ${hits.toSeq}")
+    for (r <- sw) {
+      assert(r.getLong(r.fieldIndex("hits")) <= r.getLong(r.fieldIndex("n_true_total")))
+      assert(r.getLong(r.fieldIndex("recall_ppm")) ==
+        r.getLong(r.fieldIndex("hits")) * 1000000L / r.getLong(r.fieldIndex("n_true_total")))
+    }
+    val gwrTotal = SparkEntry.queries("ann_recall_report")(spark, Sf).collect()
+      .map(r => r.getLong(r.fieldIndex("gwr_hits"))).sum
+    val gateLeg = sw.find(_.getLong(0) == AnnOps.GraphBeam.toLong).get
+    assert(gateLeg.getLong(gateLeg.fieldIndex("hits")) == gwrTotal,
+      "sweep's gate-beam leg hits != recall report gwr total")
   }
 
   test("knn_refine keeps per-vertex degree <= RefineK and never loses a better neighbor") {
