@@ -237,6 +237,24 @@ object AnnOps {
       .select(col("q_id"), col("qe"), col("qn"), col("c").as("cell"))
   }
 
+  /** The gate-knob ([[NCells]]) cell-assignment table, cached per
+    * dir — r17: the coarse index IS a persisted table in production
+    * IVF (the inverted file), and seven queries were each re-running
+    * the N×cells broadcast cross + argmax per call (`ann_ivf_topk`,
+    * `ivf_balance_report`, `ann_ivf_pq_topk`, `kmeans_step`, the
+    * walk-entry seeds, and `ivf_probe_sweep`'s three legs). One
+    * materialization (charged to the bench's named setup), four
+    * narrow columns. Parameterized nCells ≠ [[NCells]] calls (the
+    * tuning specs) still assign fresh. Released by
+    * [[clearKnnCache]]. */
+  private[operators] def assignedCells(s: SparkSession, d: String): DataFrame =
+    cellAssignCache.computeIfAbsent(d, _ =>
+      assignCells(vectors(s, d), centroidTable(s, NCells))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val cellAssignCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** IVF ANN: vectors partition into centroid cells; each query scans
     * only its nProbe closest cells — the coarse-quantizer analogue of
     * the LSH path (candidates are an equi-join on the cell id). */
@@ -245,7 +263,8 @@ object AnnOps {
 
   def annIvfTopkWith(s: SparkSession, d: String, nCells: Int, nProbe: Int): DataFrame = {
     val cents = centroidTable(s, nCells)
-    val v = assignCells(vectors(s, d), cents)
+    val v = if (nCells == NCells) assignedCells(s, d)
+      else assignCells(vectors(s, d), cents)
     val q = probeCellsTable(queriesSide(s, d), cents, nProbe)
     v.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -266,7 +285,7 @@ object AnnOps {
     * partial-agg groupBy over cell ids + a one-row total broadcast —
     * nothing here scales with anything but the cell count. */
   def ivfBalanceReport(s: SparkSession, d: String): DataFrame = {
-    val counts = assignCells(vectors(s, d), centroidTable(s, NCells))
+    val counts = assignedCells(s, d)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
     val total = counts.agg(sum(col("n_vecs")).as("total"))
     centroidTable(s, NCells).select(col("c").as("cell"))
@@ -343,6 +362,10 @@ object AnnOps {
     refineCache.clear()
     walkCache.values.forEach(df => { df.unpersist(); () })
     walkCache.clear()
+    // the coarse-quantizer assignment table (the persisted inverted
+    // file) is per-corpus state like the rest
+    cellAssignCache.values.forEach(df => { df.unpersist(); () })
+    cellAssignCache.clear()
     // GraphOps' canonical edge table derives from the graph too
     GraphOps.clearEdgeCache()
   }
@@ -360,6 +383,7 @@ object AnnOps {
   def warmCaches(s: SparkSession, d: String): Unit = {
     annKnnGraph(s, d).queryExecution.toRdd.count()
     semanticClusters(s, d).queryExecution.toRdd.count()
+    assignedCells(s, d).queryExecution.toRdd.count()
     knnRefine(s, d).queryExecution.toRdd.count()
     annGraphSearch(s, d).queryExecution.toRdd.count()
     annGraphSearchRefined(s, d).queryExecution.toRdd.count()
@@ -616,7 +640,7 @@ object AnnOps {
       .withColumn("u", seedRank)
       .orderBy(col("u"), col("vec_id")).limit(nSeeds)
       .select(col("vec_id"))
-    val cellSeeds = assignCells(v, cents)
+    val cellSeeds = assignedCells(s, d)
       .select(col("vec_id"), col("cell"))
       .withColumn("u", seedRank)
       .withColumn("rn", row_number().over(
@@ -977,7 +1001,7 @@ object AnnOps {
     val nCorpus = vectors(s, d).agg(count(lit(1)).as("n_corpus"))
     val legs = ProbeSweep.map { p =>
       val cents = centroidTable(s, NCells)
-      val v = assignCells(vectors(s, d), cents)
+      val v = assignedCells(s, d)
       val q = probeCellsTable(queriesSide(s, d), cents, p)
       val ranked = v.join(broadcast(q), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -1093,7 +1117,7 @@ object AnnOps {
     * window top-k — no new shuffle class vs either half. */
   def annIvfPqTopk(s: SparkSession, d: String): DataFrame = {
     val cents = centroidTable(s, NCells)
-    val cells = assignCells(vectors(s, d), cents).select(col("vec_id"), col("cell"))
+    val cells = assignedCells(s, d).select(col("vec_id"), col("cell"))
     val indexed = pqRecon(s, d).join(cells, Seq("vec_id"))
     val q = probeCellsTable(queriesSide(s, d), cents, NProbe)
     indexed.join(broadcast(q), Seq("cell"))
@@ -1118,7 +1142,7 @@ object AnnOps {
     * per iteration; a full fit loops this query, checkpointing like
     * `dup_clusters`. */
   def kmeansStep(s: SparkSession, d: String): DataFrame =
-    assignCells(vectors(s, d), centroidTable(s, NCells))
+    assignedCells(s, d)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("cell"), col("i"))
       .agg(count(lit(1)).as("n"),

@@ -32,5 +32,5 @@ object Caches {
     * r15 unigram fit cache and the ANN kNN/cluster/edge family were
     * both missing from the switch, serving stale per-dir tables after
     * a corpus swap). */
-  val WiredCaches = 14
+  val WiredCaches = 15
 }

@@ -696,13 +696,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    ground-truth cross (fixed-size hash-rank slice vs itself).
     val bnlj: Map[String, (String, Int)] = Map(
       // ann: brute-force baseline, IVF/PQ/SQ assignment + ADC scans,
-      // trainer/QA companions (each also carries scalar totals)
-      "ann_cosine_topk" -> ("ann", 1), "ann_ivf_topk" -> ("ann", 2),
+      // trainer/QA companions (each also carries scalar totals).
+      // r17: NCells-assignment consumers carry +1 — the cached
+      // assignedCells InMemoryRelation lineage prints its N×cells
+      // cross in plan text (runs once at setup; cached-lineage note)
+      "ann_cosine_topk" -> ("ann", 1), "ann_ivf_topk" -> ("ann", 3),
       "ann_pq_topk" -> ("ann", 2), "ann_sq_topk" -> ("ann", 2),
       // recall report composes all six index variants (r14 added
       // PQ + IVF+PQ, r15 the graph walk): brute(1) + ivf(2) + pq(2)
       // + ivfpq(3) + graph-walk seed cross(1) gates
-      "ann_ivf_pq_topk" -> ("ann", 3), "ann_recall_report" -> ("ann", 9),
+      // recall report: +1 r17 — the cached assignedCells lineage's
+      // assignment cross shows in plan text when the cache is cold
+      "ann_ivf_pq_topk" -> ("ann", 4), "ann_recall_report" -> ("ann", 10),
       // the query-side × GraphSeeds entry-point cross (both tiny)
       "ann_graph_search" -> ("ann", 1),
       // 3 beam legs × the two one-row aggregate crosses
@@ -712,10 +717,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       // probe sweep: checkpointed brute baseline (BNLJ runs at
       // construction, not in this plan) + 3 probe legs × (centroid
       // assignment + query-probe crosses) + the one-row corpus total
-      "ivf_probe_sweep" -> ("ann", 7),
-      "semdedup" -> ("ann", 2), "kmeans_step" -> ("ann", 1),
+      "ivf_probe_sweep" -> ("ann", 10),
+      // kmeans_step: the assignment cross appears once live and once
+      // inside the cached assignedCells InMemoryRelation lineage
+      // (plan-text count; runs once — the spec's cached-lineage note)
+      "semdedup" -> ("ann", 2), "kmeans_step" -> ("ann", 2),
       "kmeanspp_init" -> ("ann", 3), "quantize_error" -> ("ann", 1),
-      "ivf_balance_report" -> ("ann", 3),
+      "ivf_balance_report" -> ("ann", 5),
       // dim2: type/source-dimension² pair frames over sketch states
       "kmv_intersect" -> ("dim2", 4), "kmv_difference" -> ("dim2", 2),
       "hll_intersect" -> ("dim2", 2), "cms_join_estimate" -> ("dim2", 1),
@@ -752,6 +760,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lm_doc_score" -> ("scalar", 1),
       "session_duration_histogram" -> ("scalar", 1),
       "tfidf_cosine_pairs" -> ("scalar", 4))
+    // pin the per-dir session caches to their steady (built) state
+    // first: a cold cache's first consumer constructs the cached
+    // DataFrame inside its own plan, so BNLJ plan-text counts would
+    // depend on which spec ran first (observed r17: ±1 on the IVF
+    // family between isolation and full-suite runs). Warm = the state
+    // the bench and every real session run in.
+    operators.TextOps.warmCaches(spark, Sf)
+    operators.AnnOps.warmCaches(spark, Sf)
+    operators.GeoOps.warmCaches(spark, Sf)
+    operators.MixOps.warmCaches(spark, Sf)
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val df = SparkEntry.queries(name)(spark, Sf)
