@@ -254,6 +254,7 @@ object Bench {
       graft.operators.AnnOps.warmCaches(spark, sfDir)
       graft.operators.GeoOps.warmCaches(spark, sfDir)
       graft.operators.MixOps.warmCaches(spark, sfDir)
+      graft.operators.CcldOps.warmCaches(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"SETUP FAILURE: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }

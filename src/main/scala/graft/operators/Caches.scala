@@ -8,11 +8,24 @@ package graft.operators
   * test/verify mains call it at teardown so no path leaks persisted
   * or checkpointed blocks for the life of the JVM. */
 object Caches {
+
+  /** Release a cache entry that is an EAGER LOCAL CHECKPOINT:
+    * Dataset.unpersist does not reach a local checkpoint's RDD-level
+    * blocks, so release goes through the LogicalRDD handle (the
+    * abwdPairCache rule, shared here for every checkpointed cache). */
+  def releaseCheckpointed(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
   def clearAll(): Unit = {
     TextOps.clearSignatureCache()
     MixOps.clearTokenCache()
     SketchOps.clearHllRegCache()
     GeoOps.clearAbwdPairCache()
+    CcldOps.clearDrawCache()
     // the ANN index tables (kNN edges + cluster labels + the
     // NN-descent-refined edges + the persisted walk results) and the
     // graph family's canonical edge projection derived from them —
@@ -20,6 +33,13 @@ object Caches {
     // release switch, so a corpus swap in a long-lived session served
     // stale neighbor lists to the eight graph-consuming operators
     AnnOps.clearKnnCache()
+    // the streaming family's retained run outputs (per-prefix
+    // checkpointed batches) hold persisted blocks like any cache
+    graft.streaming.MemorySinks.clearAll()
+    // the streaming scorer's fitted-model artifact is per-dir state
+    graft.streaming.StreamingMarkovScore.clearModelCache()
+    // the streaming span probe's persisted shingle-hash store
+    graft.streaming.StreamingSpanDedup.clearIndexCache()
   }
 
   /** Count of per-dir ConcurrentHashMap-keyed-by-String session
@@ -32,5 +52,5 @@ object Caches {
     * r15 unigram fit cache and the ANN kNN/cluster/edge family were
     * both missing from the switch, serving stale per-dir tables after
     * a corpus swap). */
-  val WiredCaches = 15
+  val WiredCaches = 23
 }

@@ -51,14 +51,38 @@ object GraphOps {
   private[operators] def clearEdgeCache(): Unit = {
     edgeCache.values.forEach(df => { df.unpersist(); () })
     edgeCache.clear()
+    // the dst-clustered symmetrized view derives from the same edges
+    // (checkpointed — LogicalRDD release)
+    symEdgeCache.values.forEach(Caches.releaseCheckpointed(_))
+    symEdgeCache.clear()
   }
 
-  /** Symmetrized directed edges (both directions) — PageRank's view. */
-  private def symEdges(s: SparkSession, d: String): DataFrame = {
-    val e = canonEdges(s, d)
-    e.select(col("u").as("src"), col("v").as("dst"))
-      .union(e.select(col("v").as("src"), col("u").as("dst")))
-  }
+  /** Symmetrized directed edges (both directions) — PageRank's view,
+    * persisted per dir HASH-PARTITIONED ON dst (r17 optimization
+    * round): every PageRank iteration's contribution aggregate groups
+    * by dst, so a dst-clustered edge table satisfies the aggregate's
+    * required distribution through the (broadcast) rank join and the
+    * per-iteration `Exchange hashpartitioning(vec_id)` disappears —
+    * 8 shuffles of the O(N·K) edge list per `pagerank_full` call
+    * (plus 2 per `pagerank_knn`) become zero. At cluster scale the
+    * same layout holds: the rank join keys on src (broadcast here,
+    * SMJ there — either way the EDGE side needed no src clustering it
+    * would lose), and the contribution shuffle by dst is the one this
+    * layout pre-pays once at build. */
+  private def symEdges(s: SparkSession, d: String): DataFrame =
+    symEdgeCache.computeIfAbsent(d, _ => {
+      val e = canonEdges(s, d)
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("dst"))
+        // eager localCheckpoint: materializes once per dir AND records
+        // the dst hash-partitioning on the LogicalRDD, so downstream
+        // per-iteration aggregates see their distribution satisfied
+        .localCheckpoint(true)
+    })
+
+  private val symEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Per-vertex TRIANGLE counts on the thresholded kNN graph. The
     * classic distributed formulation: with canonical a<b<c ordering
@@ -139,7 +163,10 @@ object GraphOps {
     pagerankFull(s, d, PrFullIters)
 
   def pagerankFull(s: SparkSession, d: String, iters: Int): DataFrame = {
+    // ids joins back into EVERY iteration — materialize the one-column
+    // projection once per call instead of re-scanning the corpus 8×
     val ids = Tables.embeddings(s, d).select(col("vec_id"))
+      .localCheckpoint(true)
     val se  = symEdges(s, d)
     val deg = se.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)

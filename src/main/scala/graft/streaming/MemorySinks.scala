@@ -2,22 +2,98 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-/** Per-run memory-sink naming with garbage collection: every streaming
-  * operator registers its AvailableNow result as `<prefix>_N` (a fresh
-  * name per run — a memory sink cannot be re-opened), and through r16
-  * the previous runs' tables were never dropped, so repeated
-  * invocations in a long-lived session accumulated unbounded driver
-  * memory across the whole streaming family. [[next]] drops run N−1's
-  * temp view before handing out run N's name: callers consume the
-  * returned table eagerly (collect/compare within the call), so the
-  * only state worth keeping is the CURRENT run's — the gate's replay
-  * semantics read the fresh run, never a stale sink. */
+/** Per-run result naming with garbage collection for the streaming
+  * family's bounded (AvailableNow) runs.
+  *
+  * Through r16 every operator wrote its result through Spark's MEMORY
+  * sink, which `collect()`s every batch's rows into the DRIVER — for
+  * the per-event emitters (`streaming_db_upsert` emits one row per
+  * lineitem key, `streaming_running_aggs` one per event) that is a
+  * single-threaded driver materialization of the whole output on every
+  * run, the exact §5 anti-pattern ("the driver should do almost no
+  * data work"). [[runAvailableNow]] keeps the rows DISTRIBUTED
+  * instead: each micro-batch is eagerly local-checkpointed (persisted
+  * partition blocks, lineage cut so the data outlives the stream's
+  * incremental plan) inside the sink hook, and the returned frame is
+  * the union of batch results registered under the per-run name —
+  * byte-identical rows to the memory sink, none of them collected.
+  *
+  * Naming + GC (r16 ADVICE): a sink name cannot be re-opened, so each
+  * run takes `<prefix>_N` and drops run N−1's temp view AND its
+  * persisted blocks before handing out the next — repeated invocations
+  * in a long-lived session hold exactly one run's output per operator. */
 object MemorySinks {
+
   def next(s: SparkSession, prefix: String, seq: AtomicInteger): String = {
     val n = seq.incrementAndGet()
     if (n > 1) s.catalog.dropTempView(s"${prefix}_${n - 1}")
     s"${prefix}_$n"
+  }
+
+  /** Previous run's checkpointed batch frames per prefix — released
+    * when the next run starts (Dataset.unpersist does not reach a
+    * local checkpoint's RDD blocks, so release goes through the
+    * LogicalRDD handle — the abwdPairCache rule). */
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+
+  /** Release every retained run's checkpointed batches — wired into
+    * [[graft.operators.Caches.clearAll]] like the per-dir operator
+    * caches (the cache-wiring spec counts this holder too). */
+  def clearAll(): Unit = {
+    live.values.forEach(_.foreach(release))
+    live.clear()
+  }
+
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
+  /** Run a bounded stream to completion under `Trigger.AvailableNow`,
+    * materializing every batch's rows as persisted DISTRIBUTED blocks
+    * (eager localCheckpoint inside the batch hook — executed while the
+    * state stores commit, never collected to the driver), and return
+    * (query handle, result frame) — the handle for the operators that
+    * assert single-batch preconditions from `lastProgress`, the frame
+    * (union of the checkpointed batches) holding exactly the rows the
+    * old memory-sink table held. No temp view is registered: the batch
+    * frames belong to the stream's cloned session, and every consumer
+    * takes the returned frame directly. */
+  def runAvailableNow(s: SparkSession, stream: DataFrame, prefix: String,
+                      seq: AtomicInteger,
+                      mode: String = "append"): (StreamingQuery, DataFrame) = {
+    val n = seq.incrementAndGet()
+    val name = s"${prefix}_$n"
+    if (n > 1) Option(live.remove(prefix)).foreach(_.foreach(release))
+    val batches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val p = b.localCheckpoint(true)
+        batches.synchronized {
+          // complete mode re-emits the FULL result table per batch —
+          // the memory sink REPLACES its rows, so keep the last batch
+          // only (append mode accumulates, matching the sink exactly)
+          if (mode == "complete") { batches.foreach(release); batches.clear() }
+          batches += p
+        }
+        ()
+      }
+      .queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = batches.synchronized {
+      if (batches.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], stream.schema)
+      else batches.reduceLeft(_ unionByName _)
+    }
+    live.put(prefix, batches.synchronized(batches.toSeq))
+    (q, out)
   }
 }

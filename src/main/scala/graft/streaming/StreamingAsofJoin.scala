@@ -66,12 +66,6 @@ object StreamingAsofJoin {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(attribute)
-    val name = MemorySinks.next(s, "stream_asof_join", runSeq)
-    val q = stream.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream.toDF(), "stream_asof_join", runSeq)._2
   }
 }

@@ -27,6 +27,16 @@ object StreamingBloom {
   final case class BloomState(bw: Long)
   final case class Out(w: Long, bw: Long)
 
+  /** Map-side combine (r17 optimization round, guide §2.3): bitwise OR
+    * is associative + commutative + idempotent, so each scan partition
+    * collapses its bit rows to ≤ BloomWords partial words before the
+    * state shuffle. */
+  def combine(rows: Iterator[WordBit]): Iterator[WordBit] = {
+    val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+    rows.foreach(r => acc(r.w) = acc.getOrElse(r.w, 0L) | r.mask)
+    acc.iterator.map { case (w, m) => WordBit(w, m) }
+  }
+
   def fold(key: Long, rows: Iterator[WordBit],
            state: GroupState[BloomState]): Iterator[Out] = {
     var bw = state.getOption.map(_.bw).getOrElse(0L)
@@ -52,6 +62,7 @@ object StreamingBloom {
       .select(expr(s"pos div ${SketchOps.BloomWords}").as("w"),
         expr(s"shiftleft(1L, cast(pos % ${SketchOps.BloomWords} as int))").as("mask"))
       .as[WordBit]
+      .mapPartitions(combine)
       .groupByKey(_.w)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
       .toDF()
@@ -59,12 +70,7 @@ object StreamingBloom {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = MemorySinks.next(s, "stream_bloom", runSeq)
-    val q = filterStream(s, s"$dir/[e]vents.parquet", schema).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s,
+      filterStream(s, s"$dir/[e]vents.parquet", schema), "stream_bloom", runSeq)._2
   }
 }

@@ -26,14 +26,31 @@ import graft.operators.SketchOps
 object StreamingCms {
 
   final case class PosRow(i: Long, pos: Long)
+  /** Pre-combined (i, pos) occurrence count — what actually crosses
+    * the state shuffle since the r17 map-side combine. */
+  final case class PosCnt(i: Long, pos: Long, n: Long)
   final case class CmsState(cw: Seq[Long]) // length CmsW
   final case class Out(i: Long, pos: Long, cw: Long)
 
-  def fold(key: Long, rows: Iterator[PosRow],
+  /** Map-side combine (r17 optimization round, guide §2.3): counter
+    * ADDITION is associative + commutative, so each scan partition
+    * collapses its token occurrences to ≤ d·w (i, pos, n) partials
+    * before the state shuffle — O(partitions · d · w) shuffled rows
+    * instead of one per token occurrence per hash row. */
+  def combine(rows: Iterator[PosRow]): Iterator[PosCnt] = {
+    val acc = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    rows.foreach { r =>
+      val k = (r.i, r.pos)
+      acc(k) = acc.getOrElse(k, 0L) + 1L
+    }
+    acc.iterator.map { case ((i, pos), n) => PosCnt(i, pos, n) }
+  }
+
+  def fold(key: Long, rows: Iterator[PosCnt],
            state: GroupState[CmsState]): Iterator[Out] = {
     val cw = state.getOption.map(_.cw.toArray)
       .getOrElse(new Array[Long](SketchOps.CmsW))
-    rows.foreach(r => cw(r.pos.toInt) += 1L)
+    rows.foreach(r => cw(r.pos.toInt) += r.n)
     state.update(CmsState(cw.toSeq))
     (0 until SketchOps.CmsW).iterator
       .filter(p => cw(p) > 0L)
@@ -56,6 +73,7 @@ object StreamingCms {
         (graft.functions.Portable.h60(concat(lit("cm"), col("i").cast("string"),
           lit(":"), col("term"))) % SketchOps.CmsW).as("pos"))
       .as[PosRow]
+      .mapPartitions(combine)
       .groupByKey(_.i)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
       .toDF()
@@ -63,12 +81,7 @@ object StreamingCms {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val name = MemorySinks.next(s, "stream_cms", runSeq)
-    val q = sketchStream(s, s"$dir/[d]ocuments.parquet", schema).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s,
+      sketchStream(s, s"$dir/[d]ocuments.parquet", schema), "stream_cms", runSeq)._2
   }
 }

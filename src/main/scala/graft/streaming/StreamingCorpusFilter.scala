@@ -40,12 +40,7 @@ object StreamingCorpusFilter {
       .filter(col("n_words") >= TextOps.MinWords &&
         col("mean_word_len") <= TextOps.MaxMeanWord &&
         col("stop_ratio") >= TextOps.MinStopRatio)
-    val name = MemorySinks.next(s, "stream_corpus_filter", runSeq)
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream, "stream_corpus_filter", runSeq)._2
   }
 
   val oracle: String = {

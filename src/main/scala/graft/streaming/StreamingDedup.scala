@@ -29,12 +29,7 @@ object StreamingDedup {
       .parquet(s"$dir/[d]ocuments.parquet")
       .select(sha2(col("text"), 256).as("chash"))
       .dropDuplicates("chash")
-    val name = MemorySinks.next(s, "stream_dedup", runSeq)
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream, "stream_dedup", runSeq)._2
   }
 
   val oracle: String = "SELECT DISTINCT sha256(text) AS chash FROM documents"

@@ -89,12 +89,8 @@ object StreamingDedupMinhash {
       .as[Doc]
       .groupByKey(d => (d.band, d.bkey))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
-    val name = MemorySinks.next(s, "stream_dedup_minhash", runSeq)
-    val q = stream.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val (q, out) =
+      MemorySinks.runAvailableNow(s, stream.toDF(), "stream_dedup_minhash", runSeq)
     // single-batch precondition (see scaladoc): the doc_id-rank oracle
     // is only valid when all input rows arrived in ONE micro-batch.
     // Asserted from lastProgress.batchId, NOT by counting
@@ -113,7 +109,7 @@ object StreamingDedupMinhash {
         "arrived in more than one data batch, so arrival order is no longer " +
         "doc_id order and the rank-based oracle does not apply")
     // the published pair log → per-doc verdict (the consumer-side agg)
-    s.table(name).groupBy(col("doc_id"))
+    out.groupBy(col("doc_id"))
       .agg(min(col("ida")).as("canonical_id"))
   }
 

@@ -27,6 +27,23 @@ object StreamingDistinctKmv {
   final case class Out(event_type: String, n_kept: Long, kth_min: Long,
                        est_distinct: Double)
 
+  /** Map-side combine (r17 optimization round, guide §2.3): the KMV
+    * merge (distinct ∪ sort ∪ take K) is associative + commutative +
+    * idempotent, so each scan partition collapses its hash rows to its
+    * own ≤ types·K smallest distinct hashes before the state shuffle —
+    * the fold's merge over the partials yields the identical sketch. */
+  def combine(rows: Iterator[Hashed]): Iterator[Hashed] = {
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.TreeSet[Long]]
+    rows.foreach { r =>
+      val set = acc.getOrElseUpdate(r.event_type,
+        scala.collection.mutable.TreeSet.empty[Long])
+      set += r.h
+      if (set.size > SketchOps.KmvK) set -= set.last
+    }
+    acc.iterator.flatMap { case (t, set) => set.iterator.map(Hashed(t, _)) }
+  }
+
   def fold(key: String, rows: Iterator[Hashed],
            state: GroupState[KmvState]): Iterator[Out] = {
     val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
@@ -54,6 +71,7 @@ object StreamingDistinctKmv {
         graft.functions.Portable.h60(
           concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
       .as[Hashed]
+      .mapPartitions(combine)
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
       .toDF()
@@ -61,12 +79,7 @@ object StreamingDistinctKmv {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = MemorySinks.next(s, "stream_kmv", runSeq)
-    val q = sketchStream(s, s"$dir/[e]vents.parquet", schema).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s,
+      sketchStream(s, s"$dir/[e]vents.parquet", schema), "stream_kmv", runSeq)._2
   }
 }

@@ -95,13 +95,7 @@ object StreamingFunnel {
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = StreamingSessionize.eventsSchema(s, dir)
     val stream = funnelStream(s, s"$dir/[e]vents.parquet", schema)
-    val name = MemorySinks.next(s, "stream_funnel", runSeq)
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream, "stream_funnel", runSeq)._2
   }
 
   /** The batch funnel unpivoted into its transition rows — one row per

@@ -30,6 +30,23 @@ object StreamingHll {
   final case class Out(event_type: String, n_zero: Long, harm_sum: Long,
                        est_hll: Double)
 
+  /** Map-side combine (r17 optimization round, guide §2.3 "aggregate
+    * before you shuffle"): per-register MAX is associative +
+    * commutative + idempotent, so each scan partition can collapse its
+    * rows to ≤ types·m partials before the state shuffle — the
+    * shuffle then moves O(partitions · types · m) rows instead of one
+    * per input event, and [[fold]] sees the identical register maxima
+    * (pinned by the combiner spec). */
+  def combine(rows: Iterator[RegRow]): Iterator[RegRow] = {
+    val acc = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+    rows.foreach { r =>
+      val k = (r.event_type, r.reg)
+      val cur = acc.getOrElse(k, 0L)
+      if (r.rho > cur) acc(k) = r.rho
+    }
+    acc.iterator.map { case ((t, reg), rho) => RegRow(t, reg, rho) }
+  }
+
   def fold(key: String, rows: Iterator[RegRow],
            state: GroupState[HllState]): Iterator[Out] = {
     val regs = state.getOption.map(_.mrho.toArray)
@@ -69,6 +86,7 @@ object StreamingHll {
       .withColumn("rho", expr(SketchOps.hllRhoChain(v => s"${v}L")))
       .select(col("event_type"), col("reg"), col("rho"))
       .as[RegRow]
+      .mapPartitions(combine)
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
       .toDF()
@@ -76,12 +94,7 @@ object StreamingHll {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = MemorySinks.next(s, "stream_hll", runSeq)
-    val q = sketchStream(s, s"$dir/[e]vents.parquet", schema).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s,
+      sketchStream(s, s"$dir/[e]vents.parquet", schema), "stream_hll", runSeq)._2
   }
 }

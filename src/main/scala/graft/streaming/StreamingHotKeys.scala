@@ -25,12 +25,24 @@ import graft.operators.EventOps
 object StreamingHotKeys {
 
   final case class Ev(user_id: Long)
+  /** Pre-combined per-user count — what actually crosses the state
+    * shuffle since the r17 map-side combine. */
+  final case class UserCnt(user_id: Long, n: Long)
   final case class CountState(n: Long)
   final case class Out(user_id: Long, n: Long)
 
-  def fold(key: Long, rows: Iterator[Ev],
+  /** Map-side combine (r17 optimization round, guide §2.3): counts
+    * ADD, so each scan partition collapses its event rows to one
+    * (user, n) partial per key before the state shuffle. */
+  def combine(rows: Iterator[Ev]): Iterator[UserCnt] = {
+    val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+    rows.foreach(r => acc(r.user_id) = acc.getOrElse(r.user_id, 0L) + 1L)
+    acc.iterator.map { case (u, n) => UserCnt(u, n) }
+  }
+
+  def fold(key: Long, rows: Iterator[UserCnt],
            state: GroupState[CountState]): Iterator[Out] = {
-    val n = state.getOption.map(_.n).getOrElse(0L) + rows.size
+    val n = state.getOption.map(_.n).getOrElse(0L) + rows.map(_.n).sum
     state.update(CountState(n))
     Iterator.single(Out(key, n))
   }
@@ -42,6 +54,7 @@ object StreamingHotKeys {
     import s.implicits._
     s.readStream.schema(schema).parquet(srcGlob)
       .select(col("user_id")).as[Ev]
+      .mapPartitions(combine)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
       .toDF()
@@ -61,12 +74,7 @@ object StreamingHotKeys {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = MemorySinks.next(s, "stream_hot", runSeq)
-    val q = countStream(s, s"$dir/[e]vents.parquet", schema).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    select(s.table(name))
+    select(MemorySinks.runAvailableNow(s,
+      countStream(s, s"$dir/[e]vents.parquet", schema), "stream_hot", runSeq)._2)
   }
 }

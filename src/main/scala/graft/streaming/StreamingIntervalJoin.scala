@@ -49,14 +49,7 @@ object StreamingIntervalJoin {
               | AND p_time >= click_time
               | AND p_time <= click_time + interval 1 hour""".stripMargin))
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
-    val name = MemorySinks.next(s, "stream_interval_join", runSeq)
-    // The memory sink registers its temp view in the session that
-    // starts the query — read the result back through the clone.
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ns.table(name)
+    MemorySinks.runAvailableNow(ns, joined, "stream_interval_join", runSeq)._2
   }
 
   val oracle: String =

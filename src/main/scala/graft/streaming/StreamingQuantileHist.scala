@@ -25,6 +25,9 @@ import graft.operators.SketchOps
 object StreamingQuantileHist {
 
   final case class Bucketed(event_type: String, bucket: Long)
+  /** Pre-combined (type, bucket) count — what actually crosses the
+    * state shuffle since the r17 map-side combine. */
+  final case class BucketCnt(event_type: String, bucket: Long, n: Long)
   final case class HistState(buckets: Map[Long, Long])
   final case class Out(event_type: String, n: Long,
                        p50_lo: Long, p90_lo: Long, p99_lo: Long)
@@ -41,11 +44,23 @@ object StreamingQuantileHist {
     0L // unreachable for n ≥ 1
   }
 
-  def fold(key: String, rows: Iterator[Bucketed],
+  /** Map-side combine (r17 optimization round, guide §2.3): bucket
+    * counts ADD, so each scan partition collapses its rows to
+    * ≤ types·buckets partial counts before the state shuffle. */
+  def combine(rows: Iterator[Bucketed]): Iterator[BucketCnt] = {
+    val acc = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+    rows.foreach { r =>
+      val k = (r.event_type, r.bucket)
+      acc(k) = acc.getOrElse(k, 0L) + 1L
+    }
+    acc.iterator.map { case ((t, b), n) => BucketCnt(t, b, n) }
+  }
+
+  def fold(key: String, rows: Iterator[BucketCnt],
            state: GroupState[HistState]): Iterator[Out] = {
     val prev = state.getOption.map(_.buckets).getOrElse(Map.empty[Long, Long])
     val merged = rows.foldLeft(prev) { (m, r) =>
-      m.updated(r.bucket, m.getOrElse(r.bucket, 0L) + 1L)
+      m.updated(r.bucket, m.getOrElse(r.bucket, 0L) + r.n)
     }
     state.update(HistState(merged))
     val n = merged.valuesIterator.sum
@@ -64,6 +79,7 @@ object StreamingQuantileHist {
         expr("cast(round(value * 100) as bigint)").as("cents"))
       .select(col("event_type"), expr(SketchOps.histBucketChain).as("bucket"))
       .as[Bucketed]
+      .mapPartitions(combine)
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
       .toDF()
@@ -71,12 +87,7 @@ object StreamingQuantileHist {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val name = MemorySinks.next(s, "stream_qhist", runSeq)
-    val q = histStream(s, s"$dir/[e]vents.parquet", schema).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s,
+      histStream(s, s"$dir/[e]vents.parquet", schema), "stream_qhist", runSeq)._2
   }
 }

@@ -53,12 +53,6 @@ object StreamingRunningAggs {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
-    val name = MemorySinks.next(s, "stream_running_aggs", runSeq)
-    val q = stream.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream.toDF(), "stream_running_aggs", runSeq)._2
   }
 }

@@ -93,12 +93,6 @@ object StreamingSessionize {
     // glob form: the file-stream source requires a directory or glob
     // basePath, and the driver ships events as a single parquet file
     val stream = sessionStream(s, s"$dir/[e]vents.parquet", schema)
-    val name = MemorySinks.next(s, "stream_sessionize", runSeq)
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream, "stream_sessionize", runSeq)._2
   }
 }

@@ -45,11 +45,7 @@ object StreamingSlidingCounts {
       .select(unix_micros(col("window.start")).as("start_us"),
         unix_micros(col("window.end")).as("end_us"),
         col("n_events"), col("sum_cents").cast("long").as("sum_cents"))
-    val name = MemorySinks.next(s, "stream_sliding_counts", runSeq)
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream, "stream_sliding_counts", runSeq,
+      mode = "complete")._2
   }
 }

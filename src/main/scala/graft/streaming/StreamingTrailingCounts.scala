@@ -68,12 +68,6 @@ object StreamingTrailingCounts {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
-    val name = MemorySinks.next(s, "stream_trailing_counts", runSeq)
-    val q = stream.toDF().writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream.toDF(), "stream_trailing_counts", runSeq)._2
   }
 }

@@ -93,12 +93,6 @@ object StreamingUpsert {
   def run(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
     val stream = upsertStream(s, s"$dir/[l]ineitem.parquet", schema)
-    val name = MemorySinks.next(s, "stream_upsert", runSeq)
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream.toDF(), "stream_upsert", runSeq)._2
   }
 }

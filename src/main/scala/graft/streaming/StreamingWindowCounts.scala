@@ -68,12 +68,8 @@ object StreamingWindowCounts {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("sum_cents"))
-    val name = MemorySinks.next(s, "stream_window_counts", runSeq)
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    MemorySinks.runAvailableNow(s, stream, "stream_window_counts", runSeq,
+      mode = "complete")._2
   }
 
   val oracle: String =

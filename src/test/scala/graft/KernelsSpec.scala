@@ -287,4 +287,69 @@ class KernelsSpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("streaming map-side combiners preserve the sketch folds exactly") {
+    // r17 optimization: the six sketch-family streams pre-combine each
+    // scan partition's rows before the state shuffle (guide §2.3
+    // map-side aggregation). For each, on arbitrary inputs split into
+    // arbitrary partitions: folding the COMBINED partials must produce
+    // the identical final state/emission as folding the raw rows —
+    // the algebraic property (assoc/comm[/idem]) the combine relies on.
+    import graft.streaming._
+    def splits[A](xs: Seq[A]): Seq[Seq[A]] = {
+      val k = 1 + rnd.nextInt(4)
+      xs.grouped(math.max(1, (xs.size + k - 1) / k)).toSeq
+    }
+    for (_ <- 1 to 100) {
+      // HLL: per-register max
+      val regs = Seq.fill(rnd.nextInt(200))(
+        StreamingHll.RegRow(s"t${rnd.nextInt(3)}", rnd.nextInt(16).toLong,
+          1L + rnd.nextInt(8)))
+      val hllRaw = regs.groupBy(r => (r.event_type, r.reg))
+        .map { case (k, xs) => k -> xs.map(_.rho).max }
+      val hllComb = splits(regs).flatMap(p => StreamingHll.combine(p.iterator))
+        .groupBy(r => (r.event_type, r.reg))
+        .map { case (k, xs) => k -> xs.map(_.rho).max }
+      assert(hllComb == hllRaw)
+      // CMS: additive counters
+      val pos = Seq.fill(rnd.nextInt(200))(
+        StreamingCms.PosRow(rnd.nextInt(3).toLong, rnd.nextInt(8).toLong))
+      val cmsRaw = pos.groupBy(r => (r.i, r.pos)).map { case (k, xs) => k -> xs.size.toLong }
+      val cmsComb = splits(pos).flatMap(p => StreamingCms.combine(p.iterator))
+        .groupBy(r => (r.i, r.pos))
+        .map { case (k, xs) => k -> xs.map(_.n).sum }
+      assert(cmsComb == cmsRaw)
+      // Bloom: bitwise OR
+      val bits = Seq.fill(rnd.nextInt(200))(
+        StreamingBloom.WordBit(rnd.nextInt(4).toLong, 1L << rnd.nextInt(60)))
+      val bloomRaw = bits.groupBy(_.w).map { case (w, xs) => w -> xs.map(_.mask).reduce(_ | _) }
+      val bloomComb = splits(bits).flatMap(p => StreamingBloom.combine(p.iterator))
+        .groupBy(_.w).map { case (w, xs) => w -> xs.map(_.mask).reduce(_ | _) }
+      assert(bloomComb == bloomRaw)
+      // KMV: distinct-sorted take-K
+      val hs = Seq.fill(rnd.nextInt(200))(
+        StreamingDistinctKmv.Hashed(s"t${rnd.nextInt(3)}", rnd.nextInt(50).toLong))
+      def kmvOf(xs: Seq[StreamingDistinctKmv.Hashed]) =
+        xs.groupBy(_.event_type).map { case (t, ys) =>
+          t -> ys.map(_.h).distinct.sorted.take(graft.operators.SketchOps.KmvK)
+        }
+      assert(kmvOf(splits(hs).flatMap(p =>
+        StreamingDistinctKmv.combine(p.iterator))) == kmvOf(hs))
+      // quantile hist: additive bucket counts
+      val bk = Seq.fill(rnd.nextInt(200))(
+        StreamingQuantileHist.Bucketed(s"t${rnd.nextInt(3)}", rnd.nextInt(10).toLong - 1L))
+      val qRaw = bk.groupBy(r => (r.event_type, r.bucket)).map { case (k, xs) => k -> xs.size.toLong }
+      val qComb = splits(bk).flatMap(p => StreamingQuantileHist.combine(p.iterator))
+        .groupBy(r => (r.event_type, r.bucket))
+        .map { case (k, xs) => k -> xs.map(_.n).sum }
+      assert(qComb == qRaw)
+      // hot keys: additive per-user counts
+      val evs = Seq.fill(rnd.nextInt(200))(
+        StreamingHotKeys.Ev(rnd.nextInt(10).toLong))
+      val hRaw = evs.groupBy(_.user_id).map { case (u, xs) => u -> xs.size.toLong }
+      val hComb = splits(evs).flatMap(p => StreamingHotKeys.combine(p.iterator))
+        .groupBy(_.user_id).map { case (u, xs) => u -> xs.map(_.n).sum }
+      assert(hComb == hRaw)
+    }
+  }
 }
