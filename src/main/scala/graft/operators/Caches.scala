@@ -40,6 +40,8 @@ object Caches {
     graft.streaming.StreamingMarkovScore.clearModelCache()
     // the streaming span probe's persisted shingle-hash store
     graft.streaming.StreamingSpanDedup.clearIndexCache()
+    // the parquet reader metadata cache (plans only, no data blocks)
+    graft.sources.Tables.clearTableCache()
   }
 
   /** Count of per-dir ConcurrentHashMap-keyed-by-String session
@@ -52,5 +54,5 @@ object Caches {
     * r15 unigram fit cache and the ANN kNN/cluster/edge family were
     * both missing from the switch, serving stale per-dir tables after
     * a corpus swap). */
-  val WiredCaches = 23
+  val WiredCaches = 24
 }

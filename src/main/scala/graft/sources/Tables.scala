@@ -24,11 +24,31 @@ object Tables {
     * scan partitions so a production multi-split layout (the 100 TB
     * case: thousands of splits >> cores) keeps its natural
     * partitioning and pays nothing. */
-  private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    val width = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
-  }
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$dir/$name", _ => {
+        val df = s.read.parquet(s"$dir/$name.parquet")
+        val width = s.sparkContext.defaultParallelism
+        if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+      })
+
+  /** Constructed-reader cache per (SparkContext, dir, table) — a
+    * METADATA cache, not a data cache (r17 optimization round): every
+    * `rd` call paid the parquet directory listing + footer schema read
+    * (~66 ms) plus the physical planning behind the width probe's
+    * `df.rdd` (~52 ms) — ~118 ms per table reference, re-paid by every
+    * query construction on every run. A catalog table (which these
+    * parquet dirs stand in for — see the object scaladoc) resolves
+    * once per session; this map is that behavior. Nothing is
+    * persisted: the cached object is an immutable logical plan, and
+    * every action still scans the parquet files. Keyed by the
+    * SparkContext identity so a restarted context never serves plans
+    * bound to a stopped one. Cleared by
+    * [[graft.operators.Caches.clearAll]]. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clearTableCache(): Unit = tableCache.clear()
 
   def region(s: SparkSession, dir: String): DataFrame     = rd(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame     = rd(s, dir, "nation")

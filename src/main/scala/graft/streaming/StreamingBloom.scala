@@ -69,7 +69,7 @@ object StreamingBloom {
   }
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.sources.Tables.events(s, dir).schema
     MemorySinks.runAvailableNow(s,
       filterStream(s, s"$dir/[e]vents.parquet", schema), "stream_bloom", runSeq)._2
   }

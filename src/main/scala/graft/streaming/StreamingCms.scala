@@ -80,7 +80,7 @@ object StreamingCms {
   }
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val schema = graft.sources.Tables.documents(s, dir).schema
     MemorySinks.runAvailableNow(s,
       sketchStream(s, s"$dir/[d]ocuments.parquet", schema), "stream_cms", runSeq)._2
   }

@@ -83,7 +83,7 @@ object StreamingDedupMinhash {
 
   def run(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val schema = graft.sources.Tables.documents(s, dir).schema
     val stream = TextOps.bandedSignatures(
         s.readStream.schema(schema).parquet(s"$dir/[d]ocuments.parquet"))
       .as[Doc]

@@ -78,7 +78,7 @@ object StreamingDistinctKmv {
   }
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.sources.Tables.events(s, dir).schema
     MemorySinks.runAvailableNow(s,
       sketchStream(s, s"$dir/[e]vents.parquet", schema), "stream_kmv", runSeq)._2
   }

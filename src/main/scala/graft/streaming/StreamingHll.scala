@@ -93,7 +93,7 @@ object StreamingHll {
   }
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.sources.Tables.events(s, dir).schema
     MemorySinks.runAvailableNow(s,
       sketchStream(s, s"$dir/[e]vents.parquet", schema), "stream_hll", runSeq)._2
   }

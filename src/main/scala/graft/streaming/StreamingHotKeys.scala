@@ -25,24 +25,17 @@ import graft.operators.EventOps
 object StreamingHotKeys {
 
   final case class Ev(user_id: Long)
-  /** Pre-combined per-user count — what actually crosses the state
-    * shuffle since the r17 map-side combine. */
-  final case class UserCnt(user_id: Long, n: Long)
   final case class CountState(n: Long)
   final case class Out(user_id: Long, n: Long)
 
-  /** Map-side combine (r17 optimization round, guide §2.3): counts
-    * ADD, so each scan partition collapses its event rows to one
-    * (user, n) partial per key before the state shuffle. */
-  def combine(rows: Iterator[Ev]): Iterator[UserCnt] = {
-    val acc = scala.collection.mutable.HashMap.empty[Long, Long]
-    rows.foreach(r => acc(r.user_id) = acc.getOrElse(r.user_id, 0L) + 1L)
-    acc.iterator.map { case (u, n) => UserCnt(u, n) }
-  }
-
-  def fold(key: Long, rows: Iterator[UserCnt],
+  // NOTE (r17 optimization round): a per-partition count combine was
+  // tried here and REVERTED — the per-user event multiplicity is low,
+  // so the small row reduction cannot pay for the extra encoder
+  // round-trip a typed mapPartitions inserts (measured slower; the
+  // streaming_db_upsert note has the general rule).
+  def fold(key: Long, rows: Iterator[Ev],
            state: GroupState[CountState]): Iterator[Out] = {
-    val n = state.getOption.map(_.n).getOrElse(0L) + rows.map(_.n).sum
+    val n = state.getOption.map(_.n).getOrElse(0L) + rows.size
     state.update(CountState(n))
     Iterator.single(Out(key, n))
   }
@@ -54,7 +47,6 @@ object StreamingHotKeys {
     import s.implicits._
     s.readStream.schema(schema).parquet(srcGlob)
       .select(col("user_id")).as[Ev]
-      .mapPartitions(combine)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
       .toDF()
@@ -73,7 +65,7 @@ object StreamingHotKeys {
   }
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.sources.Tables.events(s, dir).schema
     select(MemorySinks.runAvailableNow(s,
       countStream(s, s"$dir/[e]vents.parquet", schema), "stream_hot", runSeq)._2)
   }

@@ -86,7 +86,7 @@ object StreamingQuantileHist {
   }
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.sources.Tables.events(s, dir).schema
     MemorySinks.runAvailableNow(s,
       histStream(s, s"$dir/[e]vents.parquet", schema), "stream_qhist", runSeq)._2
   }

@@ -53,7 +53,7 @@ object StreamingSessionize {
     * schema from the footer removes that failure class; the ts vintage
     * branch lives in [[EventOps.tsUs]]/[[EventOps.tsEventTime]]. */
   def eventsSchema(s: SparkSession, dir: String): StructType =
-    s.read.parquet(s"$dir/events.parquet").schema
+    graft.sources.Tables.events(s, dir).schema
 
   private val runSeq = new AtomicInteger(0)
 

@@ -31,6 +31,13 @@ object StreamingUpsert {
   final case class Latest(version: Long, im: Option[Double])
   final case class Out(record_id: String, version: Long, im: Option[Double])
 
+  // NOTE (r17 optimization round): a keep-max map-side combine was
+  // tried here and REVERTED — each key carries only ~1.75 update rows,
+  // so the ≤1.75:1 row reduction cannot pay for the extra
+  // encoder round-trip a typed mapPartitions inserts before the
+  // already-typed groupByKey (measured slower). The sketch-family
+  // streams keep their combiners because their reduction ratios are
+  // 10²-10³:1.
   def keepLatest(key: String, rows: Iterator[Up],
                  state: GroupState[Latest]): Iterator[Out] = {
     var st = state.getOption
@@ -91,7 +98,7 @@ object StreamingUpsert {
   }
 
   def run(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    val schema = graft.sources.Tables.lineitem(s, dir).schema
     val stream = upsertStream(s, s"$dir/[l]ineitem.parquet", schema)
     MemorySinks.runAvailableNow(s, stream.toDF(), "stream_upsert", runSeq)._2
   }

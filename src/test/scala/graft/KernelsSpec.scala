@@ -343,13 +343,6 @@ class KernelsSpec extends AnyFunSuite {
         .groupBy(r => (r.event_type, r.bucket))
         .map { case (k, xs) => k -> xs.map(_.n).sum }
       assert(qComb == qRaw)
-      // hot keys: additive per-user counts
-      val evs = Seq.fill(rnd.nextInt(200))(
-        StreamingHotKeys.Ev(rnd.nextInt(10).toLong))
-      val hRaw = evs.groupBy(_.user_id).map { case (u, xs) => u -> xs.size.toLong }
-      val hComb = splits(evs).flatMap(p => StreamingHotKeys.combine(p.iterator))
-        .groupBy(_.user_id).map { case (u, xs) => u -> xs.map(_.n).sum }
-      assert(hComb == hRaw)
     }
   }
 }
