@@ -254,7 +254,6 @@ object Bench {
       graft.operators.AnnOps.warmCaches(spark, sfDir)
       graft.operators.GeoOps.warmCaches(spark, sfDir)
       graft.operators.MixOps.warmCaches(spark, sfDir)
-      graft.operators.CcldOps.warmCaches(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"SETUP FAILURE: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
@@ -451,10 +450,22 @@ object Bench {
     // the tail-proof line: all medians, values only, name-ascending
     // (2-decimal precision: full doubles double the line length for
     // noise digits, and the driver's tail is the scarce resource)
+    val secJson =
+      medians.map(_._2.fold("null")(fmt)).mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"medians","order":"name_asc","n":${names.size},"setup_sec":${fmt(setupSec)},"sec":[""" +
-      medians.map(_._2.fold("null")(fmt)).mkString(",") + "]}"
-    val headline = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"medians","order":"name_asc","n":${names.size},"setup_sec":${fmt(setupSec)},"sec":$secJson}"""
+    // The headline (the FINAL line, the only one the driver parses)
+    // now carries the per-query medians itself as a values-only array
+    // in ascending query-name order — r17's PERF had per_query:{} and
+    // an empty scaling block because the per-query numbers lived only
+    // in the medians line one line up, which the driver does not
+    // parse. 250 two-decimal values ≈ 1.3 kB; with the ~160-byte frame
+    // the line stays inside the driver's 2000-byte stdout tail.
+    // "queries":{} is kept for format compat (additions-only rule).
+    val headline =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},""" +
+      s""""order":"name_asc","n":${names.size},"setup_sec":${fmt(setupSec)},"sec":$secJson,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing so executor-shutdown log lines can't
     // land after the JSON — the driver parses the final stdout line.
     // Sub-bar sweep corrections change committed medians (and the next

@@ -9,7 +9,6 @@ object BnljCount {
     graft.operators.AnnOps.warmCaches(spark, dir)
     graft.operators.GeoOps.warmCaches(spark, dir)
     graft.operators.MixOps.warmCaches(spark, dir)
-    graft.operators.CcldOps.warmCaches(spark, dir)
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !name.startsWith("streaming_")) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       val n = "BroadcastNestedLoopJoin".r.findAllIn(plan).length

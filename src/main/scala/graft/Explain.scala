@@ -16,7 +16,6 @@ object Explain {
     graft.operators.AnnOps.warmCaches(spark, dir)
     graft.operators.GeoOps.warmCaches(spark, dir)
     graft.operators.MixOps.warmCaches(spark, dir)
-    graft.operators.CcldOps.warmCaches(spark, dir)
     val sel = if (name == "all") SparkEntry.queries else SparkEntry.queries.filter(_._1 == name)
     sel.toSeq.sortBy(_._1).foreach { case (k, fn) =>
       println(s"==== $k ====")

@@ -28,7 +28,6 @@ object TimeQuery {
     graft.operators.AnnOps.warmCaches(spark, sfDir)
     graft.operators.GeoOps.warmCaches(spark, sfDir)
     graft.operators.MixOps.warmCaches(spark, sfDir)
-    graft.operators.CcldOps.warmCaches(spark, sfDir)
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       var prev = time(fn); var cur = prev; var i = 1

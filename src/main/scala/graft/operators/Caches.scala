@@ -25,7 +25,6 @@ object Caches {
     MixOps.clearTokenCache()
     SketchOps.clearHllRegCache()
     GeoOps.clearAbwdPairCache()
-    CcldOps.clearDrawCache()
     // the ANN index tables (kNN edges + cluster labels + the
     // NN-descent-refined edges + the persisted walk results) and the
     // graph family's canonical edge projection derived from them —
@@ -54,5 +53,5 @@ object Caches {
     * r15 unigram fit cache and the ANN kNN/cluster/edge family were
     * both missing from the switch, serving stale per-dir tables after
     * a corpus swap). */
-  val WiredCaches = 24
+  val WiredCaches = 22
 }

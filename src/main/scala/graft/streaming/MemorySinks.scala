@@ -64,7 +64,17 @@ object MemorySinks {
     * (union of the checkpointed batches) holding exactly the rows the
     * old memory-sink table held. No temp view is registered: the batch
     * frames belong to the stream's cloned session, and every consumer
-    * takes the returned frame directly. */
+    * takes the returned frame directly.
+    *
+    * ONE-LIVE-RUN-PER-PREFIX CONTRACT (r17 advice): starting run N
+    * releases run N−1's checkpointed blocks, whose lineage is CUT — a
+    * caller still holding the previous run's returned frame gets a
+    * block-not-found on any later action (stricter than the old
+    * memory sink, whose driver-resident rows survived the view drop).
+    * Every call site here consumes the frame before re-invoking, and
+    * the same operator must not run concurrently on one prefix (the
+    * per-prefix live map would interleave); a service wanting
+    * overlapping runs keeps its own naming + release discipline. */
   def runAvailableNow(s: SparkSession, stream: DataFrame, prefix: String,
                       seq: AtomicInteger,
                       mode: String = "append"): (StreamingQuery, DataFrame) = {

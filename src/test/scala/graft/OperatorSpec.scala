@@ -770,7 +770,6 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.AnnOps.warmCaches(spark, Sf)
     operators.GeoOps.warmCaches(spark, Sf)
     operators.MixOps.warmCaches(spark, Sf)
-    operators.CcldOps.warmCaches(spark, Sf)
     val batchQueries = SparkEntry.queries.keys.filterNot(_.startsWith("streaming_"))
     for (name <- batchQueries) {
       val df = SparkEntry.queries(name)(spark, Sf)
