@@ -35,6 +35,18 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Streaming state store provider, env-overridable for A/B runs
+      // (guide §5): RocksDB
+      // (org.apache.spark.sql.execution.streaming.state.
+      // RocksDBStateStoreProvider) was measured against the default
+      // HDFS-backed provider on the 5 heaviest stateful streams at
+      // sf0.1 — see OPTIMIZATION_r18.md for the numbers and the
+      // decision; the state here is dimension-bounded (≤600 k keys),
+      // where the in-memory map wins, while a deployment with
+      // state >> heap sets the RocksDB provider via this knob.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // HotSpot refuses to JIT methods over 8000 bytecodes
       // (-XX:DontCompileHugeMethods), so a whole-stage-codegen method

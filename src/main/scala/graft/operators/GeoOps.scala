@@ -863,71 +863,72 @@ object GeoOps {
       s"ABWD greedy did not shrink to the driver tail in $MaxAbwdRounds rounds")
     if (dbg)
       System.err.println(s"ABWD tail [$dt]: undecided=$uCount after $rounds rounds")
-    // Sequential driver finish, in processing-order CHUNKS of
-    // tailThreshold events: once the undecided set is a small multiple
-    // of the chunk size, per-round distributed cost (the deps build +
-    // three ~1M-row static scans and 5 checkpoint jobs per round,
-    // ~4.5 s/round at sf0.1) stops paying for itself — the profiled
-    // rounds decide a shrinking fraction each while one in-order
-    // driver pass over a chunk costs well under a round. Chunks are
-    // processing-order PREFIXES of the residual (mag DESC, evid ASC),
-    // so every main() bit a chunk event consults belongs to an
-    // order-earlier event — in an earlier chunk (decided, joined in as
-    // `mains` before the collect) or earlier in this chunk (just
-    // decided in-pass): exactly the sequential greedy's invariant,
-    // chunk by chunk. Collected state per chunk is bounded by
-    // tailThreshold × window occupancy — the SAME constant driver
-    // bound as a single tail, never catalogue-sized; the full mains
-    // set never reaches the driver (membership bits are joined
-    // distributed).
-    var allMains = mains
-    if (uCount > 0) {
+    // Sequential driver finish over the WHOLE residual in ONE fused
+    // pass (r18 — was processing-order chunks of tailThreshold events,
+    // 2 collect jobs per chunk plus a rank+checkpoint pass; at sf0.1
+    // the 2-chunk tail collected each pair row up to twice and paid 6+
+    // job round trips). Chunk boundaries never had semantic content —
+    // the in-order driver pass consults only order-earlier bits (in
+    // `mains` via distributed flag joins, or decided earlier in this
+    // pass via tailSet) — so one pass over the residual decides
+    // identically (the chunk-boundary spec pins this). The driver
+    // bound is STILL a constant at any catalogue size: the rounds loop
+    // above only hands the tail a residual ≤ tailThreshold ×
+    // AbwdTailChunks events, so collected state is bounded by
+    // chunkBudget × window occupancy pair rows — never
+    // catalogue-sized; the full mains set never reaches the driver
+    // (membership bits are joined distributed).
+    if (uCount == 0) {
+      // pure-rounds path (the tailThreshold=0 spec variant): claims
+      // and labels assembled distributed, as before
+      val claims = pairs
+        .join(mains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+        .join(mains, Seq("evid"), "left_anti")
+        .groupBy(col("evid"))
+        .agg(max_by(col("m_evid"), struct(col("m_mag"), -col("m_evid")))
+          .as("cluster_evid"))
+        .select(col("evid"), col("cluster_evid"), lit(true).as("is_aftershock"))
+      events.select("evid")
+        .join(claims, Seq("evid"), "left")
+        .join(mains.withColumn("m", lit(true)), Seq("evid"), "left")
+        .select(col("evid"),
+          when(col("m"), col("evid")).otherwise(col("cluster_evid")).as("cluster_evid"),
+          coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
+    } else {
       val sp = events.sparkSession
       import sp.implicits._
-      val ranked = undecided
-        .withColumn("rk",
-          RangeRank.kRank(col("evid"), col("mag").desc, col("evid").asc)
-            .cast("long"))
-        .localCheckpoint(true)
-      val step = math.max(tailThreshold, 1L)
-      val nChunks = (uCount - 1) / step + 1
-      // tail mains accumulate as a LOCAL id list (bounded by the
-      // undecided residual) and ride into each chunk as a broadcast
-      // local relation — a per-chunk checkpointed union would cost a
-      // job per chunk for a table the next chunk only probes
-      var tailIds = Vector.empty[Long]
-      def mainsNow =
-        if (tailIds.isEmpty) mains
-        else mains.unionByName(tailIds.toDF("evid"))
-      var k = 0L
-      while (k < nChunks) {
-        val chunk = ranked
-          .filter(col("rk") > k * step && col("rk") <= (k + 1) * step)
-          .select("evid", "mag")
-        val tail = abwdDriverTail(chunk, pairs, mainsNow, lastEvid)
-        if (dbg) System.err.println(
-          s"ABWD tail chunk ${k + 1}/$nChunks done [$dt]: tailMains=${tail.size}")
-        tailIds ++= tail
-        k += 1
-      }
-      allMains = mainsNow
+      val (tailIds, uRows, inU) =
+        abwdDriverTail(undecided, pairs, mains, lastEvid)
+      if (dbg) System.err.println(
+        s"ABWD tail done [$dt]: tailMains=${tailIds.size} uRows=${uRows.size}")
+      val allMains =
+        if (tailIds.isEmpty) mains else mains.unionByName(tailIds.toDF("evid"))
+      // The residual's OUTPUT rows were fully resolved on the driver
+      // (the tail pass already held every container it needed), so
+      // the residual contributes a bounded local relation; only the
+      // rounds-decided remainder needs the distributed claim agg —
+      // at gate scale, where the tail covers the whole catalogue,
+      // that leg is empty and costs one filtered pass. Residual
+      // membership tests ride ONE broadcast hash set (`inU`) instead
+      // of per-use local-relation broadcast joins (measured ~0.5 s
+      // per 150k-row local broadcast at sf0.1).
+      val uOut = uRows.toDF("evid", "cluster_evid", "is_aftershock")
+      val claims = pairs
+        .filter(!inU(col("evid")))
+        .join(allMains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+        .join(allMains, Seq("evid"), "left_anti")
+        .groupBy(col("evid"))
+        .agg(max_by(col("m_evid"), struct(col("m_mag"), -col("m_evid")))
+          .as("cluster_evid"))
+        .select(col("evid"), col("cluster_evid"), lit(true).as("is_aftershock"))
+      val rest = events.select("evid").filter(!inU(col("evid")))
+        .join(claims, Seq("evid"), "left")
+        .join(allMains.withColumn("m", lit(true)), Seq("evid"), "left")
+        .select(col("evid"),
+          when(col("m"), col("evid")).otherwise(col("cluster_evid")).as("cluster_evid"),
+          coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
+      uOut.unionByName(rest)
     }
-    // each non-main event's cluster is its order-first main container
-    // — a partial-agg max_by (unique (m_mag, m_evid) per group), not
-    // a per-event window sort over the pair table
-    val claims = pairs
-      .join(allMains.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
-      .join(allMains, Seq("evid"), "left_anti")
-      .groupBy(col("evid"))
-      .agg(max_by(col("m_evid"), struct(col("m_mag"), -col("m_evid")))
-        .as("cluster_evid"))
-      .select(col("evid"), col("cluster_evid"), lit(true).as("is_aftershock"))
-    events.select("evid")
-      .join(claims, Seq("evid"), "left")
-      .join(allMains.withColumn("m", lit(true)), Seq("evid"), "left")
-      .select(col("evid"),
-        when(col("m"), col("evid")).otherwise(col("cluster_evid")).as("cluster_evid"),
-        coalesce(col("is_aftershock"), lit(false)).as("is_aftershock"))
   }
 
   /** Driver-tail CHUNK size for [[abwdLabel]]'s sequential finish. A
@@ -961,9 +962,33 @@ object GeoOps {
     * main() bit a tail event consults belongs to an order-earlier
     * event — either already decided (flagged via joins against
     * `mains` before collecting) or an earlier tail event this pass
-    * has just decided. Returns the tail events that become mains. */
+    * has just decided.
+    *
+    * r18 shape: TWO collect jobs total (the residual ids, then ONE
+    * pass over the relevant pair rows), down from 2 per 100k-chunk
+    * plus a rank/checkpoint pass. A pair row (x, m) is "relevant" when
+    * x ∈ U (arrival-claim containers), m ∈ U (claim candidates), or
+    * x is a claimee of some U-event (claimee-already-claimed
+    * containers) — one broadcast-semi pass derives the claimee ids,
+    * one more filters, so collected rows stay O(residual × window
+    * occupancy) at any catalogue size. BOTH driver lookup maps
+    * (containers-of-id, claimees-of-id) are built from the ONE
+    * collected row set — the old tagged-union collected the heavily
+    * overlapping container/claimee projections as separate row sets,
+    * twice the bytes and twice the join work. Rows cross as
+    * UnsafeRows (`toRdd` + copy) — the generic Row conversion was
+    * measured at ~2× the collect decode cost on ~2M-row sets.
+    *
+    * Returns (tail events that became mains, driver-resolved claim
+    * labels (evid → cluster) for the NON-main residual events, the
+    * residual id array) — the containers needed to resolve each
+    * residual event's order-first main container are exactly the rows
+    * already collected, so the final claim agg for U-events is a free
+    * driver pass instead of a second distributed aggregation. */
   private def abwdDriverTail(undecided: DataFrame, pairs: DataFrame,
-                             mains: DataFrame, lastEvid: Long): Seq[Long] = {
+                             mains: DataFrame, lastEvid: Long)
+      : (Seq[Long], Seq[(Long, Option[Long], Boolean)],
+         org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val sp = pairs.sparkSession
     import sp.implicits._
     val dbg = sys.env.contains("GRAFT_DEBUG")
@@ -972,80 +997,116 @@ object GeoOps {
       System.err.println(f"  ABWD tail lap $tag rows=$n [${(System.nanoTime() - t0) / 1e9}%5.2fs]")
     def beforeL(aMag: Double, aEvid: Long, bMag: Double, bEvid: Long): Boolean =
       aMag > bMag || (aMag == bMag && aEvid < bEvid)
-    def group(rows: Array[(Long, Long, Double, Boolean)]): java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]] = {
-      // manual grouping: Scala groupBy on ~1M boxed tuples is seconds
-      val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]]()
-      for ((k, a, b, c) <- rows) {
-        var buf = m.get(k)
-        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; m.put(k, buf) }
-        buf += ((a, b, c))
-      }
-      m
-    }
-    val u = undecided.select("evid", "mag").collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
-    // local relations, not checkpoints: each id list is a few hundred
-    // KB the planner broadcasts; a localCheckpoint would cost a job
-    // per chunk for nothing
-    val uDF = u.map(_._1).toSeq.toDF("evid")
-    val mFlag = mains.select(col("evid").as("m_evid"), lit(true).as("m_main"))
-    val uFlag = uDF.select(col("evid").as("m_evid"), lit(true).as("m_tail"))
-    // Containers only matter when decided-main or tail-member — an
-    // undecided container outside U cannot become a main in this
-    // pass — so irrelevant rows drop DISTRIBUTED, before the collect.
-    def contSide(ids: DataFrame, tag: Int): DataFrame =
-      pairs.join(ids, Seq("evid"), "left_semi")
-        .join(mFlag, Seq("m_evid"), "left")
-        .join(uFlag, Seq("m_evid"), "left")
-        .filter(coalesce(col("m_main"), lit(false)) || coalesce(col("m_tail"), lit(false)))
-        .select(lit(tag).as("tag"), col("evid").as("k"), col("m_evid").as("v"),
-          col("m_mag").as("vm"), coalesce(col("m_main"), lit(false)).as("fl"))
-    // Two collect jobs per chunk, not three: containers-of-tail (the
-    // arrival-claim check, tag 0) and claimees-of-tail (tag 1) share
-    // one tagged-union job; the claimee-ID list then falls out of the
-    // collected tag-1 rows on the driver for free, so the
-    // containers-of-claimees lookup (claimee-already-claimed check)
-    // is one more collect against a broadcast local relation — never
-    // a distributed distinct.
-    val clmSide = pairs
-      .join(uDF.select(col("evid").as("m_evid")), Seq("m_evid"), "left_semi")
+    val u = undecided.select("evid", "mag").queryExecution.toRdd
+      .map(_.copy()).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val uSet = new java.util.HashSet[Long](u.length * 2)
+    u.foreach(t => uSet.add(t._1))
+    // ONE broadcast hash set carries residual membership to every
+    // distributed filter — a 150k-id LOCAL-RELATION broadcast join was
+    // measured at ~0.5 s per use (driver-side row conversion + hash
+    // relation build), and the old tail used four of them per chunk
+    val uSetB = sp.sparkContext.broadcast(uSet)
+    val inU = udf((id: Long) => uSetB.value.contains(id))
+    // Relevant pair rows, wave 1: x ∈ U (arrival-claim containers,
+    // and ALL of them — contOf must be complete for e∈U) or m ∈ U
+    // (claim candidates; also yields the claimee id set X on the
+    // driver for free). The mains flags ride two left joins — `mains`
+    // is a bounded distributed table, never collected.
+    def flagged(base: DataFrame): DataFrame = base
       .join(mains.select(col("evid"), lit(true).as("x_main")), Seq("evid"), "left")
-      .select(lit(1).as("tag"), col("m_evid").as("k"), col("evid").as("v"),
-        col("mag").as("vm"), coalesce(col("x_main"), lit(false)).as("fl"))
-    val fused = contSide(uDF, 0).unionByName(clmSide)
-      .collect().map(r =>
-        (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
-    val contOfE = group(fused.collect { case (0, row) => row })
-    val claimees = fused.collect { case (1, row) => row }
-    val claimeesOf = group(claimees)
-    lap("fused01", fused.length)
-    val xDF = claimees.map(_._2).distinct.toSeq.toDF("evid")
-    val contOfX = group(contSide(xDF, 2)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
-    lap("contOfX", contOfX.size)
-    val tailSet = scala.collection.mutable.HashSet.empty[Long]
+      .join(mains.select(col("evid").as("m_evid"), lit(true).as("m_main")),
+        Seq("m_evid"), "left")
+      .select(col("evid"), col("mag"), col("m_evid"), col("m_mag"),
+        coalesce(col("x_main"), lit(false)).as("x_main"),
+        coalesce(col("m_main"), lit(false)).as("m_main"))
+    val wave1 = flagged(pairs.filter(inU(col("evid")) || inU(col("m_evid"))))
+      .queryExecution.toRdd.map(_.copy()).collect()
+    // both lookup maps from the one collected row set
+    final class Ent(val id: Long, val mag: Double, val main: Boolean)
+    def newMap = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Ent]]()
+    val contOf = newMap // x → its containers (m, m_mag, m decided-main)
+    val claimeesOf = newMap // m∈U → its claimees (x, mag, x decided-main)
+    def add(m: java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Ent]],
+            k: Long, e: Ent): Unit = {
+      var buf = m.get(k)
+      if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; m.put(k, buf) }
+      buf += e
+    }
+    val xOutside = new java.util.HashSet[Long]()
+    def ingest(rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+               trackX: Boolean): Unit =
+      for (r <- rows) {
+        val x = r.getLong(0); val xMag = r.getDouble(1)
+        val m = r.getLong(2); val mMag = r.getDouble(3)
+        val xMain = r.getBoolean(4); val mMain = r.getBoolean(5)
+        // wave 1 defers x∉U container entries to wave 2 (which
+        // re-reads ALL of an outside-claimee's container rows), so
+        // nothing is ingested twice; claimee entries come from wave 1
+        // alone (wave-2 rows with m∈U would repeat them)
+        if (uSet.contains(x) || !trackX) add(contOf, x, new Ent(m, mMag, mMain))
+        if (trackX && uSet.contains(m)) {
+          add(claimeesOf, m, new Ent(x, xMag, xMain))
+          if (!uSet.contains(x)) xOutside.add(x)
+        }
+      }
+    ingest(wave1, trackX = true)
+    lap("wave1", wave1.length)
+    // wave 2 — containers of claimees OUTSIDE the residual (the
+    // claimee-already-claimed check needs them): usually empty when
+    // the tail covers the whole undecided set; bounded by the wave-1
+    // claimee count either way
+    if (!xOutside.isEmpty) {
+      val xB = sp.sparkContext.broadcast(xOutside)
+      val inX = udf((id: Long) => xB.value.contains(id))
+      val wave2 = flagged(pairs.filter(inX(col("evid"))))
+        .queryExecution.toRdd.map(_.copy()).collect()
+      ingest(wave2, trackX = false)
+      lap("wave2", wave2.length)
+    }
+    val tailSet = new java.util.HashSet[Long]()
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val empty = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
-    def get(m: java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean)]],
+    val empty = scala.collection.mutable.ArrayBuffer.empty[Ent]
+    def get(m: java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Ent]],
             k: Long) = { val v = m.get(k); if (v == null) empty else v }
     for ((e, eMag) <- u.sortBy { case (evid, mag) => (-mag, evid) }) {
-      val arrClaimed = get(contOfE, e).exists { case (m, mMag, mMain) =>
-        beforeL(mMag, m, eMag, e) && (mMain || tailSet(m))
+      val arrClaimed = get(contOf, e).exists { c =>
+        beforeL(c.mag, c.id, eMag, e) && (c.main || tailSet.contains(c.id))
       }
       if (!arrClaimed && e != lastEvid) {
-        val canClaim = get(claimeesOf, e).exists { case (x, xMag, xDecMain) =>
-          val xEarlierMain = (xDecMain || tailSet(x)) && beforeL(xMag, x, eMag, e)
-          lazy val xClaimedEarlier = get(contOfX, x).exists {
-            case (mc, mcMag, mcMain) =>
-              beforeL(mcMag, mc, eMag, e) && (mcMain || tailSet(mc))
+        val canClaim = get(claimeesOf, e).exists { x =>
+          val xEarlierMain =
+            (x.main || tailSet.contains(x.id)) && beforeL(x.mag, x.id, eMag, e)
+          lazy val xClaimedEarlier = get(contOf, x.id).exists { mc =>
+            beforeL(mc.mag, mc.id, eMag, e) && (mc.main || tailSet.contains(mc.id))
           }
           !xEarlierMain && !xClaimedEarlier
         }
-        if (canClaim) { tailSet += e; out += e }
+        if (canClaim) { tailSet.add(e); out += e }
       }
     }
     lap("greedy", out.size)
-    out.toSeq
+    // driver OUTPUT rows for the whole residual: tail mains label
+    // themselves (flag false, like every mainshock); each non-main
+    // e∈U with ≥1 decided-main container gets its order-first main
+    // container — max (m_mag, −m_evid), the exact distributed max_by
+    // rule (contOf is COMPLETE for e∈U: every (e, m) row passed the
+    // x∈U wave-1 leg); barren events keep a NULL cluster. This is the
+    // same answer the distributed claim agg would give, computed from
+    // rows the tail had already collected.
+    val uRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Boolean)]
+    for ((e, _) <- u) {
+      if (tailSet.contains(e)) uRows += ((e, Some(e), false))
+      else {
+        var best: Ent = null
+        for (c <- get(contOf, e) if c.main || tailSet.contains(c.id)) {
+          if (best == null || c.mag > best.mag ||
+              (c.mag == best.mag && c.id < best.id)) best = c
+        }
+        uRows += ((e, Option(best).map(_.id), best != null))
+      }
+    }
+    lap("uRows", uRows.size)
+    (out.toSeq, uRows.toSeq, inU)
   }
 
   /** Decimal year of an epoch-microseconds column (`aftershocks.py:117

@@ -1932,9 +1932,16 @@ object TextOps {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    // ONE physical evaluation of the tf-idf vector build per call
+    // (r18, the pagerank `ids` pattern — a per-call eager checkpoint,
+    // NOT a per-dir cache): the weight table feeds THREE consumers
+    // below (the wa side, the wb side, the norms agg), and without the
+    // barrier the plan re-derives the tf→df→weight subtree per
+    // consumer (reuse covered only the exchanges, not the join work).
     val w = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         expr("tf * ((n_docs * 1000) div df)").as("w"))
+      .localCheckpoint(true)
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(expr("cast(w as decimal(38,0)) * w")).as("sumsq"))
       .select(col("doc_id"), sqrt(col("sumsq").cast("double")).as("nrm"))
